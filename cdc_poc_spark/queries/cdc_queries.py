@@ -1,0 +1,183 @@
+"""CDC semantics as batch queries over the events changelog.
+
+The reference lands an append-only CDC log and defers current-state
+materialization ("TODO: Switch to MERGE INTO", reference
+spark/scripts/consumer.py:76). These queries implement that semantic the
+Spark-native way: window-dedup (latest row per key by event time) — the
+exact rewrite named in SURVEY §1.4 — plus changelog analytics (op-code
+counts, before/after reconstruction with lag, SCD2 validity intervals).
+
+The `events` fixture stands in for the changelog: `user_id` is the key,
+`ts` (epoch-nanos long) the monotonic sequence (the Kafka-offset/LSN
+stand-in, FIXTURES.md A2), `event_type='error'` plays the tombstone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import VAL, dec, events_with_time, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Current-state materialization (the flagship)
+# ---------------------------------------------------------------------------
+
+_LATEST_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM ranked
+JOIN customer ON user_id = c_custkey
+WHERE rn = 1 AND event_type <> 'error'
+GROUP BY c_mktsegment, event_type
+"""
+
+
+@register("cdc_current_state_by_segment", oracle=_LATEST_ORACLE, tags=("cdc", "window", "join", "agg"))
+def cdc_current_state_by_segment(spark, sf_dir):
+    """Flagship: changelog -> current state (row_number over key ordered by
+    sequence desc), tombstone filter, broadcast join to the customer dim,
+    aggregate by segment. This is the MERGE-INTO semantics of reference
+    consumer.py:76 expressed as a pure Catalyst plan.
+
+    Scale: the window shuffles once on user_id (the natural key); the dim
+    join is broadcast; nothing else shuffles.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000").desc(), F.col("event_id").desc())
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND event_type <> 'error'")
+    )
+    return (
+        latest.join(F.broadcast(cust), latest.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(dec("value", VAL)).cast("double").alias("total_value"),
+        )
+    )
+
+
+_STATE_TABLE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(value AS DOUBLE) AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("cdc_current_state_table", oracle=_STATE_TABLE_ORACLE, tags=("cdc", "window"))
+def cdc_current_state_table(spark, sf_dir):
+    """The materialized mirror itself (reference §1.1d shape): one row per
+    live key, latest attributes win, tombstones dropped."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND event_type <> 'error'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog analytics
+# ---------------------------------------------------------------------------
+
+_OPLOG_ORACLE = """
+SELECT
+  CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_keys
+FROM events
+GROUP BY 1
+"""
+
+
+@register("cdc_oplog_profile", oracle=_OPLOG_ORACLE, tags=("cdc", "agg"))
+def cdc_oplog_profile(spark, sf_dir):
+    """Debezium op-code profile (r/c/u/d domain, reference consumer.py:55):
+    map event types onto op codes and profile the log."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op")
+    )
+    return ev.groupBy(op).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+
+
+_BEFORE_AFTER_ORACLE = """
+SELECT event_id, user_id,
+       lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS before_value,
+       value AS after_value,
+       CAST(CAST(value AS DECIMAL(12,2)) -
+            COALESCE(CAST(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DECIMAL(12,2)), 0)
+            AS DOUBLE) AS delta
+FROM events
+"""
+
+
+@register("cdc_before_after_reconstruction", oracle=_BEFORE_AFTER_ORACLE, tags=("cdc", "window"))
+def cdc_before_after_reconstruction(spark, sf_dir):
+    """Reconstruct Debezium before/after pairs from a bare changelog with
+    lag() — the analytic twin of the envelope's before/after fields
+    (reference consumer.py:53-54)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), "event_id")
+    before = F.lag("value").over(w)
+    delta = (
+        dec("value", VAL) - F.coalesce(F.lag(dec("value", VAL)).over(w), F.lit(0).cast(VAL))
+    ).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        before.alias("before_value"),
+        F.col("value").alias("after_value"),
+        delta.alias("delta"),
+    )
+
+
+_SCD2_ORACLE = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+FROM events
+"""
+
+
+@register("cdc_scd2_intervals", oracle=_SCD2_ORACLE, tags=("cdc", "window"))
+def cdc_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals: each change is valid until the key's next
+    change (lead). Emitted as epoch-micros longs — the reference's
+    epoch-integer timestamp convention (SURVEY §1.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("valid_from_us"),
+        F.lead(F.expr("ts DIV 1000")).over(w).alias("valid_to_us"),
+    )

@@ -1,0 +1,231 @@
+"""TPC-H-style analytic queries over the fixture star schema.
+
+These exercise the scan -> filter -> join -> aggregate -> sort/limit
+pipeline (SURVEY §2.B rows: projection/filter, joins, aggregations,
+sorts/top-k). The reference itself has no relational algebra (SURVEY §2
+preamble) — this is the declared surface of the new engine.
+
+Scale notes (100 TB): every query is a declarative plan — filters reach
+the parquet scan (PushedFilters), dimension tables are broadcast
+explicitly, fact-fact joins shuffle on their join key and AQE handles
+skew/coalesce. No collects, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import MONEY, QTY, RATE, dec, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary (grouped 8-agg over a pushed-down date filter)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "tpch"))
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape. Exact decimal sums cast back to double; averages
+    as sum/count so they are shuffle-order independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate <= TIMESTAMP '1998-09-02'"
+    )
+    disc_price = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    charge = disc_price * (F.lit(1) + dec("l_tax", RATE))
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity", QTY)).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice", MONEY)).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(dec("l_quantity", QTY)).cast("double") / n).alias("avg_qty"),
+        (F.sum(dec("l_extendedprice", MONEY)).cast("double") / n).alias("avg_price"),
+        (F.sum(dec("l_discount", RATE)).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping priority (3-way join, agg, top-k)
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-15'
+  AND l_shipdate > TIMESTAMP '1997-06-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "agg", "topk", "tpch"))
+def q3_shipping_priority(spark, sf_dir):
+    """Broadcast the filtered customer dim; shuffle join orders-lineitem
+    on orderkey; deterministic top-10 (revenue desc, orderkey asc)."""
+    cust = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate < TIMESTAMP '1997-06-15'"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate > TIMESTAMP '1997-06-15'"
+    )
+    revenue = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume (6-way join through region)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "agg", "tpch"))
+def q5_local_supplier_volume(spark, sf_dir):
+    """Six-way join: the three dims (supplier, nation, region) broadcast;
+    the fact-fact joins shuffle on orderkey/custkey. The c_nationkey =
+    s_nationkey condition rides on the supplier join (composite equi)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    revenue = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change (pure pushed-down filter + global agg)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("filter", "agg", "tpch"))
+def q6_forecast_revenue(spark, sf_dir):
+    """All four predicates push into the parquet scan; single partial+final
+    agg, no shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+        " AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice", MONEY) * dec("l_discount", RATE))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned items (join + group by customer, top 20)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "agg", "topk", "tpch"))
+def q10_returned_items(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+Local-first (tests run on local[N]) but with scale-ready defaults: AQE on
+(runtime coalesce + skew-join handling), UTC session timezone (parity with
+naive-timestamp engines), Arrow enabled for the pandas-UDF slow path.
+
+The reference builds its session in spark/scripts/consumer.py:20-41 with
+``spark.sql.shuffle.partitions=2`` sized for toy data; here the default
+tracks core count and AQE coalesces at runtime, which is the setting that
+survives a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every entry point applies, even to sessions built
+#: by an external harness. ``nanosAsLong`` is required because the events
+#: fixture stores TIMESTAMP(NANOS) which Spark's parquet reader otherwise
+#: rejects; reading it as an int64 of epoch-nanos also mirrors the
+#: reference's load-bearing micros-since-epoch semantics (SURVEY §1.2).
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be non-settable on some builds; never fail a query
+            # over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "cdc-poc-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+) -> SparkSession:
+    """Build (or fetch) the local session.
+
+    ``SPARK_GRAFT_CPUS`` controls parallelism (default 32 to match the
+    driver harness). Shuffle partitions default to core count — correct
+    for local mode; a cluster deployment would size this to
+    2-3x total cores and let AQE coalesce.
+    """
+    cpus = str(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = str(shuffle_partitions or cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure_session(spark)
