@@ -1,1 +1,207 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation surface (SURVEY §2.B "Aggregations"): grouped multi-agg,
+distinct counting (exact + approximate), rollup/cube/grouping sets,
+collect_set, exact percentiles, pivot.
+
+All map-side-combinable aggregates (sum/count/min/max) stay partial+final
+— one shuffle of pre-aggregated state, which is what survives 100 TB.
+countDistinct expands to a two-phase distinct aggregate;
+approx_count_distinct (HLL++) is the single-pass scale path and is
+registered rows-only (sketches are engine-specific, no oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import BAL, MONEY, VAL, dec, load_table, register_views
+from . import register
+
+_STATS_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       CAST(MIN(value) AS DOUBLE) AS min_value,
+       CAST(MAX(value) AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_stats_by_event_type", oracle=_STATS_ORACLE, tags=("agg",))
+def agg_stats_by_event_type(spark, sf_dir):
+    """count/sum/avg/min/max in one grouped pass (partial+final)."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.sum(dec("value", VAL)).cast("double").alias("total"),
+        (F.sum(dec("value", VAL)).cast("double") / n).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(value AS DECIMAL(12,2))) AS n_values
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_count_distinct", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def agg_count_distinct(spark, sf_dir):
+    """Exact multi-column distinct aggregates (Catalyst expands to
+    two-phase: distinct shuffle then count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(dec("value", VAL)).alias("n_values"),
+    )
+
+
+@register("agg_approx_count_distinct", tags=("agg", "approx"))
+def agg_approx_count_distinct(spark, sf_dir):
+    """HLL++ approximate distinct — the single-pass, fixed-memory scale
+    path for 100 TB cardinality estimation. Sketch values are
+    engine-specific → rows-only check (no oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+"""
+
+
+@register("agg_rollup_segment_nation", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def agg_rollup_segment_nation(spark, sf_dir):
+    """ROLLUP: (seg, nation), (seg), () — subtotal rows carry NULL keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("c_acctbal", BAL)).cast("double").alias("total_bal"),
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_cube_status_priority", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE: all four grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_GSETS_ORACLE, tags=("agg", "rollup"))
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via Spark SQL (same Catalyst Expand operator
+    as rollup/cube)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT r_name, array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+"""
+
+
+@register("agg_collect_set_nations", oracle=_COLLECT_ORACLE, tags=("agg", "array"))
+def agg_collect_set_nations(spark, sf_dir):
+    """collect_set -> sorted -> joined to a stable string (set semantics
+    verified order-insensitively)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations")
+        )
+    )
+
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_percentile_exact", oracle=_MEDIAN_ORACLE, tags=("agg", "percentile"))
+def agg_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (both engines: linear interpolation
+    over the sorted set). The approximate twin is below."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value"),
+        F.percentile("value", 0.9).alias("p90_value"),
+    )
+
+
+@register("agg_percentile_approx", tags=("agg", "approx"))
+def agg_percentile_approx(spark, sf_dir):
+    """KLL/GK-sketch approximate percentile — fixed-memory scale path;
+    sketch-specific values → rows-only."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("median_approx")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_pivot_status_counts", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def agg_pivot_status_counts(spark, sf_dir):
+    """Pivot with explicit values (explicit value list = single-pass plan;
+    value discovery would need an extra job at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("F"),
+        F.coalesce("O", F.lit(0)).alias("O"),
+        F.coalesce("P", F.lit(0)).alias("P"),
+    )

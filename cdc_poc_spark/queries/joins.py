@@ -1,1 +1,240 @@
-"""Placeholder — populated in a later milestone."""
+"""Join surface (SURVEY §2.B "Joins" — absent from the reference, declared
+engine capability): every join type, broadcast strategy, non-equi
+conditions, and the as-of join the CDC snapshot-at-time semantics need.
+
+Scale notes: dimension sides are broadcast explicitly; fact-fact joins
+shuffle on their keys and rely on AQE for skew. The as-of join is the
+union+window formulation — O(n log n) per key, no join explosion — which
+is the only formulation that survives 100 TB (a naive time-range join is
+quadratic per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import BAL, MONEY, dec, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Inner / outer family
+# ---------------------------------------------------------------------------
+
+_INNER_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+@register("join_inner_orders_customer", oracle=_INNER_ORACLE, tags=("join", "agg"))
+def join_inner_orders_customer(spark, sf_dir):
+    """Equi inner join, customer side broadcast (dim), agg by nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice", MONEY)).cast("double").alias("total_spend"),
+        )
+    )
+
+
+_LEFT_ORACLE = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(15,2))), 0) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@register("join_left_outer_customer_orders", oracle=_LEFT_ORACLE, tags=("join", "agg"))
+def join_left_outer_customer_orders(spark, sf_dir):
+    """Left outer: customers kept even with zero orders (COUNT of the
+    nullable key counts matches only)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice", MONEY)), F.lit(0).cast("decimal(25,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+_RIGHT_ORACLE = """
+SELECT n_nationkey, n_name, s_suppkey
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("join_right_outer_supplier_nation", oracle=_RIGHT_ORACLE, tags=("join",))
+def join_right_outer_supplier_nation(spark, sf_dir):
+    """Right outer: every nation survives; nations without suppliers get
+    NULL s_suppkey."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+_FULL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT user_id, c_custkey, n_events
+FROM per_user FULL JOIN customer ON user_id = c_custkey
+"""
+
+
+@register("join_full_outer_events_customer", oracle=_FULL_ORACLE, tags=("join", "agg"))
+def join_full_outer_events_customer(spark, sf_dir):
+    """Full outer join — the key domains deliberately misalign (user_id
+    0..N-1 vs c_custkey 1..N) so both unmatched sides appear."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return per_user.join(cust, per_user.user_id == cust.c_custkey, "full").select(
+        "user_id", "c_custkey", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti / cross / non-equi
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@register("join_semi_big_spenders", oracle=_SEMI_ORACLE, tags=("join",))
+def join_semi_big_spenders(spark, sf_dir):
+    """Left-semi join = EXISTS. The probe side never widens — the
+    shuffle carries only the filtered orders keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter("o_totalprice > 300000")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("join_anti_customers_without_orders", oracle=_ANTI_ORACLE, tags=("join",))
+def join_anti_customers_without_orders(spark, sf_dir):
+    """Left-anti join = NOT EXISTS."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_CROSS_ORACLE = """
+SELECT a.r_regionkey AS from_region, b.r_regionkey AS to_region
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+"""
+
+
+@register("join_cross_region_pairs", oracle=_CROSS_ORACLE, tags=("join",))
+def join_cross_region_pairs(spark, sf_dir):
+    """Cross join (tiny×tiny only — a cartesian is never the scale path)."""
+    a = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("from_region")
+    )
+    b = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("to_region")
+    )
+    return a.crossJoin(b).filter("from_region <> to_region")
+
+
+_THETA_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_overweight,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(8,1))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+"""
+
+
+@register("join_theta_quantity_over_size", oracle=_THETA_ORACLE, tags=("join", "agg"))
+def join_theta_quantity_over_size(spark, sf_dir):
+    """Equi join with an additional theta (inequality) condition — the
+    equi key drives the physical join; the inequality is a post-filter,
+    so this stays a hash join, not a nested-loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (li.l_quantity > part.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_overweight"),
+            F.sum(dec("l_quantity", "decimal(8,1)")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (union + window — the scale-correct formulation)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+), marked AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_id
+  FROM ordered
+)
+SELECT event_id, user_id, ts_us, prev_view_id
+FROM marked WHERE event_type = 'purchase'
+"""
+
+
+@register("join_asof_purchase_to_view", oracle=_ASOF_ORACLE, tags=("join", "window", "asof"))
+def join_asof_purchase_to_view(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    preceding view. Implemented as union+window (last_value IGNORE NULLS
+    over the interleaved, time-ordered stream) — one shuffle on the key,
+    no range-join explosion. This is the CDC snapshot-at-time primitive
+    (SURVEY §2.B joins row)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_view_id", prev_view)
+        .filter("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts_us", "prev_view_id")
+    )

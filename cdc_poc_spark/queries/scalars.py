@@ -1,1 +1,273 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function surface (SURVEY §2.B scalar rows): string, regex,
+date/time, epoch-micros conversions (the reference's load-bearing
+timestamp semantic, SURVEY §1.2), JSON extraction (the core of the
+reference's consumer, consumer.py:53-55), math, conditionals, and the
+distinct-values probe (reference O7, consumer.py:69).
+
+All expressions are JVM-side Catalyst built-ins — whole-stage-codegen
+eligible, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load_table
+from . import register
+
+_STR_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_snake,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+@register("scalar_string_functions", oracle=_STR_ORACLE, tags=("scalar", "string"))
+def scalar_string_functions(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+_REGEX_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^([A-Za-z]+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+       CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END AS starts_lower_word
+FROM part
+"""
+
+
+@register("scalar_regex_functions", oracle=_REGEX_ORACLE, tags=("scalar", "regex"))
+def scalar_regex_functions(spark, sf_dir):
+    """Regex family — patterns restricted to the RE2/Java-common subset."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "^([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.when(F.col("p_name").rlike("^[a-z]+ "), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("starts_lower_word"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       quarter(o_orderdate) AS qtr,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+       dayofweek(o_orderdate) + 1 AS dow
+FROM orders
+"""
+
+
+@register("scalar_date_functions", oracle=_DATE_ORACLE, tags=("scalar", "datetime"))
+def scalar_date_functions(spark, sf_dir):
+    """Date/time family. Note dow convention differs (Spark: 1=Sunday;
+    DuckDB: 0=Sunday) — the oracle normalizes with +1."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias("days_to_eoy"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+_EPOCH_ORACLE = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       epoch_us(ts) // 1000 AS ts_ms,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket
+FROM events
+"""
+
+
+@register("scalar_epoch_micros_roundtrip", oracle=_EPOCH_ORACLE, tags=("scalar", "datetime", "cdc"))
+def scalar_epoch_micros_roundtrip(spark, sf_dir):
+    """The reference's micros-since-epoch convention (Debezium
+    MicroTimestamp, SURVEY §1.2): long <-> timestamp round-trip,
+    truncation, formatting. Golden test: 1713192083639740 <->
+    2024-04-15T14:41:23.639740Z (tests/test_cdc_apply.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts DIV 1000")
+    tstamp = F.timestamp_micros(us)
+    return ev.select(
+        "event_id",
+        us.alias("ts_us"),
+        F.expr("ts DIV 1000000").cast("long").alias("ts_ms_wrong_name"),
+        F.date_format(tstamp, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.date_format(F.date_trunc("hour", tstamp), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+    ).withColumnRenamed("ts_ms_wrong_name", "ts_ms")
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_val
+FROM events
+"""
+
+
+@register("scalar_json_extraction", oracle=_JSON_ORACLE, tags=("scalar", "json", "cdc"))
+def scalar_json_extraction(spark, sf_dir):
+    """JSON path extraction — the core of the reference consumer
+    (get_json_object on $.payload.*, consumer.py:53-55), both the
+    string-preserving form and the typed from_json upgrade."""
+    ev = load_table(spark, sf_dir, "events")
+    typed = F.from_json(
+        F.col("props"), T.StructType([T.StructField("k", T.IntegerType())])
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        typed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(4,2)), 2) AS DOUBLE) AS disc_amount,
+       abs(l_discount - 0.05) AS disc_dev,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS qty_floor7,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+       sqrt(l_quantity) AS qty_sqrt,
+       l_orderkey % 7 AS key_mod7,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(sign(l_discount - l_tax) AS INTEGER) AS rate_sign
+FROM lineitem
+"""
+
+
+@register("scalar_math_functions", oracle=_MATH_ORACLE, tags=("scalar", "math"))
+def scalar_math_functions(spark, sf_dir):
+    """Math family. Only IEEE-deterministic ops (sqrt, round, abs,
+    floor/ceil, mod) — no libm-divergent transcendentals in
+    oracle-checked output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice").cast("decimal(15,2)")
+            * F.col("l_discount").cast("decimal(4,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("disc_amount"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 7).cast("long").alias("qty_floor7"),
+        F.ceil(F.col("l_quantity") / 7).cast("long").alias("qty_ceil7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("int").alias("rate_sign"),
+    )
+
+
+_COND_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debtor'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_or_default,
+       CASE WHEN c_nationkey IN (1, 2, 3) THEN 1 ELSE 0 END AS in_focus_nations,
+       CASE WHEN c_name LIKE '%0001%' THEN 1 ELSE 0 END AS name_has_0001,
+       CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END AS bal_is_null,
+       CASE WHEN c_acctbal BETWEEN 0 AND 1000 THEN 1 ELSE 0 END AS bal_0_1000
+FROM customer
+"""
+
+
+@register("scalar_conditionals_predicates", oracle=_COND_ORACLE, tags=("scalar", "predicate"))
+def scalar_conditionals_predicates(spark, sf_dir):
+    """CASE/coalesce/nullif plus the predicate family the engine exposes
+    (IN, LIKE, IS NULL, BETWEEN, boolean composition) — SURVEY §2.B
+    projection/filter row."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.when(bal < 0, "debtor")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT"))
+        .alias("seg_or_default"),
+        F.when(F.col("c_nationkey").isin(1, 2, 3), 1).otherwise(0).alias("in_focus_nations"),
+        F.when(F.col("c_name").like("%0001%"), 1).otherwise(0).alias("name_has_0001"),
+        F.when(bal.isNull(), 1).otherwise(0).alias("bal_is_null"),
+        F.when(bal.between(0, 1000), 1).otherwise(0).alias("bal_0_1000"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
+@register("distinct_event_types", oracle=_DISTINCT_ORACLE, tags=("distinct",))
+def distinct_event_types(spark, sf_dir):
+    """The reference's topic-discovery probe (distinct + collect,
+    consumer.py:69) minus the legacy .rdd round-trip — a plain distinct
+    the driver materializes."""
+    return load_table(spark, sf_dir, "events").select("event_type").distinct()
+
+
+_ARRAY_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5_vocab
+FROM documents
+"""
+
+
+@register("scalar_array_functions", oracle=_ARRAY_ORACLE, tags=("scalar", "array", "text"))
+def scalar_array_functions(spark, sf_dir):
+    """Array family (split / distinct / sort / slice / join) over document
+    text — also the tokenization primitive the text-analysis operators
+    build on."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ",").alias(
+            "first5_vocab"
+        ),
+    )

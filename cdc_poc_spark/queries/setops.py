@@ -1,1 +1,121 @@
-"""Placeholder — populated in a later milestone."""
+"""Set-operation surface (SURVEY §2.B "Set ops"): UNION ALL / UNION
+DISTINCT / INTERSECT / EXCEPT, plus the schema-evolving union-by-name
+that is the batch twin of the reference's mergeSchema append
+(reference consumer.py:76, `mergeSchema=true`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+_UNION_ALL_ORACLE = """
+SELECT 'building' AS src, c_custkey AS id FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'machinery' AS src, c_custkey AS id FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+@register("setop_union_all_tagged", oracle=_UNION_ALL_ORACLE, tags=("setop",))
+def setop_union_all_tagged(spark, sf_dir):
+    """UNION ALL of two tagged branches (no dedup shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter("c_mktsegment = 'BUILDING'").select(
+        F.lit("building").alias("src"), F.col("c_custkey").alias("id")
+    )
+    b = cust.filter("c_mktsegment = 'MACHINERY'").select(
+        F.lit("machinery").alias("src"), F.col("c_custkey").alias("id")
+    )
+    return a.union(b)
+
+
+_UNION_DISTINCT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("setop_union_distinct_nations", oracle=_UNION_DISTINCT_ORACLE, tags=("setop",))
+def setop_union_distinct_nations(spark, sf_dir):
+    """UNION DISTINCT (union + dedup — one shuffle on the full row)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.union(supp).distinct()
+
+
+_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("setop_intersect_nations", oracle=_INTERSECT_ORACLE, tags=("setop",))
+def setop_intersect_nations(spark, sf_dir):
+    """INTERSECT (distinct semantics in both engines)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@register("setop_except_nations", oracle=_EXCEPT_ORACLE, tags=("setop",))
+def setop_except_nations(spark, sf_dir):
+    """EXCEPT (distinct): nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp)
+
+
+_EVOLVE_ORACLE = """
+SELECT c_custkey AS entity_id, c_acctbal AS balance, NULL AS priority
+FROM customer WHERE c_nationkey = 1
+UNION ALL
+SELECT o_orderkey AS entity_id, NULL AS balance, o_orderpriority AS priority
+FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+@register("setop_union_by_name_evolving", oracle=_EVOLVE_ORACLE, tags=("setop", "schema-evolution"))
+def setop_union_by_name_evolving(spark, sf_dir):
+    """Schema-evolving union: two sources with partially overlapping
+    columns combined with unionByName(allowMissingColumns=True) — the
+    exact semantics of the reference's mergeSchema append
+    (consumer.py:76) expressed as a query."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_nationkey = 1")
+        .select(
+            F.col("c_custkey").alias("entity_id"), F.col("c_acctbal").alias("balance")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'P'")
+        .select(
+            F.col("o_orderkey").alias("entity_id"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return cust.unionByName(orders, allowMissingColumns=True)

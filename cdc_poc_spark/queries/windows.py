@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function surface (SURVEY §2.B "Window functions"): ranking,
+analytic, and frame-based windows. The reference needs exactly this
+family to express "current state from a CDC log" (the MERGE TODO at
+reference consumer.py:76) — the CDC-specific windows live in
+cdc_queries.py; these are the general-purpose ones.
+
+Scale: every window here partitions by a real key (custkey / nation /
+user) so state is bounded per key. The single global-window query
+(ntile over all customers) is flagged in its docstring — at 100 TB that
+becomes a repartitionByRange + per-range rank, not one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import BAL, MONEY, dec, load_table
+from . import register
+
+_TOPK_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("win_top3_orders_per_customer", oracle=_TOPK_ORACLE, tags=("window", "topk"))
+def win_top3_orders_per_customer(spark, sf_dir):
+    """Top-k per group via row_number — the scalable top-k (no global
+    sort; one shuffle on the partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_RANKS_ORACLE = """
+SELECT s_nationkey, s_suppkey,
+       rank()         OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+       dense_rank()   OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk,
+       percent_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS prnk,
+       cume_dist()    OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS cdist
+FROM supplier
+"""
+
+
+@register("win_supplier_ranks", oracle=_RANKS_ORACLE, tags=("window",))
+def win_supplier_ranks(spark, sf_dir):
+    """rank / dense_rank / percent_rank / cume_dist in one window."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return supp.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+"""
+
+
+@register("win_running_spend", oracle=_RUNNING_ORACLE, tags=("window", "frame"))
+def win_running_spend(spark, sf_dir):
+    """Cumulative sum with an explicit ROWS frame (exact decimal running
+    state, cast at the edge)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice", MONEY)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+_TRAILING_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_orders_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (PARTITION BY o_custkey ORDER BY day_num
+                  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+FROM o
+"""
+
+
+@register("win_trailing_30d_spend", oracle=_TRAILING_ORACLE, tags=("window", "frame", "range"))
+def win_trailing_30d_spend(spark, sf_dir):
+    """RANGE frame over integer day numbers — a trailing 30-day window
+    per customer (event-time logic as a batch window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.unix_date(F.col("o_orderdate").cast("date")).alias("day_num")
+    o = orders.select("o_custkey", "o_orderkey", day_num, "o_totalprice")
+    w = W.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(dec("o_totalprice", MONEY)).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+_NTILE_ORACLE = """
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS wealth_quartile
+FROM customer
+"""
+
+
+@register("win_ntile_wealth_quartile", oracle=_NTILE_ORACLE, tags=("window",))
+def win_ntile_wealth_quartile(spark, sf_dir):
+    """ntile over a global ordering. NOTE: a single-partition window —
+    fine for a dimension table; for a 100 TB fact the equivalent is
+    repartitionByRange + percent_rank, or approx quantile bucketing."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", F.ntile(4).over(w).alias("wealth_quartile")
+    )
+
+
+_FIRST_LAST_ORACLE = """
+SELECT DISTINCT user_id,
+       first_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS first_value_seen,
+       last_value(value)  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_value_seen,
+       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_value_seen
+FROM events
+"""
+
+
+@register("win_first_last_per_user", oracle=_FIRST_LAST_ORACLE, tags=("window", "frame"))
+def win_first_last_per_user(spark, sf_dir):
+    """first_value / last_value / nth_value with a full-partition frame,
+    deduped to one row per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr("ts DIV 1000"), "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w).alias("last_value_seen"),
+        F.nth_value("value", 2).over(w).alias("second_value_seen"),
+    ).distinct()
