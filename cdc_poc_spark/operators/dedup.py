@@ -1,0 +1,263 @@
+"""Deduplication operators over a text corpus.
+
+Four tiers, cheapest-first — the order a 100 TB pipeline applies them:
+
+1. exact          hash-groupBy on raw text (one shuffle of 16-byte keys)
+2. fingerprint    hash-groupBy on a normalized token-set fingerprint
+3. MinHash + LSH  near-dup candidate generation in O(n · k), then exact
+                  Jaccard verification on candidates only
+4. SimHash        64-bit bitwise sketch, Hamming-ball lookup via banding
+
+All JVM-side: shingling/hashing use Catalyst higher-order array
+functions + xxhash64 — no Python in the row path. The quadratic exact
+pairwise Jaccard exists only as the small-scale verifier
+(`exact_jaccard_pairs`), never the scale path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus. (a, b) parameters are
+# fixed constants (seeded once, committed) so signatures are stable
+# across runs and machines.
+_P = 2_147_483_647
+_rng = random.Random(42)
+MINHASH_PERMS = [(_rng.randrange(1, 1 << 20), _rng.randrange(0, 1 << 20)) for _ in range(32)]
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_expr(toks: str = "toks", n: int = 3) -> F.Column:
+    """Distinct n-token shingles (word n-grams) as strings. Pure Catalyst:
+    sequence + transform + slice + concat_ws."""
+    return F.expr(
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return (
+        df.withColumn("toks", tokens_col(text_col))
+        .filter(F.size("toks") >= n)
+        .withColumn("shingles", shingles_expr("toks", n))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 1/2: exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5(text) groupBy; representative = min id. The
+    shuffle carries (hash, id) only — constant bytes/row regardless of
+    document size."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def fingerprint_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Normalized-content dedup: fingerprint = md5 of the sorted distinct
+    token set (order/duplication-insensitive). Returns multi-doc clusters."""
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens_col(text_col))), " ")
+    ).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter("n_docs >= 2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+    """32-permutation MinHash signature via universal hashing
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod p, computed as Catalyst array
+    expressions (transform + array_min) — one pass over shingles."""
+    base = F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_P}L))")
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
+
+    sig_cols = [
+        F.array_min(F.transform(base, perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return df.select("*", F.array(*sig_cols).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket-join within bands.
+    Shuffle key = (band_id, band_hash): only same-bucket docs ever meet,
+    which is what makes near-dup detection sub-quadratic at scale."""
+    k = len(MINHASH_PERMS)
+    rows = k // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(F.slice("minhash", b * rows + 1, rows)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(col_a: str, col_b: str) -> F.Column:
+    """Exact Jaccard over two distinct-element arrays (integer set sizes
+    -> exact double ratio)."""
+    inter = F.size(F.array_intersect(F.col(col_a), F.col(col_b)))
+    union = F.size(F.array_union(F.col(col_a), F.col(col_b)))
+    return (inter.cast("double") / union.cast("double"))
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> MinHash -> LSH buckets ->
+    exact-Jaccard verification of candidates only."""
+    sh = with_shingles(df, text_col, n).select(id_col, "shingles")
+    sig = minhash_signature(sh)
+    cand = lsh_candidate_pairs(sig, id_col)
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quadratic exact pairwise Jaccard — the small-scale ORACLE/verifier
+    for the LSH path. Never the scale path (documented anti-pattern at
+    100 TB; kept for correctness testing and the DuckDB oracle)."""
+    sh = with_shingles(df, text_col, n).select(id_col, "shingles")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier 4: SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, per-bit ±1 majority vote,
+    assembled with shiftleft (distinct powers — no carries). Explode +
+    64 map-side-combinable sums; everything JVM-side."""
+    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*sums)
+    sim = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sim = term if sim is None else sim + term
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+) -> DataFrame:
+    """Hamming-ball near-dup via 4×16-bit banding (a pair within Hamming
+    distance 3 must agree on ≥1 band; wider distances trade recall):
+    bucket-join on band value, verify with bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,1 +1,305 @@
-"""Placeholder — populated in a later milestone."""
+"""Driver-contract wrappers for the LLM-data-pipeline operators
+(operators/{dedup,similarity,text,multimodal}.py) over the documents and
+embeddings fixtures. SQL-expressible operators carry DuckDB oracles;
+sketch/LSH operators are rows-only (verified against their exact twins
+in tests/test_llm_ops.py instead).
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup, multimodal, similarity, text
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact_groups", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup by content hash (tier 1)."""
+    return dedup.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_FP_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM f GROUP BY fp HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_fingerprint_clusters", oracle=_FP_ORACLE, tags=("llm", "dedup"))
+def dedup_fingerprint_clusters(spark, sf_dir):
+    """Normalized token-set fingerprint clusters (tier 2)."""
+    return dedup.fingerprint_clusters(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard_pairs", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact pairwise 3-gram Jaccard near-dup pairs (the small-scale
+    verifier; quadratic — never the scale path)."""
+    return dedup.exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh_pairs", tags=("llm", "dedup", "lsh"))
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (tier 3, the scale path). Rows-only:
+    recall vs the exact pairs is asserted in tests/test_llm_ops.py."""
+    return dedup.minhash_lsh_dedup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_near_pairs", tags=("llm", "dedup", "lsh"))
+def dedup_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-ball near-dup pairs (tier 4). Rows-only."""
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5) AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim_cosine_topk", oracle=_COSINE_ORACLE, tags=("llm", "similarity"))
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 query vectors (exact
+    baseline; all-double arithmetic, rounded at the edge)."""
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("sim_ann_lsh_topk", tags=("llm", "similarity", "lsh"))
+def sim_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-5 (bucket-restricted scan — the
+    sub-linear scale path). Rows-only; recall vs exact in tests."""
+    return similarity.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_NORM_ORACLE = """
+WITH e AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 5) AS r_norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       round(SUM(r_norm) / COUNT(*), 5) AS avg_norm,
+       MIN(r_norm) AS min_norm,
+       MAX(r_norm) AS max_norm
+FROM e GROUP BY label
+"""
+
+
+@register("sim_norm_stats_by_label", oracle=_NORM_ORACLE, tags=("llm", "similarity"))
+def sim_norm_stats_by_label(spark, sf_dir):
+    """Per-label embedding-norm profile (array math via higher-order
+    functions)."""
+    return similarity.norm_stats_by_label(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len,
+       CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','value'))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+FROM d
+"""
+
+
+@register("text_stats_per_doc", oracle=_STATS_ORACLE, tags=("llm", "text"))
+def text_stats_per_doc(spark, sf_dir):
+    """Per-document token/char/vocabulary statistics."""
+    return text.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','value'))) AS DOUBLE)
+           / len(toks) AS stopword_ratio
+  FROM d
+)
+SELECT doc_id, n_tokens, ttr, stopword_ratio,
+       round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0
+                   WHEN n_tokens > 200 THEN 0.5 ELSE 0.25 END) * 0.4
+             + ttr * 0.3
+             + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END) * 0.3, 5)
+         AS quality_score
+FROM s
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality_score(spark, sf_dir):
+    """Composite quality score (length band + TTR + stopword presence)."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in text.LANG_STOPWORDS.items()
+    }
+    langs = list(text.LANG_STOPWORDS)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    score_cols = ",\n         ".join(f"{expr} AS score_{lang}" for lang, expr in score.items())
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM d
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+       {case_sql} AS pred_lang
+FROM s
+"""
+
+
+@register("text_lang_id", oracle=_langid_oracle(), tags=("llm", "text"))
+def text_lang_id(spark, sf_dir):
+    """Heuristic stopword-overlap language-ID with deterministic argmax."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_ACC_ORACLE = """
+WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','to','value'))) AS score_en,
+         len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS score_de,
+         len(list_filter(toks, t -> t IN ('el','la','los','y','es'))) AS score_es,
+         len(list_filter(toks, t -> t IN ('le','les','des','et','est'))) AS score_fr,
+         len(list_filter(toks, t -> t IN ('的','是','在','了'))) AS score_zh
+  FROM d
+), p AS (
+  SELECT doc_id, lang,
+         CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+              WHEN score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+              WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+              WHEN score_fr >= score_zh THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM s
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM p GROUP BY lang
+"""
+
+
+@register("text_lang_id_accuracy", oracle=_LANG_ACC_ORACLE, tags=("llm", "text"))
+def text_lang_id_accuracy(spark, sf_dir):
+    """Accuracy profile of the language-ID heuristic vs. labels."""
+    return text.lang_id_accuracy(load_table(spark, sf_dir, "documents"))
+
+
+_FPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+@register("text_doc_fingerprint", oracle=_FPRINT_ORACLE, tags=("llm", "text"))
+def text_doc_fingerprint(spark, sf_dir):
+    """Canonical content fingerprint per document."""
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_REGEX_TOKENS_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+@register("text_regex_token_count", oracle=_REGEX_TOKENS_ORACLE, tags=("llm", "text"))
+def text_regex_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer count (letter runs | digit runs | symbols)."""
+    return text.regex_token_count(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register("mm_media_metadata", tags=("llm", "multimodal"))
+def mm_media_metadata(spark, sf_dir):
+    """Binary media table: metadata-only projection (payload column is
+    pruned from the scan — the point of the typed-metadata design)."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.select("media_id", "meta.mime", "meta.width", "meta.height", "meta.n_bytes")
+
+
+@register("mm_fake_features", tags=("llm", "multimodal"))
+def mm_fake_features(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (decode stubbed deterministically — see
+    operators/multimodal.py). Rows-only."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media, fake=True)

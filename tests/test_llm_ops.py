@@ -1,0 +1,93 @@
+"""Semantic tests for the sketch/LSH operators that have no SQL oracle:
+each approximate path is validated against its exact twin (recall), and
+the multimodal plumbing is validated for shape + determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_poc_spark.operators import dedup, multimodal, similarity
+from cdc_poc_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates + exact verification must recover (almost) all true
+    near-dup pairs; verified pairs must be a subset of the truth."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert found <= truth  # exact verification step guarantees precision
+    if truth:
+        recall = len(found & truth) / len(truth)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_simhash_detects_near_dups(spark, docs):
+    """True high-Jaccard pairs should sit close in SimHash space."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.exact_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    near = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    if truth:
+        recall = len(near & truth) / len(truth)
+        assert recall >= 0.7, f"SimHash recall {recall:.2f} over {len(truth)} pairs"
+
+
+def test_simhash_is_deterministic(spark, docs):
+    a = {(r.doc_id, r.simhash) for r in dedup.simhash(docs.limit(50)).collect()}
+    b = {(r.doc_id, r.simhash) for r in dedup.simhash(docs.limit(50)).collect()}
+    assert a == b
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    """Bucketed ANN must find a reasonable fraction of the true top-5
+    (4 hyperplanes -> 16 buckets -> ~1/16 of corpus scanned)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_lsh_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random-hyperplane LSH on top-5: same-bucket probability rises with
+    # cosine; loose floor documents the tradeoff rather than tuning to it
+    assert recall >= 0.2, f"ANN recall {recall:.2f}"
+
+
+def test_media_features_shape_and_determinism(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(20))
+    f1 = multimodal.extract_features(media).collect()
+    f2 = multimodal.extract_features(media).collect()
+    assert len(f1) == 20
+    assert all(len(r.features) == multimodal.FEATURE_DIM for r in f1)
+    assert sorted((r.media_id, tuple(r.features)) for r in f1) == sorted(
+        (r.media_id, tuple(r.features)) for r in f2
+    )
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"bytes")
