@@ -1,0 +1,128 @@
+"""Current-state materialization and merge — resolving the reference's
+`TODO: Switch to MERGE INTO` (consumer.py:76).
+
+Core primitive: ``apply_changes`` — last-writer-wins window dedup over a
+changelog keyed by primary key and ordered by a monotonic sequence
+(Kafka offset / LSN / ts_ms — the `_cdc.offset` idea, README.md:118),
+with delete tombstones dropping keys. One shuffle on the key; state
+bounded per key; the formulation that scales to 100 TB and that
+Delta/Iceberg MERGE compiles to anyway.
+
+``merge_upsert`` applies a change batch against an existing state
+DataFrame (the incremental form used by streaming foreachBatch), and
+``merge_into_parquet`` persists it with dedup-overwrite — the documented
+fallback when no transactional table format is on the classpath (SURVEY
+§7 "degrade to the pure-Spark dedup/overwrite path"). Schema evolution
+uses unionByName(allowMissingColumns=True) — the mergeSchema semantics
+of consumer.py:76.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    log_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+) -> DataFrame:
+    """Changelog -> current state.
+
+    Latest row per key (by seq desc; op as final tiebreak so a delete at
+    the same seq wins over an insert — deletes sort after c/r/u
+    alphabetically in both Debezium and mirror op domains is NOT true,
+    so an explicit delete-priority rank is used), then tombstones drop.
+    """
+    delete_rank = F.when(F.col(op_col).isin(*delete_ops), 1).otherwise(0)
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), delete_rank.desc()
+    )
+    return (
+        log_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(~F.col(op_col).isin(*delete_ops))
+    )
+
+
+def merge_upsert(
+    state_df: DataFrame | None,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+) -> DataFrame:
+    """MERGE a change batch into an existing state table.
+
+    Equivalent to `MERGE INTO state USING batch ON keys WHEN MATCHED
+    [AND op='d'] THEN DELETE / UPDATE WHEN NOT MATCHED THEN INSERT`
+    with last-writer-wins inside the batch. Implemented as
+    union-by-name (schema evolution included) + apply_changes: existing
+    state rows carry their stored seq so a stale batch row cannot
+    regress a newer state (idempotent under foreachBatch re-delivery).
+    """
+    if state_df is None:
+        return apply_changes(batch_df, key_cols, seq_col, op_col, delete_ops)
+    prepared_state = state_df
+    if op_col not in prepared_state.columns:
+        prepared_state = prepared_state.withColumn(op_col, F.lit("u"))
+    combined = prepared_state.unionByName(batch_df, allowMissingColumns=True)
+    return apply_changes(combined, key_cols, seq_col, op_col, delete_ops)
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    target_path: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+) -> None:
+    """Dedup-overwrite merge against a parquet target (the no-Iceberg
+    fallback; with Iceberg/Delta on the classpath the same batch feeds
+    SQL MERGE INTO instead).
+
+    Note for scale: overwrite rewrites the whole target — correct but
+    O(state); a transactional format with MERGE rewrites only matched
+    files. The interface is identical so deployments swap the sink."""
+    import shutil
+
+    state = None
+    if os.path.exists(target_path):
+        state = spark.read.parquet(target_path)
+    merged = merge_upsert(state, batch_df, key_cols, seq_col, op_col, delete_ops)
+    # Write-ahead + swap: the merged plan reads the files being replaced,
+    # so land the new state beside the target and rename — distributed
+    # write, no driver materialization.
+    tmp = target_path.rstrip("/") + ".__tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(tmp, target_path)
+
+
+def scd2_from_log(
+    log_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+) -> DataFrame:
+    """Changelog -> SCD2 history: every change becomes a validity
+    interval [seq, next seq per key); current rows have valid_to NULL;
+    delete rows close the interval without opening one."""
+    w = W.partitionBy(*key_cols).orderBy(seq_col)
+    return (
+        log_df.withColumn("valid_from", F.col(seq_col))
+        .withColumn("valid_to", F.lead(seq_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull() & ~F.col(op_col).isin(*delete_ops))
+        .filter(~F.col(op_col).isin(*delete_ops))
+    )

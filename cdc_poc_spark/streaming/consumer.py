@@ -1,0 +1,144 @@
+"""The streaming CDC consumer — reference E1 (spark/scripts/consumer.py)
+re-built Spark-first.
+
+Reference behavior reproduced:
+- subscribe to an envelope stream, parse $.payload.{before,after,op}
+  (consumer.py:43-57) -> here: sources.* + cdc.envelope
+- foreachBatch fan-out to one landed table per source table, creating
+  tables on first sight, schema-evolving appends (consumer.py:68-81)
+- checkpointed exactly-once progress (consumer.py:16,81)
+
+Reference anti-patterns fixed (SURVEY §4 last row):
+- the N+1 re-scan (per-topic filter re-reads the batch,
+  consumer.py:69-72) -> log mode lands ALL tables in ONE partitioned
+  write (partitionBy over the routing column); mirror mode persists the
+  batch before the per-table loop
+- `.rdd.flatMap(list).collect()` topic discovery -> plain
+  distinct().collect() of the routing column (tiny cardinality), and
+  only in mirror mode
+- the `TODO: Switch to MERGE INTO` (consumer.py:76) -> mirror mode
+  actually merges (cdc.apply.merge_into_parquet; a transactional
+  catalog swaps in SQL MERGE with the same batch contract)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..cdc import apply as cdc_apply
+from ..cdc import envelope as env
+
+
+@dataclass
+class TableSpec:
+    """Per-source-table config for mirror mode: the typed row schema and
+    the primary-key columns (the `iceberg.table.<t>.id-columns` idea,
+    reference connect-iceberg-sink.json:29-30)."""
+
+    schema: T.StructType
+    key_cols: tuple[str, ...]
+
+
+@dataclass
+class CDCConsumer:
+    warehouse_dir: str
+    checkpoint_dir: str
+    #: mirror mode needs per-table specs; log mode needs none
+    tables: dict[str, TableSpec] = field(default_factory=dict)
+
+    # -- log path (reference Spark path, §1.1c shape) -----------------
+
+    def land_log_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Append the raw CDC log for every table in ONE write:
+        partitionBy(table_name) replaces the reference's per-topic
+        filter loop — single pass over the batch, dynamic table
+        'creation' = new partition directory, any-schema acceptance =
+        the log schema is fixed (before/after stay JSON strings)."""
+        parsed = env.parse_envelope_raw(batch_df)
+        out = parsed.withColumn("table_name", env.table_from_topic("topic")).drop(
+            "topic"
+        )
+        (
+            out.write.mode("append")
+            .partitionBy("table_name")
+            .parquet(os.path.join(self.warehouse_dir, "cdc_log"))
+        )
+
+    def start_log_query(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(self.land_log_batch).option(
+            "checkpointLocation", os.path.join(self.checkpoint_dir, "log")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- mirror path (reference Connect path, §1.1d shape) ------------
+
+    def merge_mirror_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Upsert current-state mirrors, one per configured table.
+        The batch is persisted once (fixes the N+1 re-scan); each
+        table's slice is typed-parsed and MERGEd by key with
+        last-writer-wins on Kafka offset."""
+        batch_df.persist()
+        try:
+            present = {
+                r.t
+                for r in batch_df.select(
+                    env.table_from_topic("topic").alias("t")
+                )
+                .distinct()
+                .collect()  # tiny cardinality: one row per source table
+            }
+            for tbl, spec in self.tables.items():
+                if tbl not in present:
+                    continue
+                sub = batch_df.filter(env.table_from_topic("topic") == tbl)
+                typed = env.parse_envelope_typed(
+                    sub, spec.schema, key_cols=spec.key_cols
+                ).select(
+                    "*",
+                    F.col("_cdc.op").alias("op"),
+                    F.col("_cdc.offset").alias("seq"),
+                ).drop("_cdc")
+                cdc_apply.merge_into_parquet(
+                    self._spark(batch_df),
+                    os.path.join(self.warehouse_dir, "mirror", tbl),
+                    typed,
+                    list(spec.key_cols),
+                    seq_col="seq",
+                    op_col="op",
+                    delete_ops=("D",),
+                )
+        finally:
+            batch_df.unpersist()
+
+    def start_mirror_query(self, stream_df: DataFrame, available_now: bool = True) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(self.merge_mirror_batch).option(
+            "checkpointLocation", os.path.join(self.checkpoint_dir, "mirror")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- helpers ------------------------------------------------------
+
+    @staticmethod
+    def _spark(df: DataFrame):
+        return df.sparkSession
+
+    def read_log_table(self, spark, table_name: str) -> DataFrame:
+        """Read one table's CDC log (partition pruning on table_name —
+        the scan touches only that table's files)."""
+        return (
+            spark.read.parquet(os.path.join(self.warehouse_dir, "cdc_log"))
+            .filter(F.col("table_name") == table_name)
+        )
+
+    def read_mirror(self, spark, table_name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.warehouse_dir, "mirror", table_name))

@@ -1,0 +1,107 @@
+"""Event-time streaming analytics: watermarks + tumbling / sliding /
+session windows + streaming dedup (SURVEY §2.B streaming rows — absent
+from the reference, declared engine surface).
+
+Every aggregation is keyed by (window, low-cardinality key): state per
+partition stays bounded and the watermark evicts it — the shape that
+holds at 100 TB/day. All functions accept either a streaming or a batch
+DataFrame (Catalyst compiles both), which is how tests assert exact
+results with availableNow + memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..tables import VAL, dec
+
+
+def with_event_time(df: DataFrame, ts_ns_col: str = "ts") -> DataFrame:
+    """events fixture carries epoch-nanos longs; event-time ops need a
+    timestamp column (truncated to micros — SURVEY §1.2 semantics)."""
+    return df.withColumn("etime", F.timestamp_micros(F.expr(f"{ts_ns_col} DIV 1000")))
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "etime",
+) -> DataFrame:
+    """Tumbling window counts+sums per event type; watermark bounds
+    state and admits late data up to the horizon."""
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value", VAL)).cast("double").alias("total"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "etime",
+) -> DataFrame:
+    """Sliding window (overlapping assignment: each row lands in
+    window/slide buckets)."""
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "etime",
+) -> DataFrame:
+    """Per-user session windows (dynamic length, closed after `gap` of
+    inactivity)."""
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", VAL)).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    time_col: str = "etime",
+) -> DataFrame:
+    """Streaming exactly-once dedup by key within the watermark horizon
+    (state auto-evicted — unbounded dropDuplicates is a leak at scale)."""
+    keys = keys or ["event_id"]
+    return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)

