@@ -1,0 +1,77 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the `noop` batch sink (full physical
+execution — scan, shuffle, agg — with zero driver-side collection cost),
+which is the honest way to time a distributed plan. A warmup query runs
+first so JVM/codegen startup is not billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_poc_spark.queries import all_specs  # noqa: E402
+from cdc_poc_spark.session import get_spark  # noqa: E402
+
+# Diverse heavy-operator coverage: TPC-H scan/agg/join, CDC window dedup,
+# analytic windows, set ops, dedup + similarity + text from the LLM surface.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "cdc_current_state_by_segment",
+    "win_trailing_30d_spend",
+    "win_top3_orders_per_customer",
+    "agg_rollup_segment_nation",
+    "join_asof_purchase_to_view",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "text_stats_per_doc",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="cdc-poc-bench")
+    specs = all_specs()
+
+    # Warmup: trivial scan to absorb session/codegen startup.
+    _force(spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
