@@ -88,26 +88,44 @@ def fingerprint_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
     """32-permutation MinHash signature via universal hashing
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod p, computed as Catalyst array
-    expressions (transform + array_min) — one pass over shingles."""
-    base = F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_P}L))")
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod p.
 
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P))
-
+    The string hashing (the expensive part) is projected ONCE into an
+    intermediate column; the 32 permutations are then pure integer
+    arithmetic over that array. Inlining the xxhash64 transform into
+    each permutation would re-hash every shingle 32 times — Catalyst
+    does not common-subexpression-eliminate across higher-order lambda
+    expressions."""
+    hashed = df.withColumn(
+        "_sh_hash", F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_P}L))")
+    )
     sig_cols = [
-        F.array_min(F.transform(base, perm(a, b))).alias(f"mh_{i}")
+        F.array_min(
+            F.expr(f"transform(_sh_hash, h -> pmod({a}L * h + {b}L, {_P}L))")
+        ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return df.select("*", F.array(*sig_cols).alias("minhash"))
+    return hashed.select(
+        *df.columns, F.array(*sig_cols).alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16
 ) -> DataFrame:
-    """Band the signature (bands × rows), bucket-join within bands.
-    Shuffle key = (band_id, band_hash): only same-bucket docs ever meet,
-    which is what makes near-dup detection sub-quadratic at scale."""
+    """Band the signature (bands × rows) and generate candidate pairs
+    per bucket. Shuffle key = (band_id, band_hash): only same-bucket
+    docs ever meet, which is what makes near-dup detection sub-quadratic
+    at scale.
+
+    Implemented as ONE groupBy + in-bucket pair expansion rather than a
+    bucket self-join: a self-join evaluates the whole upstream
+    shingle/signature pipeline twice (once per side) and shuffles both
+    sides; the groupBy computes it once and shuffles (id, band) rows
+    once. Bucket sizes are bounded in practice (a bucket of near-dups is
+    what LSH is designed to keep small); a pathological mega-bucket
+    would indicate the banding parameters, not the join strategy, need
+    tuning."""
     k = len(MINHASH_PERMS)
     rows = k // bands
     banded = sig_df.select(
@@ -124,17 +142,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
-    a, b_ = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -227,8 +248,7 @@ def simhash_near_pairs(
     bucket-join on band value, verify with bit_count(xor)."""
     sig = simhash(df, id_col, text_col)
     bands = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("doc"),
         F.explode(
             F.array(
                 *[
@@ -242,22 +262,25 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
-    a, b_ = bands.alias("a"), bands.alias("b")
+    ).select("doc", "band.band_id", "band.band_val")
+    # One groupBy-bucket pass (not a self-join — see lsh_candidate_pairs).
+    # array_sort on structs orders by the first field (id), so pair
+    # expansion emits each unordered pair exactly once as id_a < id_b.
     return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) ->"
+                    " transform(slice(docs, i + 2, size(docs)),"
+                    " y -> struct(x.id AS id_a, y.id AS id_b,"
+                    " bit_count(x.sh ^ y.sh) AS hamming))))"
+                )
+            ).alias("p")
         )
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

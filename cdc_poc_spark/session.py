@@ -27,6 +27,13 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Size shuffle partitions by BYTES, not by the static partition count:
+    # small intermediates coalesce to one task (kills per-task overhead on
+    # local runs) while a 100 TB shuffle still fans out to
+    # total_bytes / 64 MB partitions. parallelismFirst=true (the default)
+    # would pin tiny shuffles at defaultParallelism tasks forever.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
 }
 
 
