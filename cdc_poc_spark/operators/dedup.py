@@ -86,7 +86,9 @@ def fingerprint_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 # Tier 3: MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame:
+def minhash_signature(
+    df: DataFrame, shingle_col: str = "shingles", keep_hashes: bool = False
+) -> DataFrame:
     """32-permutation MinHash signature via universal hashing
     h_i(s) = (a_i * xxhash64(s) + b_i) mod p.
 
@@ -105,9 +107,8 @@ def minhash_signature(df: DataFrame, shingle_col: str = "shingles") -> DataFrame
         ).alias(f"mh_{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return hashed.select(
-        *df.columns, F.array(*sig_cols).alias("minhash")
-    )
+    keep = [*df.columns, "_sh_hash"] if keep_hashes else list(df.columns)
+    return hashed.select(*keep, F.array(*sig_cols).alias("minhash"))
 
 
 def lsh_candidate_pairs(
@@ -176,18 +177,51 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> MinHash -> LSH buckets ->
-    exact-Jaccard verification of candidates only."""
+    exact-Jaccard verification of candidates, in ONE shuffle.
+
+    The hashed shingle set rides along into the bucket groupBy so the
+    Jaccard verification happens inline during pair expansion — no join
+    back to the corpus, and the shingle pipeline is evaluated exactly
+    once. Jaccard over the 64-bit-hashed distinct shingles equals
+    Jaccard over the shingles themselves up to hash collisions
+    (P < |S|^2 / 2^31 per pair — negligible at realistic shingle
+    counts). Shuffle volume is bands x hashed-set bytes per doc; for
+    very large documents at 100 TB, prefer capping shingle count
+    upstream (sample/stride) over reverting to the two-sided
+    corpus join, which evaluates the upstream pipeline three times."""
     sh = with_shingles(df, text_col, n).select(id_col, "shingles")
-    sig = minhash_signature(sh)
-    cand = lsh_candidate_pairs(sig, id_col)
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    hs = minhash_signature(sh, keep_hashes=True).withColumnRenamed("_sh_hash", "hs")
+    k = len(MINHASH_PERMS)
+    bands, rows = 16, k // 16
+    banded = hs.select(
+        F.struct(F.col(id_col).alias("id"), F.col("hs").alias("hs")).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(F.slice("minhash", b * rows + 1, rows)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    pair_expr = (
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs)), y -> struct("
+        " x.id AS id_a, y.id AS id_b,"
+        " CAST(size(array_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " / size(array_union(x.hs, y.hs)) AS jaccard))))"
+    )
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard")
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 

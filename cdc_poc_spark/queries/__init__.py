@@ -54,6 +54,8 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         scalars,
         setops,
+        subqueries,
+        timewindows,
         tpch,
         windows,
     )

@@ -1,0 +1,148 @@
+"""Event-time window aggregations over the events stream table
+(SURVEY §2.B streaming rows: tumbling/sliding/session windows).
+
+Spark's ``window()`` / ``session_window()`` grouping works identically in
+batch and Structured Streaming — the SAME functions here run under
+``readStream`` with a watermark (see streaming/ and tests/test_streaming.py).
+Registering them as batch queries gives the windows a DuckDB oracle
+(bucket arithmetic on epoch micros / gaps-and-islands for sessions),
+which streaming-only execution could not have.
+
+Scale notes: window bucketing is a map-side expression (no shuffle beyond
+the final groupBy); sliding windows multiply rows by windows-per-event
+(here exactly 2) before the shuffle — the classic size/slide tradeoff.
+Event-time comes from `ts` stored as epoch-nanos (SURVEY §1.2); all
+arithmetic is integer micros, never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..tables import VAL, dec, events_with_time
+from . import register
+
+_5M_US = 5 * 60 * 1_000_000
+_10M_US = 10 * 60 * 1_000_000
+_30M_US = 30 * 60 * 1_000_000
+
+
+def _fmt_start(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window: 5-minute buckets per event_type.
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  strftime(make_timestamp((epoch_us(ts) // {_5M_US}) * {_5M_US}), '%Y-%m-%d %H:%M:%S') AS win_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("tw_tumbling_5min_by_type", oracle=_TUMBLING_ORACLE, tags=("window", "streaming", "agg"))
+def tw_tumbling_5min_by_type(spark, sf_dir):
+    """`window(etime, '5 minutes')` — epoch-aligned tumbling buckets, so
+    the bucket start equals floor(ts_us / 5min) * 5min exactly."""
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("etime", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", VAL)).cast("double").alias("total_value"),
+        )
+        .select(
+            _fmt_start("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: 10-minute windows every 5 minutes (each event lands in
+# exactly two windows).
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+SELECT
+  strftime(make_timestamp((epoch_us(ts) // {_5M_US} - k.k) * {_5M_US}), '%Y-%m-%d %H:%M:%S') AS win_start,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) k
+GROUP BY 1
+"""
+
+
+@register("tw_sliding_10min_step5", oracle=_SLIDING_ORACLE, tags=("window", "streaming", "agg"))
+def tw_sliding_10min_step5(spark, sf_dir):
+    """`window(etime, '10 minutes', '5 minutes')` — the oracle replicates
+    Spark's window assignment: an event at t belongs to the windows
+    starting at floor(t/5m)*5m and that minus 5m."""
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("etime", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(_fmt_start("w.start").alias("win_start"), "n_events", "n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window: per-user sessions closed by a 30-minute silence gap.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {_30M_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts_us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM ordered
+)
+SELECT user_id,
+       strftime(make_timestamp(MIN(ts_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(MAX(ts_us)), '%Y-%m-%d %H:%M:%S') AS session_last,
+       COUNT(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_no
+"""
+
+
+@register("tw_session_30min_by_user", oracle=_SESSION_ORACLE, tags=("window", "streaming", "agg"))
+def tw_session_30min_by_user(spark, sf_dir):
+    """`session_window(etime, '30 minutes')` per user. The oracle is the
+    classic gaps-and-islands rewrite (lag -> new-session flag -> running
+    sum), which is also what the operator costs at scale: one shuffle by
+    user, one ordered pass. session_last = last EVENT time (window.end is
+    last event + gap, so we aggregate MAX(ts) instead)."""
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("etime", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("etime").alias("start_t"),
+            F.max("etime").alias("last_t"),
+        )
+        .select(
+            "user_id",
+            _fmt_start("start_t").alias("session_start"),
+            _fmt_start("last_t").alias("session_last"),
+            "n_events",
+        )
+    )
