@@ -173,6 +173,141 @@ def ann_lsh_topk(
     )
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup tier 5): all pairs
+    within a blocking key whose cosine >= threshold.
+
+    Blocking is what makes this sub-quadratic: the self-join is an
+    EQUI-join on `block_col` (here the label; in a 100 TB pipeline the
+    block key is an LSH bucket from `lsh_buckets` — swap the column in),
+    so only same-block vectors are compared and the shuffle is keyed by
+    block. Cosine is rounded to 5 decimals before the threshold compare
+    so pair membership is engine-reproducible."""
+    e = emb.select(
+        F.col(id_col), F.col(block_col), as_double(vec_col).alias("vec")
+    ).withColumn("vnorm", norm("vec"))
+    a = e.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"),
+    )
+    b = e.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
+    cos = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine")
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos)
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path next to the hyperplane-LSH variant.
+
+    Index build, fully declarative (no driver-side model state):
+    1. seed centroids = the first `n_cells` vectors (deterministic);
+    2. one Lloyd refinement: assign every vector to its max-cosine seed
+       (broadcast NLJ over `n_cells` rows), then per-cell per-dimension
+       mean via posexplode -> groupBy(cell, dim) -> re-assemble;
+    3. final assignment against refined centroids = the inverted lists.
+
+    Query: probe the `n_probe` nearest cells, score ONLY vectors on
+    those lists exactly, window top-k. At scale the assignment pass is a
+    map-side broadcast product over n_cells rows (no shuffle of the
+    corpus) and the candidate join is an equi-join on cell_id; compute
+    drops from O(n) to ~O(n * n_probe / n_cells) per query."""
+    e = emb.select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+        "vnorm", norm("vec")
+    )
+    seeds = e.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "vec",
+            "vnorm",
+            "cell_id",
+            (dot("vec", "cvec") / (F.col("vnorm") * F.col("cnorm"))).alias("ccos"),
+        )
+        return scored.groupBy(id_col, "vec", "vnorm").agg(
+            F.max_by("cell_id", F.struct("ccos", F.col("cell_id").cast("double") * -1))
+            .alias("cell_id")
+        )
+
+    refined = (
+        assign(e, seeds)
+        .select("cell_id", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cell_id", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+            ).alias("cvec")
+        )
+        .withColumn("cnorm", norm("cvec"))
+    )
+    assigned = assign(e, refined)
+
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(refined))
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            "cell_id",
+            (dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))).alias("pcos"),
+        )
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell_id")
+    )
+    sim = F.round(dot("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 5).alias(
+        "cosine"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), sim)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def norm_stats_by_label(emb: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-label embedding-norm profile (rounded before aggregation so
     the multiset of addends is engine-identical)."""

@@ -124,6 +124,39 @@ def sim_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register("sim_ann_ivf_topk", tags=("llm", "similarity", "ivf"))
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: coarse quantizer (seed + one Lloyd step)
+    -> inverted lists -> probe 4/16 cells. Rows-only (iterative index
+    build); recall vs exact in tests."""
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_COS_DEDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.vec) + 1),
+                      i -> a.vec[i] * b.vec[i])) / (a.vnorm * b.vnorm), 5) AS cosine
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.vec) + 1),
+            i -> a.vec[i] * b.vec[i])) / (a.vnorm * b.vnorm), 5) >= 0.35
+"""
+
+
+@register("dedup_embedding_cosine_pairs", oracle=_COS_DEDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup tier 5), label-blocked
+    equi-join; at scale the block key is an LSH bucket instead."""
+    return similarity.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 _NORM_ORACLE = """
 WITH e AS (
   SELECT label,

@@ -229,3 +229,167 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations (dual-role nation join)
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "agg", "tpch"))
+def q7_nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: the nation table joins TWICE under different
+    roles (supplier side / customer side) — both broadcast; the
+    symmetric nation-pair predicate applies after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8: market share of one nation inside one region for one part type
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0.00 AS DECIMAL(17,4)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(17,4)) AS volume,
+         n2.n_name AS supp_nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'REGION_0' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "tpch"))
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: 8-way join, conditional aggregation ratio. The
+    0-valued ELSE keeps the numerator exact-decimal so the share is
+    bit-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter("p_type = 'PROMO'")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter("r_name = 'REGION_0'")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (
+        dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    ).cast("decimal(17,4)")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+            F.lit("0.00").cast("decimal(17,4)")
+        )
+    ).cast("double")
+    return joined.groupBy("o_year").agg(
+        (num / F.sum("volume").cast("double")).cast("double").alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion revenue share for one month
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 ELSE CAST(0.00 AS DECIMAL(17,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE, tags=("join", "agg", "tpch"))
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: single-month pushed-down scan, broadcast part
+    dim, conditional-aggregation percentage."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'"
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev.cast("decimal(17,4)")).otherwise(
+            F.lit("0.00").cast("decimal(17,4)")
+        )
+    ).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )

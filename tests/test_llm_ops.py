@@ -77,6 +77,32 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     assert recall >= 0.2, f"ANN recall {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, emb):
+    """IVF with 4/16 probes scans ~25% of the corpus; on clustered data
+    recall would be near 1, on this random fixture the floor documents
+    that probing the nearest cells beats random (25%) scanning."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_embedding_cosine_pairs_symmetric_subset(spark, emb):
+    """Blocked pairs must be ordered (id_a < id_b), unique, and respect
+    the threshold."""
+    rows = similarity.embedding_cosine_pairs(emb, threshold=0.3).collect()
+    assert rows, "threshold 0.3 should yield pairs on the fixture"
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cosine >= 0.3 for r in rows)
+    assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
+
+
 def test_media_features_shape_and_determinism(spark, docs):
     media = multimodal.synthesize_media(docs.limit(20))
     f1 = multimodal.extract_features(media).collect()
