@@ -1,0 +1,92 @@
+"""Custom per-key streaming state via ``applyInPandasWithState``
+(SURVEY §2.B "stateful ops" row — the only operator tier where the
+engine drops below built-in aggregations into explicit state).
+
+``stateful_current_state`` maintains CDC current-state per primary key
+*incrementally in the stream* — the third resolution of the reference's
+`TODO: Switch to MERGE INTO` (consumer.py:76) next to window-dedup
+(cdc/apply.py:apply_changes) and idempotent MERGE (merge_into_parquet):
+
+- state per key     = (seq, alive, after-image)  — O(keys), not O(events)
+- per batch         = last-writer-wins by monotonic seq (Kafka offset /
+                      LSN stand-in, SURVEY §7 "hard parts"), tombstone on
+                      op='d'; out-of-order and cross-batch replays are
+                      no-ops because stale seqs never overwrite
+- emission (update) = one row per key touched in the batch, with `alive`
+                      false for tombstones so downstream sinks can delete
+
+Scale notes: state is hash-partitioned by key across executors (the
+shuffle for groupBy), Arrow-batched into pandas per key group — no
+row-at-a-time Python. State size is bounded by live key cardinality;
+for bounded-retention domains pass a ProcessingTimeTimeout and drop
+state in the timeout branch.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Input contract (produced by cdc.envelope parsing + a pk projection).
+INPUT_COLS = ("pk", "seq", "op", "after")
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pk", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("alive", T.BooleanType()),
+        T.StructField("after", T.StringType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("alive", T.BooleanType()),
+        T.StructField("after", T.StringType()),
+    ]
+)
+
+
+def _apply_group(
+    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (pk,) = key
+    if state.exists:
+        seq, alive, after = state.get
+    else:
+        seq, alive, after = -1, False, None
+    for pdf in pdfs:
+        for row in pdf.sort_values("seq").itertuples(index=False):
+            if row.seq <= seq:
+                continue  # stale replay / out-of-order: never overwrite
+            seq = int(row.seq)
+            if row.op == "d":
+                alive, after = False, None
+            else:  # r / c / u all carry the full after-image
+                alive, after = True, row.after
+    state.update((seq, alive, after))
+    yield pd.DataFrame(
+        [{"pk": pk, "seq": seq, "alive": alive, "after": after}]
+    )
+
+
+def stateful_current_state(
+    keyed: DataFrame,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Incremental CDC current-state over a streaming DataFrame with
+    columns (pk LONG, seq LONG, op STRING, after STRING). Returns the
+    update-mode stream of per-key state changes."""
+    return keyed.groupBy("pk").applyInPandasWithState(
+        _apply_group,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -187,3 +187,46 @@ def test_sliding_window_batch_semantics(spark):
     agg = swin.sliding_counts(ev)
     total = agg.agg(F.sum("n").alias("s")).first().s
     assert total == ev.count() * 4
+
+
+def test_stateful_current_state(spark, envelope_dir, tmp_path):
+    """applyInPandasWithState CDC apply: last-writer-wins by seq with
+    tombstones, across two micro-batches (update mode — the final
+    emission per key is the state after the last batch that touched it)."""
+    from cdc_poc_spark.cdc import envelope as env
+    from cdc_poc_spark.streaming import stateful
+
+    raw = fsrc.envelope_json_stream(spark, envelope_dir)
+    parsed = env.parse_envelope_raw(raw)
+    keyed = (
+        parsed.filter(F.col("topic") == "cdc.commerce.account")
+        .select(
+            F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+            .cast("long")
+            .alias("pk"),
+            "seq",
+            "op",
+            "after",
+        )
+    )
+    out = stateful.stateful_current_state(keyed)
+    (
+        out.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stateful"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = spark.sql(
+        """SELECT pk, seq, alive, after FROM (
+             SELECT *, row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+             FROM stateful_out) WHERE rn = 1"""
+    ).collect()
+    by_pk = {r.pk: r for r in rows}
+    assert set(by_pk) == {1, 2, 3}
+    assert by_pk[1].alive is False and by_pk[1].after is None  # deleted
+    assert by_pk[2].alive is True and "bob@example.com" in by_pk[2].after
+    assert by_pk[3].alive is True and "carol2@example.com" in by_pk[3].after
+    assert by_pk[3].seq == 4  # update won over the batch-1 insert
