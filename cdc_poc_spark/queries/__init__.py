@@ -57,6 +57,7 @@ def all_specs() -> dict[str, QuerySpec]:
         subqueries,
         timewindows,
         tpch,
+        udfs,
         windows,
     )
 
