@@ -1,0 +1,98 @@
+"""Scale-toolkit semantics + plan-shape assertions: salted join result
+parity, and bucketed joins running without exchanges (the property that
+makes bucketing worth the write cost at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.operators import scale
+from cdc_poc_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        orders.join(cust, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        scale.salted_join(orders, cust, "o_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    """Left rows with no match must still survive exactly once."""
+    orders = load_table(spark, SF_DIR, "orders")
+    # dimension missing half the keys
+    cust = (
+        load_table(spark, SF_DIR, "customer")
+        .filter("c_custkey % 2 = 0")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    plain = orders.join(cust, "o_custkey", "left").count()
+    salted = scale.salted_join(orders, cust, "o_custkey", "left", salt=8).count()
+    assert plain == salted == orders.count()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    scale.write_bucketed(
+        load_table(spark, SF_DIR, "orders"), "b_orders", ["o_custkey"], 8,
+        sort_cols=["o_custkey"],
+    )
+    scale.write_bucketed(
+        load_table(spark, SF_DIR, "customer"), "b_customer", ["c_custkey"], 8,
+        sort_cols=["c_custkey"],
+    )
+    yield "b_orders", "b_customer"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """With broadcast off (at real scale neither side fits), the join
+    must consume the bucket layout: SortMergeJoin directly over the
+    FileScans with no Exchange."""
+    t_orders, t_cust = bucketed_tables
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t_orders).join(
+            spark.table(t_cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and it must be the same rows as the unbucketed join
+        orders = load_table(spark, SF_DIR, "orders")
+        cust = load_table(spark, SF_DIR, "customer")
+        expected = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_cluster_by_key_reuses_partitioning(spark):
+    """groupBy on the repartition key must not add a second Exchange."""
+    orders = scale.cluster_by_key(
+        load_table(spark, SF_DIR, "orders"), ["o_custkey"], 8
+    )
+    agg = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    assert _plan(agg).count("Exchange") == 1  # only the explicit repartition
