@@ -393,3 +393,123 @@ def q14_promo_revenue(spark, sf_dir):
             .alias("promo_revenue_pct")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution (outer join + double aggregation)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_ORACLE, tags=("join", "agg", "tpch"))
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with an extra join-side
+    predicate (kept in the join condition, NOT a post-filter — a
+    post-filter would turn the outer join inner), then agg-of-agg.
+    COUNT(col) counts non-null matches only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier(s) by quarterly revenue (aggregate view + global max)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = """
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("join", "agg", "subquery", "tpch"))
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue rollup reused twice (once as
+    the join input, once for the global max) — Catalyst's ReuseExchange
+    dedups the scan+agg; the max is a one-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'"
+    )
+    revenue = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    rev0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    max_rev = rev0.agg(F.max("total_revenue").alias("mr"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev0, supp.s_suppkey == rev0.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19: disjunctive multi-predicate join (brand x size x quantity bands)
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)
+"""
+
+
+@register("q19_disjunctive_predicates", oracle=_Q19_ORACLE, tags=("join", "filter", "tpch"))
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    extracts the common sub-predicates it can push to each scan
+    (p_brand IN (...), l_quantity bounds) and evaluates the full
+    disjunction after the broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = dec("l_extendedprice", MONEY) * (F.lit(1) - dec("l_discount", RATE))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return joined.filter(cond).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
