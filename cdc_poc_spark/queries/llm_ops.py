@@ -7,6 +7,8 @@ in tests/test_llm_ops.py instead).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..operators import dedup, multimodal, similarity, text
 from ..tables import load_table
 from . import register
@@ -336,3 +338,43 @@ def mm_fake_features(spark, sf_dir):
     operators/multimodal.py). Rows-only."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media, fake=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splitting (train/val assignment)
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split,
+       COUNT(*) AS n_docs
+FROM h
+GROUP BY lang, split
+"""
+
+
+@register("pipeline_split_train_val", oracle=_SPLIT_ORACLE, tags=("llm", "pipeline"))
+def pipeline_split_train_val(spark, sf_dir):
+    """Deterministic 90/10 split: assignment = md5(id) bucket, so the
+    split is stable across runs/engines/cluster sizes and new rows land
+    in a split without reshuffling old ones (the property random()-based
+    splits lack). Counts per (lang, split) verify stratification."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn(
+            "split", F.when(F.col("bucket") < 90, "train").otherwise("val")
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -146,3 +146,33 @@ def tw_session_30min_by_user(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: view -> purchase attribution within 1 hour.
+# Same function runs as a watermarked stream-stream join in
+# streaming/windows.py (test_stream_stream_join_matches_batch).
+# ---------------------------------------------------------------------------
+
+_1H_US = 60 * 60 * 1_000_000
+
+_INTERVAL_JOIN_ORACLE = f"""
+SELECT v.user_id,
+       v.event_id AS l_event_id,
+       p.event_id AS r_event_id
+FROM (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND v.t <= p.t AND p.t <= v.t + {_1H_US}
+"""
+
+
+@register("tw_interval_join_attribution", oracle=_INTERVAL_JOIN_ORACLE, tags=("join", "range", "streaming"))
+def tw_interval_join_attribution(spark, sf_dir):
+    """Range/interval equi+band join: equi on user_id (the shuffle key),
+    band predicate on event time evaluated post-join — the attribution
+    shape; streaming twin evicts state by watermark."""
+    from ..streaming.windows import stream_stream_join
+
+    ev = events_with_time(spark, sf_dir)
+    return stream_stream_join(ev, ev).select("user_id", "l_event_id", "r_event_id")

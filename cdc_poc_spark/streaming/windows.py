@@ -105,3 +105,57 @@ def stream_dedup(
     (state auto-evicted — unbounded dropDuplicates is a leak at scale)."""
     keys = keys or ["event_id"]
     return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "etime",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each `right_type`
+    event with `left_type` events by the same user that happened up to
+    `within` BEFORE it (the view→purchase attribution shape).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — the two requirements that let Structured Streaming evict
+    join state (unbounded stream-stream joins grow state forever, the
+    100 TB/day killer). State per side ≈ events inside the watermark
+    horizon, partitioned by user_id.
+
+    Works identically on batch DataFrames (no watermark needed), which
+    is how the oracle-style test asserts exact results.
+    """
+    l = (
+        left.filter(F.col("event_type") == left_type)
+        .withWatermark(time_col, watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event_id"),
+            F.col(time_col).alias("l_time"),
+        )
+    )
+    r = (
+        right.filter(F.col("event_type") == right_type)
+        .withWatermark(time_col, watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event_id"),
+            F.col(time_col).alias("r_time"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_time") <= F.col("r_time"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "l_time",
+        "r_time",
+    )

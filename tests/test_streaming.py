@@ -230,3 +230,24 @@ def test_stateful_current_state(spark, envelope_dir, tmp_path):
     assert by_pk[2].alive is True and "bob@example.com" in by_pk[2].after
     assert by_pk[3].alive is True and "carol2@example.com" in by_pk[3].after
     assert by_pk[3].seq == 4  # update won over the batch-1 insert
+
+
+def test_stream_stream_join_matches_batch(spark, event_stream_dir, tmp_path):
+    """Watermarked stream-stream join (view->purchase within 1h per
+    user) must produce exactly the batch join's pairs once the stream
+    drains (availableNow processes everything, so no pairs are lost to
+    the watermark)."""
+    path, schema = event_stream_dir
+    stream = swin.with_event_time(fsrc.parquet_stream(spark, path, schema))
+    got = _run_to_memory(
+        spark,
+        swin.stream_stream_join(stream, stream),
+        "ssj_out",
+        "append",
+    )
+    batch = swin.with_event_time(load_table(spark, SF_DIR, "events"))
+    expected = swin.stream_stream_join(batch, batch)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    assert expected.count() > 0
