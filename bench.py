@@ -27,16 +27,25 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "subq_in_big_quantity_orders",
     "cdc_current_state_by_segment",
     "win_trailing_30d_spend",
     "win_top3_orders_per_customer",
     "agg_rollup_segment_nation",
     "join_asof_purchase_to_view",
+    "tw_tumbling_5min_by_type",
+    "tw_session_30min_by_user",
+    "tw_interval_join_attribution",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine_pairs",
     "sim_cosine_topk",
+    "udf_pandas_grouped_agg",
     "text_stats_per_doc",
+    "pipeline_split_train_val",
 ]
 
 
