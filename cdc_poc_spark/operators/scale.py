@@ -24,7 +24,7 @@ joined on the same key by many queries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -77,3 +77,38 @@ def cluster_by_key(
     matching) instead of shuffling twice."""
     cols = [F.col(c) for c in key_cols]
     return df.repartition(n_partitions, *cols) if n_partitions else df.repartition(*cols)
+
+
+def global_index(
+    df: DataFrame, idx_col: str = "row_idx", order_cols: list[str] | None = None
+) -> DataFrame:
+    """Contiguous 0-based global row index, computed WITHOUT the
+    single-partition window antipattern (`row_number() OVER ()` pulls
+    the whole table through one task — a non-starter at scale).
+
+    Two-pass: (1) count rows per partition (tiny driver collect, one
+    value per partition), (2) add partition-local position to the
+    partition's cumulative offset. Order: by `order_cols` within a
+    repartition-by-range (global total order), or the current partition
+    layout when None (arbitrary but stable order — the sharding case).
+    """
+    if order_cols:
+        df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    sdf = df.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["n"]
+        for r in sdf.groupBy("__pid").count().withColumnRenamed("count", "n").collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    w = W.partitionBy("__pid").orderBy(*(order_cols or [F.lit(1)]))
+    offset_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    return (
+        sdf.withColumn("__local", F.row_number().over(w) - 1)
+        .withColumn(idx_col, offset_map[F.col("__pid")] + F.col("__local"))
+        .drop("__pid", "__local")
+    )

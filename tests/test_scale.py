@@ -96,3 +96,25 @@ def test_cluster_by_key_reuses_partitioning(spark):
     )
     agg = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
     assert _plan(agg).count("Exchange") == 1  # only the explicit repartition
+
+
+def test_global_index_ordered(spark):
+    """Ordered global index must equal the single-partition row_number
+    result, without ever forming a single-partition window."""
+    orders = load_table(spark, SF_DIR, "orders")
+    idx = scale.global_index(orders, "row_idx", ["o_orderkey"])
+    n = orders.count()
+    got = idx.select("o_orderkey", "row_idx").collect()
+    assert sorted(r.row_idx for r in got) == list(range(n))
+    # index order must follow key order
+    by_key = sorted(got, key=lambda r: r.o_orderkey)
+    assert [r.row_idx for r in by_key] == list(range(n))
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_global_index_unordered_is_contiguous(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    idx = scale.global_index(li)
+    n = li.count()
+    assert sorted(r.row_idx for r in idx.select("row_idx").collect()) == list(range(n))
