@@ -109,6 +109,75 @@ def merge_into_parquet(
     os.rename(tmp, target_path)
 
 
+def merge_into_parquet_bucketed(
+    spark: SparkSession,
+    target_path: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+    n_buckets: int = 64,
+) -> None:
+    """Partition-pruned merge: the target is laid out as
+    ``__bucket=pmod(xxhash64(keys), n_buckets)`` partition directories,
+    and a batch only rewrites the buckets its keys hash into.
+
+    Cost per batch is O(touched_buckets / n_buckets × state) instead of
+    ``merge_into_parquet``'s O(state) — the same file-pruning idea a
+    MERGE INTO on a transactional format applies, built from plain
+    parquet + dynamic partition overwrite. At 100 TB with n_buckets
+    sized so a bucket ≈ a few GB, a small CDC batch touches a handful
+    of directories and the merge is effectively O(batch).
+    """
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    batch_b = batch_df.withColumn("__bucket", bucket)
+    exists = os.path.exists(target_path)
+    if exists:
+        touched = [r["__bucket"] for r in batch_b.select("__bucket").distinct().collect()]
+        state = spark.read.parquet(target_path).filter(F.col("__bucket").isin(touched))
+        if op_col not in state.columns:
+            state = state.withColumn(op_col, F.lit("u"))
+        combined = state.unionByName(batch_b, allowMissingColumns=True)
+    else:
+        combined = batch_b
+    merged = apply_changes(combined, key_cols, seq_col, op_col, delete_ops)
+    # Self-overwrite hazard: the merged plan reads the very files being
+    # replaced. Write-aside distributed, then swap ONLY the touched
+    # bucket directories (driver does metadata renames, never data; on
+    # an object store this is the commit protocol's job / a transactional
+    # format's snapshot swap).
+    import shutil
+
+    tmp = target_path.rstrip("/") + ".__tmp__"
+    merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+    if not exists:
+        os.rename(tmp, target_path)
+        return
+    moved = set()
+    for entry in os.listdir(tmp):
+        if not entry.startswith("__bucket="):
+            continue
+        dst = os.path.join(target_path, entry)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(os.path.join(tmp, entry), dst)
+        moved.add(entry)
+    # a touched bucket with NO merged output means every key in it was
+    # deleted — drop the stale directory
+    for b in touched:
+        entry = f"__bucket={b}"
+        stale = os.path.join(target_path, entry)
+        if entry not in moved and os.path.exists(stale):
+            shutil.rmtree(stale)
+    shutil.rmtree(tmp)
+
+
+def read_bucketed_state(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a bucketed-merge target without the layout column."""
+    return spark.read.parquet(target_path).drop("__bucket")
+
+
 def scd2_from_log(
     log_df: DataFrame,
     key_cols: list[str],

@@ -217,3 +217,51 @@ def test_scd2_history(spark, typed_log):
     assert emily[0].email == "emily@example.com" and emily[0].valid_to == 5
     assert emily[1].email == "emma@example.com" and emily[1].valid_to == 10  # closed by delete
     assert not emily[1].is_current
+
+
+def test_merge_into_parquet_bucketed(spark, tmp_path):
+    """Bucketed merge: correct state across batches, only touched bucket
+    dirs rewritten, all-deleted buckets removed."""
+    import os
+
+    target = str(tmp_path / "state")
+    schema = "pk LONG, val STRING, seq LONG, op STRING"
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", i, "c") for i in range(20)], schema
+    )
+    cdc_apply.merge_into_parquet_bucketed(spark, target, b1, ["pk"], n_buckets=8)
+    got = {(r.pk, r.val) for r in cdc_apply.read_bucketed_state(spark, target).collect()}
+    assert got == {(i, f"v{i}") for i in range(20)}
+
+    dirs_before = {
+        d: os.path.getmtime(os.path.join(target, d)) for d in os.listdir(target)
+    }
+    # batch 2 touches exactly one key -> at most one bucket rewritten
+    b2 = spark.createDataFrame([(3, "v3b", 100, "u")], schema)
+    cdc_apply.merge_into_parquet_bucketed(spark, target, b2, ["pk"], n_buckets=8)
+    got = {(r.pk, r.val) for r in cdc_apply.read_bucketed_state(spark, target).collect()}
+    assert (3, "v3b") in got and len(got) == 20
+    changed = [
+        d
+        for d in os.listdir(target)
+        if d.startswith("__bucket=")
+        and os.path.getmtime(os.path.join(target, d)) != dirs_before.get(d)
+    ]
+    assert len(changed) == 1, changed
+
+    # batch 3 deletes every key of one bucket -> its directory disappears
+    bucket_of_3 = changed[0]
+    same_bucket_keys = [
+        r.pk
+        for r in cdc_apply.read_bucketed_state(spark, target)
+        .withColumn("b", F.expr("pmod(xxhash64(pk), 8)"))
+        .filter(F.expr(f"b = {bucket_of_3.split('=')[1]}"))
+        .collect()
+    ]
+    b3 = spark.createDataFrame(
+        [(pk, None, 200 + pk, "d") for pk in same_bucket_keys], schema
+    )
+    cdc_apply.merge_into_parquet_bucketed(spark, target, b3, ["pk"], n_buckets=8)
+    assert not os.path.exists(os.path.join(target, bucket_of_3))
+    got = {r.pk for r in cdc_apply.read_bucketed_state(spark, target).collect()}
+    assert got == set(range(20)) - set(same_bucket_keys)
