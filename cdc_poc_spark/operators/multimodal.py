@@ -143,3 +143,52 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def resize_media(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Resize plumbing: aspect-preserving target-dimension computation
+    (pure Catalyst — least(scale factors) on the metadata struct) around
+    a stubbed pixel transform. The payload passes through mapInPandas in
+    Arrow batches exactly as a real resampler would consume it; only the
+    bytes->bytes kernel is fake (identity). Metadata-only consumers get
+    the new dimensions without ever reading payloads."""
+    scale = F.least(
+        F.lit(max_w) / F.col("meta.width"),
+        F.lit(max_h) / F.col("meta.height"),
+        F.lit(1.0),
+    )
+    with_target = media.select(
+        "media_id",
+        "payload",
+        "meta",
+        F.greatest(F.floor(F.col("meta.width") * scale), F.lit(1))
+        .cast("int")
+        .alias("target_w"),
+        F.greatest(F.floor(F.col("meta.height") * scale), F.lit(1))
+        .cast("int")
+        .alias("target_h"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in it:
+            # identity kernel: a real deployment decodes + resamples here
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],
+                    "width": pdf["target_w"],
+                    "height": pdf["target_h"],
+                }
+            )
+
+    return with_target.mapInPandas(batches, schema=out_schema)

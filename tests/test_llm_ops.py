@@ -117,3 +117,16 @@ def test_media_features_shape_and_determinism(spark, docs):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"bytes")
+
+
+def test_resize_media_targets(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(30))
+    out = multimodal.resize_media(media, 256, 256).collect()
+    src = {r.media_id: (r.meta.width, r.meta.height) for r in media.collect()}
+    assert len(out) == 30
+    for r in out:
+        w0, h0 = src[r.media_id]
+        assert 1 <= r.width <= 256 and 1 <= r.height <= 256
+        s = min(256 / w0, 256 / h0, 1.0)
+        expect = (max(int(w0 * s), 1), max(int(h0 * s), 1))
+        assert (r.width, r.height) == expect
