@@ -378,3 +378,55 @@ def pipeline_split_train_val(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_TOP_TOKENS_ORACLE = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n
+FROM t WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@register("text_top_tokens", oracle=_TOP_TOKENS_ORACLE, tags=("llm", "text", "topk"))
+def text_top_tokens(spark, sf_dir):
+    """Corpus heavy hitters: explode -> count -> top-20. Partial
+    aggregation makes the shuffle carry one row per distinct token per
+    partition, not one per occurrence; the global sort is TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+_TOKEN_BUDGET_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@register("text_token_budget_by_source", oracle=_TOKEN_BUDGET_ORACLE, tags=("llm", "text", "agg"))
+def text_token_budget_by_source(spark, sf_dir):
+    """Token/char budgeting per corpus source — the accounting query a
+    training-data pipeline runs before mixing sources. Map-side token
+    counting (size(filter(split))), one tiny shuffle by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
