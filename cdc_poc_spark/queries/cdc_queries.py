@@ -181,3 +181,71 @@ def cdc_scd2_intervals(spark, sf_dir):
         F.expr("ts DIV 1000").alias("valid_from_us"),
         F.lead(F.expr("ts DIV 1000")).over(w).alias("valid_to_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog operations analytics: hot keys (merge-skew early warning)
+# ---------------------------------------------------------------------------
+
+_HOT_KEYS_ORACLE = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_changes,
+         COUNT(DISTINCT event_type) AS n_op_kinds,
+         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_changes, n_op_kinds, span_us
+FROM per_key
+ORDER BY n_changes DESC, user_id
+LIMIT 25
+"""
+
+
+@register("cdc_hot_keys", oracle=_HOT_KEYS_ORACLE, tags=("cdc", "agg", "topk"))
+def cdc_hot_keys(spark, sf_dir):
+    """Change-frequency profile per key, top-25. Operationally this is
+    the skew early-warning for MERGE at scale: keys here dominate
+    shuffle partitions and are the salting candidates (operators/
+    scale.py:salted_join)."""
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.countDistinct("event_type").alias("n_op_kinds"),
+            (F.max("ts_us") - F.min("ts_us")).cast("long").alias("span_us"),
+        )
+        .orderBy(F.desc("n_changes"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changelog churn: tombstone/update mix per day (retention planning)
+# ---------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_changes,
+       COUNT(DISTINCT user_id) AS n_keys,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
+FROM events
+GROUP BY 1
+"""
+
+
+@register("cdc_daily_churn", oracle=_CHURN_ORACLE, tags=("cdc", "agg", "datetime"))
+def cdc_daily_churn(spark, sf_dir):
+    """Per-day changelog volume / distinct-key / tombstone mix — the
+    compaction-planning query (how much log a daily merge folds away)."""
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "etime"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.countDistinct("user_id").alias("n_keys"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_tombstones"),
+        )
+    )

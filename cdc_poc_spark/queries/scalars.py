@@ -271,3 +271,73 @@ def scalar_array_functions(spark, sf_dir):
             "first5_vocab"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: per-column stats in ONE scan (unpivoted)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+
+_PROFILE_ORACLE = """
+SELECT 'l_orderkey' AS column_name, CAST(MIN(l_orderkey) AS VARCHAR) AS min_val,
+       CAST(MAX(l_orderkey) AS VARCHAR) AS max_val,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR),
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR),
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'), strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+       CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+"""
+
+
+@register("profile_lineitem_columns", oracle=_PROFILE_ORACLE, tags=("agg", "profiling"))
+def profile_lineitem_columns(spark, sf_dir):
+    """Data profiling: min/max/exact-NDV/null-count for N columns in a
+    SINGLE scan + aggregate (one job, 4N agg expressions), unpivoted to
+    one row per column. The one-pass form is what profiling 100 TB
+    permits — per-column loops re-scan the table N times. Timestamps are
+    formatted (not raw cast) so both engines print identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def fmt(c):
+        col = F.col(c)
+        if c == "l_shipdate":
+            return lambda agg: F.date_format(agg(col), "yyyy-MM-dd HH:mm:ss")
+        return lambda agg: agg(col).cast("string")
+
+    aggs, pieces = [], []
+    for c in _PROFILE_COLS:
+        f = fmt(c)
+        aggs += [
+            f(F.min).alias(f"{c}__min"),
+            f(F.max).alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+        ]
+        pieces.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+            )
+        )
+    return (
+        li.agg(*aggs)
+        .select(F.explode(F.array(*pieces)).alias("p"))
+        .select("p.column_name", "p.min_val", "p.max_val", "p.n_distinct", "p.n_nulls")
+    )
