@@ -51,6 +51,10 @@ class CDCConsumer:
     checkpoint_dir: str
     #: mirror mode needs per-table specs; log mode needs none
     tables: dict[str, TableSpec] = field(default_factory=dict)
+    #: >0 switches the mirror merge to the bucketed partition-pruned
+    #: path (cdc_apply.merge_into_parquet_bucketed): per-batch cost
+    #: O(touched buckets), not O(state) — the setting for large mirrors
+    mirror_buckets: int = 0
 
     # -- log path (reference Spark path, §1.1c shape) -----------------
 
@@ -106,15 +110,19 @@ class CDCConsumer:
                     F.col("_cdc.op").alias("op"),
                     F.col("_cdc.offset").alias("seq"),
                 ).drop("_cdc")
-                cdc_apply.merge_into_parquet(
-                    self._spark(batch_df),
-                    os.path.join(self.warehouse_dir, "mirror", tbl),
-                    typed,
-                    list(spec.key_cols),
-                    seq_col="seq",
-                    op_col="op",
-                    delete_ops=("D",),
-                )
+                target = os.path.join(self.warehouse_dir, "mirror", tbl)
+                if self.mirror_buckets > 0:
+                    cdc_apply.merge_into_parquet_bucketed(
+                        self._spark(batch_df), target, typed,
+                        list(spec.key_cols), seq_col="seq", op_col="op",
+                        delete_ops=("D",), n_buckets=self.mirror_buckets,
+                    )
+                else:
+                    cdc_apply.merge_into_parquet(
+                        self._spark(batch_df), target, typed,
+                        list(spec.key_cols), seq_col="seq", op_col="op",
+                        delete_ops=("D",),
+                    )
         finally:
             batch_df.unpersist()
 
@@ -141,4 +149,8 @@ class CDCConsumer:
         )
 
     def read_mirror(self, spark, table_name: str) -> DataFrame:
+        if self.mirror_buckets > 0:
+            return cdc_apply.read_bucketed_state(
+                spark, os.path.join(self.warehouse_dir, "mirror", table_name)
+            )
         return spark.read.parquet(os.path.join(self.warehouse_dir, "mirror", table_name))

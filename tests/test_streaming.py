@@ -251,3 +251,29 @@ def test_stream_stream_join_matches_batch(spark, event_stream_dir, tmp_path):
         map(tuple, expected.collect())
     )
     assert expected.count() > 0
+
+
+def test_mirror_mode_bucketed_merge(spark, envelope_dir, tmp_path):
+    """Mirror mode with the partition-pruned bucketed merge must land
+    the same current state as the full-rewrite path."""
+    from pyspark.sql.types import StructType
+
+    c = CDCConsumer(
+        str(tmp_path / "wh"),
+        str(tmp_path / "ck"),
+        tables={
+            "commerce_account": TableSpec(ACCOUNT_SCHEMA, ("user_id",)),
+            "commerce_product": TableSpec(
+                StructType.fromDDL(PRODUCT_SCHEMA), ("product_id",)
+            ),
+        },
+        mirror_buckets=8,
+    )
+    c.start_mirror_query(fsrc.envelope_json_stream(spark, envelope_dir)).awaitTermination(120)
+    acct = {(r.user_id, r.email) for r in c.read_mirror(spark, "commerce_account").collect()}
+    assert acct == {(2, "bob@example.com"), (3, "carol2@example.com")}
+    import os
+    assert any(
+        d.startswith("__bucket=")
+        for d in os.listdir(str(tmp_path / "wh" / "mirror" / "commerce_account"))
+    )
