@@ -341,3 +341,42 @@ def profile_lineitem_columns(spark, sf_dir):
         .select(F.explode(F.array(*pieces)).alias("p"))
         .select("p.column_name", "p.min_val", "p.max_val", "p.n_distinct", "p.n_nulls")
     )
+
+
+# ---------------------------------------------------------------------------
+# Map functions: build/lookup/transform (outputs scalarized for parity)
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT r_regionkey,
+       r_name AS k1,
+       CAST(r_regionkey * 10 AS BIGINT) AS v1,
+       2 AS map_size,
+       CAST(r_regionkey * 10 + 1 AS BIGINT) AS bumped
+FROM region
+"""
+
+
+@register("scalar_map_functions", oracle=_MAP_ORACLE, tags=("scalar", "map"))
+def scalar_map_functions(spark, sf_dir):
+    """MapType surface: map_from_arrays -> element_at / map_keys /
+    size / transform_values. Outputs are scalarized (the oracle computes
+    the same values map-free) because map cells do not compare cleanly
+    across engines — the point is the Spark map ops run and agree."""
+    region = load_table(spark, sf_dir, "region")
+    m = F.map_from_arrays(
+        F.array(F.col("r_name"), F.lit("twice")),
+        F.array(
+            (F.col("r_regionkey") * 10).cast("long"),
+            (F.col("r_regionkey") * 20).cast("long"),
+        ),
+    )
+    with_m = region.select("r_regionkey", "r_name", m.alias("m"))
+    bumped = F.transform_values(F.col("m"), lambda k, v: v + 1)
+    return with_m.select(
+        "r_regionkey",
+        F.element_at(F.map_keys("m"), 1).alias("k1"),
+        F.element_at(F.col("m"), F.col("r_name")).alias("v1"),
+        F.size("m").alias("map_size"),
+        F.element_at(bumped, F.col("r_name")).alias("bumped"),
+    )
