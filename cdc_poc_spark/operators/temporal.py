@@ -1,0 +1,95 @@
+"""Temporal join operators: generic as-of join (pandas merge_asof at
+Spark scale).
+
+The scale-correct formulation is union+window, not a range join: tag
+both sides, interleave on (key, time), and carry the most recent right
+payload forward with last(ignorenulls) over an ordered window. Cost is
+ONE shuffle on the key + a partition-local sort — no time-band row
+explosion, no per-row subquery. This is the CDC snapshot-at-time
+primitive (SURVEY §2.B joins row) generalized to two tables; the
+single-table specialization is queries/joins.py:join_asof_purchase_to_view.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    largest right_ts <= left_ts (direction='backward') or smallest
+    right_ts >= left_ts ('forward') within the same key group.
+
+    Ties (right_ts == left_ts) match, like pandas merge_asof
+    (allow_exact_matches=True). `tolerance` (same unit as the ts
+    columns) drops matches farther than the bound. Right payload
+    columns come back prefixed; unmatched left rows keep nulls.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    payload_cols = [c for c in right.columns if c not in keys]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*payload_cols).alias("__r"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # at equal ts the right row must be visible to the left row: right
+    # (__is_left=0) sorts first ascending / last descending
+    if direction == "backward":
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    else:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    matched = (
+        unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .withColumn(
+            "__match_ts", F.last(F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True).over(w)
+        )
+        .filter(F.col("__is_left") == 1)
+    )
+    if tolerance is not None:
+        gap = (
+            F.col("__ts") - F.col("__match_ts")
+            if direction == "backward"
+            else F.col("__match_ts") - F.col("__ts")
+        )
+        keep = F.col("__match_ts").isNotNull() & (gap <= tolerance)
+        matched = matched.withColumn(
+            "__match", F.when(keep, F.col("__match"))
+        ).withColumn("__match_ts", F.when(keep, F.col("__match_ts")))
+    out_left = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
+    ]
+    return matched.select(*out_left, *out_right)
