@@ -57,6 +57,7 @@ def all_specs() -> dict[str, QuerySpec]:
         subqueries,
         timewindows,
         tpch,
+        tpch2,
         udfs,
         windows,
     )

@@ -305,7 +305,7 @@ FROM (
   JOIN nation n1 ON c_nationkey = n1.n_nationkey
   JOIN region ON n1.n_regionkey = r_regionkey
   JOIN nation n2 ON s_nationkey = n2.n_nationkey
-  WHERE r_name = 'REGION_0' AND p_type = 'PROMO'
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
 ) all_nations
 GROUP BY o_year
 """
@@ -322,7 +322,7 @@ def q8_market_share(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter("r_name = 'REGION_0'")
+    region = load_table(spark, sf_dir, "region").filter("r_name = 'EUROPE'")
     n1 = nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
     )
