@@ -85,6 +85,125 @@ def dedup_simhash_near_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
+# Shared CTE prefix: exact 3-gram Jaccard >= 0.5 pair graph, symmetrized,
+# plus min-label connected components via a recursive CTE. The
+# `c.comp < s.v` prune is safe: the true component minimum m propagates
+# along every path (m < any other member), so MIN(comp) is unaffected,
+# and the prune keeps the recursion from enumerating large labels.
+_CC_PREFIX = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+), sym AS (
+  SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+), cc AS (
+  SELECT u AS node, u AS comp FROM (SELECT u FROM sym UNION SELECT v FROM sym)
+  UNION
+  SELECT s.v, c.comp FROM cc c JOIN sym s ON s.u = c.node WHERE c.comp < s.v
+), lbl AS (
+  SELECT node, MIN(comp) AS cluster_id FROM cc GROUP BY node
+)
+"""
+
+_CC_CLUSTERS_ORACLE = _CC_PREFIX + """
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM lbl GROUP BY cluster_id
+"""
+
+
+@register("dedup_cc_clusters", oracle=_CC_CLUSTERS_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_cc_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair graph (large-star/small-star, operators/graph.py), so
+    transitive duplicates (A~B, B~C, never A~C) land in one group.
+    cluster_id = min doc_id of the component."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs).select("id_a", "id_b")
+    from ..operators.graph import connected_components
+
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
+    )
+
+
+_CC_CANONICAL_ORACLE = _CC_PREFIX + """
+, mem AS (
+  SELECT l.cluster_id, l.node, d.n_chars
+  FROM lbl l JOIN documents d ON d.doc_id = l.node
+), rk AS (
+  SELECT cluster_id, node, n_chars,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, node) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM mem
+)
+SELECT cluster_id, node AS keep_id, n_chars AS kept_chars,
+       CAST(sz - 1 AS BIGINT) AS n_removed
+FROM rk WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_docs", oracle=_CC_CANONICAL_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_canonical_docs(spark, sf_dir):
+    """Canonical-document selection: within each near-dup cluster keep
+    the longest doc (tie-break: smallest doc_id) and count what was
+    removed — the keep/drop decision a training-data pipeline actually
+    ships. Window over cluster_id; the component map joins to the corpus
+    on doc_id (broadcast — near-dup components are sparse)."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    mem = docs.join(
+        F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id"
+    ).select(F.col("component").alias("cluster_id"), F.col("doc_id"), "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wsz = Window.partitionBy("cluster_id")
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .filter("rn = 1")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("kept_chars"),
+            (F.col("sz") - 1).alias("n_removed"),
+        )
+    )
+
+
+@register("dedup_cc_clusters_lsh", tags=("llm", "dedup", "graph", "lsh"))
+def dedup_cc_clusters_lsh(spark, sf_dir):
+    """The scale path: clusters over MinHash+LSH candidate pairs (O(n·k)
+    pair generation) instead of the quadratic exact pair graph.
+    Rows-only; cluster agreement vs the exact graph is asserted in
+    tests/test_llm_ops.py."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

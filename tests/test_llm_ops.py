@@ -130,3 +130,72 @@ def test_resize_media_targets(spark, docs):
         s = min(256 / w0, 256 / h0, 1.0)
         expect = (max(int(w0 * s), 1), max(int(h0 * s), 1))
         assert (r.width, r.height) == expect
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _union_find(edges):
+    """Reference implementation: classic union-find over collected edges."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2)],
+        [(1, 2), (2, 3), (4, 5)],  # transitive chain + separate pair
+        [(5, 1), (3, 5), (2, 4), (9, 8), (8, 2)],  # order-scrambled
+        [(i, i + 1) for i in range(1, 30)],  # one long path (worst diameter)
+        [(1, 2), (2, 1), (2, 3), (3, 1)],  # cycles + duplicate edges
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from cdc_poc_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_connected_components_random_graph(spark):
+    """Randomized graph (fixed seed): star/chain/clique mixture."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    from cdc_poc_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
+
+
+def test_lsh_clusters_agree_with_exact_graph(spark, docs):
+    """Cluster assignments from LSH pairs must agree with the exact
+    Jaccard pair graph on (almost) all documents — same last stage, only
+    the candidate generation differs."""
+    from cdc_poc_spark.operators.graph import connected_components
+
+    exact = dedup.exact_jaccard_pairs(docs).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
+    ce = {r.node: r.component for r in connected_components(exact).collect()}
+    cl = {r.node: r.component for r in connected_components(lsh).collect()}
+    if ce:
+        agree = sum(1 for n, c in ce.items() if cl.get(n) == c) / len(ce)
+        assert agree >= 0.9, f"cluster agreement {agree:.2f} over {len(ce)} nodes"
