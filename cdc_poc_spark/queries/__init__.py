@@ -54,6 +54,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         scalars,
         setops,
+        sqlapi,
         subqueries,
         timewindows,
         tpch,

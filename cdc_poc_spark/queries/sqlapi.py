@@ -1,0 +1,135 @@
+"""The SQL entry point: one ANSI SQL string, two engines.
+
+Every query here is executed by ``spark.sql(...)`` over temp views of
+the fixture tables (tables.register_views) AND — verbatim, the same
+string — by the DuckDB oracle. That is the strongest parity statement
+the driver harness can express: not "a Spark plan that happens to agree
+with a hand-written oracle", but one shared text in the common ANSI
+dialect.
+
+The reference exposes no SQL query surface at all (its only SQL is
+psql-side CRUD, SURVEY §2 S1–S5; its Spark code never calls spark.sql —
+/root/reference/spark/scripts/consumer.py). This module is engine
+surface added per the brief.
+
+Dialect constraints (why these queries look the way they do):
+- SUM(BIGINT) is HUGEINT in DuckDB → always CAST(SUM(..) AS BIGINT).
+- AVG over DECIMAL rounds differently (Spark: decimal(p+4,s+4) then
+  cast; DuckDB: double) → compute SUM(decimal)::DOUBLE / COUNT instead.
+- DECIMAL output columns arrive as decimal.Decimal from Spark but
+  float64 from DuckDB's fetchdf → final money columns cast to DOUBLE.
+- No QUALIFY (absent in this Spark build), no TIMESTAMP output columns
+  (pandas normalization differs) — project years/strings instead.
+"""
+
+from __future__ import annotations
+
+from ..tables import register_views
+from . import register
+
+__all__ = []
+
+
+def _sql_query(name: str, sql: str, tags=("sql",)):
+    """Register a query whose Spark implementation IS the oracle text."""
+
+    @register(name, oracle=sql, tags=tags)
+    def run(spark, sf_dir, _sql=sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    run.__name__ = name
+    run.__doc__ = f"Shared-text SQL query (same string runs in DuckDB):\n{sql}"
+    return run
+
+
+_sql_query(
+    "sql_revenue_by_nation_year",
+    """
+SELECT n_name,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_year
+""",
+    tags=("sql", "join", "agg"),
+)
+
+_sql_query(
+    "sql_window_top_suppliers",
+    """
+SELECT s_nationkey, s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS bal
+FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) AS rk
+  FROM supplier
+) t
+WHERE rk <= 3
+""",
+    tags=("sql", "window", "topk"),
+)
+
+_sql_query(
+    "sql_priority_mix_by_status",
+    """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt,
+       CAST(COUNT(*) AS BIGINT) AS total_cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+    tags=("sql", "agg"),
+)
+
+_sql_query(
+    "sql_setops_nation_bands",
+    """
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15
+INTERSECT
+SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 5
+""",
+    tags=("sql", "setop"),
+)
+
+_sql_query(
+    "sql_exists_high_value_customers",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+    tags=("sql", "subquery"),
+)
+
+_sql_query(
+    "sql_rollup_segment_counts",
+    """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer
+GROUP BY ROLLUP(c_mktsegment)
+""",
+    tags=("sql", "agg", "rollup"),
+)
+
+_sql_query(
+    "sql_string_shaping",
+    """
+SELECT p_partkey,
+       UPPER(SUBSTRING(p_name, 1, 5)) AS prefix,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       p_brand || '/' || p_type AS brand_type
+FROM part
+WHERE p_partkey <= 200
+""",
+    tags=("sql", "scalar"),
+)
