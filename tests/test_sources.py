@@ -1,0 +1,89 @@
+"""Round-trip and layout tests for the batch format surface
+(sources/files.py readers + sources/writers.py sinks): schema fidelity
+per format, partitioned layout on disk, and partition pruning visible in
+the physical plan."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_poc_spark.sources import files, writers
+from cdc_poc_spark.tables import load_table
+
+from .conftest import SF_DIR
+
+
+def _nation(spark):
+    return load_table(spark, SF_DIR, "nation")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    src = _nation(spark)
+    path = str(tmp_path / "nation_orc")
+    writers.write_orc(src, path)
+    back = writers.read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_csv_round_trip_with_schema(spark, tmp_path):
+    src = _nation(spark).select("n_nationkey", "n_name")
+    path = str(tmp_path / "nation_csv")
+    writers.write_csv(src, path)
+    back = files.read_csv(spark, path, src.schema)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_round_trip_with_schema(spark, tmp_path):
+    src = _nation(spark)
+    path = str(tmp_path / "nation_json")
+    writers.write_json(src, path)
+    back = files.read_json(spark, path, src.schema)
+    assert sorted(map(tuple, back.select(*src.columns).collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_partitioned_write_layout_and_pruning(spark, tmp_path):
+    """Partitioned write produces hive directories, one file per
+    partition, and a filter on the partition column prunes in the plan
+    (and agrees with the unpartitioned answer)."""
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    writers.write_parquet_partitioned(orders, path, ["o_year"])
+
+    year_dirs = [d for d in os.listdir(path) if d.startswith("o_year=")]
+    assert len(year_dirs) >= 2
+    for d in year_dirs:
+        parts = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{d}: expected one file, got {parts}"
+
+    back = files.read_parquet(spark, path).filter("o_year = 1997")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    expected = orders.filter("o_year = 1997").count()
+    assert back.count() == expected
+
+
+def test_partitioned_write_respects_max_records(spark, tmp_path):
+    """maxRecordsPerFile splits oversized partitions into several files."""
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_split")
+    writers.write_parquet_partitioned(
+        orders, path, ["o_year"], max_records_per_file=50
+    )
+    year_dirs = [d for d in os.listdir(path) if d.startswith("o_year=")]
+    multi = [
+        d
+        for d in year_dirs
+        if len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]) > 1
+    ]
+    assert multi, "expected at least one partition split into multiple files"
