@@ -72,6 +72,28 @@ def agg_approx_count_distinct(spark, sf_dir):
     )
 
 
+@register("agg_hll_sketch_union", tags=("agg", "approx", "sketch"))
+def agg_hll_sketch_union(spark, sf_dir):
+    """MERGEABLE HLL sketches (Apache DataSketches, Spark 3.5+ builtins):
+    per-group sketches estimated locally, then the SAME binary sketches
+    re-aggregated with hll_union_agg for the global cardinality — no
+    second scan, no distinct shuffle. This mergeability is the whole
+    point at 100 TB: partial sketches combine associatively across
+    partitions, days, or clusters. Sketch bytes are engine-specific →
+    rows-only check; estimate accuracy vs exact is asserted in
+    tests/test_llm_ops.py."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    per_type = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    global_row = sk.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_type.unionByName(global_row)
+
+
 _ROLLUP_ORACLE = """
 SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal

@@ -97,6 +97,44 @@ def cdc_current_state_table(spark, sf_dir):
     )
 
 
+SNAPSHOT_CUTOFF_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z, mid-changelog
+
+_SNAPSHOT_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(value AS DOUBLE) AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("cdc_snapshot_at_time", oracle=_SNAPSHOT_ORACLE, tags=("cdc", "window", "timetravel"))
+def cdc_snapshot_at_time(spark, sf_dir):
+    """Point-in-time snapshot: the mirror AS OF a cutoff — the time-travel
+    read an append-only changelog gives you for free (filter seq <= t
+    BEFORE the window dedup, so the cutoff predicate pushes into the
+    parquet scan and history after t is never read). Epoch-micros
+    comparison on both engines (DuckDB truncates the nanos column to
+    micros; Spark divides the raw long)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000").desc(), F.col("event_id").desc())
+    return (
+        ev.filter(F.expr("ts DIV 1000") <= F.lit(SNAPSHOT_CUTOFF_US))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1 AND event_type <> 'error'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").cast("double").alias("last_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Changelog analytics
 # ---------------------------------------------------------------------------

@@ -199,3 +199,16 @@ def test_lsh_clusters_agree_with_exact_graph(spark, docs):
     if ce:
         agree = sum(1 for n, c in ce.items() if cl.get(n) == c) / len(ce)
         assert agree >= 0.9, f"cluster agreement {agree:.2f} over {len(ce)} nodes"
+
+
+def test_hll_sketch_union_accuracy(spark):
+    """Unioned per-group HLL sketches must estimate the true global
+    cardinality within HLL(lgK=14) error (<1% at these cardinalities)."""
+    from cdc_poc_spark.queries import all_specs
+
+    rows = {r.event_type: r.approx_users for r in
+            all_specs()["agg_hll_sketch_union"].fn(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact_global = ev.selectExpr("count(distinct user_id) c").first().c
+    assert abs(rows["ALL"] - exact_global) <= max(2, 0.02 * exact_global)
+    assert sum(v for k, v in rows.items() if k != "ALL") >= rows["ALL"]
