@@ -43,8 +43,11 @@ def shingles_expr(toks: str = "toks", n: int = 3) -> F.Column:
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    from .scale import spread
+
     return (
-        df.withColumn("toks", tokens_col(text_col))
+        spread(df)
+        .withColumn("toks", tokens_col(text_col))
         .filter(F.size("toks") >= n)
         .withColumn("shingles", shingles_expr("toks", n))
     )

@@ -30,6 +30,28 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan before heavy per-row compute.
+
+    A parquet file written as a single row group scans as ONE task no
+    matter what `maxPartitionBytes` says (documents/embeddings at small
+    SF are the motivating case): every downstream map — tokenize,
+    shingle, MinHash, dot-product — then runs on one core. One
+    round-robin repartition right after the scan costs a shuffle of the
+    raw rows but unlocks full-cluster parallelism for the expensive
+    part (measured 2x on the MinHash pipeline at sf0.1).
+
+    No-op when the input is already at least `min_partitions` wide
+    (default: the cluster's default parallelism) — at 100 TB a scan has
+    thousands of input splits and must NOT be re-shuffled here.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

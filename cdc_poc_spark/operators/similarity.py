@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from .scale import spread
+
 #: embedding as double array (float32 arithmetic is not portable)
 _DBL = "transform({c}, x -> CAST(x AS DOUBLE))"
 
@@ -53,7 +55,7 @@ def cosine_topk(
     per-query top-k via window) is exactly the distributed brute-force
     kNN plan; the LSH variant below cuts the scan.
     """
-    e = emb.select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
         "vnorm", norm("vec")
     )
     q = (
@@ -108,7 +110,7 @@ def lsh_buckets(
     bucket assignments per vector (recall 1-(1-p^planes)^tables). One
     row per (vector, table) after explode — the shuffle key for the
     candidate join is (table_id, bucket)."""
-    e = emb.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec"))
     buckets = F.array(
         *[
             F.struct(F.lit(t).alias("table_id"), _bucket_col(t, planes).alias("bucket"))
@@ -152,7 +154,7 @@ def ann_lsh_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
     )
-    e = emb.select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
         "vnorm", norm("vec")
     )
     qv = e.select(
@@ -189,7 +191,7 @@ def embedding_cosine_pairs(
     so only same-block vectors are compared and the shuffle is keyed by
     block. Cosine is rounded to 5 decimals before the threshold compare
     so pair membership is engine-reproducible."""
-    e = emb.select(
+    e = spread(emb).select(
         F.col(id_col), F.col(block_col), as_double(vec_col).alias("vec")
     ).withColumn("vnorm", norm("vec"))
     a = e.select(
@@ -237,7 +239,7 @@ def ivf_topk(
     map-side broadcast product over n_cells rows (no shuffle of the
     corpus) and the candidate join is an equi-join on cell_id; compute
     drops from O(n) to ~O(n * n_probe / n_cells) per query."""
-    e = emb.select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
         "vnorm", norm("vec")
     )
     seeds = e.filter(F.col(id_col) < n_cells).select(
