@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scale import spread
+
 #: tiny per-language stopword lists for the heuristic language-ID.
 #: Order matters: it is the deterministic argmax tie-break priority.
 LANG_STOPWORDS = {
@@ -35,7 +37,7 @@ def _count_in(toks: str, words: tuple) -> F.Column:
 def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document statistics: chars, tokens, vocabulary, mean token
     length, stopword ratio — the standard quality-filter features."""
-    d = df.withColumn("toks", F.split(F.col(text_col), " "))
+    d = spread(df).withColumn("toks", F.split(F.col(text_col), " "))
     n_tokens = F.size("toks")
     total_tok_chars = F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
     stop = _count_in("toks", LANG_STOPWORDS["en"])
@@ -76,7 +78,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     from functools import reduce
     from operator import and_
 
-    d = df.withColumn("toks", F.split(F.col(text_col), " "))
+    d = spread(df).withColumn("toks", F.split(F.col(text_col), " "))
     scores = {lang: _count_in("toks", words) for lang, words in LANG_STOPWORDS.items()}
     langs = list(LANG_STOPWORDS)
     # First-match CASE chain: the first lang whose score >= every LATER
@@ -108,7 +110,7 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Canonical content fingerprint: md5 over the sorted distinct token
     set. Stable under token reordering/repetition — the cheap
     near-dup-cluster key (dedup.fingerprint_clusters groups on it)."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.md5(
             F.array_join(F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " ")
@@ -119,7 +121,7 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 def regex_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """BPE-ish pre-tokenization count via regexp_extract_all — the
     token-budget estimator."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         F.size(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_REGEX}', 0)")).alias(
             "n_regex_tokens"

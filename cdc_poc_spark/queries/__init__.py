@@ -52,6 +52,7 @@ def all_specs() -> dict[str, QuerySpec]:
         cdc_queries,
         joins,
         llm_ops,
+        pipeline,
         scalars,
         setops,
         sqlapi,

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
+from ..operators.scale import spread
 from ..tables import load_table
 from . import register
 
@@ -516,7 +517,7 @@ def text_top_tokens(spark, sf_dir):
     """Corpus heavy hitters: explode -> count -> top-20. Partial
     aggregation makes the shuffle carry one row per distinct token per
     partition, not one per occurrence; the global sort is TakeOrdered."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
@@ -542,7 +543,7 @@ def text_token_budget_by_source(spark, sf_dir):
     """Token/char budgeting per corpus source — the accounting query a
     training-data pipeline runs before mixing sources. Map-side token
     counting (size(filter(split))), one tiny shuffle by source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1,0 +1,173 @@
+"""Corpus-curation pipeline queries: the end-to-end shapes a training-
+data pipeline runs over a document corpus — stratified sampling,
+percentile quality filtering, and the composed dedup -> filter -> split
+curation flow.
+
+Reference parity: the reference (thanminh24/CDC_POC) has no corpus
+operators; these extend the engine per the north-star brief
+(BASELINE.json "north_star": dedup/similarity/text analysis designed
+for 100 TB). Every query here is oracle-checked against DuckDB.
+
+Scale notes are per-query; the common theme is that each one is a
+scan + map-side compute + ONE keyed shuffle (or a distributed top-k),
+never a global single-partition window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import text
+from ..tables import load_table
+from . import register
+
+_STRATIFIED_K = 15
+
+_STRATIFIED_ORACLE = f"""
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT source, doc_id, rn FROM r WHERE rn <= {_STRATIFIED_K}
+"""
+
+
+@register("pipeline_stratified_sample", oracle=_STRATIFIED_ORACLE, tags=("llm", "pipeline"))
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic K-per-stratum sample: within each source, order
+    docs by md5(doc_id) (a stable uniform shuffle both engines compute
+    identically — no rand()) and keep the first K. The distributed
+    shape is one shuffle keyed by source + a per-partition window; no
+    stratum ever needs more than K rows of state, so a 100 TB corpus
+    with millions of strata streams through."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _STRATIFIED_K)
+        .select("source", "doc_id", "rn")
+    )
+
+
+# Reuses the exact score formula of text_quality_score (llm_ops._QUALITY_ORACLE)
+_QUALITY_CTE = """
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','value'))) AS DOUBLE)
+           / len(toks) AS stopword_ratio
+  FROM d
+),
+q AS (
+  SELECT doc_id,
+         round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0
+                     WHEN n_tokens > 200 THEN 0.5 ELSE 0.25 END) * 0.4
+               + ttr * 0.3
+               + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END) * 0.3, 5)
+           AS quality_score
+  FROM s
+)
+"""
+
+_PCTL_FILTER_ORACLE = f"""
+WITH {_QUALITY_CTE},
+r AS (
+  SELECT doc_id, quality_score,
+         row_number() OVER (ORDER BY quality_score DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM q
+)
+SELECT doc_id, quality_score FROM r WHERE rn <= CEIL(0.10 * n)
+"""
+
+
+@register("text_quality_percentile_filter", oracle=_PCTL_FILTER_ORACLE, tags=("llm", "text", "pipeline"))
+def text_quality_percentile_filter(spark, sf_dir):
+    """Keep the top 10% of the corpus by quality score (deterministic
+    tie-break on doc_id). Distributed as count + TakeOrdered(k): each
+    partition keeps its local top-k and only k rows reach the driver
+    side of the sort — NOT a global row_number window, which would
+    funnel 100 TB through one task. The count job is a metadata-cheap
+    scan (count-star over parquet row groups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs).select("doc_id", "quality_score")
+    n = q.count()
+    k = math.ceil(0.10 * n)
+    return q.orderBy(F.desc("quality_score"), F.asc("doc_id")).limit(k)
+
+
+_CURATION_ORACLE = f"""
+WITH {_QUALITY_CTE},
+fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+  FROM documents
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+c AS (
+  SELECT dd.doc_id, dd.lang, dd.text,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents dd
+  JOIN keep k ON dd.doc_id = k.doc_id
+  JOIN q ON dd.doc_id = q.doc_id
+  WHERE q.quality_score >= 0.5
+)
+SELECT lang, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens
+FROM c GROUP BY lang, split
+"""
+
+
+@register("pipeline_corpus_curation", oracle=_CURATION_ORACLE, tags=("llm", "pipeline"))
+def pipeline_corpus_curation(spark, sf_dir):
+    """The composed curation flow: exact dedup (token-set fingerprint,
+    keep min doc_id) -> quality filter (score >= 0.5) -> deterministic
+    train/val split -> per (lang, split) doc and token budget.
+
+    Physically: the fingerprint dedup is one groupBy(fingerprint)
+    shuffle; the keep-set and score join back on doc_id (same key ->
+    one co-partitioned join pipeline); the final agg is map-side
+    partial over ~|langs|x2 groups. Every stage is keyed — nothing
+    funnels to a single task at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        text.doc_fingerprint(docs)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    q = text.quality_score(docs).select("doc_id", "quality_score")
+    split = F.when(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(100),
+        )
+        < 90,
+        "train",
+    ).otherwise("val")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        docs.join(keep, "doc_id")
+        .join(q, "doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+        )
+    )
