@@ -46,6 +46,7 @@ HEADLINE = [
     "udf_pandas_grouped_agg",
     "text_stats_per_doc",
     "pipeline_split_train_val",
+    "pipeline_corpus_curation",
 ]
 
 
