@@ -227,3 +227,39 @@ def agg_pivot_status_counts(spark, sf_dir):
         F.coalesce("O", F.lit(0)).alias("O"),
         F.coalesce("P", F.lit(0)).alias("P"),
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, metric,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_rows
+FROM long GROUP BY l_returnflag, metric
+"""
+
+
+@register("agg_unpivot_metric_totals", oracle=_UNPIVOT_ORACLE, tags=("agg", "unpivot"))
+def agg_unpivot_metric_totals(spark, sf_dir):
+    """Native unpivot (wide -> long): 4 measure columns melt to
+    (metric, val) rows in ONE scan — the oracle's UNION ALL of 4
+    subqueries reads the table 4 times, Spark's `unpivot` is a single
+    Generate over each row (reference has no unpivot; standard
+    relational surface). Decimal-cast sums for cross-engine exactness."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

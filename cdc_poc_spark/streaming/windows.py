@@ -159,3 +159,27 @@ def stream_stream_join(
         "l_time",
         "r_time",
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple = ("c_name", "c_mktsegment"),
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    each streaming event (the canonical "enrich clicks with the user
+    table" shape; reference delegates enrichment to downstream SQL —
+    here it runs in-flight).
+
+    The static side is broadcast, so each micro-batch is a map-side
+    hash join with NO shuffle of the stream and no streaming state at
+    all (unlike stream-stream joins). Structured Streaming re-evaluates
+    the static side's plan each micro-batch, so a slowly-changing dim
+    table picks up updates between batches. For a dim too big to
+    broadcast, drop the hint: Spark shuffles each micro-batch by key
+    instead — same semantics, bounded by batch size, still no state.
+    """
+    d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    return stream.join(F.broadcast(d), stream_key, "left")

@@ -277,3 +277,22 @@ def test_mirror_mode_bucketed_merge(spark, envelope_dir, tmp_path):
         d.startswith("__bucket=")
         for d in os.listdir(str(tmp_path / "wh" / "mirror" / "commerce_account"))
     )
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream_dir):
+    path, schema = event_stream_dir
+    dim = load_table(spark, SF_DIR, "customer")
+    stream = fsrc.parquet_stream(spark, path, schema)
+    enriched = swin.stream_static_enrich(stream, dim).select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+    got = _run_to_memory(spark, enriched, "enrich_out", "append")
+    batch = swin.stream_static_enrich(
+        spark.read.schema(schema).parquet(path), dim
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    g = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    # stateless enrichment: stream output == batch output, every event kept
+    assert g == b
+    assert len(g) == spark.read.schema(schema).parquet(path).count()
+    assert all(r[2] is not None for r in g)  # every user resolved to a customer
