@@ -153,3 +153,38 @@ def table_from_topic(topic_col: str = "topic") -> F.Column:
     (which splits on the driver)."""
     parts = F.split(F.col(topic_col), "\\.")
     return F.concat_ws("_", F.slice(parts, 2, 10))
+
+
+def split_dead_letters(
+    df: DataFrame, value_col: str = "value", topic_col: str = "topic"
+) -> tuple[DataFrame, DataFrame]:
+    """Split a raw record batch into (parseable, dead_letters).
+
+    A record is a dead letter when its value is NULL, is not valid
+    JSON, or parses but carries no `$.payload.op` — the three ways a
+    poisoned Kafka message breaks a CDC pipeline. The reference has no
+    bad-message path (a malformed envelope kills its consumer); at
+    100 TB/day a DLQ is mandatory: one bad producer must quarantine
+    records, not stall the stream.
+
+    Dead letters keep the raw value + source coordinates + a reason
+    tag so they can be replayed after a producer fix. Both outputs are
+    plain column-pruned filters over the same scan — no extra pass.
+    """
+    val = F.col(value_col).cast(T.StringType())
+    parsed_doc = F.get_json_object(val, "$")   # null iff not valid JSON
+    op = F.get_json_object(val, "$.payload.op")
+    is_bad = F.col(value_col).isNull() | op.isNull()
+    reason = (
+        F.when(F.col(value_col).isNull(), "null_value")
+        .when(parsed_doc.isNull(), "malformed_json")
+        .otherwise("missing_op")
+    )
+    dlq_cols = [
+        val.alias("raw_value"),
+        F.col(topic_col).alias("topic"),
+        reason.alias("reason"),
+    ]
+    if "offset" in df.columns:
+        dlq_cols.append(F.col("offset").cast("long").alias("offset"))
+    return df.filter(~is_bad), df.filter(is_bad).select(*dlq_cols)

@@ -380,3 +380,31 @@ def scalar_map_functions(spark, sf_dir):
         F.size("m").alias("map_size"),
         F.element_at(bumped, F.col("r_name")).alias("bumped"),
     )
+
+
+_HASH_ORACLE = """
+SELECT c_custkey,
+       md5(c_name) AS name_md5,
+       sha256(c_name) AS name_sha256,
+       base64(encode(c_name)) AS name_b64,
+       decode(from_base64(base64(encode(c_name)))) AS roundtrip
+FROM customer
+WHERE c_custkey <= 100
+"""
+
+
+@register("scalar_hash_functions", oracle=_HASH_ORACLE, tags=("scalar", "hash"))
+def scalar_hash_functions(spark, sf_dir):
+    """Cryptographic digests + base64 codec (content addressing,
+    fingerprints, cache keys). md5/sha256/base64 are bit-identical
+    across engines — the property the dedup fingerprints and the
+    deterministic split/sample operators build on."""
+    c = load_table(spark, sf_dir, "customer").filter("c_custkey <= 100")
+    b64 = F.base64(F.col("c_name").cast("binary"))
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        b64.alias("name_b64"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+    )

@@ -176,3 +176,37 @@ def tw_interval_join_attribution(spark, sf_dir):
 
     ev = events_with_time(spark, sf_dir)
     return stream_stream_join(ev, ev).select("user_id", "l_event_id", "r_event_id")
+
+
+_TIME_ROLLUP_ORACLE = """
+WITH e AS (
+  SELECT CAST(date_part('year', ts) AS BIGINT) AS y,
+         CAST(date_part('month', ts) AS BIGINT) AS m,
+         CAST(date_part('day', ts) AS BIGINT) AS d,
+         value
+  FROM events
+)
+SELECT y, m, d, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM e GROUP BY ROLLUP(y, m, d)
+"""
+
+
+@register("tw_time_rollup_hierarchy", oracle=_TIME_ROLLUP_ORACLE, tags=("window", "agg", "rollup"))
+def tw_time_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style continuous-aggregate hierarchy: one ROLLUP pass
+    produces day, month, year, and grand-total rollups of the event
+    stream — the materialization a time-series store keeps per chunk.
+    Physically a single scan + one shuffle; rollup levels are expanded
+    map-side (Expand) so each level still gets partial aggregation."""
+    ev = events_with_time(spark, sf_dir)
+    d = ev.select(
+        F.year("etime").cast("long").alias("y"),
+        F.month("etime").cast("long").alias("m"),
+        F.dayofmonth("etime").cast("long").alias("d"),
+        "value",
+    )
+    return d.rollup("y", "m", "d").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", VAL)).cast("double").alias("total_value"),
+    )

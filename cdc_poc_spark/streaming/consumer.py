@@ -55,6 +55,21 @@ class CDCConsumer:
     #: path (cdc_apply.merge_into_parquet_bucketed): per-batch cost
     #: O(touched buckets), not O(state) — the setting for large mirrors
     mirror_buckets: int = 0
+    #: when set, unparseable records (null/malformed/op-less envelopes)
+    #: are quarantined to this parquet dir instead of poisoning the
+    #: batch (envelope.split_dead_letters); None keeps them in-stream
+    dlq_dir: str | None = None
+
+    def _quarantine(self, batch_df: DataFrame) -> DataFrame:
+        """Split off dead letters (if a DLQ is configured) and return the
+        parseable remainder. The DLQ append rides the same foreachBatch
+        epoch, so checkpoint recovery replays it idempotently with the
+        main write."""
+        if not self.dlq_dir:
+            return batch_df
+        good, bad = env.split_dead_letters(batch_df)
+        bad.write.mode("append").parquet(self.dlq_dir)
+        return good
 
     # -- log path (reference Spark path, §1.1c shape) -----------------
 
@@ -64,7 +79,7 @@ class CDCConsumer:
         filter loop — single pass over the batch, dynamic table
         'creation' = new partition directory, any-schema acceptance =
         the log schema is fixed (before/after stay JSON strings)."""
-        parsed = env.parse_envelope_raw(batch_df)
+        parsed = env.parse_envelope_raw(self._quarantine(batch_df))
         out = parsed.withColumn("table_name", env.table_from_topic("topic")).drop(
             "topic"
         )
@@ -89,6 +104,7 @@ class CDCConsumer:
         The batch is persisted once (fixes the N+1 re-scan); each
         table's slice is typed-parsed and MERGEd by key with
         last-writer-wins on Kafka offset."""
+        batch_df = self._quarantine(batch_df)
         batch_df.persist()
         try:
             present = {

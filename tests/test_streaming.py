@@ -296,3 +296,31 @@ def test_stream_static_enrich_matches_batch(spark, event_stream_dir):
     assert g == b
     assert len(g) == spark.read.schema(schema).parquet(path).count()
     assert all(r[2] is not None for r in g)  # every user resolved to a customer
+
+
+def test_dead_letter_quarantine(spark, envelope_dir, tmp_path):
+    # poison the stream: invalid JSON, an envelope with no op, a null value
+    bad = [
+        {"value": "{not json at all", "topic": "cdc.commerce.account", "offset": 100},
+        {"value": json.dumps({"payload": {"before": None}}), "topic": "cdc.commerce.account", "offset": 101},
+        {"value": None, "topic": "cdc.commerce.account", "offset": 102},
+    ]
+    with open(f"{envelope_dir}/b3_poison.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in bad))
+    dlq = str(tmp_path / "dlq")
+    consumer = CDCConsumer(
+        warehouse_dir=str(tmp_path / "wh"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        dlq_dir=dlq,
+    )
+    stream = fsrc.envelope_json_stream(spark, envelope_dir)
+    q = consumer.start_log_query(stream)
+    q.awaitTermination(180)
+    # good records all landed (7 from the two clean batches)
+    log = spark.read.parquet(str(tmp_path / "wh" / "cdc_log"))
+    assert log.count() == 7
+    assert log.filter(F.col("op").isNull()).count() == 0
+    # all three poison records quarantined with the right reasons
+    dlq_df = spark.read.parquet(dlq)
+    got = {(r["offset"], r["reason"]) for r in dlq_df.collect()}
+    assert got == {(100, "malformed_json"), (101, "missing_op"), (102, "null_value")}
