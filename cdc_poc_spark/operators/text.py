@@ -34,9 +34,16 @@ def _count_in(toks: str, words: tuple) -> F.Column:
     return F.expr(f"size(filter({toks}, t -> t IN ({quoted})))")
 
 
-def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+) -> DataFrame:
     """Per-document statistics: chars, tokens, vocabulary, mean token
-    length, stopword ratio — the standard quality-filter features."""
+    length, stopword ratio — the standard quality-filter features.
+    `keep` carries extra source columns through the projection so
+    composed pipelines don't re-scan + re-join the corpus for them."""
     d = spread(df).withColumn("toks", F.split(F.col(text_col), " "))
     n_tokens = F.size("toks")
     total_tok_chars = F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
@@ -51,14 +58,20 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         (
             F.size(F.array_distinct("toks")).cast("double") / n_tokens.cast("double")
         ).alias("ttr"),
+        *[F.col(c) for c in keep],
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple = (),
+) -> DataFrame:
     """Deterministic composite quality score in [0, 1]:
     0.4·length-band + 0.3·type-token-ratio + 0.3·stopword presence.
     (Every component is an exact int/int ratio — cross-engine stable.)"""
-    s = text_stats(df, id_col, text_col)
+    s = text_stats(df, id_col, text_col, keep=keep)
     len_band = (
         F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200), 1.0)
         .when(F.col("n_tokens") > 200, 0.5)
@@ -68,7 +81,14 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     score = F.round(
         len_band * 0.4 + F.col("ttr") * 0.3 + stop_band * 0.3, 5
     )
-    return s.select(id_col, "n_tokens", "ttr", "stopword_ratio", score.alias("quality_score"))
+    return s.select(
+        id_col,
+        "n_tokens",
+        "ttr",
+        "stopword_ratio",
+        score.alias("quality_score"),
+        *keep,
+    )
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -137,11 +137,12 @@ def pipeline_corpus_curation(spark, sf_dir):
     keep min doc_id) -> quality filter (score >= 0.5) -> deterministic
     train/val split -> per (lang, split) doc and token budget.
 
-    Physically: the fingerprint dedup is one groupBy(fingerprint)
-    shuffle; the keep-set and score join back on doc_id (same key ->
-    one co-partitioned join pipeline); the final agg is map-side
-    partial over ~|langs|x2 groups. Every stage is keyed — nothing
-    funnels to a single task at 100 TB."""
+    Physically: score + split are computed INLINE on the main scan
+    (per-row expressions — no self-join for them); the only second
+    pass over documents is the fingerprint keep-set, which genuinely
+    needs a groupBy(fingerprint) shuffle, and it rejoins on doc_id.
+    The final agg is map-side partial over ~|langs|x2 groups. Every
+    stage is keyed — nothing funnels to a single task at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
     keep = (
         text.doc_fingerprint(docs)
@@ -149,7 +150,9 @@ def pipeline_corpus_curation(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    q = text.quality_score(docs).select("doc_id", "quality_score")
+    scored = text.quality_score(docs, keep=("lang", "text")).select(
+        "doc_id", "quality_score", "lang", "text"
+    )
     split = F.when(
         F.pmod(
             F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -161,9 +164,8 @@ def pipeline_corpus_curation(spark, sf_dir):
     ).otherwise("val")
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     return (
-        docs.join(keep, "doc_id")
-        .join(q, "doc_id")
-        .filter(F.col("quality_score") >= 0.5)
+        scored.filter(F.col("quality_score") >= 0.5)
+        .join(keep, "doc_id", "semi")
         .withColumn("split", split)
         .groupBy("lang", "split")
         .agg(
