@@ -138,3 +138,23 @@ def test_compact_small_files(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == n_rows
     assert set(got.columns) == set(orders.columns)
+
+
+def test_spread_widens_narrow_scan(spark):
+    docs = load_table(spark, SF_DIR, "documents").coalesce(1)
+    assert docs.rdd.getNumPartitions() == 1
+    wide = scale.spread(docs)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # content preserved exactly
+    assert wide.count() == docs.count()
+    assert {r.doc_id for r in wide.select("doc_id").collect()} == {
+        r.doc_id for r in docs.select("doc_id").collect()
+    }
+
+
+def test_spread_noop_when_already_wide(spark):
+    target = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF_DIR, "documents").repartition(target + 4)
+    out = scale.spread(docs)
+    # must not re-shuffle an already-wide input (the 100 TB case)
+    assert out is docs
