@@ -10,6 +10,7 @@ import shutil
 
 import pytest
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from cdc_poc_spark.sources import files as fsrc
@@ -324,3 +325,47 @@ def test_dead_letter_quarantine(spark, envelope_dir, tmp_path):
     dlq_df = spark.read.parquet(dlq)
     got = {(r["offset"], r["reason"]) for r in dlq_df.collect()}
     assert got == {(100, "malformed_json"), (101, "missing_op"), (102, "null_value")}
+
+
+def test_continuous_aggregate_matches_recompute(spark, tmp_path):
+    from cdc_poc_spark.streaming.ivm import ContinuousAggregate
+
+    ev = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer")
+    # three "micro-batches" by time range (thirds of the ts domain)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    chunks = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    agg = ContinuousAggregate(spark, str(tmp_path / "ivm"), cust)
+    for i, chunk in enumerate(chunks):
+        agg.apply_batch(chunk, epoch_id=i)
+
+    got = {
+        (r[0], round(float(r[1]), 2)) for r in agg.totals().collect()
+    }
+    # naive recompute over the full history (the cdc_incremental_agg oracle)
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("ts DIV 1000").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    expect_df = (
+        latest.join(F.broadcast(cust), latest.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != "error", F.col("value").cast("decimal(12,2)"))
+                .otherwise(F.lit(0).cast("decimal(12,2)"))
+            ).alias("total_value")
+        )
+    )
+    expect = {(r[0], round(float(r[1]), 2)) for r in expect_df.collect()}
+    assert got == expect
+
+    # replayed epoch is a no-op (exactly-once under availableNow restart)
+    agg.apply_batch(chunks[1], epoch_id=1)
+    again = {(r[0], round(float(r[1]), 2)) for r in agg.totals().collect()}
+    assert again == expect
