@@ -349,3 +349,38 @@ def cdc_incremental_agg(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.sum("delta").cast("double").alias("total_value"))
     )
+
+
+@register("cdc_continuous_aggregate", oracle=_INCR_AGG_ORACLE, tags=("cdc", "ivm", "streaming"))
+def cdc_continuous_aggregate(spark, sf_dir):
+    """The MAINTAINED version of cdc_incremental_agg: the changelog is
+    replayed as three time-ordered micro-batches through
+    streaming/ivm.ContinuousAggregate (per-batch delta application,
+    epoch-guarded), and the maintained totals table is returned. The
+    oracle is the naive full-history recompute — passing means the
+    incrementally-maintained view is bit-exact with recomputation
+    after multiple batch applications, which is the IVM correctness
+    property."""
+    import tempfile
+
+    from ..streaming.ivm import ContinuousAggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    chunks = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        agg = ContinuousAggregate(spark, d, cust)
+        for i, chunk in enumerate(chunks):
+            agg.apply_batch(chunk, epoch_id=i)
+        totals = agg.totals().select(
+            "c_mktsegment", F.col("total_value").cast("double").alias("total_value")
+        )
+        # materialize before the state dir disappears
+        rows = totals.collect()
+        return spark.createDataFrame(rows, totals.schema)

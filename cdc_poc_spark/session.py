@@ -34,6 +34,12 @@ RUNTIME_CONFS = {
     # would pin tiny shuffles at defaultParallelism tasks forever.
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # Let AQE re-partition CACHED plans too: by default a .persist()
+    # pins its shuffle at the static partition count (observed: a
+    # 200-task materialization of a 5-row delta table in the IVM path).
+    # Cache consumers may see different partitioning across re-use —
+    # fine here: nothing relies on cached output partitioning.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
