@@ -263,3 +263,46 @@ def agg_unpivot_metric_totals(spark, sf_dir):
         F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_DENSIFY_ORACLE = """
+WITH b AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue
+FROM cal LEFT JOIN daily ON day = d
+"""
+
+
+@register("agg_daily_revenue_densified", oracle=_DENSIFY_ORACLE, tags=("agg", "densify", "calendar"))
+def agg_daily_revenue_densified(spark, sf_dir):
+    """Calendar densification: daily revenue INCLUDING zero-order days.
+    The day spine comes from `sequence(min, max)` exploded from the
+    one-row bounds aggregate — generated, not scanned, so the spine
+    costs |days| rows regardless of fact size; the left join against
+    the per-day aggregate is a broadcast (both sides are day-
+    cardinality after the agg, never fact-cardinality)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        dec("o_totalprice", MONEY).alias("p"),
+    )
+    cal = (
+        o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    daily = o.groupBy("d").agg(F.sum("p").alias("rev"))
+    zero = F.lit(0).cast(MONEY)
+    return cal.join(daily, cal.day == daily.d, "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("rev", zero).cast("double").alias("revenue"),
+    )
