@@ -133,3 +133,40 @@ WHERE p_partkey <= 200
 """,
     tags=("sql", "scalar"),
 )
+
+
+_sql_query(
+    "sql_mom_revenue_growth",
+    """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT o_year, o_month, revenue,
+       LAG(revenue) OVER (ORDER BY o_year, o_month) AS prev_revenue,
+       CAST(revenue - COALESCE(LAG(revenue) OVER (ORDER BY o_year, o_month), 0)
+            AS DOUBLE) AS growth
+FROM monthly
+""",
+    tags=("sql", "window", "agg"),
+)
+
+
+_sql_query(
+    "sql_order_count_bands",
+    """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+HAVING COUNT(*) >= 5
+""",
+    tags=("sql", "agg", "having"),
+)
