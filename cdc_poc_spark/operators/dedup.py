@@ -321,3 +321,55 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_tiered_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Production-ordered near-dedup: collapse EXACT duplicates first
+    (token-set fingerprint, keep min id), then run MinHash-LSH only on
+    the canonical documents.
+
+    Why this ordering matters at 100 TB: web corpora carry heavy exact
+    duplication, and LSH pair expansion is quadratic IN THE BUCKET — a
+    cluster of m exact clones costs m(m-1)/2 candidate pairs in every
+    band for zero information. Collapsing clones first makes that cost
+    1 canonical row; the exact-dup membership is already known from the
+    fingerprint groupBy (dedup tier 2). Emits the same near-dup pairs
+    as the flat pipeline restricted to canonical ids (asserted in
+    tests), with `n_members_a/b` so downstream can expand clusters.
+
+    Cost: one extra groupBy(fingerprint) shuffle, which is MAP-SIDE
+    combinable; the LSH stage then runs on the (often much smaller)
+    canonical set."""
+    fp = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
+            )
+        ).alias("__fp"),
+    )
+    canon = (
+        fp.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .drop("__fp")
+    )
+    members = canon.select(F.col(id_col).alias("__cid"), "n_members")
+    pairs = minhash_lsh_dedup_pairs(canon, id_col, text_col, n, threshold)
+    return (
+        pairs.join(members.withColumnRenamed("__cid", "id_a"), "id_a")
+        .withColumnRenamed("n_members", "n_members_a")
+        .join(members.withColumnRenamed("__cid", "id_b"), "id_b")
+        .withColumnRenamed("n_members", "n_members_b")
+        .select("id_a", "id_b", "jaccard", "n_members_a", "n_members_b")
+    )

@@ -80,6 +80,15 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_dedup_pairs(load_table(spark, sf_dir, "documents"))
 
 
+@register("dedup_minhash_tiered_pairs", tags=("llm", "dedup", "lsh"))
+def dedup_minhash_tiered_pairs(spark, sf_dir):
+    """Exact-collapse-then-MinHash (the production ordering: LSH bucket
+    cost is quadratic per bucket, so exact clones are collapsed first).
+    Rows-only: agreement with the flat pipeline on canonical ids is
+    asserted in tests/test_llm_ops.py."""
+    return dedup.minhash_tiered_pairs(load_table(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash_near_pairs", tags=("llm", "dedup", "lsh"))
 def dedup_simhash_near_pairs(spark, sf_dir):
     """SimHash Hamming-ball near-dup pairs (tier 4). Rows-only."""

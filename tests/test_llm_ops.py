@@ -212,3 +212,44 @@ def test_hll_sketch_union_accuracy(spark):
     exact_global = ev.selectExpr("count(distinct user_id) c").first().c
     assert abs(rows["ALL"] - exact_global) <= max(2, 0.02 * exact_global)
     assert sum(v for k, v in rows.items() if k != "ALL") >= rows["ALL"]
+
+
+def test_minhash_tiered_agrees_with_flat_on_canonicals(spark):
+    from cdc_poc_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents")
+    flat = dd.minhash_lsh_dedup_pairs(docs)
+    tiered = dd.minhash_tiered_pairs(docs)
+    # canonical ids: min doc_id per token-set fingerprint
+    canon = {
+        r[0]
+        for r in dd.fingerprint_clusters(docs)
+        .select("keep_id")
+        .collect()
+    }
+    # fingerprint_clusters only reports groups >= 2; singletons are canonical too
+    from pyspark.sql import functions as F2
+    all_fp = (
+        docs.select(
+            "doc_id",
+            F2.md5(
+                F2.array_join(
+                    F2.array_sort(F2.array_distinct(F2.split(F2.col("text"), " "))), " "
+                )
+            ).alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(F2.min("doc_id").alias("keep_id"))
+    )
+    canon = {r["keep_id"] for r in all_fp.collect()}
+    flat_canon = {
+        (r["id_a"], r["id_b"])
+        for r in flat.collect()
+        if r["id_a"] in canon and r["id_b"] in canon
+    }
+    tiered_pairs = {(r["id_a"], r["id_b"]) for r in tiered.collect()}
+    assert tiered_pairs == flat_canon
+    # member counts are consistent: every pair endpoint counts >= 1
+    assert all(
+        r["n_members_a"] >= 1 and r["n_members_b"] >= 1 for r in tiered.collect()
+    )
