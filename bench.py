@@ -41,6 +41,7 @@ HEADLINE = [
     "tw_interval_join_attribution",
     "dedup_exact_groups",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_tiered_pairs",
     "dedup_embedding_cosine_pairs",
     "sim_cosine_topk",
     "udf_pandas_grouped_agg",

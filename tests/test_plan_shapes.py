@@ -1,0 +1,46 @@
+"""Physical-plan shape assertions: pin the optimizer behaviors PLANS.md
+claims, so a regression (lost pushdown, un-broadcast dim, global sort)
+fails CI instead of silently costing 10x at scale."""
+
+from __future__ import annotations
+
+from cdc_poc_spark.queries import all_specs
+
+from .conftest import SF_DIR
+
+SPECS = all_specs()
+
+
+def _plan(spark, name: str) -> str:
+    df = SPECS[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read the join keys it doesn't use
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema
+    assert "l_suppkey" not in read_schema
+
+
+def test_q5_dimension_joins_are_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    # every dim side is a broadcast build; the only exchanges besides
+    # broadcasts belong to the fact-fact shuffle + final agg/sort
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastExchange" in plan
+
+
+def test_top_k_is_take_ordered(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_current_state_single_shuffle_before_window(spark):
+    plan = _plan(spark, "cdc_current_state_by_segment")
+    # the window's key shuffle is the ONLY hashpartitioning on user_id
+    assert plan.count("hashpartitioning(user_id") == 1
