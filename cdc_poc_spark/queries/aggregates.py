@@ -306,3 +306,35 @@ def agg_daily_revenue_densified(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.coalesce("rev", zero).cast("double").alias("revenue"),
     )
+
+
+_ARGMAX_ORACLE = """
+SELECT n_name,
+       arg_max(s_name, CAST(s_acctbal AS DECIMAL(12,2))) AS top_supplier,
+       CAST(MAX(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS top_bal,
+       arg_min(s_name, CAST(s_acctbal AS DECIMAL(12,2))) AS bottom_supplier
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("agg_argmax_per_group", oracle=_ARGMAX_ORACLE, tags=("agg", "argmax"))
+def agg_argmax_per_group(spark, sf_dir):
+    """Per-group argmax/argmin (`max_by`/`min_by`, DuckDB arg_max/
+    arg_min): the one-pass alternative to the window row_number=1
+    idiom — a single hash aggregate, no per-group sort, no window
+    shuffle. Decimal cast keeps the comparison key exact. Assumes
+    unique balances per nation in the fixture (argmax ties are
+    engine-arbitrary; real pipelines break ties in the key)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    bal = dec("s_acctbal", BAL)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.max_by("s_name", bal).alias("top_supplier"),
+            F.max(bal).cast("double").alias("top_bal"),
+            F.min_by("s_name", bal).alias("bottom_supplier"),
+        )
+    )
