@@ -88,3 +88,80 @@ def test_incremental_merge_equals_oneshot(spark, events, cut):
     once = merge_upsert(state, batch, ["pk"])
     twice = merge_upsert(once, batch, ["pk"])  # idempotent re-delivery
     assert _state_of(twice) == _naive_replay(events)
+
+
+# ---------------------------------------------------------------------------
+# Continuous aggregate (IVM): any changelog, any split, replayed epochs
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch-nanos, like the fixture
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+DIM = [(0, "A"), (1, "A"), (2, "B"), (3, "B"), (4, "C")]
+
+_T0 = 1_700_000_000_000_000_000
+
+ivm_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # user
+        st.sampled_from(["click", "buy", "error"]),      # error = tombstone
+        st.integers(min_value=0, max_value=99_999),      # value in cents
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+def _ivm_rows(events):
+    return [
+        (i, _T0 + i * 1_000_000_000, u, etype, cents / 100.0)
+        for i, (u, etype, cents) in enumerate(events)
+    ]
+
+
+def _ivm_expected_cents(events):
+    """Spec: final live value (cents) per user; totals per dim group."""
+    last: dict[int, int | None] = {}
+    for u, etype, cents in events:
+        last[u] = None if etype == "error" else cents
+    groups: dict[str, int] = {}
+    gmap = dict(DIM)
+    for u in last:
+        groups.setdefault(gmap[u], 0)
+        groups[gmap[u]] += last[u] or 0
+    return groups
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(events=ivm_events, cut=st.integers(min_value=0, max_value=24))
+def test_continuous_aggregate_any_split_equals_spec(spark, events, cut, tmp_path_factory):
+    from cdc_poc_spark.streaming.ivm import ContinuousAggregate
+
+    cut = min(cut, len(events))
+    rows = _ivm_rows(events)
+    dim = spark.createDataFrame(DIM, "c_custkey LONG, c_mktsegment STRING")
+    state = tmp_path_factory.mktemp("ivm_prop")
+    agg = ContinuousAggregate(spark, str(state), dim)
+    b0 = spark.createDataFrame(rows[:cut] or [], EV_SCHEMA)
+    b1 = spark.createDataFrame(rows[cut:] or [], EV_SCHEMA)
+    agg.apply_batch(b0, epoch_id=0)
+    agg.apply_batch(b1, epoch_id=1)
+    agg.apply_batch(b1, epoch_id=1)  # crash-replay of the last epoch
+    got = {
+        r[0]: int(round(float(r[1]) * 100))
+        for r in agg.totals().collect()
+        if r[1] is not None
+    }
+    expected = _ivm_expected_cents(events)
+    # groups may be present with 0 totals on either side
+    for g in set(got) | set(expected):
+        assert got.get(g, 0) == expected.get(g, 0), (g, got, expected)
