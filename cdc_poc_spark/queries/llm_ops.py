@@ -559,3 +559,42 @@ def text_token_budget_by_source(spark, sf_dir):
         F.sum(toks).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+_TOP_BIGRAMS_ORACLE = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+)
+SELECT bigram, COUNT(*) AS n
+FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@register("text_top_bigrams", oracle=_TOP_BIGRAMS_ORACLE, tags=("llm", "text", "agg"))
+def text_top_bigrams(spark, sf_dir):
+    """Corpus collocations: top-20 token bigrams. Bigram expansion is a
+    map-side `transform(sequence(...))` over the token array (rows
+    multiply by ~tokens-per-doc before the shuffle — same partial-agg
+    shape as top_tokens); the global ranking is TakeOrdered."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bigrams = F.explode(
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+        )
+    )
+    return (
+        docs.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 2)
+        .select(bigrams.alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
