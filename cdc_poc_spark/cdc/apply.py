@@ -130,7 +130,14 @@ def merge_into_parquet_bucketed(
     sized so a bucket ≈ a few GB, a small CDC batch touches a handful
     of directories and the merge is effectively O(batch).
     """
-    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+    # Hash a type-STABLE representation of the key: xxhash64(int 2) !=
+    # xxhash64(bigint 2), so schema evolution that widens a key type
+    # would silently re-route existing keys to different buckets and
+    # duplicate state. Casting to string first makes the bucket a
+    # function of the key's value, not its physical type.
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c).cast("string") for c in key_cols]), F.lit(n_buckets)
+    )
     batch_b = batch_df.withColumn("__bucket", bucket)
     exists = os.path.exists(target_path)
     if exists:

@@ -57,11 +57,18 @@ def read_jdbc_snapshot(
     return reader.load()
 
 
-def envelope_json_stream(spark: SparkSession, path: str) -> DataFrame:
+def envelope_json_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming source of envelope records from a directory of JSON
     files — the test/local stand-in for the Kafka source (same columns:
-    value, topic, offset)."""
-    return spark.readStream.schema(ENVELOPE_FILE_SCHEMA).json(path)
+    value, topic, offset). ``max_files_per_trigger`` throttles each
+    micro-batch (honored by availableNow), the way tests force a
+    multi-epoch run from a static directory."""
+    reader = spark.readStream.schema(ENVELOPE_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
 
 
 def parquet_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -254,7 +254,7 @@ def test_merge_into_parquet_bucketed(spark, tmp_path):
     same_bucket_keys = [
         r.pk
         for r in cdc_apply.read_bucketed_state(spark, target)
-        .withColumn("b", F.expr("pmod(xxhash64(pk), 8)"))
+        .withColumn("b", F.expr("pmod(xxhash64(cast(pk as string)), 8)"))
         .filter(F.expr(f"b = {bucket_of_3.split('=')[1]}"))
         .collect()
     ]

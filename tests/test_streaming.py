@@ -108,6 +108,157 @@ def test_mirror_mode_merges_current_state(spark, envelope_dir, tmp_path):
     assert acct == {(2, "bob@example.com"), (3, "carol2@example.com")}
     prod = {r.product_name for r in c.read_mirror(spark, "commerce_product").collect()}
     assert prod == {"Live Edge Dining Table", "Simple Teak Dining Chair"}
+    # the default mirror path is the bucketed partition-pruned merge
+    # (O(touched buckets) per batch, the 100 TB setting), not full rewrite
+    assert CDCConsumer.mirror_buckets > 0
+    import os
+    assert any(
+        d.startswith("__bucket=")
+        for d in os.listdir(str(tmp_path / "wh" / "mirror" / "commerce_account"))
+    )
+
+
+def test_mirror_schema_drift_mid_stream(spark, envelope_dir, tmp_path):
+    """SURVEY §7 risk: accept-any-schema + mergeSchema (reference
+    consumer.py:76-78) — a mid-stream schema evolution must land.
+    Batch 1+2 run with schema v1; a later batch arrives with an ADDED
+    column (phone) and a WIDENED key type (user_id INT->BIGINT). The
+    redeployed consumer (same checkpoint, evolved TableSpec) must merge
+    it: old rows gain NULL phone, new row lands typed, key widened."""
+    import pyspark.sql.types as T
+
+    c1 = CDCConsumer(
+        str(tmp_path / "wh"),
+        str(tmp_path / "ck"),
+        tables={"commerce_account": TableSpec(ACCOUNT_SCHEMA, ("user_id",))},
+    )
+    c1.start_mirror_query(fsrc.envelope_json_stream(spark, envelope_dir)).awaitTermination(120)
+
+    # drift batch: new column + bigint key beyond int range
+    drift = [
+        _envelope(
+            "c",
+            None,
+            {"user_id": 5_000_000_000, "email": "dave@example.com",
+             "created_at": GOLDEN_MICROS, "phone": "+1-555-0100"},
+            5000,
+            7,
+        ),
+        _envelope(
+            "u",
+            _acct(2, "bob@example.com"),
+            {"user_id": 2, "email": "bob2@example.com",
+             "created_at": GOLDEN_MICROS, "phone": "+1-555-0101"},
+            6000,
+            8,
+        ),
+    ]
+    with open(f"{envelope_dir}/b3_drift.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in drift))
+    schema_v2 = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("created_at", T.LongType()),
+            T.StructField("phone", T.StringType()),
+        ]
+    )
+    c2 = CDCConsumer(
+        str(tmp_path / "wh"),
+        str(tmp_path / "ck"),
+        tables={"commerce_account": TableSpec(schema_v2, ("user_id",))},
+    )
+    c2.start_mirror_query(fsrc.envelope_json_stream(spark, envelope_dir)).awaitTermination(120)
+
+    state = c2.read_mirror(spark, "commerce_account")
+    assert dict(state.dtypes)["user_id"] == "bigint"  # widened
+    assert "phone" in state.columns  # added column merged
+    rows = {r.user_id: r for r in state.collect()}
+    assert set(rows) == {2, 3, 5_000_000_000}
+    assert rows[5_000_000_000].phone == "+1-555-0100"
+    assert rows[2].email == "bob2@example.com" and rows[2].phone == "+1-555-0101"
+    assert rows[3].phone is None  # pre-drift row: evolved column null-filled
+
+
+def test_console_debug_sinks(spark, envelope_dir, tmp_path):
+    """Reference O5 (consumer.py:61-62): two console debug sinks — one
+    on the raw stream, one on the parsed stream — run to completion.
+    (The printed batches go to the JVM's stdout, which pytest cannot
+    capture; the progress metrics prove the sink consumed the stream.)"""
+    c = CDCConsumer(str(tmp_path / "wh"), str(tmp_path / "ck"))
+    q_raw = c.start_console_query(fsrc.envelope_json_stream(spark, envelope_dir))
+    q_parsed = c.start_console_query(
+        fsrc.envelope_json_stream(spark, envelope_dir), parsed=True
+    )
+    q_raw.awaitTermination(120)
+    q_parsed.awaitTermination(120)
+    for q in (q_raw, q_parsed):
+        assert not q.isActive and q.exception() is None
+        assert sum(p["numInputRows"] for p in q.recentProgress) == 7
+        assert all("Console" in p["sink"]["description"] for p in q.recentProgress)
+
+
+def test_streaming_raw_file_sink_json_and_text(spark, envelope_dir, tmp_path):
+    """Reference O21 (connect-file-sink.properties:16-27): streaming raw
+    file tap. JSON-lines keeps Kafka coordinates; text is value-only.
+    Restart over the same checkpoint must not duplicate output (the
+    FileStreamSink commit log)."""
+    c = CDCConsumer(str(tmp_path / "wh"), str(tmp_path / "ck"))
+    tap = str(tmp_path / "tap_json")
+    c.start_raw_file_sink(
+        fsrc.envelope_json_stream(spark, envelope_dir), tap
+    ).awaitTermination(120)
+    got = spark.read.json(tap)
+    assert got.count() == 7
+    assert {"value", "topic", "offset"} <= set(got.columns)
+    # restart: no new files -> no new rows (exactly-once tap)
+    c.start_raw_file_sink(
+        fsrc.envelope_json_stream(spark, envelope_dir), tap
+    ).awaitTermination(120)
+    assert spark.read.json(tap).count() == 7
+    # text mode: the reference's exact shape (one raw message per line)
+    tap_txt = str(tmp_path / "tap_text")
+    c.start_raw_file_sink(
+        fsrc.envelope_json_stream(spark, envelope_dir), tap_txt, fmt="text"
+    ).awaitTermination(120)
+    txt = spark.read.text(tap_txt)
+    assert txt.count() == 7
+    assert all("payload" in r.value for r in txt.collect())
+
+
+def test_catalog_landing_create_then_append(spark, envelope_dir, tmp_path):
+    """Reference O10+O11+O15 (consumer.py:75-78): tableExists probe,
+    first-sight CTAS via DataFrameWriterV2 with the accept-any-schema
+    table property, append on later epochs, catalog-backed read-back.
+    maxFilesPerTrigger=1 forces two micro-batches so BOTH branches run."""
+    db = "cdc_cat_test"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path / 'cat_wh'}'")
+    try:
+        c = CDCConsumer(
+            str(tmp_path / "wh"), str(tmp_path / "ck"), catalog_db=db
+        )
+        q = c.start_catalog_query(
+            fsrc.envelope_json_stream(spark, envelope_dir, max_files_per_trigger=1)
+        )
+        q.awaitTermination(180)
+        assert len(q.recentProgress) >= 2  # create epoch + append epoch
+        assert spark.catalog.tableExists(f"{db}.commerce_account")
+        assert spark.catalog.tableExists(f"{db}.commerce_product")
+        acct = c.read_catalog_table(spark, "commerce_account")
+        assert acct.count() == 5  # 3 from batch1 (create) + 2 from batch2 (append)
+        assert c.read_catalog_table(spark, "commerce_product").count() == 2
+        props = {
+            r.key: r.value
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {db}.commerce_account"
+            ).collect()
+        }
+        assert props.get("write.spark.accept-any-schema") == "true"
+        # the landed rows are the raw-log shape with before/after JSON
+        r = acct.filter("op = 'u'").first()
+        assert json.loads(r.after)["email"] == "carol2@example.com"
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 def test_checkpoint_resume_is_exactly_once(spark, envelope_dir, tmp_path):
