@@ -180,6 +180,109 @@ def merge_into_parquet_bucketed(
     shutil.rmtree(tmp)
 
 
+def detect_merge_backend(spark: SparkSession) -> str | None:
+    """Detect a transactional table format with SQL ``MERGE INTO``
+    support on the classpath: 'delta', 'iceberg', or None.
+
+    The reference enables Iceberg's SQL extensions exactly for this
+    (consumer.py:22) and leaves the merge as a TODO (consumer.py:76);
+    deployments with either runtime jar get real MERGE, everything else
+    degrades to the bucketed-parquet merge with the same batch contract.
+    """
+    jvm = spark._jvm
+    for cls, name in (
+        ("org.apache.spark.sql.delta.DeltaLog", "delta"),
+        ("org.apache.iceberg.spark.SparkCatalog", "iceberg"),
+    ):
+        try:
+            jvm.java.lang.Class.forName(cls)
+            return name
+        except Exception:
+            continue
+    return None
+
+
+def merge_sql(
+    target_table: str,
+    source_view: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+) -> str:
+    """The MERGE statement the transactional path runs — the resolved
+    form of the reference's `TODO: Switch to MERGE INTO`
+    (consumer.py:76; upsert-by-id-columns, connect-iceberg-sink.json:29-30).
+
+    Clause order is load-bearing (first matching WHEN wins):
+    delete-with-newer-seq, then update-with-newer-seq, then insert.
+    A matched row with a STALE source seq falls through every clause —
+    a no-op, which is what makes epoch replay idempotent."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    dels = ", ".join(f"'{o}'" for o in delete_ops)
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND s.{op_col} IN ({dels}) AND s.{seq_col} >= t.{seq_col} THEN DELETE "
+        f"WHEN MATCHED AND s.{seq_col} >= t.{seq_col} THEN UPDATE SET * "
+        f"WHEN NOT MATCHED AND s.{op_col} NOT IN ({dels}) THEN INSERT *"
+    )
+
+
+def merge_into_transactional(
+    spark: SparkSession,
+    target_table: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+) -> None:
+    """SQL MERGE INTO against a Delta/Iceberg table. The batch is
+    deduped last-writer-wins per key FIRST (MERGE requires at most one
+    source row per target row), keeping tombstones so deletes reach the
+    DELETE clause. File-level pruning/rewrites are the format's job —
+    this is the O(touched-files) path the bucketed fallback emulates."""
+    delete_rank = F.when(F.col(op_col).isin(*delete_ops), 1).otherwise(0)
+    w = W.partitionBy(*key_cols).orderBy(F.col(seq_col).desc(), delete_rank.desc())
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    view = "__cdc_merge_source__"
+    latest.createOrReplaceTempView(view)
+    try:
+        spark.sql(merge_sql(target_table, view, key_cols, seq_col, op_col, delete_ops))
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def merge_into(
+    spark: SparkSession,
+    target: str,
+    batch_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_ops: tuple[str, ...] = ("d", "D"),
+    n_buckets: int = 64,
+    backend: str | None = None,
+) -> None:
+    """Unified merge entry point: SQL MERGE when a transactional format
+    is on the classpath, bucketed-parquet merge otherwise. ``target``
+    is a table name for transactional backends, a directory path for
+    the parquet fallback — the caller's batch contract is identical."""
+    backend = backend if backend is not None else detect_merge_backend(spark)
+    if backend:
+        merge_into_transactional(
+            spark, target, batch_df, key_cols, seq_col, op_col, delete_ops
+        )
+    else:
+        merge_into_parquet_bucketed(
+            spark, target, batch_df, key_cols, seq_col, op_col, delete_ops, n_buckets
+        )
+
+
 def read_bucketed_state(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a bucketed-merge target without the layout column."""
     return spark.read.parquet(target_path).drop("__bucket")

@@ -18,8 +18,19 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+#: Max members expanded per LSH/SimHash bucket. A bucket of m docs costs
+#: m(m-1)/2 pairs and an m-element collect_set in ONE task's agg buffer;
+#: an adversarial mega-bucket (boilerplate shingle sets, near-identical
+#: templates) would otherwise OOM a single executor at 100 TB. The cap
+#: is enforced BEFORE the collect via a row_number over the same shuffle
+#: key (the window sorter spills to disk; an agg buffer does not), so
+#: task memory is bounded by cap × doc-state regardless of skew. Within
+#: a bucket the kept members are the cap smallest ids (deterministic);
+#: dropped membership is observable via `*_bucket_stats`.
+LSH_BUCKET_CAP = 200
 
 # Mersenne prime 2^31-1: universal-hash modulus. (a, b) parameters are
 # fixed constants (seeded once, committed) so signatures are stable
@@ -114,8 +125,37 @@ def minhash_signature(
     return hashed.select(*keep, F.array(*sig_cols).alias("minhash"))
 
 
+def _cap_buckets(
+    banded: DataFrame,
+    bucket_keys: list[str],
+    member_col: str,
+    order_col: str,
+    cap: int,
+) -> DataFrame:
+    """Bucket groupBy with BOUNDED membership: a row_number over the
+    same shuffle key ranks members (the window sorter spills; agg
+    buffers don't), then collect_set keeps only rank <= cap. One
+    shuffle total — the downstream groupBy reuses the window's
+    partitioning. `n_total` carries the true bucket size so truncation
+    is observable (`n_total > cap` == dropped members)."""
+    w = W.partitionBy(*bucket_keys).orderBy(order_col)
+    return (
+        banded.withColumn("__rk", F.row_number().over(w))
+        .groupBy(*bucket_keys)
+        .agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("__rk") <= cap, F.col(member_col)))
+            ).alias("docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str = "doc_id", bands: int = 16
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Band the signature (bands × rows) and generate candidate pairs
     per bucket. Shuffle key = (band_id, band_hash): only same-bucket
@@ -126,10 +166,8 @@ def lsh_candidate_pairs(
     bucket self-join: a self-join evaluates the whole upstream
     shingle/signature pipeline twice (once per side) and shuffles both
     sides; the groupBy computes it once and shuffles (id, band) rows
-    once. Bucket sizes are bounded in practice (a bucket of near-dups is
-    what LSH is designed to keep small); a pathological mega-bucket
-    would indicate the banding parameters, not the join strategy, need
-    tuning."""
+    once. Bucket membership is capped (LSH_BUCKET_CAP) so an
+    adversarial mega-bucket cannot OOM a task — see _cap_buckets."""
     k = len(MINHASH_PERMS)
     rows = k // bands
     banded = sig_df.select(
@@ -147,14 +185,13 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
     return (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        _cap_buckets(banded, ["band_id", "band_hash"], id_col, id_col, bucket_cap)
+        .filter(F.size("docs") >= 2)
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
+                    "flatten(transform(docs, (x, i) ->"
+                    " transform(slice(docs, i + 2, size(docs)),"
                     " y -> struct(x AS id_a, y AS id_b))))"
                 )
             ).alias("p")
@@ -172,31 +209,16 @@ def jaccard(col_a: str, col_b: str) -> F.Column:
     return (inter.cast("double") / union.cast("double"))
 
 
-def minhash_lsh_dedup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
+def _lsh_banded_docs(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle -> MinHash -> LSH buckets ->
-    exact-Jaccard verification of candidates, in ONE shuffle.
-
-    The hashed shingle set rides along into the bucket groupBy so the
-    Jaccard verification happens inline during pair expansion — no join
-    back to the corpus, and the shingle pipeline is evaluated exactly
-    once. Jaccard over the 64-bit-hashed distinct shingles equals
-    Jaccard over the shingles themselves up to hash collisions
-    (P < |S|^2 / 2^31 per pair — negligible at realistic shingle
-    counts). Shuffle volume is bands x hashed-set bytes per doc; for
-    very large documents at 100 TB, prefer capping shingle count
-    upstream (sample/stride) over reverting to the two-sided
-    corpus join, which evaluates the upstream pipeline three times."""
+    """Shared front half of the LSH pipeline: shingle -> MinHash ->
+    banded (doc{id, hs}, band_id, band_hash) rows."""
     sh = with_shingles(df, text_col, n).select(id_col, "shingles")
     hs = minhash_signature(sh, keep_hashes=True).withColumnRenamed("_sh_hash", "hs")
     k = len(MINHASH_PERMS)
     bands, rows = 16, k // 16
-    banded = hs.select(
+    return hs.select(
         F.struct(F.col(id_col).alias("id"), F.col("hs").alias("hs")).alias("doc"),
         F.explode(
             F.array(
@@ -210,6 +232,36 @@ def minhash_lsh_dedup_pairs(
             )
         ).alias("band"),
     ).select("doc", "band.band_id", "band.band_hash")
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> MinHash -> LSH buckets ->
+    exact-Jaccard verification of candidates, in ONE shuffle.
+
+    The hashed shingle set rides along into the bucket groupBy so the
+    Jaccard verification happens inline during pair expansion — no join
+    back to the corpus, and the shingle pipeline is evaluated exactly
+    once. Jaccard over the 64-bit-hashed distinct shingles equals
+    Jaccard over the shingles themselves up to hash collisions
+    (P < |S|^2 / 2^31 per pair — negligible at realistic shingle
+    counts). Shuffle volume is bands x hashed-set bytes per doc; for
+    very large documents at 100 TB, prefer capping shingle count
+    upstream (sample/stride) over reverting to the two-sided
+    corpus join, which evaluates the upstream pipeline three times.
+
+    Bucket membership is capped at ``bucket_cap`` BEFORE the collect
+    (see _cap_buckets): one adversarial bucket of near-identical
+    boilerplate cannot OOM a task. Exact clones should be collapsed
+    upstream anyway (minhash_tiered_pairs — the production ordering);
+    use lsh_bucket_stats to see whether any bucket hit the cap."""
+    banded = _lsh_banded_docs(df, id_col, text_col, n)
     pair_expr = (
         "flatten(transform(docs, (x, i) ->"
         " transform(slice(docs, i + 2, size(docs)), y -> struct("
@@ -218,13 +270,37 @@ def minhash_lsh_dedup_pairs(
         " / size(array_union(x.hs, y.hs)) AS jaccard))))"
     )
     return (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        _cap_buckets(banded, ["band_id", "band_hash"], "doc", "doc.id", bucket_cap)
         .filter(F.size("docs") >= 2)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.id_a", "p.id_b", "p.jaccard")
         .filter(F.col("jaccard") >= threshold)
         .distinct()
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Truncation accounting for the capped LSH path: one row with the
+    bucket count, the max bucket size, how many buckets exceeded the
+    cap, and the total members dropped by the cap. Run this alongside a
+    dedup job (same banding, ids-only shuffle) to KNOW whether the cap
+    bit — a silent cap is a recall bug, a logged one is a tuning
+    signal."""
+    banded = _lsh_banded_docs(df, id_col, text_col, n).select(
+        F.col("doc.id").alias("id"), "band_id", "band_hash"
+    )
+    sizes = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.sum((F.col("sz") > bucket_cap).cast("long")).alias("n_buckets_over_cap"),
+        F.sum(F.greatest(F.col("sz") - bucket_cap, F.lit(0))).alias("n_members_dropped"),
     )
 
 
@@ -278,7 +354,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 8
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bucket_cap: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Hamming-ball near-dup via 4×16-bit banding (a pair within Hamming
     distance 3 must agree on ≥1 band; wider distances trade recall):
@@ -303,9 +383,9 @@ def simhash_near_pairs(
     # One groupBy-bucket pass (not a self-join — see lsh_candidate_pairs).
     # array_sort on structs orders by the first field (id), so pair
     # expansion emits each unordered pair exactly once as id_a < id_b.
+    # Membership capped like the MinHash path (_cap_buckets).
     return (
-        bands.groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_set("doc")).alias("docs"))
+        _cap_buckets(bands, ["band_id", "band_val"], "doc", "doc.id", bucket_cap)
         .filter(F.size("docs") >= 2)
         .select(
             F.explode(
@@ -331,29 +411,31 @@ def minhash_tiered_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Production-ordered near-dedup: collapse EXACT duplicates first
-    (token-set fingerprint, keep min id), then run MinHash-LSH only on
-    the canonical documents.
+    (md5 of the raw text — true byte-identical clones only), then run
+    MinHash-LSH only on the canonical documents.
 
     Why this ordering matters at 100 TB: web corpora carry heavy exact
     duplication, and LSH pair expansion is quadratic IN THE BUCKET — a
     cluster of m exact clones costs m(m-1)/2 candidate pairs in every
     band for zero information. Collapsing clones first makes that cost
-    1 canonical row; the exact-dup membership is already known from the
-    fingerprint groupBy (dedup tier 2). Emits the same near-dup pairs
-    as the flat pipeline restricted to canonical ids (asserted in
-    tests), with `n_members_a/b` so downstream can expand clusters.
+    1 canonical row. Emits the same near-dup pairs as the flat pipeline
+    restricted to canonical ids (asserted in tests), with
+    `n_members_a/b` so downstream can expand clusters.
 
-    Cost: one extra groupBy(fingerprint) shuffle, which is MAP-SIDE
-    combinable; the LSH stage then runs on the (often much smaller)
+    The clone tier is deliberately md5(text), NOT the order-insensitive
+    token-set fingerprint (dedup tier 2): two documents with the same
+    token set but different word order have DIFFERENT shingle sets, so
+    collapsing them would change which near-dup pairs the LSH stage can
+    emit. Callers who want fingerprint-level collapse compose
+    fingerprint_clusters explicitly and accept that semantic.
+
+    Cost: one extra groupBy(md5) shuffle, map-side combinable, constant
+    bytes/row; the LSH stage then runs on the (often much smaller)
     canonical set."""
     fp = df.select(
         F.col(id_col),
         F.col(text_col),
-        F.md5(
-            F.array_join(
-                F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
-            )
-        ).alias("__fp"),
+        F.md5(F.col(text_col)).alias("__fp"),
     )
     canon = (
         fp.groupBy("__fp")

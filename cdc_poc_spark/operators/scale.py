@@ -115,10 +115,16 @@ def global_index(
     partition's cumulative offset. Order: by `order_cols` within a
     repartition-by-range (global total order), or the current partition
     layout when None (arbitrary but stable order — the sharding case).
+
+    The partition-id frame is MATERIALIZED (eager localCheckpoint)
+    before either job: both passes must see the SAME partition
+    assignment, and without pinning it, repartitionByRange re-samples
+    its range bounds per execution and AQE may re-plan — the two jobs
+    could disagree and emit duplicate/skipped indices.
     """
     if order_cols:
         df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
-    sdf = df.withColumn("__pid", F.spark_partition_id())
+    sdf = df.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["n"]
         for r in sdf.groupBy("__pid").count().withColumnRenamed("count", "n").collect()

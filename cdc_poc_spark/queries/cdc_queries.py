@@ -374,13 +374,14 @@ def cdc_continuous_aggregate(spark, sf_dir):
         ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
         ev.filter(F.col("ts") > cut2),
     ]
-    with tempfile.TemporaryDirectory() as d:
-        agg = ContinuousAggregate(spark, d, cust)
-        for i, chunk in enumerate(chunks):
-            agg.apply_batch(chunk, epoch_id=i)
-        totals = agg.totals().select(
-            "c_mktsegment", F.col("total_value").cast("double").alias("total_value")
-        )
-        # materialize before the state dir disappears
-        rows = totals.collect()
-        return spark.createDataFrame(rows, totals.schema)
+    # State lives in a caller-scoped dir that OUTLIVES this function, so
+    # the returned DataFrame reads it lazily and distributed — no
+    # driver-side collect round-trip. Footprint is |groups| rows; the OS
+    # tmp reaper owns cleanup.
+    d = tempfile.mkdtemp(prefix="cdc_poc_ivm_")
+    agg = ContinuousAggregate(spark, d, cust)
+    for i, chunk in enumerate(chunks):
+        agg.apply_batch(chunk, epoch_id=i)
+    return agg.totals().select(
+        "c_mktsegment", F.col("total_value").cast("double").alias("total_value")
+    )

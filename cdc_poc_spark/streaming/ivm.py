@@ -15,10 +15,16 @@ effect is `new_live_value - previous_live_value`, where a tombstone
 makes the new live value 0. Summing net effects per group advances the
 group total to exactly what a naive recompute over all history gives.
 
-Exactly-once: each applied epoch id is recorded next to the state; a
-replayed epoch (availableNow restart after a crash between the state
-write and the checkpoint commit) is skipped, making the non-idempotent
-"add deltas" update idempotent per epoch.
+Exactly-once: totals, key state, and the applied-epoch set COMMIT
+ATOMICALLY. Each batch writes a complete new state VERSION
+(``v<N>/{totals,key_state,meta.json}``) while reading the previous
+one, then publishes it with a single ``os.replace`` of the ``CURRENT``
+pointer file. A crash anywhere before the pointer swap leaves CURRENT
+on the old version — the epoch is unrecorded AND the totals are
+unadvanced, so replay recomputes from consistent state (no torn
+window where totals moved but the epoch marker didn't). Versioning
+also removes the write-aside-then-rename dance: the new version's
+plan reads the old version's files, never its own output.
 
 Known tradeoff: tombstones evict the key row entirely, so an event
 arriving LATER but timestamped BEFORE the tombstone resurrects the key
@@ -64,37 +70,67 @@ class ContinuousAggregate:
         self.group_col = group_col
         os.makedirs(state_dir, exist_ok=True)
 
-    # -- state paths --------------------------------------------------
+    # -- versioned state (atomic commit via CURRENT pointer) ----------
 
     @property
-    def _keys_path(self) -> str:
-        return os.path.join(self.state_dir, "key_state")
+    def _pointer_path(self) -> str:
+        return os.path.join(self.state_dir, "CURRENT")
 
-    @property
-    def _totals_path(self) -> str:
-        return os.path.join(self.state_dir, "totals")
+    def _current_version(self) -> int | None:
+        if not os.path.exists(self._pointer_path):
+            return None
+        return int(open(self._pointer_path).read().strip())
 
-    @property
-    def _meta_path(self) -> str:
-        return os.path.join(self.state_dir, "meta.json")
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.state_dir, f"v{version}")
 
-    def _applied(self, epoch_id: int) -> bool:
-        if not os.path.exists(self._meta_path):
-            return False
-        return epoch_id in json.load(open(self._meta_path))["epochs"]
+    def _vpath(self, version: int | None, name: str) -> str | None:
+        if version is None:
+            return None
+        p = os.path.join(self._vdir(version), name)
+        return p if os.path.exists(p) else None
 
-    def _mark(self, epoch_id: int) -> None:
-        epochs = []
-        if os.path.exists(self._meta_path):
-            epochs = json.load(open(self._meta_path))["epochs"]
-        json.dump({"epochs": epochs + [epoch_id]}, open(self._meta_path, "w"))
+    def _epochs(self, version: int | None) -> list[int]:
+        meta = self._vpath(version, "meta.json")
+        if meta is None:
+            return []
+        return json.load(open(meta))["epochs"]
+
+    def _publish(self, version: int, epochs: list[int]) -> None:
+        """The commit point: meta lands inside the version dir, then ONE
+        atomic os.replace flips CURRENT. Everything before this is
+        invisible to readers and to replay."""
+        json.dump(
+            {"epochs": epochs}, open(os.path.join(self._vdir(version), "meta.json"), "w")
+        )
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path)
+
+    def _gc(self, keep_version: int) -> None:
+        """Best-effort removal of superseded version dirs (post-commit)."""
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) != keep_version:
+                    shutil.rmtree(os.path.join(self.state_dir, entry), ignore_errors=True)
 
     # -- the per-batch update -----------------------------------------
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Advance key state and group totals by one micro-batch."""
-        if self._applied(epoch_id):
-            return  # replay after crash: state already reflects this epoch
+        cur = self._current_version()
+        epochs = self._epochs(cur)
+        if epoch_id in epochs:
+            return  # replay after crash: committed state reflects this epoch
+        new_v = (cur if cur is not None else 0) + 1
+        vdir = self._vdir(new_v)
+        shutil.rmtree(vdir, ignore_errors=True)  # stale uncommitted attempt
+        os.makedirs(vdir)
+        keys_path = self._vpath(cur, "key_state")
+        totals_path = self._vpath(cur, "totals")
 
         k = self.key_col
         # 1. net effect per key: the LAST event in the batch wins
@@ -119,8 +155,8 @@ class ContinuousAggregate:
         #    not move the aggregate — last-writer-wins applies to the
         #    view exactly as it does to the mirror.
         zero = F.lit(0).cast(VAL_DEC)
-        if os.path.exists(self._keys_path):
-            prev = self.spark.read.parquet(self._keys_path).select(
+        if keys_path is not None:
+            prev = self.spark.read.parquet(keys_path).select(
                 k,
                 F.col("live_value").alias("prev_live"),
                 F.col("seq").alias("prev_seq"),
@@ -151,8 +187,8 @@ class ContinuousAggregate:
                 .groupBy(self.group_col)
                 .agg(F.sum("delta").alias("delta"))
             )
-            if os.path.exists(self._totals_path):
-                old = self.spark.read.parquet(self._totals_path)
+            if totals_path is not None:
+                old = self.spark.read.parquet(totals_path)
                 merged = (
                     old.join(batch_totals, self.group_col, "full")
                     .select(
@@ -165,14 +201,14 @@ class ContinuousAggregate:
                 )
             else:
                 merged = batch_totals.withColumnRenamed("delta", "total_value")
-            self._swap(merged, self._totals_path)
+            merged.write.mode("overwrite").parquet(os.path.join(vdir, "totals"))
 
             # 4. advance key state (upsert new lives, drop tombstoned keys)
             live = deltas.select(
                 k, F.col("new_live").alias("live_value"), "seq"
             )
-            if os.path.exists(self._keys_path):
-                state = self.spark.read.parquet(self._keys_path)
+            if keys_path is not None:
+                state = self.spark.read.parquet(keys_path)
                 all_rows = state.unionByName(live)
             else:
                 all_rows = live
@@ -183,18 +219,16 @@ class ContinuousAggregate:
                 .filter(F.col("live_value").isNotNull())  # tombstone eviction
                 .drop("__rn")
             )
-            self._swap(new_state, self._keys_path)
-            self._mark(epoch_id)
+            new_state.write.mode("overwrite").parquet(os.path.join(vdir, "key_state"))
+
+            # 5. atomic commit: totals + key_state + epoch set flip together
+            self._publish(new_v, epochs + [epoch_id])
+            self._gc(new_v)
         finally:
             deltas.unpersist()
 
     def totals(self) -> DataFrame:
-        return self.spark.read.parquet(self._totals_path)
-
-    def _swap(self, df: DataFrame, path: str) -> None:
-        """Write-aside + rename (the plan reads the files it replaces)."""
-        tmp = path.rstrip("/") + ".__tmp__"
-        df.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        cur = self._current_version()
+        path = self._vpath(cur, "totals")
+        assert path is not None, "no committed state yet"
+        return self.spark.read.parquet(path)

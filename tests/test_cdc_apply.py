@@ -265,3 +265,59 @@ def test_merge_into_parquet_bucketed(spark, tmp_path):
     assert not os.path.exists(os.path.join(target, bucket_of_3))
     got = {r.pk for r in cdc_apply.read_bucketed_state(spark, target).collect()}
     assert got == set(range(20)) - set(same_bucket_keys)
+
+
+def test_merge_sql_statement_shape():
+    """The resolved form of the reference's `TODO: Switch to MERGE INTO`
+    (consumer.py:76): clause ORDER is delete -> update -> insert, all
+    seq-guarded, so stale/replayed rows no-op."""
+    sql = cdc_apply.merge_sql("cat.db.mirror", "src", ["pk", "region"])
+    assert "MERGE INTO cat.db.mirror t USING src s" in sql
+    assert "ON t.pk = s.pk AND t.region = s.region" in sql
+    i_del, i_upd, i_ins = (
+        sql.index("THEN DELETE"), sql.index("THEN UPDATE"), sql.index("THEN INSERT")
+    )
+    assert i_del < i_upd < i_ins
+    assert sql.count("s.seq >= t.seq") == 2  # delete + update both guarded
+    assert "WHEN NOT MATCHED AND s.op NOT IN ('d', 'D') THEN INSERT *" in sql
+
+
+def test_merge_into_dispatcher_falls_back_to_bucketed(spark, typed_log, tmp_path):
+    """No Delta/Iceberg jar in this container -> detect returns None and
+    merge_into takes the bucketed-parquet path with identical semantics."""
+    assert cdc_apply.detect_merge_backend(spark) is None
+    target = str(tmp_path / "mirror")
+    cdc_apply.merge_into(spark, target, typed_log.filter("seq <= 2"), ["user_id"], n_buckets=4)
+    cdc_apply.merge_into(
+        spark, target, typed_log.filter("seq BETWEEN 3 AND 5"), ["user_id"], n_buckets=4
+    )
+    state = cdc_apply.read_bucketed_state(spark, target)
+    assert {(r.user_id, r.email) for r in state.collect()} == {
+        (1, "alice@example.com"),
+        (2, "bob@example.com"),
+        (3, "carol@example.com"),
+        (4, "derek@example.com"),
+        (5, "emma@example.com"),
+    }
+    import os
+    assert any(d.startswith("__bucket=") for d in os.listdir(target))
+
+
+def test_merge_into_transactional_live(spark, typed_log, tmp_path):
+    """Runs the REAL SQL MERGE when a transactional format is present;
+    skipped where neither Delta nor Iceberg is on the classpath (this
+    container) — the statement itself is verified by
+    test_merge_sql_statement_shape and the dispatcher by the fallback
+    test."""
+    backend = cdc_apply.detect_merge_backend(spark)
+    if backend is None:
+        pytest.skip("no transactional table format on the classpath")
+    name = "default.cdc_merge_live_test"
+    fmt = "delta" if backend == "delta" else "iceberg"
+    typed_log.filter("seq <= 2").writeTo(name).using(fmt).createOrReplace()
+    cdc_apply.merge_into_transactional(
+        spark, name, typed_log.filter("seq BETWEEN 3 AND 5"), ["user_id"]
+    )
+    got = {(r.user_id, r.email) for r in spark.read.table(name).collect()}
+    assert (5, "emma@example.com") in got and len(got) == 5
+    spark.sql(f"DROP TABLE {name}")

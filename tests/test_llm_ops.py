@@ -165,15 +165,25 @@ def _union_find(edges):
     ],
 )
 def test_connected_components_matches_union_find(spark, edges):
+    """Both execution paths — the driver union-find fast path (default
+    for small graphs) and the distributed large/small-star rounds
+    (forced with driver_threshold=0) — must match the reference."""
     from cdc_poc_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r.node: r.component for r in connected_components(df).collect()}
-    assert got == _union_find(edges)
+    expect = _union_find(edges)
+    fast = {r.node: r.component for r in connected_components(df).collect()}
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == expect
+    assert dist == expect
 
 
 def test_connected_components_random_graph(spark):
-    """Randomized graph (fixed seed): star/chain/clique mixture."""
+    """Randomized graph (fixed seed): star/chain/clique mixture; both
+    paths again."""
     import random
 
     rng = random.Random(7)
@@ -182,8 +192,12 @@ def test_connected_components_random_graph(spark):
     from cdc_poc_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r.node: r.component for r in connected_components(df).collect()}
-    assert got == _union_find(edges)
+    expect = _union_find(edges)
+    assert {r.node: r.component for r in connected_components(df).collect()} == expect
+    assert {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    } == expect
 
 
 def test_lsh_clusters_agree_with_exact_graph(spark, docs):
@@ -220,24 +234,11 @@ def test_minhash_tiered_agrees_with_flat_on_canonicals(spark):
     docs = load_table(spark, SF_DIR, "documents")
     flat = dd.minhash_lsh_dedup_pairs(docs)
     tiered = dd.minhash_tiered_pairs(docs)
-    # canonical ids: min doc_id per token-set fingerprint
-    canon = {
-        r[0]
-        for r in dd.fingerprint_clusters(docs)
-        .select("keep_id")
-        .collect()
-    }
-    # fingerprint_clusters only reports groups >= 2; singletons are canonical too
+    # canonical ids: min doc_id per md5(text) — true byte-identical
+    # clones only (the tier-1 semantics the tiered pipeline collapses)
     from pyspark.sql import functions as F2
     all_fp = (
-        docs.select(
-            "doc_id",
-            F2.md5(
-                F2.array_join(
-                    F2.array_sort(F2.array_distinct(F2.split(F2.col("text"), " "))), " "
-                )
-            ).alias("fp"),
-        )
+        docs.select("doc_id", F2.md5(F2.col("text")).alias("fp"))
         .groupBy("fp")
         .agg(F2.min("doc_id").alias("keep_id"))
     )
@@ -253,3 +254,56 @@ def test_minhash_tiered_agrees_with_flat_on_canonicals(spark):
     assert all(
         r["n_members_a"] >= 1 and r["n_members_b"] >= 1 for r in tiered.collect()
     )
+
+
+def test_lsh_mega_bucket_is_capped(spark):
+    """Adversarial skew (VERDICT r1): 10k byte-identical boilerplate
+    docs all land in ONE LSH bucket per band. The capped bucket
+    expansion must bound the per-task pair blowup (<= cap^2/2 pairs,
+    never 10k^2/2 ~ 50M) and still identify the clones among the kept
+    members; the stats query must report the truncation."""
+    from pyspark.sql import functions as F2
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, boiler) for i in range(10_000)] + [
+        (20_000, "a completely different document about spark shuffles and scale"),
+        (20_001, "a completely different document about spark shuffles at scale"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = dedup.LSH_BUCKET_CAP
+    pairs = dedup.minhash_lsh_dedup_pairs(df, threshold=0.5)
+    n_pairs = pairs.count()
+    # bounded: at most C(cap,2) clone pairs per bucket (identical docs
+    # dedupe to the same pair set across bands) + the distinct near-dup pair
+    assert 0 < n_pairs <= cap * (cap - 1) // 2 + 1
+    # the kept members are the cap-smallest ids -> pairs only among them
+    max_id_in_pairs = pairs.agg(F2.max(F2.greatest("id_a", "id_b"))).first()[0]
+    assert max_id_in_pairs >= 20_000 or max_id_in_pairs < cap
+    # truncation is visible, not silent
+    stats = dedup.lsh_bucket_stats(df).first()
+    assert stats.max_bucket >= 10_000
+    assert stats.n_buckets_over_cap >= 1
+    assert stats.n_members_dropped >= 10_000 - cap
+    # tiered pipeline (production ordering) collapses the clones first:
+    # no mega-bucket ever forms
+    tiered = dedup.minhash_tiered_pairs(df, threshold=0.5)
+    t = {(r.id_a, r.id_b): (r.n_members_a, r.n_members_b) for r in tiered.collect()}
+    assert (20_000, 20_001) in t
+    # the boilerplate cluster collapsed to ONE canonical doc (id 0,
+    # 10k members) before LSH — no mega-bucket formed at all
+    assert all(a < cap or a >= 20_000 for pair in t for a in pair)
+    member_counts = {v for vals in t.values() for v in vals}
+    assert member_counts <= {1, 10_000}
+
+
+def test_simhash_mega_bucket_is_capped(spark):
+    """Same adversarial shape through the SimHash path: identical docs
+    share a simhash, so every band bucket holds all 5k — capped
+    expansion keeps the job bounded."""
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 3
+    rows = [(i, boiler) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = dedup.LSH_BUCKET_CAP
+    n = dedup.simhash_near_pairs(df, max_hamming=3).count()
+    assert 0 < n <= cap * (cap - 1) // 2

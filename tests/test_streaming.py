@@ -478,12 +478,10 @@ def test_dead_letter_quarantine(spark, envelope_dir, tmp_path):
     assert got == {(100, "malformed_json"), (101, "missing_op"), (102, "null_value")}
 
 
-def test_continuous_aggregate_matches_recompute(spark, tmp_path):
-    from cdc_poc_spark.streaming.ivm import ContinuousAggregate
-
+def _ivm_chunks(spark):
+    """events split into three time-ordered 'micro-batches'."""
     ev = load_table(spark, SF_DIR, "events")
     cust = load_table(spark, SF_DIR, "customer")
-    # three "micro-batches" by time range (thirds of the ts domain)
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     chunks = [
@@ -491,6 +489,13 @@ def test_continuous_aggregate_matches_recompute(spark, tmp_path):
         ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
         ev.filter(F.col("ts") > cut2),
     ]
+    return ev, cust, chunks
+
+
+def test_continuous_aggregate_matches_recompute(spark, tmp_path):
+    from cdc_poc_spark.streaming.ivm import ContinuousAggregate
+
+    ev, cust, chunks = _ivm_chunks(spark)
     agg = ContinuousAggregate(spark, str(tmp_path / "ivm"), cust)
     for i, chunk in enumerate(chunks):
         agg.apply_batch(chunk, epoch_id=i)
@@ -520,3 +525,48 @@ def test_continuous_aggregate_matches_recompute(spark, tmp_path):
     agg.apply_batch(chunks[1], epoch_id=1)
     again = {(r[0], round(float(r[1]), 2)) for r in agg.totals().collect()}
     assert again == expect
+
+
+def test_continuous_aggregate_crash_is_atomic(spark, tmp_path):
+    """ADVICE torn-state window: a crash AFTER the state writes but
+    BEFORE the commit must leave the previous version fully intact
+    (totals unadvanced AND epoch unrecorded), and the retried epoch
+    must then land exactly once — no double-count."""
+    from cdc_poc_spark.streaming.ivm import ContinuousAggregate
+
+    ev, cust, chunks = _ivm_chunks(spark)
+    agg = ContinuousAggregate(spark, str(tmp_path / "ivm"), cust)
+    agg.apply_batch(chunks[0], epoch_id=0)
+    agg.apply_batch(chunks[1], epoch_id=1)
+    committed = {(r[0], round(float(r[1]), 2)) for r in agg.totals().collect()}
+
+    real_publish = agg._publish
+    def crash(version, epochs):
+        raise RuntimeError("simulated crash before pointer swap")
+    agg._publish = crash
+    with pytest.raises(RuntimeError):
+        agg.apply_batch(chunks[2], epoch_id=2)
+    # nothing visible changed: totals identical, epoch 2 not recorded
+    assert {(r[0], round(float(r[1]), 2)) for r in agg.totals().collect()} == committed
+    assert agg._epochs(agg._current_version()) == [0, 1]
+
+    # retry (foreachBatch replay) applies epoch 2 exactly once
+    agg._publish = real_publish
+    agg.apply_batch(chunks[2], epoch_id=2)
+    got = {(r[0], round(float(r[1]), 2)) for r in agg.totals().collect()}
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("ts DIV 1000").desc(), F.col("event_id").desc()
+    )
+    latest = ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    expect_df = (
+        latest.join(F.broadcast(cust), latest.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") != "error", F.col("value").cast("decimal(12,2)"))
+                .otherwise(F.lit(0).cast("decimal(12,2)"))
+            ).alias("total_value")
+        )
+    )
+    expect = {(r[0], round(float(r[1]), 2)) for r in expect_df.collect()}
+    assert got == expect
