@@ -43,11 +43,13 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_tiered_pairs",
     "dedup_embedding_cosine_pairs",
+    "dedup_cc_clusters",
     "sim_cosine_topk",
     "udf_pandas_grouped_agg",
     "text_stats_per_doc",
     "pipeline_split_train_val",
     "pipeline_corpus_curation",
+    "sql_revenue_by_nation_year",
 ]
 
 
@@ -74,12 +76,16 @@ def main() -> None:
         warm_dir = sf_dir
     for name in HEADLINE:
         _force(specs[name].fn(spark, warm_dir))
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         _force(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries that persist intermediates (similarity join, CC) must
+        # not hold blocks into the next measurement — isolate each run.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

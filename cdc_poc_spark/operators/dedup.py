@@ -9,9 +9,11 @@ Four tiers, cheapest-first — the order a 100 TB pipeline applies them:
 4. SimHash        64-bit bitwise sketch, Hamming-ball lookup via banding
 
 All JVM-side: shingling/hashing use Catalyst higher-order array
-functions + xxhash64 — no Python in the row path. The quadratic exact
-pairwise Jaccard exists only as the small-scale verifier
-(`exact_jaccard_pairs`), never the scale path.
+functions + xxhash64 — no Python in the row path. Exact pairwise
+Jaccard (`exact_jaccard_pairs`) runs as a PPJoin-style prefix-filtered
+equi-join — sub-quadratic and output-identical to the naive cross join
+(kept as `exact_jaccard_pairs_quadratic` purely as its correctness
+twin).
 """
 
 from __future__ import annotations
@@ -311,9 +313,101 @@ def exact_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Quadratic exact pairwise Jaccard — the small-scale ORACLE/verifier
-    for the LSH path. Never the scale path (documented anti-pattern at
-    100 TB; kept for correctness testing and the DuckDB oracle)."""
+    """EXACT pairwise Jaccard >= threshold via prefix filtering (the
+    PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08): output-identical to the naive cross
+    join, sub-quadratic plan.
+
+    Filter principle: order all shingles by global frequency (rarest
+    first; ties by value — any FIXED total order is correct, frequency
+    order is the selective one). If J(A,B) >= t, then A and B must
+    share at least one shingle among each one's first
+    |r| - ceil(t*|r|) + 1 shingles in that order ("prefix"). So
+    candidates = pairs sharing >= 1 prefix token — an EQUI-join on the
+    token, never a cross join — and each candidate is then verified
+    with exact Jaccard over the true shingle sets.
+
+    Shuffle profile: token-frequency groupBy (map-side combinable),
+    per-doc window to rank shingles, prefix self-equi-join, two id
+    joins for verification — all key-partitioned, no cartesian
+    anywhere. The rarest-first order keeps prefix-token buckets small
+    (a token common enough to blow up a bucket is almost never in
+    anyone's prefix). This makes EXACT similarity join a legitimate
+    scale path, not just the small-scale oracle.
+
+    The shingle projection feeds three consumers (prefix generation +
+    both verification sides), so it is persisted (memory-and-disk,
+    spillable) rather than recomputed 3x — measured 3x wall on the
+    fixture; the materialize-once step every published similarity-join
+    pipeline has."""
+    from pyspark import StorageLevel
+
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(id_col, "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Materialize the cache NOW: the three consumers sit in independent
+    # stage branches of one job and would otherwise race the (empty)
+    # cache and recompute the shingle pipeline concurrently.
+    sh.count()
+    tok = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("shingles").alias("sz"),
+        F.explode("shingles").alias("tok"),
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
+    w = W.partitionBy("id").orderBy("df_tok", "tok")
+    # The self-join below consumes prefix on BOTH sides; persist it too
+    # (rows are (token, id, sz) — a fraction of the token stream) so the
+    # freq-join + window subtree runs once, not twice.
+    prefix = (
+        tok.join(freq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("tok", "id", "sz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prefix.count()
+    # Length filter (also exact): J(A,B) >= t forces t|A| <= |B| <= |A|/t.
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("b.sz") <= F.floor(F.col("a.sz") / F.lit(threshold)))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Verification is CPU-bound per candidate (array intersect/union),
+    # not byte-bound: AQE's byte-sized coalesce would serialize it on
+    # small-byte inputs, so spread candidates across the cluster
+    # explicitly (row count is tiny; the hash join below broadcasts or
+    # re-shuffles as usual).
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def exact_jaccard_pairs_quadratic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The naive cross-join formulation — kept ONLY as the correctness
+    twin for exact_jaccard_pairs (the prefix-filtered plan must emit
+    identical rows; asserted in tests). Never run this at scale."""
     sh = with_shingles(df, text_col, n).select(id_col, "shingles")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -184,3 +184,76 @@ def compact_small_files(
         for f in fs
         if f.endswith(".parquet")
     )
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: list[str],
+    n_partitions: int | None = None,
+    bits: int = 8,
+) -> DataFrame:
+    """Cluster rows along a Z-order (Morton) curve over ``cols`` so
+    parquet row-group min/max statistics prune on EVERY listed column,
+    not just a lexicographic leading one — the public technique behind
+    Delta's OPTIMIZE ZORDER BY / Iceberg's sort-order rewrites.
+
+    Why it matters at 100 TB: a plain ``orderBy(a, b)`` gives perfect
+    skipping on `a` but near-none on `b` (each file spans the whole `b`
+    domain). Interleaving the bits of rank(a) and rank(b) places rows so
+    each file covers a small HYPERCUBE of the (a, b) space; a selective
+    filter on either column then skips most files
+    (`PushedFilters` + row-group stats do the rest — no index needed).
+
+    Implementation, scale-first: each column is rank-normalized to
+    ``bits`` bits against APPROX-QUANTILE boundaries (one sampled pass
+    computes all columns' boundaries together; skew-proof, unlike
+    equal-width bucketing) — NOT a global percent_rank window, which
+    would drag the whole table through one task. Bucketing against the
+    broadcast boundary array and the bit interleave are plain
+    expressions; the only shuffle is the final
+    ``repartitionByRange(zkey)`` — the same cost as any global sort.
+
+    Cite: reference has no layout ops at all (SURVEY §4 'partition
+    pruning' row — tables created unpartitioned); this is engine surface
+    added for the 100 TB north star.
+    """
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_per_col = df.stat.approxQuantile(cols, probs, 1.0 / (4 * n_buckets))
+    zkey = None
+    for ci, c in enumerate(cols):
+        # distinct sorted boundaries; bucket = #boundaries strictly below
+        bounds = sorted(set(bounds_per_col[ci]))
+        barr = F.lit(bounds)
+        rank = F.aggregate(
+            barr,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.when(F.col(c) > b, 1).otherwise(0),
+        )
+        # Low-cardinality columns dedupe to << 2^bits boundaries, which
+        # would leave their HIGH interleaved bits constant (zero) — the
+        # file splitter then ignores the column entirely. Stretch the
+        # rank over the full bit range so every column contributes its
+        # information to the top-of-key bits that drive file splits.
+        if len(bounds) + 1 < n_buckets:
+            rank = F.floor(rank * F.lit((n_buckets - 1) / max(1, len(bounds)))).cast(
+                "long"
+            )
+        # spread column ci's bit j to interleaved position j*len(cols)+ci
+        part = sum(
+            (
+                F.shiftleft(
+                    F.shiftright(rank, j).bitwiseAND(F.lit(1)),
+                    j * len(cols) + ci,
+                )
+                for j in range(bits)
+            ),
+            F.lit(0).cast("long"),
+        )
+        zkey = part if zkey is None else zkey.bitwiseOR(part)
+    out = df.withColumn("__zkey", zkey)
+    if n_partitions:
+        out = out.repartitionByRange(n_partitions, "__zkey")
+    else:
+        out = out.repartitionByRange("__zkey")
+    return out.sortWithinPartitions("__zkey").drop("__zkey")

@@ -60,38 +60,91 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_count_distinct", tags=("agg", "approx"))
+_APPROX_CD_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       COUNT(*) AS n,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_approx_count_distinct", oracle=_APPROX_CD_ORACLE, tags=("agg", "approx"))
 def agg_approx_count_distinct(spark, sf_dir):
     """HLL++ approximate distinct — the single-pass, fixed-memory scale
     path for 100 TB cardinality estimation. Sketch values are
-    engine-specific → rows-only check (no oracle)."""
+    engine-specific, so the ORACLED columns are the exact cardinality
+    plus a bound flag: the query runs BOTH the sketch and the exact
+    count and asserts |approx - exact| <= 5% exact in-engine; the
+    oracle pins the exact values and expects the flag TRUE. A failing
+    sketch breaks the hash — the accuracy contract is driver-checked,
+    not just pytest-checked."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            "n",
+            (
+                F.abs(F.col("approx") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
-@register("agg_hll_sketch_union", tags=("agg", "approx", "sketch"))
+_HLL_UNION_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS sketch_within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS sketch_within_5pct
+FROM events
+"""
+
+
+@register("agg_hll_sketch_union", oracle=_HLL_UNION_ORACLE, tags=("agg", "approx", "sketch"))
 def agg_hll_sketch_union(spark, sf_dir):
     """MERGEABLE HLL sketches (Apache DataSketches, Spark 3.5+ builtins):
     per-group sketches estimated locally, then the SAME binary sketches
     re-aggregated with hll_union_agg for the global cardinality — no
-    second scan, no distinct shuffle. This mergeability is the whole
-    point at 100 TB: partial sketches combine associatively across
-    partitions, days, or clusters. Sketch bytes are engine-specific →
-    rows-only check; estimate accuracy vs exact is asserted in
-    tests/test_llm_ops.py."""
+    second scan of raw data for the union. This mergeability is the
+    whole point at 100 TB: partial sketches combine associatively
+    across partitions, days, or clusters. Sketch bytes are
+    engine-specific, so the oracled columns are exact cardinalities
+    plus an in-engine 5%-accuracy flag per row (incl. the unioned ALL
+    row) — the sketch estimates must track exact or the hash breaks."""
     ev = load_table(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
     per_type = sk.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type",
+        "n_users_exact",
+        F.hll_sketch_estimate("sk").alias("approx"),
     )
     global_row = sk.agg(F.hll_union_agg("sk").alias("sk")).select(
         F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("sk").alias("approx_users"),
+        F.hll_sketch_estimate("sk").alias("approx"),
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").alias("n_users_exact"))
+    ).select("event_type", "n_users_exact", "approx")
+    return per_type.unionByName(global_row).select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("approx") - F.col("n_users_exact"))
+            <= 0.05 * F.col("n_users_exact")
+        ).alias("sketch_within_5pct"),
     )
-    return per_type.unionByName(global_row)
 
 
 _ROLLUP_ORACLE = """
@@ -192,13 +245,30 @@ def agg_percentile_exact(spark, sf_dir):
     )
 
 
-@register("agg_percentile_approx", tags=("agg", "approx"))
+_PCTL_APPROX_ORACLE = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS median_exact,
+       TRUE AS approx_in_p45_p55
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_percentile_approx", oracle=_PCTL_APPROX_ORACLE, tags=("agg", "approx"))
 def agg_percentile_approx(spark, sf_dir):
-    """KLL/GK-sketch approximate percentile — fixed-memory scale path;
-    sketch-specific values → rows-only."""
+    """GK-sketch approximate percentile — fixed-memory scale path.
+    Sketch output is engine-specific, so the oracled columns are the
+    exact median plus a RANK-BOUND flag: the GK guarantee is rank error
+    <= n/accuracy (1000), so the approximate median must land between
+    the exact p45 and p55 with huge margin; the oracle pins the exact
+    median and expects the flag TRUE."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5, 1000).alias("median_approx")
+        F.percentile("value", F.lit(0.5)).alias("median_exact"),
+        F.percentile_approx("value", 0.5, 1000)
+        .between(
+            F.percentile("value", F.lit(0.45)), F.percentile("value", F.lit(0.55))
+        )
+        .alias("approx_in_p45_p55"),
     )
 
 

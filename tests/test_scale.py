@@ -158,3 +158,49 @@ def test_spread_noop_when_already_wide(spark):
     out = scale.spread(docs)
     # must not re-shuffle an already-wide input (the 100 TB case)
     assert out is docs
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Z-order layout must give per-file min/max locality on BOTH
+    columns (the data-skipping property), where a lexicographic sort
+    only localizes the leading column. Rows must be preserved exactly."""
+    import os
+
+    from cdc_poc_spark.operators.scale import zorder_by
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    n_files = 16
+    z = zorder_by(li, ["l_quantity", "l_extendedprice"], n_partitions=n_files)
+    zdir = str(tmp_path / "z")
+    z.write.mode("overwrite").parquet(zdir)
+    # row preservation
+    assert spark.read.parquet(zdir).count() == li.count()
+
+    def file_spread(d, col):
+        """mean per-file (max-min)/(global max-min) — 1.0 = no locality."""
+        files = [
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+        glo = li.agg(F.min(col), F.max(col)).first()
+        lo, hi = float(glo[0]), float(glo[1])
+        spans = []
+        for f in files:
+            r = spark.read.parquet(f).agg(F.min(col), F.max(col)).first()
+            spans.append((float(r[1]) - float(r[0])) / (hi - lo))
+        return sum(spans) / len(spans)
+
+    # a plain sort on l_quantity: perfect on quantity, useless on price
+    sdir = str(tmp_path / "s")
+    li.repartitionByRange(n_files, "l_quantity").sortWithinPartitions(
+        "l_quantity"
+    ).write.mode("overwrite").parquet(sdir)
+
+    z_q, z_p = file_spread(zdir, "l_quantity"), file_spread(zdir, "l_extendedprice")
+    s_p = file_spread(sdir, "l_extendedprice")
+    # z-order: BOTH columns localized well below the no-locality baseline
+    assert z_q < 0.5 and z_p < 0.5, (z_q, z_p)
+    # lexicographic baseline leaves the second column unlocalized
+    assert s_p > 0.9, s_p
+    assert z_p < s_p / 2
