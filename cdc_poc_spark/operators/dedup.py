@@ -335,6 +335,24 @@ def exact_jaccard_pairs(
     anyone's prefix). This makes EXACT similarity join a legitimate
     scale path, not just the small-scale oracle.
 
+    Two refinements over the textbook prefix filter:
+
+    - Shingles are 64-bit-hashed ONCE (xxhash64) and all downstream
+      relations carry longs, not 3-gram strings — the token shuffle, the
+      prefix self-join key, and the verification arrays shrink ~5-10x
+      and compare as integers. Set SIZES are preserved w.h.p.
+      (collisions across ~2^64 space), so the emitted Jaccard values
+      equal the string-set values bit-for-bit — asserted against the
+      string-based quadratic twin in tests.
+    - PPJoin POSITIONAL filter: a matching prefix token at sorted
+      positions (pa, pb) bounds the overlap by 1 + min(|A|-pa, |B|-pb);
+      a pair whose best bound misses the required overlap
+      t/(1+t)*(|A|+|B|) is pruned BEFORE the verification join. All
+      numeric prune bounds carry an epsilon of slack so float rounding
+      can only under-prune (extra candidates — harmless; verification
+      is exact), never drop a true borderline pair (e.g. 0.8*5 rounding
+      above 4.0 must not require |B|>=5).
+
     The shingle projection feeds three consumers (prefix generation +
     both verification sides), so it is persisted (memory-and-disk,
     spillable) rather than recomputed 3x — measured 3x wall on the
@@ -342,9 +360,15 @@ def exact_jaccard_pairs(
     pipeline has."""
     from pyspark import StorageLevel
 
+    eps = 1e-9
     sh = (
         with_shingles(df, text_col, n)
-        .select(id_col, "shingles")
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hset"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Materialize the cache NOW: the three consumers sit in independent
@@ -353,33 +377,50 @@ def exact_jaccard_pairs(
     sh.count()
     tok = sh.select(
         F.col(id_col).alias("id"),
-        F.size("shingles").alias("sz"),
-        F.explode("shingles").alias("tok"),
+        F.size("hset").alias("sz"),
+        F.explode("hset").alias("tok"),
     )
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
     w = W.partitionBy("id").orderBy("df_tok", "tok")
     # The self-join below consumes prefix on BOTH sides; persist it too
-    # (rows are (token, id, sz) — a fraction of the token stream) so the
-    # freq-join + window subtree runs once, not twice.
+    # (rows are (token, id, sz, rk) — a fraction of the token stream) so
+    # the freq-join + window subtree runs once, not twice.
     prefix = (
         tok.join(freq, "tok")
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("tok", "id", "sz")
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+        )
+        .select("tok", "id", "sz", "rk")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefix.count()
-    # Length filter (also exact): J(A,B) >= t forces t|A| <= |B| <= |A|/t.
+    # Length filter (exact, eps-slack): J(A,B) >= t forces
+    # t|A| <= |B| <= |A|/t. Positional filter: overlap needed is
+    # alpha = t/(1+t)*(|A|+|B|); best-case overlap through this match
+    # is 1 + min(szA-rkA, szB-rkB); keep the pair iff its BEST matching
+    # occurrence clears alpha (max over matches = earliest match).
+    need = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("a.sz") + F.col("b.sz")
+    ) - eps
+    ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk")
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .filter(
             (F.col("a.id") < F.col("b.id"))
-            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
-            & (F.col("b.sz") <= F.floor(F.col("a.sz") / F.lit(threshold)))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - eps)
+            & (F.col("b.sz") <= F.col("a.sz") / F.lit(threshold) + eps)
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
+        .filter(F.col("ub") >= F.col("need"))
+        .select("id_a", "id_b")
     )
     # Verification is CPU-bound per candidate (array intersect/union),
     # not byte-bound: AQE's byte-sized coalesce would serialize it on
@@ -387,8 +428,8 @@ def exact_jaccard_pairs(
     # explicitly (row count is tiny; the hash join below broadcasts or
     # re-shuffles as usual).
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("hset").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("hset").alias("sh_b"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -85,8 +85,99 @@ def dedup_minhash_tiered_pairs(spark, sf_dir):
     """Exact-collapse-then-MinHash (the production ordering: LSH bucket
     cost is quadratic per bucket, so exact clones are collapsed first).
     Rows-only: agreement with the flat pipeline on canonical ids is
-    asserted in tests/test_llm_ops.py."""
+    asserted in tests/test_llm_ops.py; the driver-checked contract twin
+    is `dedup_minhash_tiered_recall`."""
     return dedup.minhash_tiered_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_MINHASH_RECALL_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS recall_ge_080, TRUE AS precision_is_1
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register("dedup_minhash_lsh_recall", oracle=_MINHASH_RECALL_ORACLE, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_lsh_recall(spark, sf_dir):
+    """DRIVER-CHECKED contract for `dedup_minhash_lsh_pairs` (whose raw
+    pair list is hash-seed-specific, hence rows-only): emits
+    (n_true_pairs, recall >= 0.8, precision == 1). Precision is exact by
+    construction — the pipeline verifies every LSH candidate with true
+    Jaccard inline — so EVERY emitted pair must sit in the exact truth
+    set (anti-join count 0); recall is where banding trades off. The
+    oracle pins the exact-Jaccard>=0.5 truth count and expects both
+    flags TRUE."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.exact_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
+    hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
+    spurious = lsh.join(truth, ["id_a", "id_b"], "left_anti")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(spurious.agg(F.count(F.lit(1)).alias("n_spurious")))
+        .select(
+            "n_true_pairs",
+            F.coalesce(
+                F.col("n_hits") / F.col("n_true_pairs") >= 0.8, F.lit(True)
+            ).alias("recall_ge_080"),
+            (F.col("n_spurious") == 0).alias("precision_is_1"),
+        )
+    )
+
+
+_TIERED_AGREE_ORACLE = """
+SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_canonical_docs,
+       TRUE AS pairs_agree_on_canonicals
+FROM documents
+"""
+
+
+@register("dedup_minhash_tiered_recall", oracle=_TIERED_AGREE_ORACLE, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_tiered_recall(spark, sf_dir):
+    """DRIVER-CHECKED contract for `dedup_minhash_tiered_pairs`: the
+    tiered pipeline (collapse md5-exact clones, LSH on canonicals only)
+    must emit EXACTLY the flat pipeline's pairs when both are restricted
+    to canonical ids — the documented equivalence. The oracle pins the
+    canonical-document count (COUNT DISTINCT md5(text), the tier-1
+    collapse cardinality) and expects the symmetric-difference-empty
+    flag TRUE."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("keep_id").alias("cid"))
+    )
+    flat = (
+        dedup.minhash_lsh_dedup_pairs(docs)
+        .join(canon, F.col("id_a") == F.col("cid"), "left_semi")
+        .join(canon, F.col("id_b") == F.col("cid"), "left_semi")
+        .select("id_a", "id_b")
+    )
+    tiered = dedup.minhash_tiered_pairs(docs).select("id_a", "id_b")
+    sym_diff = flat.join(tiered, ["id_a", "id_b"], "left_anti").unionByName(
+        tiered.join(flat, ["id_a", "id_b"], "left_anti")
+    )
+    return (
+        canon.agg(F.count(F.lit(1)).alias("n_canonical_docs"))
+        .crossJoin(sym_diff.agg(F.count(F.lit(1)).alias("n_diff")))
+        .select(
+            "n_canonical_docs",
+            (F.col("n_diff") == 0).alias("pairs_agree_on_canonicals"),
+        )
+    )
 
 
 _SIMHASH_RECALL_ORACLE = """
