@@ -173,3 +173,64 @@ def pipeline_corpus_curation(spark, sf_dir):
             F.sum(toks).alias("total_tokens"),
         )
     )
+
+
+_ZORDER_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS qty_localized, TRUE AS price_localized
+FROM lineitem
+"""
+
+
+@register("pipeline_zorder_layout", oracle=_ZORDER_ORACLE, tags=("pipeline", "layout"))
+def pipeline_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) layout clustering, DRIVER-CHECKED as a
+    locality contract: lineitem is clustered on (l_quantity,
+    l_extendedprice) via operators.scale.zorder_by, then each output
+    partition's min/max span is measured per column; the query emits
+    (n_rows, mean-normalized-span < 0.5 on BOTH columns). A plain
+    lexicographic sort localizes only its leading column (span ~1.0 on
+    the second — asserted in tests/test_scale.py); Z-order must localize
+    both, which is what makes parquet row-group min/max skipping work on
+    every filter column at 100 TB. The oracle pins the row count
+    (layout must lose nothing) and expects both flags TRUE."""
+    from ..operators.scale import zorder_by
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    z = zorder_by(li, ["l_quantity", "l_extendedprice"], n_partitions=16)
+    spans = (
+        z.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("q_lo"),
+            F.max("l_quantity").alias("q_hi"),
+            F.min("l_extendedprice").alias("p_lo"),
+            F.max("l_extendedprice").alias("p_hi"),
+        )
+    )
+    glo = li.agg(
+        F.min("l_quantity").alias("gq_lo"),
+        F.max("l_quantity").alias("gq_hi"),
+        F.min("l_extendedprice").alias("gp_lo"),
+        F.max("l_extendedprice").alias("gp_hi"),
+    )
+    return spans.crossJoin(F.broadcast(glo)).agg(
+        F.sum("n").alias("n_rows"),
+        (
+            F.avg(
+                (F.col("q_hi") - F.col("q_lo"))
+                / (F.col("gq_hi") - F.col("gq_lo"))
+            )
+            < 0.5
+        ).alias("qty_localized"),
+        (
+            F.avg(
+                (F.col("p_hi") - F.col("p_lo"))
+                / (F.col("gp_hi") - F.col("gp_lo"))
+            )
+            < 0.5
+        ).alias("price_localized"),
+    )
