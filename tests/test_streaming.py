@@ -570,3 +570,62 @@ def test_continuous_aggregate_crash_is_atomic(spark, tmp_path):
     )
     expect = {(r[0], round(float(r[1]), 2)) for r in expect_df.collect()}
     assert got == expect
+
+
+def test_tws_matches_applyinpandaswithstate(spark, envelope_dir, tmp_path):
+    """The transformWithStateInPandas twin must land the exact same
+    final per-key state as the applyInPandasWithState implementation —
+    two APIs, one CDC state machine."""
+    from cdc_poc_spark.cdc import envelope as env
+    from cdc_poc_spark.streaming import stateful
+
+    import pytest
+
+    if stateful.stateful_current_state_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable on this Spark")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithState state-server protocol needs google.protobuf, "
+            "absent in this container (plumbing is real; see stateful.py)"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    raw = fsrc.envelope_json_stream(spark, envelope_dir)
+    parsed = env.parse_envelope_raw(raw)
+    keyed = (
+        parsed.filter(F.col("topic") == "cdc.commerce.account")
+        .select(
+            F.get_json_object(F.coalesce("after", "before"), "$.user_id")
+            .cast("long")
+            .alias("pk"),
+            "seq",
+            "op",
+            "after",
+        )
+    )
+    out = stateful.stateful_current_state_tws(keyed)
+    (
+        out.writeStream.format("memory")
+        .queryName("tws_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    rows = spark.sql(
+        """SELECT pk, seq, alive, after FROM (
+             SELECT *, row_number() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+             FROM tws_out) WHERE rn = 1"""
+    ).collect()
+    by_pk = {r.pk: r for r in rows}
+    assert set(by_pk) == {1, 2, 3}
+    assert by_pk[1].alive is False and by_pk[1].after is None
+    assert by_pk[2].alive is True and "bob@example.com" in by_pk[2].after
+    assert by_pk[3].alive is True and "carol2@example.com" in by_pk[3].after
+    assert by_pk[3].seq == 4
