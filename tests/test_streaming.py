@@ -629,3 +629,58 @@ def test_tws_matches_applyinpandaswithstate(spark, envelope_dir, tmp_path):
     assert by_pk[2].alive is True and "bob@example.com" in by_pk[2].after
     assert by_pk[3].alive is True and "carol2@example.com" in by_pk[3].after
     assert by_pk[3].seq == 4
+
+
+def test_observe_metrics_collected_per_batch(spark, envelope_dir, tmp_path):
+    """observe() metrics must ride the streaming plan (no extra scan)
+    and surface per micro-batch through a StreamingQueryListener: op
+    mix, DLQ count, and the max-seq high-water mark across all batches
+    must equal the fixture's totals."""
+    from cdc_poc_spark.cdc import envelope as env
+    from cdc_poc_spark.streaming import observe as obs
+
+    listener = obs.CollectingListener()
+    spark.streams.addListener(listener)
+    try:
+        raw = fsrc.envelope_json_stream(spark, envelope_dir)
+        parsed = env.parse_envelope_raw(raw)
+        observed = obs.observe_cdc_metrics(parsed)
+        (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        # listener bus is async: wait for the progress events to drain
+        import time as _t
+
+        for _ in range(50):
+            if listener.metric_totals("cdc_metrics").get("n_rows") == 7:
+                break
+            _t.sleep(0.2)
+        totals = listener.metric_totals("cdc_metrics")
+        assert totals["n_rows"] == 7
+        assert totals["n_inserts"] == 5  # 3 r + 2 c
+        assert totals["n_updates"] == 1
+        assert totals["n_deletes"] == 1
+        assert totals["n_dead_letters"] == 0
+        assert totals["max_seq"] == 6
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_observe_batch_returns_metrics_with_output(spark):
+    """Batch Observation: metrics come from the SAME job that produced
+    the output — no second scan."""
+    from cdc_poc_spark.streaming.observe import observe_batch
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    n, metrics = observe_batch(
+        li.filter(F.col("l_quantity") > 10),
+        "probe",
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("qty"),
+    )
+    assert n == metrics["n"] > 0
+    assert metrics["qty"] > 0
