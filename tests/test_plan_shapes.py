@@ -44,3 +44,37 @@ def test_current_state_single_shuffle_before_window(spark):
     plan = _plan(spark, "cdc_current_state_by_segment")
     # the window's key shuffle is the ONLY hashpartitioning on user_id
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_ppjoin_exact_similarity_has_no_cartesian(spark):
+    """exact_jaccard_pairs is the EXACT similarity join on the prefix-
+    filter plan — a regression back to a cross join would be O(n^2) at
+    scale. Every join must be a hash/sort-merge equi-join."""
+    plan = _plan(spark, "dedup_ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_pipeline_has_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_is_single_range_shuffle(spark):
+    """zorder_by must cost exactly one range exchange (same as any
+    global sort) — the interleave is pure expression work."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.scale import zorder_by
+    from cdc_poc_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    z = zorder_by(li, ["l_quantity", "l_extendedprice"], n_partitions=8)
+    plan = z._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("rangepartitioning") == 1
+    assert "CartesianProduct" not in plan

@@ -204,3 +204,29 @@ def test_zorder_clusters_both_columns(spark, tmp_path):
     # lexicographic baseline leaves the second column unlocalized
     assert s_p > 0.9, s_p
     assert z_p < s_p / 2
+
+
+def test_expire_log_epochs(spark, tmp_path):
+    """Epoch retention must drop exactly the old epoch partitions (per
+    table), keep the newest N readable, and be a pure metadata op."""
+    from cdc_poc_spark.operators.scale import expire_log_epochs
+
+    log = str(tmp_path / "log")
+    for epoch in range(5):
+        (
+            spark.range(3)
+            .withColumn("table_name", F.lit("account"))
+            .withColumn("__epoch", F.lit(epoch))
+            .write.mode("append")
+            .partitionBy("table_name", "__epoch")
+            .parquet(log)
+        )
+    expired = expire_log_epochs(log, keep_last=2)
+    assert expired == [0, 1, 2]
+    remaining = spark.read.parquet(log)
+    assert sorted(
+        r["__epoch"] for r in remaining.select("__epoch").distinct().collect()
+    ) == [3, 4]
+    assert remaining.count() == 6
+    # idempotent: nothing further to expire
+    assert expire_log_epochs(log, keep_last=2) == []
