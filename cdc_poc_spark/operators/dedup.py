@@ -590,3 +590,58 @@ def minhash_tiered_pairs(
         .withColumnRenamed("n_members", "n_members_b")
         .select("id_a", "id_b", "jaccard", "n_members_a", "n_members_b")
     )
+
+
+def exact_jaccard_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(node, component) over the EXACT-Jaccard pair graph — identical
+    output to `connected_components(exact_jaccard_pairs(df))`, computed
+    with the tiered decomposition so byte-identical clones never enter
+    the similarity join:
+
+    - J(X, clone(Y)) = J(X, Y) and J(clone, clone) = 1 >= any
+      threshold, so the full pair graph is exactly (canonical-level
+      pairs expanded over clone members) ∪ (clone cliques). Components
+      therefore = canonical-graph components expanded to members, plus
+      one component per pair-less clone group of size >= 2.
+    - Component labels agree: each canonical is the MIN id of its clone
+      group, so the min over a canonical component equals the min over
+      the expanded member set.
+    - Eligibility mirrors `with_shingles` (docs with >= n tokens):
+      clone groups of too-short docs share the same token count and
+      drop out together, exactly as they are absent from the pairwise
+      formulation.
+
+    Why it matters: real corpora are clone-heavy, and clone groups are
+    quadratic INSIDE the similarity join (a 10x-replicated corpus costs
+    100x the candidate pairs — measured 124 s vs 10 s at the 10x
+    probe). Collapsing first makes the exact pair-graph clustering
+    scale with DISTINCT content, not raw row count."""
+    from .graph import connected_components
+
+    eligible = df.filter(F.size(tokens_col(text_col)) >= n)
+    fp = eligible.select(F.col(id_col).alias("__id"), F.md5(text_col).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("__id").alias("canon"), F.count(F.lit(1)).alias("sz")
+    )
+    canon_docs = df.join(
+        groups.select(F.col("canon").alias(id_col)), id_col, "semi"
+    )
+    pairs = exact_jaccard_pairs(canon_docs, id_col, text_col, n, threshold)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    clone_selfs = (
+        groups.filter(F.col("sz") >= 2)
+        .select(F.col("canon").alias("node"), F.col("canon").alias("component"))
+        .join(comp.select("node"), "node", "left_anti")
+    )
+    canon_comp = comp.unionByName(clone_selfs)
+    return (
+        fp.join(groups.select("fp", "canon"), "fp")
+        .join(canon_comp.withColumnRenamed("node", "canon"), "canon")
+        .select(F.col("__id").alias("node"), "component")
+    )
