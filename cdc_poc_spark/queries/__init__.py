@@ -50,9 +50,11 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import (  # noqa: F401
         aggregates,
         cdc_queries,
+        curation,
         joins,
         llm_ops,
         pipeline,
+        retrieval,
         scalars,
         setops,
         sqlapi,

@@ -1,0 +1,400 @@
+"""Corpus-curation queries, part 2: benchmark decontamination, PII
+redaction, greedy sequence packing, repetition scoring, token entropy,
+and domain-mixture sampling — the remaining first-class operators a
+training-data pipeline runs between raw corpus and training batches.
+
+Reference parity: the reference (thanminh24/CDC_POC) has no corpus
+operators; these extend the engine per the north-star brief. Every
+query is oracle-checked against DuckDB — including the applyInPandas
+packer, whose sequential per-group semantics DuckDB reproduces with a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import curation
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap test-set-leakage check)
+
+_DECON_N = 8
+_DECON_MIN_HITS = 3
+
+_DECON_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, array_to_string(toks[i:i+{_DECON_N - 1}], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(toks) - {_DECON_N - 1})) AS t(i)
+  WHERE len(toks) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hit_grams
+  FROM g JOIN bench b ON g.gram = b.gram
+  WHERE g.source <> 'src0'
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_hit_grams, n_hit_grams >= {_DECON_MIN_HITS} AS contaminated
+FROM hits
+"""
+
+
+@register("pipeline_decontaminate_ngram", oracle=_DECON_ORACLE, tags=("llm", "pipeline"))
+def pipeline_decontaminate_ngram(spark, sf_dir):
+    """Test-set leakage check: treat source 'src0' as the benchmark
+    slice and flag every other document sharing >= 3 distinct word
+    8-grams with it. One corpus scan feeds both join sides; the join is
+    a gram-keyed equi-join (no broadcast assumption — benchmark sets
+    can be huge), then countDistinct per doc. At 100 TB the join key
+    becomes xxhash64(gram) (fixed-width shuffle payload, same counts up
+    to 2^-64 collisions); the string key here is for bit-exact oracle
+    parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.ngram_contamination(
+        docs,
+        bench_pred=F.col("source") == "src0",
+        n=_DECON_N,
+        min_hits=_DECON_MIN_HITS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (emails/phones injected deterministically, then scrubbed)
+
+_PII_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' and backup' || doc_id || '@test.org' ELSE '' END
+              || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+FROM aug
+"""
+
+
+@register("text_pii_redaction", oracle=_PII_ORACLE, tags=("llm", "text"))
+def text_pii_redaction(spark, sf_dir):
+    """PII scrubbing audit: the synthetic corpus carries no PII, so the
+    query plants deterministic emails/phones per doc (one email + one
+    phone, a second email on every third doc), then runs the real
+    redaction operator and emits match counts + md5 of the scrubbed
+    text. The md5 makes the oracle verify the REDACTED PAYLOAD
+    byte-for-byte, not just the counts. Pure per-row regex — scan +
+    map at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" and backup"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@test.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return curation.pii_redact(aug).select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_hash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing (applyInPandas; oracle = recursive CTE)
+
+_PACK_BUDGET = 500
+
+_PACK_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, doc_id, rn, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.rn, t.n_tok,
+         CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
+              THEN p.fill + t.n_tok ELSE t.n_tok END
+  FROM pack p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tok, bin_id FROM pack
+"""
+
+
+@register("pipeline_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "pipeline"))
+def pipeline_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into a 500-token budget, per source, in
+    doc_id order — the batch-assembly step that turns a curated corpus
+    into dense training sequences. Bin fill is inherently sequential
+    state (the reset depends on the running value), so it runs as an
+    Arrow-batched applyInPandas kernel: one shuffle on the group key,
+    then a linear scan per group; groups pack fully in parallel. The
+    DuckDB oracle reproduces the exact greedy recurrence with a
+    recursive CTE — the packer's assignment is verified
+    value-for-value, not just counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    return curation.pack_greedy(with_tok, budget=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (duplicate n-gram ratio)
+
+_REP_N = 5
+
+_REP_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_REP_N}
+              THEN [array_to_string(toks[i:i+{_REP_N - 1}], ' ')
+                    FOR i IN generate_series(1, len(toks) - {_REP_N - 1})]
+              ELSE [] END AS grams
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 5)
+            ELSE 0.0 END AS rep_ratio
+FROM g
+"""
+
+
+@register("text_repetition_score", oracle=_REP_ORACLE, tags=("llm", "text"))
+def text_repetition_score(spark, sf_dir):
+    """Intra-document repetition ratio (1 - distinct/total word
+    5-grams) — the boilerplate/keyword-stuffing signal quality filters
+    threshold on. Pure per-row array expressions inside whole-stage
+    codegen; zero shuffles at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.repetition_score(docs, n=_REP_N)
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy
+
+_ENTROPY_ORACLE = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(c) AS n, SUM(c * ln(c)) AS clnc FROM c GROUP BY 1)
+SELECT doc_id, round(ln(n) - clnc / n, 5) AS token_entropy FROM n
+"""
+
+
+@register("text_token_entropy", oracle=_ENTROPY_ORACLE, tags=("llm", "text"))
+def text_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution (nats) —
+    low entropy = gibberish/boilerplate, the complement of the
+    repetition score. Exact integer counts through both aggs
+    (H = ln(n) - sum(c ln c)/n), so the only float op is the final
+    log/divide — cross-engine stable at 5 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.token_entropy(docs)
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling (deterministic per-source rates)
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.6, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+_MIX_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket,
+         CASE source
+           WHEN 'src0' THEN {_MIX_RATES['src0']}
+           WHEN 'src1' THEN {_MIX_RATES['src1']}
+           WHEN 'src2' THEN {_MIX_RATES['src2']}
+           ELSE {_MIX_DEFAULT} END AS rate
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN bucket < rate * 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM r GROUP BY source
+"""
+
+
+@register("pipeline_domain_mixture", oracle=_MIX_ORACLE, tags=("llm", "pipeline"))
+def pipeline_domain_mixture(spark, sf_dir):
+    """Domain-mixture downsampling: each source gets a target keep-rate
+    (src0 1.0, src1 0.6, src2 0.25, others 0.1) applied via the same
+    deterministic md5(doc_id) bucket both engines compute identically —
+    reweighting a 100 TB corpus toward a target domain mix without
+    rand() (reproducible across retries/partitionings). Per-row
+    expressions + one map-side-combinable agg over |sources| groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1000),
+    )
+    rate = (
+        F.when(F.col("source") == "src0", _MIX_RATES["src0"])
+        .when(F.col("source") == "src1", _MIX_RATES["src1"])
+        .when(F.col("source") == "src2", _MIX_RATES["src2"])
+        .otherwise(_MIX_DEFAULT)
+    )
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate") * 1000, 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (training-sequence prep: fixed window, overlapping stride)
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST((s.s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+         toks[s.s : s.s + {_CHUNK_SIZE - 1}] AS chunk
+  FROM d, UNNEST(generate_series(1, len(toks), {_CHUNK_STRIDE})) AS s(s)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM c
+"""
+
+
+@register("pipeline_chunk_documents", oracle=_CHUNK_ORACLE, tags=("llm", "pipeline"))
+def pipeline_chunk_documents(spark, sf_dir):
+    """Overlapping-window document chunking (64-token chunks, stride
+    48) — the sequence-prep step between curation and packing. Each
+    chunk is verified byte-for-byte via md5 of its joined tokens. Pure
+    per-row explode of a sequence of slices: no shuffle, and chunk
+    arrays are built from the already-split token array (one split per
+    doc, not per chunk). At 100 TB this is scan + flatMap with output
+    ~(1 + overlap) x input tokens — the declared stride tradeoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.expr(f"sequence(1, size(toks), {_CHUNK_STRIDE})")
+    c = d.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.expr(f"slice(toks, s, {_CHUNK_SIZE})").alias("chunk"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (symmetric, per-vector scale) + error contract
+
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, max_abs,
+         list_transform(embedding,
+                        x -> round(CAST(x AS DOUBLE) * 127.0 / max_abs)) AS qv,
+         embedding
+  FROM s
+)
+SELECT vec_id, label,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       len(list_filter(qv, x -> x <> 0)) AS q_nnz,
+       list_max(
+         list_transform(
+           list_zip(embedding, qv),
+           p -> abs(CAST(p[1] AS DOUBLE) - p[2] * max_abs / 127.0)
+         )
+       ) <= max_abs / 127.0 * 0.5000001 AS err_within_half_step
+FROM q
+"""
+
+
+@register("pipeline_embedding_quantize_int8", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def pipeline_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (scale = max_abs/127) —
+    the 4x storage/bandwidth compression an ANN deployment applies to
+    a 100 TB embedding corpus before indexing. The contract output is
+    engine-exact: quantized codes are INTEGERS (identical IEEE double
+    pipeline x*127/max_abs in both engines, then round — so q_max /
+    q_l1 / q_nnz match exactly), and reconstruction error is asserted
+    as a BOUND (max |x - dequant(q)| <= half a quantization step, with
+    1e-7 slack for the fp comparison itself), not a rounded float.
+    Pure per-row array math — scan + map at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("max_abs"),
+    )
+    q = s.withColumn(
+        "qv",
+        F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / max_abs))"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr("CAST(array_max(transform(qv, x -> abs(x))) AS BIGINT)").alias("q_max"),
+        F.expr("CAST(aggregate(qv, 0.0D, (a, x) -> a + abs(x)) AS BIGINT)").alias(
+            "q_l1"
+        ),
+        F.expr("size(filter(qv, x -> x <> 0.0D))").alias("q_nnz"),
+        F.expr(
+            "array_max(zip_with(embedding, qv,"
+            " (x, v) -> abs(CAST(x AS DOUBLE) - v * max_abs / 127.0)))"
+            " <= max_abs / 127.0 * 0.5000001"
+        ).alias("err_within_half_step"),
+    )

@@ -1,0 +1,161 @@
+"""Keyword retrieval over the documents corpus: BM25 scoring and
+inverted-index statistics — the search-side complement of the
+similarity-search operators (ANN finds near vectors; BM25 finds
+keyword-relevant docs, e.g. for targeted corpus audits or RAG-style
+retrieval over a training corpus).
+
+Reference parity: the reference (thanminh24/CDC_POC) has no retrieval
+surface; these extend the engine per the north-star brief. Both queries
+are oracle-checked against DuckDB (identical closed-form math, rounded).
+
+Scale design: BM25 for a FIXED query term set needs no inverted index —
+per-term tf is a per-row array filter (zero shuffle), and the corpus
+stats (N, avgdl, per-term df) are one map-side-combinable aggregate
+broadcast back to the scan. Top-k compiles to TakeOrderedAndProject
+(per-partition heaps, k rows to the driver side of the sort — no global
+sort). The inverted-index query is the AD-HOC-query path: one explode +
+one keyed agg, the posting-list shape a search deployment materializes
+once and reuses."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.scale import spread
+from ..tables import load_table
+from . import register
+
+#: fixed retrieval query (terms exist in the synthetic vocabulary)
+_QUERY_TERMS = ("spark", "table", "scan")
+_K1 = 1.2
+_B = 0.75
+_TOPK = 10
+
+
+def _terms_sql_list() -> str:
+    return ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+
+_BM25_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}" for i, t in enumerate(_QUERY_TERMS))}
+  FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {", ".join(f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}" for i in range(len(_QUERY_TERMS)))}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id,
+         round(
+           {" + ".join(
+               f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+               f" * b.tf_{i} * ({_K1} + 1)"
+               f" / (b.tf_{i} + {_K1} * (1 - {_B} + {_B} * b.dl / s.avgdl))"
+               for i in range(len(_QUERY_TERMS))
+           )}, 5) AS bm25
+  FROM base b CROSS JOIN stats s
+)
+SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT {_TOPK}
+"""
+
+
+@register("text_bm25_topk", oracle=_BM25_ORACLE, tags=("llm", "text", "retrieval"))
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a fixed term query (k1=1.2, b=0.75,
+    Lucene-style idf = ln(1 + (N-df+0.5)/(df+0.5))). Per-term tf is a
+    per-row array filter on the main scan (no explode, no shuffle);
+    corpus stats (N, avgdl, per-term df) are ONE map-side-combinable
+    aggregate whose single row broadcasts back onto the scan; the
+    result is orderBy+limit = TakeOrderedAndProject. A 100 TB corpus
+    costs two scans (stats, score) and moves k rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(split(text, ' '), x -> x = '{t}')"))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
+    )
+    contrib = [
+        F.log(
+            1
+            + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        * F.col(f"tf_{i}")
+        * (_K1 + 1)
+        / (F.col(f"tf_{i}") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        for i in range(len(_QUERY_TERMS))
+    ]
+    score = F.round(sum(contrib[1:], contrib[0]), 5)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_TOPK)
+    )
+
+
+_INVIDX_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+p AS (
+  SELECT term,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(COUNT(*) AS BIGINT) AS coll_freq,
+         MIN(doc_id) AS first_doc
+  FROM t WHERE term <> '' GROUP BY term
+)
+SELECT term, doc_freq, coll_freq, first_doc
+FROM p
+ORDER BY doc_freq DESC, term LIMIT 50
+"""
+
+
+@register("text_inverted_index_stats", oracle=_INVIDX_ORACLE, tags=("llm", "text", "retrieval"))
+def text_inverted_index_stats(spark, sf_dir):
+    """Inverted-index vital signs: per-term document frequency,
+    collection frequency, and first posting — the dictionary page of a
+    posting-list build, and the df source an ad-hoc BM25 would join
+    against. One explode + one term-keyed agg (map-side combinable:
+    partial (df-bitmapless count-distinct via per-doc distinctness,
+    coll count) per partition), then TakeOrdered 50. At 100 TB the
+    posting lists themselves would be written bucketed by term; the
+    stats query shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("coll_freq"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(50)
+    )

@@ -210,3 +210,128 @@ def tw_time_rollup_hierarchy(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec("value", VAL)).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + linear interpolation over an hourly series per event_type.
+# ---------------------------------------------------------------------------
+
+_HR_US = 3_600 * 1_000_000
+
+_GAP_FILL_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // {_HR_US} AS hr,
+         (2000 * SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) + COUNT(*))
+           // (2 * COUNT(*)) AS avg_e5
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM bounds
+),
+j AS (
+  SELECT s.event_type, s.hr, h.avg_e5,
+         h.avg_e5 IS NOT NULL AS observed
+  FROM spine s LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+),
+w AS (
+  SELECT event_type, hr, avg_e5, observed,
+         last_value(avg_e5 IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_e5,
+         last_value(CASE WHEN observed THEN hr END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hr,
+         first_value(avg_e5 IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_e5,
+         first_value(CASE WHEN observed THEN hr END IGNORE NULLS) OVER
+           (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr
+  FROM j
+)
+SELECT event_type, hr, observed,
+       CAST(CASE
+         WHEN observed THEN avg_e5
+         WHEN prev_e5 IS NOT NULL AND next_e5 IS NOT NULL THEN
+           (2 * (prev_e5 * (next_hr - hr) + next_e5 * (hr - prev_hr))
+              + (next_hr - prev_hr)) // (2 * (next_hr - prev_hr))
+         WHEN prev_e5 IS NOT NULL THEN prev_e5
+         ELSE next_e5 END AS BIGINT) AS value_filled_e5
+FROM w
+"""
+
+
+@register("tw_gap_fill_interpolate", oracle=_GAP_FILL_ORACLE, tags=("window", "timeseries"))
+def tw_gap_fill_interpolate(spark, sf_dir):
+    """Time-series gap-fill with LINEAR INTERPOLATION (the hypertable
+    `interpolate()`/`locf` pair): per event_type, densify the hourly
+    avg-value series over each series\' own [min, max] hour spine, then
+    fill missing hours by interpolating between the nearest observed
+    neighbors (edges fall back to nearest-observed).
+
+    Everything is keyed by the series id: the spine explode, the left
+    join, and the two IGNORE-NULLS window passes all partition by
+    event_type — no global window, so 100k series on 100 TB
+    parallelize; per-series window state is one row.
+
+    Numerics: the whole pipeline is e-5 FIXED-POINT INTEGER math
+    (cents -> round-half-up scaled average -> barycentric interpolation
+    with non-negative numerators, so floor==truncate in both engines).
+    Cross-engine double rounding is NOT reproducible at rounding
+    boundaries — DuckDB rounds x*1e5 while Spark rounds the decimal
+    expansion of x, and they disagree on ties (observed one flip at
+    sf0.001) — so the contract output is the exact scaled integer."""
+    from pyspark.sql import Window as W
+
+    ev = events_with_time(spark, sf_dir)
+    cents = dec("value", VAL) * 100
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts_us DIV {_HR_US}").alias("hr"),
+            cents.cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            (
+                (F.lit(2000) * F.sum("cents") + F.count(F.lit(1)))
+                / (F.lit(2) * F.count(F.lit(1)))
+            )
+            .cast("long")  # non-negative => truncation == floor division
+            .alias("avg_e5")
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select("event_type", F.explode(F.expr("sequence(lo, hi)")).alias("hr"))
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", "avg_e5", F.col("avg_e5").isNotNull().alias("observed")
+    )
+    w_prev = W.partitionBy("event_type").orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("event_type").orderBy("hr").rowsBetween(0, W.unboundedFollowing)
+    obs_hr = F.when(F.col("observed"), F.col("hr"))
+    filled = (
+        j.withColumn("prev_e5", F.last("avg_e5", ignorenulls=True).over(w_prev))
+        .withColumn("prev_hr", F.last(obs_hr, ignorenulls=True).over(w_prev))
+        .withColumn("next_e5", F.first("avg_e5", ignorenulls=True).over(w_next))
+        .withColumn("next_hr", F.first(obs_hr, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("observed"), F.col("avg_e5"))
+        .when(
+            F.col("prev_e5").isNotNull() & F.col("next_e5").isNotNull(),
+            F.expr("(2 * (prev_e5 * (next_hr - hr) + next_e5 * (hr - prev_hr))"
+                   " + (next_hr - prev_hr)) DIV (2 * (next_hr - prev_hr))"),
+        )
+        .when(F.col("prev_e5").isNotNull(), F.col("prev_e5"))
+        .otherwise(F.col("next_e5"))
+    )
+    return filled.select(
+        "event_type", "hr", "observed",
+        interp.cast("long").alias("value_filled_e5"),
+    )

@@ -53,9 +53,24 @@ def dec(col: str, typ: str = MONEY) -> F.Column:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain parquet scan — filters/projections
     composed on top of this push down into the scan (PushedFilters /
-    ReadSchema visible in .explain)."""
+    ReadSchema visible in .explain).
+
+    Schema normalization: the engine's changelog contract is ``events.ts``
+    = int64 epoch-NANOS (the reference keeps Debezium micros-longs,
+    SURVEY §1.2; nanos here, always 1000-divisible). Fixture generations
+    have stored it both as TIMESTAMP(NANOS) parquet (read as long via
+    ``nanosAsLong``) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) —
+    normalize the latter back to the long contract at the scan so every
+    downstream query/oracle sees one type. unix_micros is exact integer
+    math; the cast to TIMESTAMP is UTC (session tz), matching how the
+    DuckDB oracle treats the naive timestamps."""
     configure_session(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
