@@ -49,6 +49,10 @@ HEADLINE = [
     "text_stats_per_doc",
     "pipeline_split_train_val",
     "pipeline_corpus_curation",
+    "pipeline_decontaminate_ngram",
+    "pipeline_pack_sequences",
+    "text_bm25_topk",
+    "tw_gap_fill_interpolate",
     "sql_revenue_by_nation_year",
 ]
 

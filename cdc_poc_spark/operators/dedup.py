@@ -430,13 +430,26 @@ def exact_jaccard_pairs(
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("hset").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("hset").alias("sh_b"))
-    return (
+    out = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", jaccard("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Materialize the (tiny) verified pair list NOW and release the two
+    # working caches. Every multi-consumer caller (connected components:
+    # count + collect + joins; recall contracts: several aggregates)
+    # would otherwise re-run the verification join per consumer, and the
+    # sh/prefix caches would leak into the session (no unpersist point
+    # once a lazy result escapes). Pairs are O(near-dup count) rows —
+    # the cheapest possible thing to pin. Locally this is a
+    # localCheckpoint; a cluster deployment with lost-executor concerns
+    # writes the same relation to a reliable checkpoint dir instead.
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    prefix.unpersist()
+    return out
 
 
 def exact_jaccard_pairs_quadratic(
