@@ -816,3 +816,64 @@ def text_top_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+_MM_FRAMES_ORACLE = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0,
+              (octet_length(encode(text)) % 100 + 1) - 1, 10)) AS frame_idx
+FROM documents
+"""
+
+
+@register("mm_frame_sample", oracle=_MM_FRAMES_ORACLE, tags=("llm", "multimodal"))
+def mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling plan (every 10th frame index per media
+    item): the fan-out a frame sampler produces, with the decode kernel
+    stubbed (frame count derives deterministically from payload size,
+    so the oracle reproduces the EXACT index explosion). Pure map-side
+    sequence explode — scan + flatMap at any scale; metadata-only, the
+    payload column is pruned from the scan."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_n=10)
+
+
+_MM_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       TRUE AS within_bounds,
+       TRUE AS shrink_only
+FROM documents
+"""
+
+
+@register("mm_resize_dims", oracle=_MM_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def mm_resize_dims(spark, sf_dir):
+    """Aspect-preserving resize through the REAL Arrow-batched
+    mapInPandas path (identity pixel kernel — codec absent in this
+    container). The contract verifies what the plumbing must guarantee:
+    the payload passes through byte-count-intact per row (exact oracle
+    on payload length), output dims stay within the 256x256 box, and
+    the kernel only ever shrinks (never upscales). Target dims are
+    computed Catalyst-side BEFORE the pandas kernel, so metadata-only
+    consumers never pay the payload transfer."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    orig = media.select(
+        F.col("media_id"),
+        F.col("meta.width").alias("w0"),
+        F.col("meta.height").alias("h0"),
+    )
+    resized = multimodal.resize_media(media, max_w=256, max_h=256)
+    return (
+        resized.join(orig, "media_id")
+        .select(
+            "media_id",
+            F.length("payload").cast("long").alias("payload_bytes"),
+            (
+                F.col("width").between(1, 256) & F.col("height").between(1, 256)
+            ).alias("within_bounds"),
+            (
+                (F.col("width") <= F.col("w0")) & (F.col("height") <= F.col("h0"))
+            ).alias("shrink_only"),
+        )
+    )

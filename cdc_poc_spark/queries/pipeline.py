@@ -234,3 +234,65 @@ def pipeline_zorder_layout(spark, sf_dir):
             < 0.5
         ).alias("price_localized"),
     )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_JOIN_ORACLE, tags=("join", "scale"))
+def join_salted_skew(spark, sf_dir):
+    """The skew-mitigation join, driver-verified for OUTPUT IDENTITY
+    with the plain equi-join: the fact side's key is salted
+    deterministically (xxhash64 of the row, no rand() — retries and
+    speculative tasks agree) and the dimension side is replicated
+    `salt` ways, so one hot key spreads over `salt` tasks instead of
+    stalling a single reducer. Semantics are unchanged for the
+    dim-unique-per-key case, which is exactly what the oracle's plain
+    JOIN asserts. At 100 TB this is the manual fallback when AQE's
+    skew-join split cannot help (e.g. a broadcast-ineligible dim with
+    one mega-key)."""
+    from ..operators.scale import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    joined = salted_join(ev, cust.select("user_id", "c_mktsegment"), on="user_id", salt=8)
+    from ..tables import VAL, dec
+
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", VAL)).cast("double").alias("total_value"),
+    )
+
+
+_GLOBAL_INDEX_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT) AS row_idx
+FROM documents
+"""
+
+
+@register("pipeline_global_index", oracle=_GLOBAL_INDEX_ORACLE, tags=("pipeline", "scale"))
+def pipeline_global_index(spark, sf_dir):
+    """Contiguous 0-based global row index in (source, doc_id) order —
+    the sharding/sampling primitive — computed WITHOUT the
+    single-partition `row_number() OVER ()` antipattern: range
+    repartition by the order key, pin the partition assignment
+    (eager localCheckpoint, so the count pass and the index pass see
+    identical partitioning), then per-partition local index + the
+    partition's cumulative offset. The oracle IS the global
+    row_number(), so the driver verifies the distributed two-pass
+    construction reproduces the single-task semantics exactly."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_index(
+        docs.select("doc_id", "source"), order_cols=["source", "doc_id"]
+    ).select("doc_id", F.col("row_idx").cast("long"))
