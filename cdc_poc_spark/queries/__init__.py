@@ -46,24 +46,34 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
 
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the
-    full registry."""
+    full registry.
+
+    Import order IS registration order, and the external driver hash-checks
+    the first 50 registry entries per round. The order below is rotated each
+    round so every query eventually gets a driver-verified correctness row:
+    round 1/2 covered aggregates, cdc_queries, curation, joins and most of
+    llm_ops; round 3 fronts the modules the driver has never seen
+    (tpch, tpch2, windows, scalars, setops, subqueries, sqlapi...).
+    The local full-sweep parity test (tests/test_oracle_parity.py) always
+    checks every oracled query regardless of order.
+    """
     from . import (  # noqa: F401
+        tpch,
+        tpch2,
+        windows,
+        scalars,
+        setops,
+        subqueries,
+        sqlapi,
+        timewindows,
+        udfs,
+        retrieval,
+        pipeline,
         aggregates,
         cdc_queries,
         curation,
         joins,
         llm_ops,
-        pipeline,
-        retrieval,
-        scalars,
-        setops,
-        sqlapi,
-        subqueries,
-        timewindows,
-        tpch,
-        tpch2,
-        udfs,
-        windows,
     )
 
     return dict(_REGISTRY)
