@@ -128,6 +128,7 @@ def pack_greedy(
     group_col: str = "source",
     id_col: str = "doc_id",
     ntok_col: str = "n_tok",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: within each group, walk documents in
     ``id_col`` order and append each to the current bin while the bin's
@@ -139,10 +140,26 @@ def pack_greedy(
     This is per-group SEQUENTIAL state (bin fill), which Catalyst
     cannot express as a window (the reset depends on the running value
     itself), so it runs as an Arrow-batched grouped-map pandas kernel —
-    one shuffle on the group key, then a linear scan per group. Bins
-    are group-local by construction, so groups (and, at 100 TB,
-    (source, shard) subgroups) pack fully in parallel."""
-    schema = f"{group_col} string, {id_col} long, {ntok_col} long, bin_id long"
+    one shuffle on the group key, then a linear scan per group.
+
+    Scale: grouping by ``group_col`` alone bounds parallelism by the
+    number of distinct groups — at 100 TB a handful of sources means a
+    handful of straggler tasks each scanning a whole source. Pass
+    ``n_shards`` to split every group into ``(group, shard)`` subgroups
+    with ``shard = pmod(id_col, n_shards)``; bins never cross shards,
+    so the kernel parallelizes as |groups| x n_shards while staying
+    deterministic and oracle-reproducible (modulo, unlike a seeded
+    hash, computes identically in any engine; swap in
+    ``pmod(xxhash64(id_col), n)`` on a cluster if id values cluster)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    keys = [group_col] + (["shard"] if n_shards else [])
+    out_schema = StructType(
+        [in_fields[group_col]]
+        + ([StructField("shard", LongType(), False)] if n_shards else [])
+        + [in_fields[id_col], in_fields[ntok_col], StructField("bin_id", LongType(), False)]
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -154,11 +171,12 @@ def pack_greedy(
                 fill += int(t)
             bins.append(b)
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
-        return pdf[[group_col, id_col, ntok_col, "bin_id"]]
+        return pdf[keys + [id_col, ntok_col, "bin_id"]]
 
-    return df.select(group_col, id_col, ntok_col).groupBy(group_col).applyInPandas(
-        pack, schema=schema
-    )
+    sel = df.select(group_col, id_col, ntok_col)
+    if n_shards:
+        sel = sel.withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("long"))
+    return sel.groupBy(*keys).applyInPandas(pack, schema=out_schema)
 
 
 def repetition_score(

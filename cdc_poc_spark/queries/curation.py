@@ -123,38 +123,46 @@ def text_pii_redaction(spark, sf_dir):
 # Greedy sequence packing (applyInPandas; oracle = recursive CTE)
 
 _PACK_BUDGET = 500
+_PACK_SHARDS = 8
 
 _PACK_ORACLE = f"""
 WITH RECURSIVE toks AS (
-  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  SELECT source, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source, doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
   FROM documents
 ),
 pack AS (
-  SELECT source, doc_id, rn, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  SELECT source, shard, doc_id, rn, n_tok,
+         CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
   FROM toks WHERE rn = 1
   UNION ALL
-  SELECT t.source, t.doc_id, t.rn, t.n_tok,
+  SELECT t.source, t.shard, t.doc_id, t.rn, t.n_tok,
          CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
               THEN p.bin_id ELSE p.bin_id + 1 END,
          CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
               THEN p.fill + t.n_tok ELSE t.n_tok END
-  FROM pack p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+  FROM pack p
+  JOIN toks t ON t.source = p.source AND t.shard = p.shard AND t.rn = p.rn + 1
 )
-SELECT source, doc_id, n_tok, bin_id FROM pack
+SELECT source, shard, doc_id, n_tok, bin_id FROM pack
 """
 
 
 @register("pipeline_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "pipeline"))
 def pipeline_pack_sequences(spark, sf_dir):
-    """Greedy sequence packing into a 500-token budget, per source, in
-    doc_id order — the batch-assembly step that turns a curated corpus
-    into dense training sequences. Bin fill is inherently sequential
-    state (the reset depends on the running value), so it runs as an
-    Arrow-batched applyInPandas kernel: one shuffle on the group key,
-    then a linear scan per group; groups pack fully in parallel. The
-    DuckDB oracle reproduces the exact greedy recurrence with a
-    recursive CTE — the packer's assignment is verified
+    """Greedy sequence packing into a 500-token budget, per
+    (source, shard), in doc_id order — the batch-assembly step that
+    turns a curated corpus into dense training sequences. Bin fill is
+    inherently sequential state (the reset depends on the running
+    value), so it runs as an Arrow-batched applyInPandas kernel: one
+    shuffle on the group key, then a linear scan per group. The shard
+    key (deterministic ``doc_id % {n}``) decouples parallelism from
+    |sources|: at 100 TB the kernel runs |sources| x n_shards tasks and
+    no task scans more than its shard. The DuckDB oracle reproduces the
+    exact greedy recurrence with a recursive CTE partitioned by the
+    same (source, shard) — the packer's assignment is verified
     value-for-value, not just counted."""
     docs = load_table(spark, sf_dir, "documents")
     with_tok = docs.select(
@@ -162,7 +170,9 @@ def pipeline_pack_sequences(spark, sf_dir):
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    return curation.pack_greedy(with_tok, budget=_PACK_BUDGET)
+    return curation.pack_greedy(
+        with_tok, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -342,7 +352,8 @@ WITH s AS (
 q AS (
   SELECT vec_id, label, max_abs,
          list_transform(embedding,
-                        x -> round(CAST(x AS DOUBLE) * 127.0 / max_abs)) AS qv,
+                        x -> round(CAST(x AS DOUBLE) * 127.0
+                                   / (CASE WHEN max_abs = 0 THEN 1.0 ELSE max_abs END))) AS qv,
          embedding
   FROM s
 )
@@ -380,9 +391,14 @@ def pipeline_embedding_quantize_int8(spark, sf_dir):
             "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
         ).alias("max_abs"),
     )
+    # All-zero vectors quantize to all-zero codes: divide by 1.0 instead of
+    # 0.0 (the oracle guards identically), so the code path never emits NaN.
     q = s.withColumn(
         "qv",
-        F.expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / max_abs))"),
+        F.expr(
+            "transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0"
+            " / (CASE WHEN max_abs = 0 THEN CAST(1.0 AS DOUBLE) ELSE max_abs END)))"
+        ),
     )
     return q.select(
         "vec_id",

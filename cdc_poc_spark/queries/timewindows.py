@@ -295,13 +295,13 @@ def tw_gap_fill_interpolate(spark, sf_dir):
             cents.cast("long").alias("cents"),
         )
         .groupBy("event_type", "hr")
-        .agg(
-            (
-                (F.lit(2000) * F.sum("cents") + F.count(F.lit(1)))
-                / (F.lit(2) * F.count(F.lit(1)))
-            )
-            .cast("long")  # non-negative => truncation == floor division
-            .alias("avg_e5")
+        .agg(F.sum("cents").alias("sum_c"), F.count(F.lit(1)).alias("n"))
+        # BIGINT DIV keeps the whole pipeline in exact integer math; double
+        # division would diverge from the oracle's `//` once the numerator
+        # approaches 2^53.
+        .select(
+            "event_type", "hr",
+            F.expr("(2000 * sum_c + n) DIV (2 * n)").alias("avg_e5"),
         )
     )
     spine = (

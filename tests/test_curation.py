@@ -55,6 +55,41 @@ def test_pack_greedy_exact_assignment(spark):
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
 
 
+def test_pack_greedy_sharded_matches_per_shard_greedy(spark):
+    """With n_shards, packing runs independently per (group, shard =
+    doc_id % n): the sharded output equals running the plain greedy
+    recurrence over each shard's doc-id-ordered slice, and bins never
+    mix shards."""
+    rows = [("s", i, 120 + 7 * (i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    out = curation.pack_greedy(df, budget=400, n_shards=4).collect()
+    assert len(out) == len(rows)
+    assert all(r.shard == r.doc_id % 4 for r in out)
+    for shard in range(4):
+        docs = sorted((i, t) for (_, i, t) in rows if i % 4 == shard)
+        fill, b, expect = 0, -1, {}
+        for i, t in docs:
+            if b < 0 or fill + t > 400:
+                b, fill = b + 1, t
+            else:
+                fill += t
+            expect[i] = b
+        got = {r.doc_id: r.bin_id for r in out if r.shard == shard}
+        assert got == expect, shard
+
+
+def test_pack_greedy_nonstring_group_col(spark):
+    """The applyInPandas schema derives the group/id/ntok field types
+    from the input schema, so a numeric group key packs correctly."""
+    rows = [(7, 1, 300), (7, 2, 300), (8, 3, 100)]
+    df = spark.createDataFrame(rows, "grp long, doc_id long, n_tok long")
+    out = curation.pack_greedy(df, budget=500, group_col="grp").collect()
+    assert {(r.grp, r.doc_id, r.bin_id) for r in out} == {
+        (7, 1, 0), (7, 2, 1), (8, 3, 0)
+    }
+    assert dict(out[0].asDict()).keys() == {"grp", "doc_id", "n_tok", "bin_id"}
+
+
 def test_ngram_contamination_detects_planted_copy(spark):
     """A candidate doc sharing a long verbatim span with a benchmark
     doc is flagged; an unrelated doc is not."""
