@@ -312,6 +312,7 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EXACT pairwise Jaccard >= threshold via prefix filtering (the
     PPJoin family — Xiao et al., "Efficient Similarity Joins for Near
@@ -443,10 +444,17 @@ def exact_jaccard_pairs(
     # would otherwise re-run the verification join per consumer, and the
     # sh/prefix caches would leak into the session (no unpersist point
     # once a lazy result escapes). Pairs are O(near-dup count) rows —
-    # the cheapest possible thing to pin. Locally this is a
-    # localCheckpoint; a cluster deployment with lost-executor concerns
-    # writes the same relation to a reliable checkpoint dir instead.
-    out = out.localCheckpoint(eager=True)
+    # the cheapest possible thing to pin. With ``checkpoint_dir`` the
+    # pin is a RELIABLE checkpoint (survives executor loss — a cluster
+    # deployment should pass one, or a lost executor after unpersist
+    # silently re-runs the whole verification join); without it, a
+    # localCheckpoint (fine on local[*] / when recompute is acceptable).
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        out = out.checkpoint(eager=True)
+    else:
+        out = out.localCheckpoint(eager=True)
     sh.unpersist()
     prefix.unpersist()
     return out

@@ -130,7 +130,10 @@ def connected_components(
     DRIVER_CC_EDGE_THRESHOLD.
     """
     nb = _symmetric(edges).localCheckpoint(eager=True)
-    if nb.count() <= driver_threshold:
+    # Size probe, not a full count: a limit(k+1) scan over the checkpointed
+    # partitions stops as soon as it has seen threshold+1 rows, so the
+    # branch decision costs O(threshold) instead of a whole count job.
+    if nb.limit(driver_threshold + 1).count() <= driver_threshold:
         return _driver_components(edges.sparkSession, nb)
     for _ in range(max_iter):
         after_large = _symmetric(_large_star(nb))

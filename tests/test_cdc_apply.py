@@ -282,6 +282,33 @@ def test_merge_sql_statement_shape():
     assert "WHEN NOT MATCHED AND s.op NOT IN ('d', 'D') THEN INSERT *" in sql
 
 
+def test_merge_sql_golden_string():
+    """Byte-exact golden for the generated MERGE statement (VERDICT r2
+    #6): with no Delta/Iceberg jar loadable in this container the SQL
+    path cannot execute, so the emitted text itself is pinned — any
+    drift in clause order, seq guards, or delete-op quoting fails here
+    rather than silently on a cluster."""
+    got = cdc_apply.merge_sql("iceberg.cdc.commerce_account", "batch", ["user_id"])
+    golden = (
+        "MERGE INTO iceberg.cdc.commerce_account t USING batch s "
+        "ON t.user_id = s.user_id "
+        "WHEN MATCHED AND s.op IN ('d', 'D') AND s.seq >= t.seq THEN DELETE "
+        "WHEN MATCHED AND s.seq >= t.seq THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.op NOT IN ('d', 'D') THEN INSERT *"
+    )
+    assert got == golden
+    got2 = cdc_apply.merge_sql(
+        "m", "v", ["a", "b"], seq_col="lsn", op_col="kind", delete_ops=("D",)
+    )
+    golden2 = (
+        "MERGE INTO m t USING v s ON t.a = s.a AND t.b = s.b "
+        "WHEN MATCHED AND s.kind IN ('D') AND s.lsn >= t.lsn THEN DELETE "
+        "WHEN MATCHED AND s.lsn >= t.lsn THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.kind NOT IN ('D') THEN INSERT *"
+    )
+    assert got2 == golden2
+
+
 def test_merge_into_dispatcher_falls_back_to_bucketed(spark, typed_log, tmp_path):
     """No Delta/Iceberg jar in this container -> detect returns None and
     merge_into takes the bucketed-parquet path with identical semantics."""

@@ -299,6 +299,28 @@ def test_lsh_mega_bucket_is_capped(spark):
     assert member_counts <= {1, 10_000}
 
 
+def test_lsh_mega_bucket_capped_for_near_identical_docs(spark):
+    """Adversarial skew the clone-collapse tier CANNOT absorb: 10k docs
+    sharing one boilerplate body but each with a unique trailing token,
+    so md5(text) differs per doc and the tiered path sees 10k distinct
+    docs whose MinHash bands still concentrate into mega-buckets. Both
+    the flat and tiered pipelines must stay bounded (cap^2-scale pair
+    counts, never ~50M) and the stats query must expose the truncation."""
+    boiler = "terms of service boilerplate common to every page " * 4
+    rows = [(i, f"{boiler}unique{i}") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = dedup.LSH_BUCKET_CAP
+    bound = 8 * cap * (cap - 1) // 2  # <= C(cap,2) per band x 8 bands
+    n_flat = dedup.minhash_lsh_dedup_pairs(df, threshold=0.5).count()
+    assert 0 < n_flat <= bound
+    n_tiered = dedup.minhash_tiered_pairs(df, threshold=0.5).count()
+    assert 0 < n_tiered <= bound
+    stats = dedup.lsh_bucket_stats(df).first()
+    assert stats.n_buckets_over_cap >= 1
+    assert stats.n_members_dropped > 0
+
+
 def test_simhash_mega_bucket_is_capped(spark):
     """Same adversarial shape through the SimHash path: identical docs
     share a simhash, so every band bucket holds all 5k — capped
@@ -309,6 +331,26 @@ def test_simhash_mega_bucket_is_capped(spark):
     cap = dedup.LSH_BUCKET_CAP
     n = dedup.simhash_near_pairs(df, max_hamming=3).count()
     assert 0 < n <= cap * (cap - 1) // 2
+
+
+def test_prefix_jaccard_reliable_checkpoint(spark, docs, tmp_path):
+    """checkpoint_dir switches the pair pin from localCheckpoint to a
+    reliable checkpoint: results are identical, the checkpoint files
+    land in the given dir, and the pairs stay consumable after the
+    working caches were released (multi-consumer pattern)."""
+    import os
+
+    ckpt = str(tmp_path / "ppjoin_ckpt")
+    out = dedup.exact_jaccard_pairs(docs, threshold=0.5, checkpoint_dir=ckpt)
+    reliable = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in out.collect()}
+    local = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert reliable == local
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+    # still consumable: count + join after the caches are gone
+    assert out.count() == len(reliable)
 
 
 def test_prefix_jaccard_equals_quadratic(spark, docs):
