@@ -69,6 +69,7 @@ def all_specs() -> dict[str, QuerySpec]:
         udfs,
         retrieval,
         pipeline,
+        analytics,
         aggregates,
         cdc_queries,
         curation,

@@ -1,0 +1,526 @@
+"""Round-3 analytic surface: statistical aggregates, binned range join,
+batch sessionization, TF-IDF retrieval, dup-rate attribution, and URL
+parsing — each a named operator with an exact DuckDB oracle.
+
+Reference parity: the reference (thanminh24/CDC_POC) implements none of
+this (no relational algebra at all — SURVEY.md §2); these extend the
+engine per the north-star brief alongside queries/llm_ops.py.
+
+Cross-engine exactness strategy (same as tables.py): every aggregate
+feeds on EXACT integers (cents / scaled ints / counts via DECIMAL
+casts), so the shuffled sums are order-independent; the final
+double-precision formulas are then the same IEEE expressions in both
+engines, and outputs are rounded for display. Doubles are never summed
+across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import MONEY, QTY, VAL, dec, events_with_time, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Higher statistical moments per group (variance / stddev / skewness)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(cents) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0)) * cents * cents) AS DOUBLE) AS s3,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n_events,
+       round(s1 / n / 100, 6) AS mean_value,
+       round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_samp_cents,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_cents,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness
+FROM s
+"""
+
+
+@register("agg_moment_stats", oracle=_MOMENTS_ORACLE, tags=("agg", "stats"))
+def agg_moment_stats(spark, sf_dir):
+    """Per-group variance/stddev/skewness from exact integer power sums
+    (sum cents, sum cents^2, sum cents^3 as DECIMAL(38) — order-
+    independent under any shuffle), then one closed-form double formula
+    per group. This is the numerically-honest shape for 100 TB: the
+    map-side combiner reduces each partition to 4 numbers per group and
+    no double is ever accumulated across rows (Spark's built-in
+    `skewness`/`var_samp` stream doubles and would not be bit-stable
+    against an independent engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (dec("value", VAL) * 100).cast("long")
+    c38 = F.col("cents").cast("decimal(38,0)")
+    s = (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("cents").cast("double").alias("s1"),
+            F.sum(c38 * F.col("cents")).cast("double").alias("s2"),
+            F.sum(c38 * F.col("cents") * F.col("cents")).cast("double").alias("s3"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    m1, m2r, m3r = s1 / n, s2 / n, s3 / n
+    return s.select(
+        "event_type",
+        "n_events",
+        F.round(s1 / n / 100, 6).alias("mean_value"),
+        F.round((s2 - s1 * s1 / n) / (n - 1), 6).alias("var_samp_cents"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_cents"),
+        F.round(
+            (m3r - 3 * m1 * m2r + 2 * F.pow(m1, F.lit(3)))
+            / F.pow(m2r - F.pow(m1, F.lit(2)), F.lit(1.5)),
+            6,
+        ).alias("skewness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation + least-squares regression per group from exact sums
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH v AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(8,1)) * 10 AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM v GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_scaled,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept_scaled
+FROM s
+"""
+
+
+@register("agg_corr_regression", oracle=_CORR_ORACLE, tags=("agg", "stats"))
+def agg_corr_regression(spark, sf_dir):
+    """Pearson correlation + least-squares slope/intercept per group
+    (quantity scaled x10, price in cents — slope/intercept are in those
+    scaled units) from the five exact co-moment sums. Same scale story
+    as agg_moment_stats: one map-side-combinable agg, five numbers per
+    group, closed-form doubles at the end — the textbook parallel
+    regression (what `regr_slope`/`corr` do internally, made exact and
+    engine-portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = (dec("l_quantity", QTY) * 10).cast("long")
+    y = (dec("l_extendedprice", MONEY) * 100).cast("long")
+    x38, y38 = F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")
+    s = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(x38 * F.col("x")).cast("double").alias("sxx"),
+            F.sum(y38 * F.col("y")).cast("double").alias("syy"),
+            F.sum(x38 * F.col("y")).cast("double").alias("sxy"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round(slope, 6).alias("slope_scaled"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (band) join via bin replication — the scalable non-equi join
+# ---------------------------------------------------------------------------
+
+#: non-uniform value bands [lo, hi) and the uniform bin width that
+#: decomposes them. Bands cover the full events.value domain.
+_BANDS = ((0, 0, 50), (1, 50, 100), (2, 100, 200), (3, 200, 350), (4, 350, 500))
+_BIN_W = 50
+
+_RANGE_ORACLE_VIEW = f"""
+WITH bands(band_id, lo, hi) AS (
+  VALUES {", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)}
+)
+SELECT b.band_id, b.lo, b.hi,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id, b.lo, b.hi
+"""
+
+
+@register("join_range_binned", oracle=_RANGE_ORACLE_VIEW, tags=("join", "range"))
+def join_range_binned(spark, sf_dir):
+    """Range (band) join done the way it survives 100 TB: a naive
+    `value BETWEEN lo AND hi` join is a BroadcastNestedLoopJoin (every
+    row tested against every band); instead each band is REPLICATED
+    onto the uniform bins it overlaps and the fact table computes
+    `bin = floor(value / width)` — turning the range join into an
+    EQUI-join on `bin` plus a residual predicate. Catalyst gets a hash
+    join, partition-parallel, no nested loop. The oracle is the plain
+    BETWEEN join (DuckDB's IEJoin handles it at fixture scale) —
+    proving the binned rewrite is semantics-preserving."""
+    bands = spark.createDataFrame(
+        list(_BANDS), "band_id int, lo int, hi int"
+    ).withColumn(
+        "bin",
+        F.explode(F.expr(f"sequence(CAST(lo / {_BIN_W} AS INT), CAST((hi - 1) / {_BIN_W} AS INT))")),
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bin", F.floor(F.col("value") / _BIN_W).cast("int")
+    )
+    return (
+        ev.join(F.broadcast(bands), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", VAL)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization with session ids (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+flag AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flag
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       MAX(ts_us) - MIN(ts_us) AS duration_us,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("tw_sessionize_ids", oracle=_SESSIONIZE_ORACLE, tags=("window", "timeseries"))
+def tw_sessionize_ids(spark, sf_dir):
+    """Batch sessionization with stable per-user session ids: a new
+    session starts after a >30-min silence (gaps-and-islands: lag ->
+    boundary flag -> running sum). Complements `tw_session_30min_by_user`
+    (session_window) by materializing the session MEMBERSHIP — the shape
+    replay/attribution pipelines join back to raw events. Both window
+    passes share ONE partitioning (user_id) — a single shuffle, then
+    per-user linear state; all time math is integer micros."""
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (dec("value", VAL) * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_new = (
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine retrieval (full-corpus norms, quantized weights)
+# ---------------------------------------------------------------------------
+
+_TFIDF_TERMS = ("spark", "table", "scan")
+_TFIDF_K = 10
+_WQ = 1_000_000  # weight quantization: w_int = round(tf * idf * 1e6)
+
+_TFIDF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM t WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round(tf.tf * ln(n.n / df.df) * {_WQ}) AS BIGINT) AS wq
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(CAST(wq AS DECIMAL(38,0)) * wq) AS DOUBLE)) AS dnorm
+  FROM w GROUP BY doc_id
+),
+qw AS (
+  SELECT term, CAST(round(ln(n.n / df.df) * {_WQ}) AS BIGINT) AS qwq
+  FROM df CROSS JOIN n WHERE term IN ({", ".join(f"'{t}'" for t in _TFIDF_TERMS)})
+),
+qnorm AS (
+  SELECT sqrt(CAST(SUM(CAST(qwq AS DECIMAL(38,0)) * qwq) AS DOUBLE)) AS qn FROM qw
+),
+dots AS (
+  SELECT w.doc_id,
+         CAST(SUM(CAST(w.wq AS DECIMAL(38,0)) * qw.qwq) AS DOUBLE) AS dot
+  FROM w JOIN qw USING (term) GROUP BY w.doc_id
+)
+SELECT d.doc_id, round(d.dot / (nr.dnorm * q.qn), 5) AS cosine
+FROM dots d JOIN norms nr USING (doc_id) CROSS JOIN qnorm q
+WHERE d.dot > 0
+ORDER BY cosine DESC, doc_id LIMIT {_TFIDF_K}
+"""
+
+
+@register("text_tfidf_cosine_topk", oracle=_TFIDF_ORACLE, tags=("llm", "text", "retrieval"))
+def text_tfidf_cosine_topk(spark, sf_dir):
+    """TF-IDF cosine retrieval with TRUE full-vocabulary document norms
+    (unlike BM25's query-terms-only scoring): explode -> per-(doc,term)
+    tf -> per-term df -> idf weights -> per-doc norm -> query-side dot
+    product -> top-k. All four shuffles are keyed (term / doc_id) and
+    map-side combinable; the query vector and its norm are broadcast
+    singletons; the result is TakeOrderedAndProject.
+
+    Exactness: weights are QUANTIZED to int64 (round(tf*idf*1e6)) before
+    any cross-row sum, so norm/dot accumulation is exact integer math in
+    both engines (double sums are order-dependent under shuffle and
+    would not be bit-stable); tf, df, N are exact counts, and ln/sqrt
+    on identical doubles are identical IEEE ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = tf.agg(F.count_distinct("doc_id").cast("double").alias("n"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")) * _WQ)
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    w38 = F.col("wq").cast("decimal(38,0)")
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(w38 * F.col("wq")).cast("double")).alias("dnorm")
+    )
+    qw = (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("term").isin(*_TFIDF_TERMS))
+        .select(
+            "term",
+            F.round(F.log(F.col("n") / F.col("df")) * _WQ).cast("long").alias("qwq"),
+        )
+    )
+    q38 = F.col("qwq").cast("decimal(38,0)")
+    qnorm = qw.agg(F.sqrt(F.sum(q38 * F.col("qwq")).cast("double")).alias("qn"))
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(w38 * F.col("qwq")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .filter(F.col("dot") > 0)
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("dnorm") * F.col("qn")), 5).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_TFIDF_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate attribution by source (dedup pairs joined back to metadata)
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+), dup_docs AS (
+  SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) AS n_dup_docs,
+       round(CAST(COUNT(dd.doc_id) AS DOUBLE) / COUNT(*), 5) AS dup_share
+FROM documents d LEFT JOIN dup_docs dd USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register("pipeline_dup_rate_by_source", oracle=_DUP_RATE_ORACLE, tags=("llm", "dedup", "pipeline"))
+def pipeline_dup_rate_by_source(spark, sf_dir):
+    """Duplication-rate attribution: which SOURCES contribute near-dups
+    (3-gram Jaccard >= 0.5) — the report a curation pipeline uses to
+    decide per-source dedup budgets. Composes the PPJoin similarity
+    join (sub-quadratic, operators/dedup.py) with a semi-join back to
+    corpus metadata: pairs -> distinct dup doc ids -> left join +
+    source rollup. The oracle recomputes the pair set quadratically in
+    DuckDB — so this also re-verifies the PPJoin output end-to-end."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs, threshold=0.5)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").alias("n_dup_docs"),
+            F.round(F.count("is_dup") / F.count(F.lit(1)), 5).alias("dup_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL synthesis + parsing (web-corpus domain attribution)
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT doc_id,
+         'https://www.' || source || '.example.com/' || lang || '/doc-'
+           || doc_id || CASE WHEN doc_id % 3 = 0 THEN '?ref=search'
+                             WHEN doc_id % 3 = 1 THEN '?ref=feed'
+                             ELSE '' END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url,
+         regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+         regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '[?&]ref=([a-z]+)', 1) AS ref
+  FROM u
+)
+SELECT host,
+       COALESCE(NULLIF(ref, ''), 'none') AS ref,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(len(path)) AS BIGINT) AS total_path_chars,
+       MIN(doc_id) AS first_doc
+FROM p GROUP BY host, COALESCE(NULLIF(ref, ''), 'none')
+"""
+
+
+@register("scalar_url_parse", oracle=_URL_ORACLE, tags=("scalar", "text"))
+def scalar_url_parse(spark, sf_dir):
+    """URL parsing + domain attribution — the host/path/query
+    decomposition every web-corpus pipeline runs before per-domain
+    dedup/quality policies. URLs are synthesized deterministically from
+    the corpus (the fixture has no URL column), then parsed with the
+    SAME regex in both engines (capture groups only — portable across
+    Java regex and RE2). Pure per-row regexp in whole-stage codegen +
+    one keyed agg; `parse_url()` would be the Spark-only shortcut, the
+    regex form is engine-portable on purpose."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?ref=search"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?ref=feed"))
+        .otherwise(F.lit("")),
+    )
+    p = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(url, r"https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, r"https?://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, r"[?&]ref=([a-z]+)", 1).alias("ref"),
+    )
+    ref = F.coalesce(F.nullif(F.col("ref"), F.lit("")), F.lit("none"))
+    return p.groupBy("host", ref.alias("ref")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.length("path")).alias("total_path_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -78,3 +78,30 @@ def test_zorder_is_single_range_shuffle(spark):
     )
     assert plan.count("rangepartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_binned_is_hash_join(spark):
+    """join_range_binned's whole point: the bin-replication rewrite
+    turns a BETWEEN band join into an equi hash join. A regression to
+    BroadcastNestedLoopJoin re-tests every row against every band."""
+    plan = _plan(spark, "join_range_binned")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_user_shuffle(spark):
+    """Both window passes and the session agg share the user_id
+    partitioning — one shuffle, not three."""
+    plan = _plan(spark, "tw_sessionize_ids")
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_tfidf_query_side_is_broadcast(spark):
+    """The query-term weights and norms are singleton/tiny relations —
+    they must broadcast; the per-term and per-doc aggs are keyed
+    shuffles (no cartesian against the corpus)."""
+    plan = _plan(spark, "text_tfidf_cosine_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan

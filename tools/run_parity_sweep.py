@@ -1,0 +1,117 @@
+"""Full-registry oracle-parity sweep — the committed evidence behind
+COVERAGE.md's per-query claims.
+
+Runs EVERY registered query through the driver contract
+(`__spark_entry__.queries()` vs `oracle_sql()` in DuckDB) with the same
+comparison the external driver applies (row count + schema + column-name-
+sorted, row-sorted value equality), and writes `PARITY_SWEEP.json` at the
+repo root: one row per query with status `green` | `no_oracle` | a
+failure description. The external driver hash-checks 50 queries per
+round; this sweep is the committed proof for the rest.
+
+Usage: python tools/run_parity_sweep.py [sf_dir] (default sf0.01 — the
+driver's correctness scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def compare(sdf, odf) -> str:
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    odf = odf.reindex(sorted(odf.columns), axis=1)
+    if list(sdf.columns) != list(odf.columns):
+        return f"schema_mismatch: {list(sdf.columns)} vs {list(odf.columns)}"
+    if len(sdf) != len(odf):
+        return f"rowcount_mismatch: {len(sdf)} vs {len(odf)}"
+    key = list(sdf.columns)
+    s = sdf.astype(str).sort_values(key).reset_index(drop=True)
+    o = odf.astype(str).sort_values(key).reset_index(drop=True)
+    if not s.equals(o):
+        n = int((s != o).any(axis=1).sum())
+        return f"value_mismatch: {n}/{len(s)} rows differ"
+    return "green"
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, oracles = e.queries(), e.oracle_sql()
+    results: dict[str, dict] = {}
+    t_start = time.time()
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf).toPandas()
+            if name not in oracles:
+                status = "no_oracle"
+                nrows = len(sdf)
+            else:
+                odf = con.execute(oracles[name]).fetchdf()
+                status = compare(sdf, odf)
+                nrows = len(sdf)
+        except Exception as exc:  # noqa: BLE001 - report, don't abort sweep
+            status, nrows = f"error: {type(exc).__name__}: {exc}", None
+        results[name] = {
+            "status": status,
+            "rows": nrows,
+            "sec": round(time.time() - t0, 2),
+        }
+        print(f"{name}: {status}")
+        spark.catalog.clearCache()
+
+    commit = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    summary = {
+        "sf_dir": sf,
+        "git_commit": commit,
+        "n_queries": len(results),
+        "n_green": sum(1 for r in results.values() if r["status"] == "green"),
+        "n_no_oracle": sum(
+            1 for r in results.values() if r["status"] == "no_oracle"
+        ),
+        "n_fail": sum(
+            1
+            for r in results.values()
+            if r["status"] not in ("green", "no_oracle")
+        ),
+        "total_sec": round(time.time() - t_start, 1),
+        "queries": results,
+    }
+    out = os.path.join(REPO, "PARITY_SWEEP.json")
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(
+        f"\n{summary['n_green']} green / {summary['n_no_oracle']} no_oracle /"
+        f" {summary['n_fail']} fail -> {out}"
+    )
+    sys.exit(1 if summary["n_fail"] else 0)
+
+
+if __name__ == "__main__":
+    main()
