@@ -82,13 +82,14 @@ def _small_star(nb: DataFrame) -> DataFrame:
     )
 
 
-def _driver_components(spark, nb: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect the (deduplicated, u<v) edge list
-    and run union-find with min-label roots on the driver. Exactly the
-    same (node, component=min reachable id) contract as the distributed
+def _driver_components(spark, rows, node_t) -> DataFrame:
+    """Small-graph fast path: union-find with min-label roots on the
+    driver over RAW edge rows (duplicates, self-loops, and either
+    orientation are all harmless to union-find — no symmetrize/distinct
+    shuffle needed, unlike the star rounds). Exactly the same
+    (node, component=min reachable id) contract as the distributed
     rounds, minus the per-round job overhead that dominates when the
     pair graph is tiny."""
-    pairs = nb.filter(F.col("u") < F.col("v")).collect()
     parent: dict = {}
 
     def find(x):
@@ -100,16 +101,18 @@ def _driver_components(spark, nb: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in pairs:
-        ra, rb = find(r.u), find(r.v)
+    for r in rows:
+        u, v = r[0], r[1]
+        if u == v:
+            continue  # self-loops carry no membership (matches _symmetric)
+        ra, rb = find(u), find(v)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min label becomes the root
-    node_t = nb.schema["u"].dataType
     out_schema = T.StructType(
         [T.StructField("node", node_t), T.StructField("component", node_t)]
     )
-    rows = [(n, find(n)) for n in list(parent)]
-    return spark.createDataFrame(rows, out_schema)
+    out = [(n, find(n)) for n in list(parent)]
+    return spark.createDataFrame(out, out_schema)
 
 
 def connected_components(
@@ -125,16 +128,23 @@ def connected_components(
     changes nothing; raises if ``max_iter`` rounds were not enough
     (log2-bounded — 20 rounds covers any practically finite graph).
 
-    A broadcast-small edge list (< ``driver_threshold`` symmetric
-    edges) short-circuits to a driver union-find — see
-    DRIVER_CC_EDGE_THRESHOLD.
+    A broadcast-small edge list (<= ``driver_threshold``//2 raw edges)
+    short-circuits to a driver union-find — see
+    DRIVER_CC_EDGE_THRESHOLD. The probe and the collect are both
+    SCAN-ONLY jobs on the raw edge relation (union-find needs neither
+    symmetrization nor dedup), so the small-graph path never pays the
+    distinct shuffle the star rounds need; only a graph that exceeds
+    the threshold pays for `_symmetric` + checkpoint.
     """
+    raw_cap = driver_threshold // 2  # raw edges expand <= 2x symmetric
+    two = edges.select(edges.columns[0], edges.columns[1])
+    # take(cap+1) short-circuits the scan; getting <= cap rows back means
+    # the relation is exhausted — probe and collect are the SAME job.
+    head = two.take(raw_cap + 1)
+    if len(head) <= raw_cap:
+        node_t = edges.schema[edges.columns[0]].dataType
+        return _driver_components(edges.sparkSession, head, node_t)
     nb = _symmetric(edges).localCheckpoint(eager=True)
-    # Size probe, not a full count: a limit(k+1) scan over the checkpointed
-    # partitions stops as soon as it has seen threshold+1 rows, so the
-    # branch decision costs O(threshold) instead of a whole count job.
-    if nb.limit(driver_threshold + 1).count() <= driver_threshold:
-        return _driver_components(edges.sparkSession, nb)
     for _ in range(max_iter):
         after_large = _symmetric(_large_star(nb))
         nxt = _symmetric(_small_star(after_large)).localCheckpoint(eager=True)
