@@ -55,6 +55,12 @@ HEADLINE = [
     "text_bm25_topk",
     "tw_gap_fill_interpolate",
     "sql_revenue_by_nation_year",
+    # round 3 additions (queries/analytics.py)
+    "agg_moment_stats",
+    "join_range_binned",
+    "tw_sessionize_ids",
+    "text_tfidf_cosine_topk",
+    "pipeline_dup_rate_by_source",
 ]
 
 

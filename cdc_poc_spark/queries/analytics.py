@@ -434,19 +434,21 @@ GROUP BY d.source
 def pipeline_dup_rate_by_source(spark, sf_dir):
     """Duplication-rate attribution: which SOURCES contribute near-dups
     (3-gram Jaccard >= 0.5) — the report a curation pipeline uses to
-    decide per-source dedup budgets. Composes the PPJoin similarity
-    join (sub-quadratic, operators/dedup.py) with a semi-join back to
-    corpus metadata: pairs -> distinct dup doc ids -> left join +
-    source rollup. The oracle recomputes the pair set quadratically in
-    DuckDB — so this also re-verifies the PPJoin output end-to-end."""
+    decide per-source dedup budgets. A doc "has a near-dup" iff it
+    appears in the pair graph, which is exactly the node set of
+    `exact_jaccard_components` — the CLONE-COLLAPSED decomposition, so
+    byte-identical clones never enter the similarity join (running the
+    PPJoin on raw docs measured 11.7x wall at the clone-heavy 10x probe
+    vs 1.3x collapsed: clone families grow candidate pairs
+    quadratically). The oracle recomputes the dup set from the
+    quadratic pair join in DuckDB — re-verifying the whole collapsed
+    decomposition end-to-end."""
     from ..operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.exact_jaccard_pairs(docs, threshold=0.5)
     dup_docs = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .union(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+        dedup.exact_jaccard_components(docs)
+        .select(F.col("node").alias("doc_id"))
         .withColumn("is_dup", F.lit(1))
     )
     return (
@@ -523,4 +525,193 @@ def scalar_url_parse(spark, sf_dir):
         F.count(F.lit(1)).alias("n_urls"),
         F.sum(F.length("path")).alias("total_path_chars"),
         F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (bounded-staleness match)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 60 * 60 * 1_000_000  # 1 hour
+
+_ASOF_TOL_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+m AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER w AS prev_view_id,
+         last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+           OVER w AS prev_view_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN ts_us - prev_view_ts <= {_ASOF_TOL_US}
+            THEN prev_view_id END AS matched_view_id,
+       CASE WHEN ts_us - prev_view_ts <= {_ASOF_TOL_US}
+            THEN ts_us - prev_view_ts END AS staleness_us
+FROM m WHERE event_type = 'purchase'
+"""
+
+
+@register("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("join", "asof", "window"))
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas merge_asof semantics):
+    each purchase matches the user's most recent preceding view only if
+    it is at most 1 hour stale — the attribution-window variant every
+    real as-of consumer needs (an unbounded as-of silently attributes
+    to arbitrarily old events). Same scale shape as
+    `join_asof_purchase_to_view`: interleave + ONE keyed window pass,
+    no range-join explosion; the tolerance is a post-window predicate,
+    not a join condition, so the plan is unchanged."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.expr("ts DIV 1000").alias("ts_us"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_id = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    prev_ts = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    fresh = (F.col("ts_us") - F.col("prev_view_ts")) <= _ASOF_TOL_US
+    return (
+        ev.withColumn("prev_view_id", prev_id)
+        .withColumn("prev_view_ts", prev_ts)
+        .filter("event_type = 'purchase'")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.when(fresh, F.col("prev_view_id")).alias("matched_view_id"),
+            F.when(fresh, F.col("ts_us") - F.col("prev_view_ts")).alias("staleness_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (distribution profiling)
+# ---------------------------------------------------------------------------
+
+_HIST_BIN_W = 25
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(FLOOR(value / {_HIST_BIN_W}) AS BIGINT) AS bin_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+h AS (
+  SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM b GROUP BY bin_id
+),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM h)
+SELECT h.bin_id, h.bin_id * {_HIST_BIN_W} AS lo,
+       (h.bin_id + 1) * {_HIST_BIN_W} AS hi,
+       h.n, h.sum_cents,
+       round(h.n / t.total, 6) AS share
+FROM h CROSS JOIN t
+"""
+
+
+@register("agg_histogram_fixed_bins", oracle=_HIST_ORACLE, tags=("agg", "stats"))
+def agg_histogram_fixed_bins(spark, sf_dir):
+    """Fixed-width histogram of events.value (bin = floor(value/25)) —
+    the distribution-profiling primitive behind data-quality dashboards
+    and z-order/bucket boundary decisions. One map-side-combinable agg
+    keyed by bin; the grand total for the share column is a broadcast
+    singleton, not a second scan (reuses the histogram itself)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.floor(F.col("value") / _HIST_BIN_W).cast("long").alias("bin_id"),
+            (dec("value", VAL) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    total = h.agg(F.sum("n").cast("double").alias("total"))
+    return h.crossJoin(F.broadcast(total)).select(
+        "bin_id",
+        (F.col("bin_id") * _HIST_BIN_W).alias("lo"),
+        ((F.col("bin_id") + 1) * _HIST_BIN_W).alias("hi"),
+        "n",
+        "sum_cents",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix (contamination between corpus slices)
+# ---------------------------------------------------------------------------
+
+_OVERLAP_N = 8
+
+_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source,
+           unnest(CASE WHEN len(toks) >= {_OVERLAP_N}
+                  THEN [array_to_string(toks[i:i+{_OVERLAP_N - 1}], ' ')
+                        FOR i IN generate_series(1, len(toks) - {_OVERLAP_N - 1})]
+                  ELSE [] END) AS gram
+    FROM t
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+@register("pipeline_source_overlap_ngrams", oracle=_OVERLAP_ORACLE, tags=("llm", "dedup", "pipeline"))
+def pipeline_source_overlap_ngrams(spark, sf_dir):
+    """Cross-source contamination matrix: distinct 8-grams shared
+    between every source pair — the slice-level view of benchmark
+    decontamination (which corpus slices leak into each other, and how
+    much). ONE scan builds the distinct (source, gram) set; the pair
+    counts come from a gram-keyed self-equi-join (never a cross join —
+    grams shared by all sources produce per-gram pair fanout bounded by
+    |sources|^2, and the DISTINCT collapse runs before the join). At
+    100 TB swap the gram string for xxhash64(gram) exactly as the
+    decontamination operator documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= _OVERLAP_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _OVERLAP_N),
+            lambda i: F.array_join(F.slice(toks, i + 1, _OVERLAP_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        docs.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    return (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
