@@ -1,6 +1,8 @@
-"""Round-3 analytic surface: statistical aggregates, binned range join,
-batch sessionization, TF-IDF retrieval, dup-rate attribution, and URL
-parsing — each a named operator with an exact DuckDB oracle.
+"""Round-3 analytic surface: statistical aggregates (moments, corr/
+regression, histogram), binned range join, as-of-with-tolerance join,
+batch sessionization, TF-IDF retrieval, dup-rate attribution,
+cross-source overlap, URL parsing, and a k-means Lloyd step — each a
+named operator with an exact DuckDB oracle.
 
 Reference parity: the reference (thanminh24/CDC_POC) implements none of
 this (no relational algebra at all — SURVEY.md §2); these extend the
@@ -714,4 +716,103 @@ def pipeline_source_overlap_ngrams(spark, sf_dir):
             F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
         )
         .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# One k-means (Lloyd) step over the embedding corpus — exact integer math
+# ---------------------------------------------------------------------------
+
+_KM_Q = 1_000_000  # component quantization: xq = round(x * 1e6)
+
+_KMEANS_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, dim,
+         CAST(round(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT) AS xq
+  FROM comp
+),
+cent AS (
+  SELECT label AS clabel, dim, CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, dim
+),
+terms AS (
+  SELECT v.vec_id, v.label, c.clabel, c.n,
+         CAST(v.xq * c.n - c.s AS DECIMAL(38,0)) AS t
+  FROM q v JOIN cent c ON c.dim = v.dim
+),
+d2 AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(t * t) AS DOUBLE) / (CAST(MIN(n) AS DOUBLE) * MIN(n)) AS dist2
+  FROM terms GROUP BY vec_id, label, clabel
+),
+assign AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+  FROM d2
+)
+SELECT label, clabel AS assigned,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM assign WHERE rn = 1
+GROUP BY label, clabel
+"""
+
+
+@register("ml_kmeans_step_assign", oracle=_KMEANS_ORACLE, tags=("llm", "similarity", "ml"))
+def ml_kmeans_step_assign(spark, sf_dir):
+    """One Lloyd iteration over the embedding corpus: centroids = per-
+    label means, every vector re-assigned to its nearest centroid
+    (squared euclidean), output = the label x assignment confusion
+    matrix — the building block of k-means/IVF codebook training run
+    AS A QUERY on the engine.
+
+    Exactness: components quantize to int64 (round(x*1e6)); the
+    distance argmin compares sum((xq*n - S)^2) / n^2 where S, n are the
+    exact centroid sums — the numerator is an exact DECIMAL(38) sum
+    (order-independent), the division is one double op per (vec,
+    centroid). No float is ever accumulated across rows in either
+    engine, so assignment ties break identically (then by centroid id).
+
+    Scale: the (vec x centroid x dim) join is the textbook distributed
+    Lloyd step — centroids are a broadcast-size relation (k x dim), the
+    per-vector work is map-side; at 100 TB with large k, the same plan
+    shards by IVF cell instead of label (see operators/similarity.py),
+    identical join shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * _KM_Q).cast("long").alias("xq"),
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    t = (F.col("xq") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    d2 = (
+        q.join(F.broadcast(cent), "dim")
+        .select("vec_id", "label", "clabel", "n", t.alias("t"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sum(F.col("t") * F.col("t")).cast("double")
+                / (F.min("n").cast("double") * F.min("n"))
+            ).alias("dist2")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "clabel")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .groupBy("label", F.col("clabel").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
