@@ -53,9 +53,13 @@ def all_specs() -> dict[str, QuerySpec]:
     round so every query eventually gets a driver-verified correctness row:
     round 1/2 covered aggregates, cdc_queries, curation, joins and most of
     llm_ops; round 3 fronts the modules the driver has never seen
-    (tpch, tpch2, windows, scalars, setops, subqueries, sqlapi...).
-    The local full-sweep parity test (tests/test_oracle_parity.py) always
-    checks every oracled query regardless of order.
+    (tpch, tpch2, windows, scalars, setops, subqueries + sqlapi's first).
+    ROUND 4 TODO: front the remaining unseen ~47 — reorder to
+    [sqlapi, timewindows, udfs, retrieval, pipeline, analytics, llm_ops,
+    ...rest] (the unseen llm_ops entries are those not in
+    CORRECTNESS_r01/r02). The local full-sweep parity test
+    (tests/test_oracle_parity.py) and the committed PARITY_SWEEP.json
+    always check every oracled query regardless of order.
     """
     from . import (  # noqa: F401
         tpch,

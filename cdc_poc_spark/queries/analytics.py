@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.scale import spread
 from ..tables import MONEY, QTY, VAL, dec, events_with_time, load_table
 from . import register
 
@@ -352,7 +353,7 @@ def text_tfidf_cosine_topk(spark, sf_dir):
     on identical doubles are identical IEEE ops."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
@@ -705,7 +706,7 @@ def pipeline_source_overlap_ngrams(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = (
-        docs.select("source", F.explode(grams).alias("gram"))
+        spread(docs).select("source", F.explode(grams).alias("gram"))
         .distinct()
     )
     return (

@@ -105,3 +105,21 @@ def test_tfidf_query_side_is_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_centroids_broadcast_no_cartesian(spark):
+    """The Lloyd step's (vector x centroid) pairing must come from the
+    broadcast dim equi-join, never a cartesian; the argmin is a keyed
+    window, not a global sort."""
+    plan = _plan(spark, "ml_kmeans_step_assign")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_histogram_single_agg_plus_broadcast_total(spark):
+    """The share column's grand total must be a broadcast singleton off
+    the histogram itself, not a second scan of events."""
+    plan = _plan(spark, "agg_histogram_fixed_bins")
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "events" in l]
+    assert len(scans) <= 2  # histogram + total both derive from one logical scan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
