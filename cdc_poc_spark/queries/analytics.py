@@ -817,3 +817,95 @@ def ml_kmeans_step_assign(spark, sf_dir):
         .groupBy("label", F.col("clabel").alias("assigned"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (signup -> view -> purchase) per user
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEP_US = 48 * 3600 * 1_000_000  # each step within 48h of the last
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t_signup
+  FROM e GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.t_signup,
+         MIN(CASE WHEN e.event_type = 'view' AND e.ts_us > s1.t_signup
+                       AND e.ts_us <= s1.t_signup + {_FUNNEL_STEP_US}
+                  THEN e.ts_us END) AS t_view
+  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, s1.t_signup
+),
+s3 AS (
+  SELECT e.user_id, s2.t_signup, s2.t_view,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s2.t_view
+                       AND e.ts_us <= s2.t_view + {_FUNNEL_STEP_US}
+                  THEN e.ts_us END) AS t_purchase
+  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, s2.t_signup, s2.t_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+       CAST(COUNT(t_view) AS BIGINT) AS n_view_after,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_after,
+       round(CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_signup), 5) AS full_conv_rate
+FROM s3
+"""
+
+
+@register("win_funnel_stages", oracle=_FUNNEL_ORACLE, tags=("window", "analytics"))
+def win_funnel_stages(spark, sf_dir):
+    """ORDERED funnel: users who signed up, then viewed AFTER the
+    signup (within 48h), then purchased after that view (within 48h)
+    — the sequence-matching query behind conversion dashboards (order
+    AND recency matter: a purchase before the view, or months later,
+    does not count). Three conditional-min aggregations
+    chained per user; each join + groupBy reuses the SAME user_id
+    partitioning, so Catalyst plans one shuffle and the funnel depth
+    adds map-side work, not exchanges. Counts are exact integers; the
+    one conversion ratio is a single double division."""
+    ev = events_with_time(spark, sf_dir).select("user_id", "event_type", "ts_us")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t_signup")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id", "t_signup")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view")
+                    & (F.col("ts_us") > F.col("t_signup"))
+                    & (F.col("ts_us") <= F.col("t_signup") + _FUNNEL_STEP_US),
+                    F.col("ts_us"),
+                )
+            ).alias("t_view")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id", "t_signup", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("t_view"))
+                    & (F.col("ts_us") <= F.col("t_view") + _FUNNEL_STEP_US),
+                    F.col("ts_us"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_view").alias("n_view_after"),
+        F.count("t_purchase").alias("n_purchase_after"),
+        F.round(
+            F.count("t_purchase").cast("double") / F.count("t_signup"), 5
+        ).alias("full_conv_rate"),
+    )
