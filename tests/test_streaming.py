@@ -684,3 +684,58 @@ def test_observe_batch_returns_metrics_with_output(spark):
     )
     assert n == metrics["n"] > 0
     assert metrics["qty"] > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch gaps-and-islands
+    query (tw_sessionize_ids), including ACROSS micro-batches: events
+    are split at a global time cut into two files consumed one per
+    trigger, so sessions spanning the cut must survive in state and
+    re-emit with the same session_id."""
+    from cdc_poc_spark.queries import all_specs
+    from cdc_poc_spark.streaming import stateful
+    from cdc_poc_spark.tables import events_with_time
+
+    ev = events_with_time(spark, SF_DIR).select("user_id", "ts_us")
+    cut = ev.approxQuantile("ts_us", [0.5], 0.0)[0]
+    d = tmp_path / "sessions_stream"
+    ev.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(str(d / "00"))
+    ev.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(str(d / "01"))
+    import glob
+    import shutil
+
+    data = d / "data"
+    data.mkdir()
+    for i, part in enumerate(["00", "01"]):
+        src = glob.glob(str(d / part / "part-*.parquet"))[0]
+        shutil.copy(src, str(data / f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+    )
+    out = stateful.stateful_sessionize(stream)
+    (
+        out.writeStream.format("memory")
+        .queryName("sessionize_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in spark.sql(
+            """SELECT user_id, session_id, n_events, start_us, end_us FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id, session_id ORDER BY n_events DESC) AS rn
+                 FROM sessionize_out) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in all_specs()["tw_sessionize_ids"].fn(spark, SF_DIR).collect()
+    }
+    assert got == batch
