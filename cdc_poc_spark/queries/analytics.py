@@ -863,11 +863,15 @@ def win_funnel_stages(spark, sf_dir):
     signup (within 48h), then purchased after that view (within 48h)
     — the sequence-matching query behind conversion dashboards (order
     AND recency matter: a purchase before the view, or months later,
-    does not count). Three conditional-min aggregations
-    chained per user; each join + groupBy reuses the SAME user_id
-    partitioning, so Catalyst plans one shuffle and the funnel depth
-    adds map-side work, not exchanges. Counts are exact integers; the
-    one conversion ratio is a single double division."""
+    does not count). Three conditional-min aggregations chained per
+    user, all keyed on user_id: at fixture scale Catalyst broadcasts
+    each stage's tiny per-user output back onto the event scan (plan
+    shows 3 user_id shuffles + BroadcastHashJoins); at 100 TB the
+    stage outputs exceed broadcast and sort-merge-join CO-PARTITIONED
+    with the next groupBy's exchange — funnel depth never multiplies
+    shuffled bytes beyond one pass of (user, ts) pairs per stage.
+    Counts are exact integers; the one conversion ratio is a single
+    double division."""
     ev = events_with_time(spark, sf_dir).select("user_id", "event_type", "ts_us")
     s1 = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t_signup")
