@@ -328,13 +328,16 @@ def exact_jaccard_pairs(
     token, never a cross join — and each candidate is then verified
     with exact Jaccard over the true shingle sets.
 
-    Shuffle profile: token-frequency groupBy (map-side combinable),
-    per-doc window to rank shingles, prefix self-equi-join, two id
-    joins for verification — all key-partitioned, no cartesian
-    anywhere. The rarest-first order keeps prefix-token buckets small
-    (a token common enough to blow up a bucket is almost never in
-    anyone's prefix). This makes EXACT similarity join a legitimate
-    scale path, not just the small-scale oracle.
+    Shuffle profile (v2): sampled common-token agg (~1/8 of docs, one
+    small shuffle + 256-row collect), then prefixes are computed PER
+    ROW (sort hset by (is_common, tok), slice) — no token-frequency
+    join, no per-doc window shuffle; the only full-size shuffles left
+    are the prefix self-equi-join and the two verification id joins —
+    all key-partitioned, no cartesian anywhere. The common-demoted
+    order keeps prefix-token buckets small (a token common enough to
+    blow up a bucket is almost never in anyone's prefix). This makes
+    EXACT similarity join a legitimate scale path, not just the
+    small-scale oracle.
 
     Two refinements over the textbook prefix filter:
 
@@ -376,27 +379,50 @@ def exact_jaccard_pairs(
     # stage branches of one job and would otherwise race the (empty)
     # cache and recompute the shingle pipeline concurrently.
     sh.count()
-    tok = sh.select(
-        F.col(id_col).alias("id"),
-        F.size("hset").alias("sz"),
-        F.explode("hset").alias("tok"),
-    )
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df_tok"))
-    w = W.partitionBy("id").orderBy("df_tok", "tok")
-    # The self-join below consumes prefix on BOTH sides; persist it too
-    # (rows are (token, id, sz, rk) — a fraction of the token stream) so
-    # the freq-join + window subtree runs once, not twice.
-    prefix = (
-        tok.join(freq, "tok")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(
-            F.col("rk")
-            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    # Prefix ORDER: any FIXED total order of tokens is correct; the
+    # selective choice demotes frequent tokens out of prefixes. The
+    # exact-frequency formulation (token-freq groupBy + tok join +
+    # per-doc row_number window) costs three shuffles of the full token
+    # stream; instead the common-token set is ESTIMATED once from a
+    # deterministic ~1/8 doc sample (top-K by sampled df, K=256 — far
+    # more than any real boilerplate vocabulary), broadcast as a
+    # literal, and each doc computes its own prefix PER ROW:
+    # sort hset by (is_common, tok) and slice the first
+    # sz - ceil(t*sz) + 1. Zero shuffles, no window, no persisted
+    # prefix relation (recomputing the per-row sort for the self-join's
+    # two sides is cheaper than a cache materialization job).
+    # Correctness does not depend on the sample: a missed common token
+    # only makes prefixes less selective (more candidates, still exact
+    # after verification) — asserted output-identical to the quadratic
+    # twin in tests regardless of sampling.
+    k_common = 256
+    sampled = sh.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(8)) == 0)
+    common = [
+        r.tok
+        for r in sampled.select(F.explode("hset").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(k_common)
+        .collect()
+    ]
+    commons_sql = "array(" + ",".join(f"{t}L" for t in common) + ")" if common else "array()"
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    ordered = F.array_sort(
+        F.expr(
+            f"transform(hset, t -> struct(CAST(array_contains({commons_sql}, t) AS INT)"
+            " AS c, t AS t))"
         )
-        .select("tok", "id", "sz", "rk")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prefix.count()
+    prefix = (
+        sh.select(
+            F.col(id_col).alias("id"),
+            F.size("hset").alias("sz"),
+            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+        )
+        .select("id", "sz", F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"))
+        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    )
     # Length filter (exact, eps-slack): J(A,B) >= t forces
     # t|A| <= |B| <= |A|/t. Positional filter: overlap needed is
     # alpha = t/(1+t)*(|A|+|B|); best-case overlap through this match
@@ -456,7 +482,6 @@ def exact_jaccard_pairs(
     else:
         out = out.localCheckpoint(eager=True)
     sh.unpersist()
-    prefix.unpersist()
     return out
 
 
