@@ -406,7 +406,11 @@ def exact_jaccard_pairs(
         .limit(k_common)
         .collect()
     ]
-    commons_sql = "array(" + ",".join(f"{t}L" for t in common) + ")" if common else "array()"
+    commons_sql = (
+        "array(" + ",".join(f"{t}L" for t in common) + ")"
+        if common
+        else "CAST(array() AS array<bigint>)"  # tiny inputs may sample 0 docs
+    )
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
     ordered = F.array_sort(
         F.expr(

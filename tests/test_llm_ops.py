@@ -367,3 +367,28 @@ def test_prefix_jaccard_equals_quadratic(spark, docs):
             for r in dedup.exact_jaccard_pairs(docs, threshold=t).collect()
         }
         assert p == q, f"threshold {t}: {len(p)} vs {len(q)} pairs"
+
+
+def test_prefix_jaccard_empty_common_sample(spark):
+    """Inputs so small the 1/8 common-token sample selects zero docs
+    must still plan and run (typed empty literal, not array<string>)."""
+    from pyspark.sql import functions as F2
+
+    base = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    miss = [
+        r.doc_id
+        for r in base.withColumn("h", F2.pmod(F2.xxhash64("doc_id"), F2.lit(8)))
+        .filter("h <> 0")
+        .limit(4)
+        .collect()
+    ]
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in miss[:2]]
+        + [(i, f"totally different text body number {i} here") for i in miss[2:]],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.exact_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(miss[0], miss[1]): 1.0}  # the two clones, nobody else
