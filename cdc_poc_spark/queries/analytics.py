@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..operators.scale import spread
 from ..tables import MONEY, QTY, VAL, dec, events_with_time, load_table
 from . import register
 
@@ -352,8 +351,14 @@ def text_tfidf_cosine_topk(spark, sf_dir):
     would not be bit-stable); tf, df, N are exact counts, and ln/sqrt
     on identical doubles are identical IEEE ops."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOTE: no spread() here — the tf subtree feeds FOUR consumers
+    # (df, norms, dots, n) and is recomputed per consumer; adding a
+    # widening shuffle multiplies through every recompute (measured
+    # 1.1 -> 3.6 s at sf0.1). At 100 TB the scan arrives multi-split
+    # (widening is a no-op) and a production deployment materializes
+    # the tf relation once instead.
     tf = (
-        spread(docs).select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
@@ -706,7 +711,7 @@ def pipeline_source_overlap_ngrams(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = (
-        spread(docs).select("source", F.explode(grams).alias("gram"))
+        docs.select("source", F.explode(grams).alias("gram"))
         .distinct()
     )
     return (
