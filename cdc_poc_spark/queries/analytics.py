@@ -918,3 +918,56 @@ def win_funnel_stages(spark, sf_dir):
             F.count("t_purchase").cast("double") / F.count("t_signup"), 5
         ).alias("full_conv_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (systematic, inclusion prob ∝ weight)
+# ---------------------------------------------------------------------------
+
+_WS_K = 20  # picks per source
+
+_WSAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT source, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(n_chars) OVER (PARTITION BY source) AS total_w
+  FROM documents
+)
+SELECT source, doc_id, n_chars,
+       CAST((cum_w * {_WS_K}) // total_w AS BIGINT) AS pick_idx
+FROM w
+WHERE (cum_w * {_WS_K}) // total_w > ((cum_w - n_chars) * {_WS_K}) // total_w
+"""
+
+
+@register("pipeline_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("llm", "pipeline", "sampling"))
+def pipeline_weighted_sample(spark, sf_dir):
+    """Deterministic WEIGHTED sampling, ~K docs per source with
+    inclusion probability proportional to n_chars (token-budget-aware
+    corpus subsetting: long documents are worth more of the budget).
+    Systematic scheme: a doc is picked iff a multiple of total_w/K
+    falls inside its cumulative-weight interval — exact BIGINT
+    cross-multiplication (cum*K DIV total), no transcendental keys, so
+    the sample is bit-reproducible across engines AND across cluster
+    topologies (the A-Res u^(1/w) formulation would hinge on libm pow
+    ulps for boundary membership). One shuffle on source (both window
+    passes share it); rescaling K or re-sampling after appends is a
+    re-scan, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_cum = (
+        W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("source")
+    d = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_cum).alias("cum_w"),
+        F.sum("n_chars").over(w_all).alias("total_w"),
+    )
+    pick = F.expr(f"(cum_w * {_WS_K}) DIV total_w")
+    prev_pick = F.expr(f"((cum_w - n_chars) * {_WS_K}) DIV total_w")
+    return d.filter(pick > prev_pick).select(
+        "source", "doc_id", "n_chars", pick.alias("pick_idx")
+    )
