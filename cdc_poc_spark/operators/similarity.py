@@ -181,38 +181,121 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.35,
+    materialize: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier 5): all pairs
-    within a blocking key whose cosine >= threshold.
+    within a blocking key whose cosine >= threshold. Output-identical to
+    the naive within-block self-join (the oracle formulation), computed
+    with CLONE COLLAPSE so byte-identical vectors never enter the join.
 
-    Blocking is what makes this sub-quadratic: the self-join is an
-    EQUI-join on `block_col` (here the label; in a 100 TB pipeline the
-    block key is an LSH bucket from `lsh_buckets` — swap the column in),
-    so only same-block vectors are compared and the shuffle is keyed by
-    block. Cosine is rounded to 5 decimals before the threshold compare
-    so pair membership is engine-reproducible."""
-    e = spread(emb).select(
-        F.col(id_col), F.col(block_col), as_double(vec_col).alias("vec")
-    ).withColumn("vnorm", norm("vec"))
-    a = e.select(
-        F.col(block_col),
-        F.col(id_col).alias("id_a"),
+    Two levels of sub-quadratic structure:
+
+    - Blocking: only same-`block_col` vectors are compared (an EQUI-join
+      keyed by block — here the label; in a 100 TB pipeline the block
+      key is an LSH bucket from `lsh_buckets`), never a cross join.
+    - Clone collapse (same rule as the Jaccard consumers —
+      dedup.exact_jaccard_components): vectors are first grouped by
+      (block, vector) — the vector itself is the grouping key, no
+      serialized fingerprint needed — so the pairwise join runs on ONE
+      representative per clone family, and the result is expanded back
+      over members. cosine(a, b) depends only on the vector values, so
+      every member pair inherits the representative pair's cosine
+      exactly, and in-family pairs all carry cosine(v, v). Real corpora
+      (and the 10x scale probe) are clone-heavy, and clones are
+      quadratic INSIDE a block — collapsing first makes join cost scale
+      with DISTINCT vectors; only the (true, unavoidable) output
+      expansion stays proportional to the clone-pair count.
+
+    The collapsed relation feeds THREE consumers (both join sides + the
+    in-family cliques). Recomputing it per branch (at most 3x one
+    map-side-combinable shuffle; the small side collapses to a
+    broadcast under AQE) measured FASTER than an eager localCheckpoint
+    pin at both sf0.1 and the 10x probe, so the default does not pin;
+    pass ``materialize=True`` on a cluster where recomputing the
+    collapse shuffle three times costs more than one checkpoint write
+    (large corpora with low clone rates).
+
+    NULL blocks are excluded (equi-join semantics, matching the oracle's
+    `a.label = b.label`). Cosine is rounded to 5 decimals before the
+    threshold compare so pair membership is engine-reproducible. A clone
+    family of m vectors holds one m-element id array in a single agg
+    buffer (8m bytes + ids) — fine up to millions of clones; the m^2/2
+    emitted pairs are the answer itself, not overhead."""
+    # No spread() here: the first groupBy exchange already widens the
+    # narrow scan, and all heavy compute (norms, dot products) happens
+    # after it — a pre-shuffle repartition would be a wasted pass.
+    e = (
+        emb.filter(F.col(block_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(block_col).alias("__blk"),
+            F.col(vec_col).alias("__raw"),
+        )
+    )
+    fams = (
+        e.groupBy("__blk", "__raw")
+        .agg(
+            F.min("__id").alias("rep"),
+            F.array_sort(F.collect_list("__id")).alias("members"),
+        )
+        .withColumn("vec", as_double("__raw"))
+        .withColumn("vnorm", norm("vec"))
+        .select("__blk", "rep", "members", "vec", "vnorm")
+    )
+    if materialize:
+        fams = fams.localCheckpoint(eager=True)
+    a = fams.select(
+        "__blk",
+        F.col("rep").alias("rep_a"),
+        F.col("members").alias("ma"),
         F.col("vec").alias("va"),
         F.col("vnorm").alias("na"),
     )
-    b = e.select(
-        F.col(block_col),
-        F.col(id_col).alias("id_b"),
+    b = fams.select(
+        "__blk",
+        F.col("rep").alias("rep_b"),
+        F.col("members").alias("mb"),
         F.col("vec").alias("vb"),
         F.col("vnorm").alias("nb"),
     )
     cos = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine")
-    return (
-        a.join(b, block_col)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos)
+    cross = (
+        a.join(b, "__blk")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("ma", "mb", cos)
         .filter(F.col("cosine") >= threshold)
+        .select(F.explode("ma").alias("x"), "mb", "cosine")
+        .select("x", F.explode("mb").alias("y"), "cosine")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "cosine",
+        )
     )
+    # In-family pairs: members are ascending, so the triangular expansion
+    # emits each unordered pair once as id_a < id_b. cosine(v, v) is
+    # computed (not assumed 1.0) so rounding matches the join formulation
+    # bit-for-bit.
+    self_cos = F.round(
+        dot("vec", "vec") / (F.col("vnorm") * F.col("vnorm")), 5
+    ).alias("cosine")
+    cliques = (
+        fams.filter(F.size("members") >= 2)
+        .select("members", self_cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p"),
+            "cosine",
+        )
+        .select("p.id_a", "p.id_b", "cosine")
+    )
+    return cross.unionByName(cliques)
 
 
 def ivf_topk(

@@ -44,23 +44,72 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
     return deco
 
 
+# Rotation bookkeeping (documented in README.md / COVERAGE.md): the external
+# driver hash-checks the FIRST 50 registry entries each round. Rounds 1-3
+# rotated module import order so 110 distinct queries got driver rows; this
+# list fronts the remaining 49 (registry keys absent from
+# CORRECTNESS_r01/r02/r03) so round 4 completes driver verification of all
+# 159. After round 4 every query has a driver row and this order stays
+# frozen. The local full sweep (tests/test_oracle_parity.py +
+# tools/run_parity_sweep.py -> PARITY_SWEEP.json) always checks every
+# oracled query regardless of this ordering.
+_ROUND4_FRONT = [
+    "sql_window_top_suppliers",
+    "sql_priority_mix_by_status",
+    "sql_setops_nation_bands",
+    "sql_exists_high_value_customers",
+    "sql_rollup_segment_counts",
+    "sql_string_shaping",
+    "sql_mom_revenue_growth",
+    "sql_order_count_bands",
+    "tw_tumbling_5min_by_type",
+    "tw_sliding_10min_step5",
+    "tw_session_30min_by_user",
+    "tw_interval_join_attribution",
+    "tw_time_rollup_hierarchy",
+    "tw_gap_fill_interpolate",
+    "udf_pandas_normalize_text",
+    "udf_pandas_grouped_agg",
+    "udf_python_udtf_tokenize",
+    "text_bm25_topk",
+    "text_inverted_index_stats",
+    "pipeline_stratified_sample",
+    "text_quality_percentile_filter",
+    "pipeline_corpus_curation",
+    "pipeline_zorder_layout",
+    "join_salted_skew",
+    "pipeline_global_index",
+    "agg_moment_stats",
+    "agg_corr_regression",
+    "join_range_binned",
+    "tw_sessionize_ids",
+    "text_tfidf_cosine_topk",
+    "pipeline_dup_rate_by_source",
+    "scalar_url_parse",
+    "join_asof_tolerance",
+    "agg_histogram_fixed_bins",
+    "pipeline_source_overlap_ngrams",
+    "ml_kmeans_step_assign",
+    "win_funnel_stages",
+    "pipeline_weighted_sample",
+    "text_lang_id_accuracy",
+    "text_doc_fingerprint",
+    "text_regex_token_count",
+    "mm_media_metadata",
+    "mm_fake_features",
+    "pipeline_split_train_val",
+    "text_top_tokens",
+    "text_token_budget_by_source",
+    "text_top_bigrams",
+    "mm_frame_sample",
+    "mm_resize_dims",
+]
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the
-    full registry.
-
-    Import order IS registration order, and the external driver hash-checks
-    the first 50 registry entries per round. The order below is rotated each
-    round so every query eventually gets a driver-verified correctness row:
-    round 1/2 covered aggregates, cdc_queries, curation, joins and most of
-    llm_ops; round 3 fronts the modules the driver has never seen
-    (tpch, tpch2, windows, scalars, setops, subqueries + sqlapi's first).
-    ROUND 4 TODO: front the remaining unseen ~47 — reorder to
-    [sqlapi, timewindows, udfs, retrieval, pipeline, analytics, llm_ops,
-    ...rest] (the unseen llm_ops entries are those not in
-    CORRECTNESS_r01/r02). The local full-sweep parity test
-    (tests/test_oracle_parity.py) and the committed PARITY_SWEEP.json
-    always check every oracled query regardless of order.
-    """
+    full registry, ordered so the ``_ROUND4_FRONT`` queries come first
+    (see the comment above that list for why)."""
     from . import (  # noqa: F401
         tpch,
         tpch2,
@@ -81,4 +130,6 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
     )
 
-    return dict(_REGISTRY)
+    front = {n: _REGISTRY[n] for n in _ROUND4_FRONT if n in _REGISTRY}
+    rest = {n: s for n, s in _REGISTRY.items() if n not in front}
+    return {**front, **rest}

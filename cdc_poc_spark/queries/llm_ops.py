@@ -459,8 +459,11 @@ WHERE round(list_sum(list_transform(range(1, len(a.vec) + 1),
 
 @register("dedup_embedding_cosine_pairs", oracle=_COS_DEDUP_ORACLE, tags=("llm", "dedup", "similarity"))
 def dedup_embedding_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (dedup tier 5), label-blocked
-    equi-join; at scale the block key is an LSH bucket instead."""
+    """Embedding-cosine near-dup pairs (dedup tier 5): label-blocked,
+    clone-collapsed — identical vectors are grouped per block and the
+    pairwise join runs on one representative per family (the oracle
+    recomputes the naive within-label all-pairs join; outputs must be
+    value-identical). See similarity.embedding_cosine_pairs."""
     return similarity.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
 
 

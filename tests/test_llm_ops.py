@@ -103,6 +103,56 @@ def test_embedding_cosine_pairs_symmetric_subset(spark, emb):
     assert len({(r.id_a, r.id_b) for r in rows}) == len(rows)
 
 
+def _naive_block_pairs(emb, threshold):
+    """The textbook within-block self-join — correctness twin for the
+    clone-collapsed formulation (mirrors the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.similarity import as_double, dot, norm
+
+    e = (
+        emb.filter(F.col("label").isNotNull())
+        .select("vec_id", "label", as_double("embedding").alias("vec"))
+        .withColumn("vnorm", norm("vec"))
+    )
+    a = e.select("label", F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("vnorm").alias("na"))
+    b = e.select("label", F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("vnorm").alias("nb"))
+    cos = F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine")
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos)
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+@pytest.mark.parametrize("materialize", [False, True])
+def test_embedding_cosine_pairs_clone_collapse_exact(spark, emb, materialize):
+    """The clone-collapsed plan must emit EXACTLY the naive within-label
+    self-join's rows on a clone-heavy input (every vector duplicated
+    under shifted ids — the 10x-probe shape, where label blocking alone
+    was measured 10.2x)."""
+    from pyspark.sql import functions as F
+
+    base = emb.limit(300)
+    offset = 1_000_000
+    clones = base.withColumn("vec_id", F.col("vec_id") + offset)
+    doubled = base.unionByName(clones)
+    got = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_cosine_pairs(
+            doubled, threshold=0.3, materialize=materialize
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in _naive_block_pairs(doubled, 0.3).collect()
+    }
+    assert got == want
+    # clone pairs (cosine 1.0 in-family) must be present
+    assert any(b == a + offset for a, b, _ in got)
+
+
 def test_media_features_shape_and_determinism(spark, docs):
     media = multimodal.synthesize_media(docs.limit(20))
     f1 = multimodal.extract_features(media).collect()
