@@ -642,6 +642,98 @@ def minhash_tiered_pairs(
     )
 
 
+def minhash_lsh_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over ALL document ids, computed with
+    clone collapse: md5-exact clones are grouped first, the flat LSH
+    pipeline (`minhash_lsh_dedup_pairs`) runs on one canonical document
+    per clone family, and the result is expanded back over members —
+    canonical pairs fan out to every member combination (identical
+    shingle sets => identical Jaccard), and clone families of >= 2
+    eligible documents emit their in-family pairs at Jaccard 1.0
+    exactly (intersection == union for identical hashed shingle sets).
+
+    Emits the same (id_a, id_b, jaccard) rows the flat pipeline emits on
+    the raw corpus (asserted in tests on a clone-doubled fixture),
+    WITHOUT paying the flat pipeline's quadratic-per-bucket cost on
+    clones: a family of m clones is 1 row in every LSH bucket instead of
+    m rows costing m(m-1)/2 candidate pairs per band. This is the same
+    rule every similarity-join consumer follows
+    (exact_jaccard_components, minhash_tiered_pairs); the flat
+    formulation stays available as the correctness twin. Eligibility
+    (>= n tokens, mirroring with_shingles) is decided once per family
+    on the canonical text — identical texts tokenize identically, so
+    short-doc clone families drop out exactly as they do flat. A clone
+    family of m docs holds one m-element id array in a single agg
+    buffer — fine up to millions; the expanded pairs are the answer
+    itself."""
+    # The canonical text rides through the collapse groupBy (min_by) so
+    # no join back to the corpus is needed — same shape as
+    # minhash_tiered_pairs; consumers that only need (canon, members)
+    # get the text column pruned by Catalyst. Eligibility (>= n tokens,
+    # mirroring with_shingles) is applied per FAMILY, not per doc —
+    # clones share their text, so one tokenize of the canonical text
+    # decides the whole family, exactly as each member would decide
+    # individually.
+    fams = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__text"),
+            F.md5(text_col).alias("__fp"),
+        )
+        .groupBy("__fp")
+        .agg(
+            F.min("__id").alias("canon"),
+            F.array_sort(F.collect_list("__id")).alias("members"),
+            F.min_by("__text", F.col("__id")).alias("__text"),
+        )
+        .filter(F.size(tokens_col("__text")) >= n)
+        # fams feeds FOUR consumers (the LSH pipeline + both member-
+        # expansion sides + the cliques); pin it once instead of
+        # recomputing the collapse groupBy per branch.
+        .localCheckpoint(eager=True)
+    )
+    canon_docs = fams.select(
+        F.col("canon").alias(id_col), F.col("__text").alias(text_col)
+    )
+    cpairs = minhash_lsh_dedup_pairs(
+        canon_docs, id_col, text_col, n, threshold, bucket_cap
+    )
+    ma = fams.select(F.col("canon").alias("id_a"), F.col("members").alias("ma"))
+    mb = fams.select(F.col("canon").alias("id_b"), F.col("members").alias("mb"))
+    cross = (
+        cpairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(F.explode("ma").alias("x"), "mb", "jaccard")
+        .select("x", F.explode("mb").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    cliques = (
+        fams.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) ->"
+                    " transform(slice(members, i + 2, size(members)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(cliques)
+
+
 def exact_jaccard_components(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -75,9 +75,14 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 
 @register("dedup_minhash_lsh_pairs", tags=("llm", "dedup", "lsh"))
 def dedup_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (tier 3, the scale path). Rows-only:
-    recall vs the exact pairs is asserted in tests/test_llm_ops.py."""
-    return dedup.minhash_lsh_dedup_pairs(load_table(spark, sf_dir, "documents"))
+    """MinHash+LSH near-dup pairs (tier 3, the scale path), clone-
+    collapsed: exact clones are grouped before banding and pairs are
+    expanded back over members, so clone families never pay the
+    quadratic-per-bucket LSH cost (same rule as every similarity-join
+    consumer). Rows-only: the flat formulation is the correctness twin
+    in tests/test_llm_ops.py; the driver-checked contract is
+    `dedup_minhash_lsh_recall`."""
+    return dedup.minhash_lsh_pairs_collapsed(load_table(spark, sf_dir, "documents"))
 
 
 @register("dedup_minhash_tiered_pairs", tags=("llm", "dedup", "lsh"))
@@ -120,7 +125,7 @@ def dedup_minhash_lsh_recall(spark, sf_dir):
     flags TRUE."""
     docs = load_table(spark, sf_dir, "documents")
     truth = dedup.exact_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
-    lsh = dedup.minhash_lsh_dedup_pairs(docs).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs_collapsed(docs).select("id_a", "id_b")
     hits = truth.join(lsh, ["id_a", "id_b"], "left_semi")
     spurious = lsh.join(truth, ["id_a", "id_b"], "left_anti")
     return (

@@ -39,6 +39,33 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
         assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def test_minhash_lsh_collapsed_equals_flat_on_clones(spark, docs):
+    """The clone-collapsed LSH pipeline must emit EXACTLY the flat
+    pipeline's (id_a, id_b, jaccard) rows on a clone-doubled corpus
+    (each doc duplicated under a shifted id — the 10x-probe shape where
+    flat LSH was measured 7.7x). Identical texts have identical hashed
+    shingle sets, so clone pairs carry Jaccard exactly 1.0 and expanded
+    pairs inherit the canonical pair's value bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    base = docs.limit(300)
+    offset = 1_000_000
+    doubled = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + offset)
+    )
+    flat = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_dedup_pairs(doubled, threshold=0.5).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs_collapsed(doubled, threshold=0.5).collect()
+    }
+    assert collapsed == flat
+    # the clone pairs themselves must be present at jaccard 1.0
+    assert any(b == a + offset and j == 1.0 for a, b, j in collapsed)
+
+
 def test_simhash_detects_near_dups(spark, docs):
     """True high-Jaccard pairs should sit close in SimHash space."""
     truth = {
