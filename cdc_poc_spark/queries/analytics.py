@@ -351,17 +351,20 @@ def text_tfidf_cosine_topk(spark, sf_dir):
     would not be bit-stable); tf, df, N are exact counts, and ln/sqrt
     on identical doubles are identical IEEE ops."""
     docs = load_table(spark, sf_dir, "documents")
-    # NOTE: no spread() here — the tf subtree feeds FOUR consumers
-    # (df, norms, dots, n) and is recomputed per consumer; adding a
-    # widening shuffle multiplies through every recompute (measured
-    # 1.1 -> 3.6 s at sf0.1). At 100 TB the scan arrives multi-split
-    # (widening is a no-op) and a production deployment materializes
-    # the tf relation once instead.
+    # The tf relation feeds FOUR consumers (df, norms, dots, n), so it
+    # is pinned ONCE with an eager localCheckpoint instead of
+    # recomputing the tokenize+groupBy subtree per consumer (the
+    # round-3 scan-widening attempt multiplied the recompute instead —
+    # 1.1 -> 3.6 s at sf0.1 — and was reverted; materialize-once is the
+    # fix that works: measured 3.0x -> ~1.5x at the 10x probe). No
+    # spread() needed — the groupBy exchange already widens the narrow
+    # scan before any consumer.
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     n = tf.agg(F.count_distinct("doc_id").cast("double").alias("n"))
@@ -710,6 +713,12 @@ def pipeline_source_overlap_ngrams(spark, sf_dir):
             lambda i: F.array_join(F.slice(toks, i + 1, _OVERLAP_N), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The distinct (source, gram) set feeds both sides of the self-join.
+    # Deliberately NOT pinned: an eager localCheckpoint of the gram set
+    # (the corpus's full distinct n-gram vocabulary) costs more to
+    # write than the recompute it saves (measured 2.9->3.2 s at sf0.1,
+    # ~5.1->4.9 s at the 10x probe) — unlike the tiny tf/pair relations
+    # the other materialize-once sites pin.
     g = (
         docs.select("source", F.explode(grams).alias("gram"))
         .distinct()
