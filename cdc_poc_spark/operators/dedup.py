@@ -478,13 +478,11 @@ def exact_jaccard_pairs(
     # pin is a RELIABLE checkpoint (survives executor loss — a cluster
     # deployment should pass one, or a lost executor after unpersist
     # silently re-runs the whole verification join); without it, a
-    # localCheckpoint (fine on local[*] / when recompute is acceptable).
-    if checkpoint_dir is not None:
-        sc = df.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
-        out = out.checkpoint(eager=True)
-    else:
-        out = out.localCheckpoint(eager=True)
+    # localCheckpoint. See scale.reliable_checkpoint for the
+    # session-global setCheckpointDir guard.
+    from .scale import reliable_checkpoint
+
+    out = reliable_checkpoint(out, checkpoint_dir)
     sh.unpersist()
     return out
 
@@ -740,6 +738,7 @@ def exact_jaccard_components(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) over the EXACT-Jaccard pair graph — identical
     output to `connected_components(exact_jaccard_pairs(df))`, computed
@@ -774,8 +773,12 @@ def exact_jaccard_components(
     canon_docs = df.join(
         groups.select(F.col("canon").alias(id_col)), id_col, "semi"
     )
-    pairs = exact_jaccard_pairs(canon_docs, id_col, text_col, n, threshold)
-    comp = connected_components(pairs.select("id_a", "id_b"))
+    pairs = exact_jaccard_pairs(
+        canon_docs, id_col, text_col, n, threshold, checkpoint_dir
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
     clone_selfs = (
         groups.filter(F.col("sz") >= 2)
         .select(F.col("canon").alias("node"), F.col("canon").alias("component"))

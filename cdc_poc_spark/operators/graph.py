@@ -119,6 +119,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     driver_threshold: int = DRIVER_CC_EDGE_THRESHOLD,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``,
     where component = the minimum node id reachable from it.
@@ -135,7 +136,15 @@ def connected_components(
     symmetrization nor dedup), so the small-graph path never pays the
     distinct shuffle the star rounds need; only a graph that exceeds
     the threshold pays for `_symmetric` + checkpoint.
+
+    ``checkpoint_dir``: when given, the per-round lineage pins are
+    RELIABLE checkpoints instead of localCheckpoint — on a cluster, a
+    lost executor otherwise silently recomputes prior star rounds (the
+    same option the PPJoin's pair pin has; see
+    scale.reliable_checkpoint for the setCheckpointDir guard).
     """
+    from .scale import reliable_checkpoint
+
     raw_cap = driver_threshold // 2  # raw edges expand <= 2x symmetric
     two = edges.select(edges.columns[0], edges.columns[1])
     # take(cap+1) short-circuits the scan; getting <= cap rows back means
@@ -144,10 +153,10 @@ def connected_components(
     if len(head) <= raw_cap:
         node_t = edges.schema[edges.columns[0]].dataType
         return _driver_components(edges.sparkSession, head, node_t)
-    nb = _symmetric(edges).localCheckpoint(eager=True)
+    nb = reliable_checkpoint(_symmetric(edges), checkpoint_dir)
     for _ in range(max_iter):
         after_large = _symmetric(_large_star(nb))
-        nxt = _symmetric(_small_star(after_large)).localCheckpoint(eager=True)
+        nxt = reliable_checkpoint(_symmetric(_small_star(after_large)), checkpoint_dir)
         # Converged iff the symmetric edge sets are identical. Both sides
         # are distinct()-ed, so two anti-join counts decide it exactly.
         changed = (
@@ -173,13 +182,17 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Assign every document a duplicate-cluster id: the minimum doc id
     of its connected component in the near-dup pair graph; singletons
     (docs in no pair) are their own cluster. One broadcast-sized join —
     the component map is |nodes-in-pairs| rows, tiny relative to the
     corpus because near-dup pairs are sparse."""
-    comp = connected_components(pairs.select(pairs.columns[0], pairs.columns[1]))
+    comp = connected_components(
+        pairs.select(pairs.columns[0], pairs.columns[1]),
+        checkpoint_dir=checkpoint_dir,
+    )
     return (
         docs.join(
             comp.withColumnRenamed("node", id_col),

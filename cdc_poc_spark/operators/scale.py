@@ -52,6 +52,40 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Eagerly pin a DataFrame, truncating lineage.
+
+    With ``checkpoint_dir``: a RELIABLE checkpoint (survives executor
+    loss — what a cluster deployment wants under an iterative or
+    multi-consumer plan). Without: ``localCheckpoint`` (executor-local
+    blocks; fine on local[*] or when recompute on loss is acceptable).
+
+    ``setCheckpointDir`` is session-global state: this helper only sets
+    it when none is set, and WARNS before overriding a different
+    existing dir (a silent redirect would send every other operator's
+    checkpoints to this directory — ADVICE r3)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    import warnings
+
+    sc = df.sparkSession.sparkContext
+    # getCheckpointDir() reports the UUID SUBDIR Spark created inside
+    # the dir passed to setCheckpointDir, so "already set to this dir"
+    # is a containment check, not equality.
+    existing = sc.getCheckpointDir()
+    if existing is None:
+        sc.setCheckpointDir(checkpoint_dir)
+    elif checkpoint_dir.rstrip("/").lstrip("/") not in existing:
+        warnings.warn(
+            f"overriding session checkpoint dir {existing!r} with "
+            f"{checkpoint_dir!r} — checkpoints elsewhere in this session "
+            "will now land there too",
+            stacklevel=3,
+        )
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

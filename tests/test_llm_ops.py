@@ -277,6 +277,32 @@ def test_connected_components_random_graph(spark):
     } == expect
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-round lineage pins of the
+    distributed star rounds from localCheckpoint to a reliable
+    checkpoint (mirrors the PPJoin's option): identical components, and
+    checkpoint files land in the given dir."""
+    import os
+    import random
+
+    from cdc_poc_spark.operators.graph import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    expect = _union_find(edges)
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            df, driver_threshold=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == expect
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+
+
 def test_lsh_clusters_agree_with_exact_graph(spark, docs):
     """Cluster assignments from LSH pairs must agree with the exact
     Jaccard pair graph on (almost) all documents — same last stage, only
