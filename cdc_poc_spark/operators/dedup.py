@@ -406,16 +406,18 @@ def exact_jaccard_pairs(
         .limit(k_common)
         .collect()
     ]
-    commons_sql = (
-        "array(" + ",".join(f"{t}L" for t in common) + ")"
-        if common
-        else "CAST(array() AS array<bigint>)"  # tiny inputs may sample 0 docs
-    )
+    # Typed array literal, not SQL text (ADVICE r3: a token equal to
+    # Long.MIN_VALUE would render as an unparseable unary-minus bigint
+    # literal in SQL; the empty cast covers tiny inputs sampling 0 docs).
+    common_arr = F.lit(common).cast("array<bigint>")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
     ordered = F.array_sort(
-        F.expr(
-            f"transform(hset, t -> struct(CAST(array_contains({commons_sql}, t) AS INT)"
-            " AS c, t AS t))"
+        F.transform(
+            "hset",
+            lambda t: F.struct(
+                F.array_contains(common_arr, t).cast("int").alias("c"),
+                t.alias("t"),
+            ),
         )
     )
     prefix = (

@@ -54,9 +54,18 @@ STATE_SCHEMA = T.StructType(
 
 
 def _apply_group(
-    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: Tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     (pk,) = key
+    if timeout_ms is not None and state.hasTimedOut:
+        # Idle key past the retention window: drop its state, emit
+        # nothing (the last update-mode row already carried the final
+        # image). A later event for this pk rebuilds from seq=-1.
+        state.remove()
+        return
     if state.exists:
         seq, alive, after = state.get
     else:
@@ -71,6 +80,8 @@ def _apply_group(
             else:  # r / c / u all carry the full after-image
                 alive, after = True, row.after
     state.update((seq, alive, after))
+    if timeout_ms is not None:
+        state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
         [{"pk": pk, "seq": seq, "alive": alive, "after": after}]
     )
@@ -79,16 +90,43 @@ def _apply_group(
 def stateful_current_state(
     keyed: DataFrame,
     timeout: str = GroupStateTimeout.NoTimeout,
+    timeout_duration_ms: int = 24 * 3600 * 1000,
 ) -> DataFrame:
     """Incremental CDC current-state over a streaming DataFrame with
     columns (pk LONG, seq LONG, op STRING, after STRING). Returns the
-    update-mode stream of per-key state changes."""
+    update-mode stream of per-key state changes.
+
+    Pass ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` to drop
+    state for keys idle longer than ``timeout_duration_ms`` (bounded
+    retention): the timed-out branch removes the key's state without
+    emitting. CAVEAT: a dropped key that later receives events rebuilds
+    from seq=-1, so stale-replay protection restarts — use only where
+    upstream cannot resurrect seqs older than the retention window."""
+    import functools
+
+    timeout_ms = _validated_timeout_ms(timeout, timeout_duration_ms)
+    fn = functools.partial(_apply_group, timeout_ms=timeout_ms)
     return keyed.groupBy("pk").applyInPandasWithState(
-        _apply_group,
+        fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=timeout,
+    )
+
+
+def _validated_timeout_ms(timeout: str, timeout_duration_ms: int) -> int | None:
+    """None for NoTimeout; the duration for ProcessingTimeTimeout;
+    reject EventTimeTimeout (needs setTimeoutTimestamp + a watermark —
+    not implemented) rather than silently never firing."""
+    if timeout == GroupStateTimeout.NoTimeout:
+        return None
+    if timeout == GroupStateTimeout.ProcessingTimeTimeout:
+        if timeout_duration_ms <= 0:
+            raise ValueError(f"timeout_duration_ms must be > 0, got {timeout_duration_ms}")
+        return timeout_duration_ms
+    raise NotImplementedError(
+        f"timeout mode {timeout!r} not supported (only NoTimeout / ProcessingTimeTimeout)"
     )
 
 
@@ -189,7 +227,10 @@ SESSION_STATE_SCHEMA = T.StructType(
 
 
 def _sessionize_group(
-    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: Tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    timeout_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     """Gaps-and-islands sessionization as explicit per-key state — the
     STREAMING twin of queries/analytics.py:tw_sessionize_ids (same gap
@@ -206,6 +247,12 @@ def _sessionize_group(
     session_window; this operator is the custom-state formulation the
     brief's applyInPandasWithState row asks for."""
     (user_id,) = key
+    if timeout_ms is not None and state.hasTimedOut:
+        # Idle key: the open session's rows were already emitted as it
+        # grew (update mode); just drop the state so it stops costing
+        # memory. See stateful_sessionize for the numbering caveat.
+        state.remove()
+        return
     if state.exists:
         session_id, start_us, last_us, n_events = state.get
     else:
@@ -221,6 +268,8 @@ def _sessionize_group(
             last_us = ts
             touched[session_id] = (n_events, start_us, last_us)
     state.update((session_id, start_us, last_us, n_events))
+    if timeout_ms is not None:
+        state.setTimeoutDuration(timeout_ms)
     if touched:
         yield pd.DataFrame(
             [
@@ -239,14 +288,26 @@ def _sessionize_group(
 def stateful_sessionize(
     events: DataFrame,
     timeout: str = GroupStateTimeout.NoTimeout,
+    timeout_duration_ms: int = SESSION_GAP_US // 1000,
 ) -> DataFrame:
     """Streaming sessionization over a DataFrame with columns
     (user_id LONG, ts_us LONG). Update-mode stream of per-session
-    running stats; session ids are stable and 1-based per user. Pass a
-    ProcessingTimeTimeout to close idle sessions and drop their state
-    (state is otherwise O(active keys))."""
+    running stats; session ids are stable and 1-based per user.
+
+    Pass ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` to drop
+    state for users idle longer than ``timeout_duration_ms`` of
+    PROCESSING time (default: the session gap), keeping state O(active
+    keys): the timed-out branch removes the key's state without
+    emitting (every session row was already emitted as it grew).
+    CAVEAT: a user who returns after the drop restarts session
+    numbering at 1 — session_id is unique per (user, state lifetime),
+    not globally per user, once idle-reaping is on."""
+    import functools
+
+    timeout_ms = _validated_timeout_ms(timeout, timeout_duration_ms)
+    fn = functools.partial(_sessionize_group, timeout_ms=timeout_ms)
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",

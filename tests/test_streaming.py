@@ -739,3 +739,89 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in all_specs()["tw_sessionize_ids"].fn(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState — lets the timeout
+    branches of the stateful group functions be unit-tested without
+    driving wall-clock processing-time timeouts through a real stream."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
+
+
+def test_sessionize_timeout_branch_drops_state():
+    """ADVICE r3: a configured timeout must actually fire — the
+    timed-out invocation removes the key's state and emits nothing, and
+    every normal invocation re-arms the timeout duration."""
+    import pandas as pd
+
+    from cdc_poc_spark.streaming.stateful import _sessionize_group
+
+    # timed-out call: state dropped, nothing emitted
+    st = _FakeGroupState(value=(3, 100, 200, 5), timed_out=True)
+    out = list(_sessionize_group((1,), iter([]), st, timeout_ms=60000))
+    assert out == [] and st.removed and not st.exists
+
+    # normal call with timeout configured: emits and re-arms the clock
+    st2 = _FakeGroupState()
+    pdf = pd.DataFrame({"ts_us": [10, 20]})
+    out2 = list(_sessionize_group((1,), iter([pdf]), st2, timeout_ms=60000))
+    assert len(out2) == 1 and st2.timeout_set_ms == 60000
+    assert st2.get == (1, 10, 20, 2)
+
+    # no timeout configured: setTimeoutDuration must NOT be called
+    # (raises under NoTimeout in the real GroupState)
+    st3 = _FakeGroupState()
+    list(_sessionize_group((1,), iter([pdf]), st3, timeout_ms=None))
+    assert st3.timeout_set_ms is None
+
+
+def test_current_state_timeout_branch_drops_state():
+    import pandas as pd
+
+    from cdc_poc_spark.streaming.stateful import _apply_group
+
+    st = _FakeGroupState(value=(7, True, "{}"), timed_out=True)
+    out = list(_apply_group((1,), iter([]), st, timeout_ms=1000))
+    assert out == [] and st.removed
+
+    st2 = _FakeGroupState()
+    pdf = pd.DataFrame({"seq": [1], "op": ["c"], "after": ["{\"a\":1}"]})
+    out2 = list(_apply_group((1,), iter([pdf]), st2, timeout_ms=1000))
+    assert len(out2) == 1 and st2.timeout_set_ms == 1000
+
+
+def test_validated_timeout_ms_rejects_event_time():
+    import pytest as _pytest
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from cdc_poc_spark.streaming.stateful import _validated_timeout_ms
+
+    assert _validated_timeout_ms(GroupStateTimeout.NoTimeout, 5) is None
+    assert _validated_timeout_ms(GroupStateTimeout.ProcessingTimeTimeout, 5) == 5
+    with _pytest.raises(NotImplementedError):
+        _validated_timeout_ms(GroupStateTimeout.EventTimeTimeout, 5)
+    with _pytest.raises(ValueError):
+        _validated_timeout_ms(GroupStateTimeout.ProcessingTimeTimeout, 0)
