@@ -441,24 +441,24 @@ GROUP BY d.source
 """
 
 
-@register("pipeline_dup_rate_by_source", oracle=_DUP_RATE_ORACLE, tags=("llm", "dedup", "pipeline"))
-def pipeline_dup_rate_by_source(spark, sf_dir):
-    """Duplication-rate attribution: which SOURCES contribute near-dups
-    (3-gram Jaccard >= 0.5) — the report a curation pipeline uses to
-    decide per-source dedup budgets. A doc "has a near-dup" iff it
-    appears in the pair graph, which is exactly the node set of
-    `exact_jaccard_components` — the CLONE-COLLAPSED decomposition, so
-    byte-identical clones never enter the similarity join (running the
-    PPJoin on raw docs measured 11.7x wall at the clone-heavy 10x probe
-    vs 1.3x collapsed: clone families grow candidate pairs
-    quadratically). The oracle recomputes the dup set from the
-    quadratic pair join in DuckDB — re-verifying the whole collapsed
-    decomposition end-to-end."""
+def dup_rate_by_source(docs, components=None):
+    """Per-source near-dup share from the exact-Jaccard pair graph.
+
+    ``components``: optionally pass a PRECOMPUTED
+    `dedup.exact_jaccard_components(docs)` result. The decomposition
+    (clone collapse -> PPJoin -> connected components) is the expensive
+    stage, and several reports consume it (this one, `dedup_cc_clusters`,
+    canonical picks); a composed pipeline should compute it ONCE —
+    ideally pinned via its `checkpoint_dir` — and fan out, instead of
+    paying it per report. The registered queries stay independent
+    (each is a self-contained user entry point; the driver and bench
+    measure them that way — see PLANS.md)."""
     from ..operators import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    if components is None:
+        components = dedup.exact_jaccard_components(docs)
     dup_docs = (
-        dedup.exact_jaccard_components(docs)
+        components
         .select(F.col("node").alias("doc_id"))
         .withColumn("is_dup", F.lit(1))
     )
@@ -471,6 +471,23 @@ def pipeline_dup_rate_by_source(spark, sf_dir):
             F.round(F.count("is_dup") / F.count(F.lit(1)), 5).alias("dup_share"),
         )
     )
+
+
+@register("pipeline_dup_rate_by_source", oracle=_DUP_RATE_ORACLE, tags=("llm", "dedup", "pipeline"))
+def pipeline_dup_rate_by_source(spark, sf_dir):
+    """Duplication-rate attribution: which SOURCES contribute near-dups
+    (3-gram Jaccard >= 0.5) — the report a curation pipeline uses to
+    decide per-source dedup budgets. A doc "has a near-dup" iff it
+    appears in the pair graph, which is exactly the node set of
+    `exact_jaccard_components` — the CLONE-COLLAPSED decomposition, so
+    byte-identical clones never enter the similarity join (running the
+    PPJoin on raw docs measured 11.7x wall at the clone-heavy 10x probe
+    vs 1.3x collapsed: clone families grow candidate pairs
+    quadratically). The oracle recomputes the dup set from the
+    quadratic pair join in DuckDB — re-verifying the whole collapsed
+    decomposition end-to-end. See `dup_rate_by_source` for sharing the
+    decomposition across reports in a composed pipeline."""
+    return dup_rate_by_source(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

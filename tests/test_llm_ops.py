@@ -303,6 +303,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
 
 
+def test_dup_rate_precomputed_components_identical(spark, docs):
+    """dup_rate_by_source(docs, components=...) lets a composed pipeline
+    reuse one exact_jaccard_components run across reports; results must
+    be identical to the self-contained path."""
+    from cdc_poc_spark.queries.analytics import dup_rate_by_source
+
+    comp = dedup.exact_jaccard_components(docs)
+    a = {tuple(r) for r in dup_rate_by_source(docs).collect()}
+    b = {tuple(r) for r in dup_rate_by_source(docs, components=comp).collect()}
+    assert a == b and a
+
+
 def test_lsh_clusters_agree_with_exact_graph(spark, docs):
     """Cluster assignments from LSH pairs must agree with the exact
     Jaccard pair graph on (almost) all documents — same last stage, only
