@@ -148,3 +148,58 @@ def regex_token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         ),
         F.length(text_col).alias("n_chars"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram log-probability — the cheap stand-in for
+    model-perplexity quality filtering (docs whose tokens are unlikely
+    under the corpus's own unigram LM are boilerplate/garbled/foreign):
+    score(d) = mean over tokens t of ln p(t), p(t) = corpus count(t) /
+    total tokens.
+
+    Cross-engine exactness: each token's ln p is QUANTIZED to int64
+    micro-nats (round(ln(c/total) * 1e6)) BEFORE the per-doc sum, so
+    cross-row accumulation is exact integer math (double sums are
+    shuffle-order-dependent); c and total are exact counts, and ln on
+    identical doubles is the same IEEE op in Spark and DuckDB. The
+    reported mean floors an exact-integer/bigint double division —
+    identical in both engines on identical inputs.
+
+    Scale shape: one token explode feeding a map-side-combinable
+    groupBy(token) (the LM), a broadcast single-row total, a token-keyed
+    join back (hash join, no fanout — one LM row per token value), and
+    a groupBy(doc). No collect, no UDF; vocabulary lives distributed,
+    never on the driver."""
+    tok = (
+        spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("c").cast("double") / F.col("total").cast("double")) * 1e6
+        )
+        .cast("long")
+        .alias("q_lp"),
+    )
+    return (
+        tok.join(probs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("q_lp").alias("q_lp_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "q_lp_sum",
+            F.floor(F.col("q_lp_sum").cast("double") / F.col("n_tokens"))
+            .cast("long")
+            .alias("avg_micro_nats"),
+        )
+    )

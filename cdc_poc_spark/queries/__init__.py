@@ -103,6 +103,10 @@ _ROUND4_FRONT = [
     "text_top_bigrams",
     "mm_frame_sample",
     "mm_resize_dims",
+    # New in round 4 — takes the window's one free slot (the other 49
+    # are this round's never-checked backlog; q1, already checked in
+    # r3, drops to position 51).
+    "text_unigram_logprob_junk",
 ]
 
 

@@ -543,6 +543,48 @@ def text_quality_score(spark, sf_dir):
     return text.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+_UNIGRAM_K = 50
+
+_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tok2 AS (
+  SELECT doc_id, tok FROM tok WHERE tok <> ''
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM tok2 GROUP BY tok
+), total AS (
+  SELECT SUM(c) AS total FROM counts
+), probs AS (
+  SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT) AS q_lp
+  FROM counts CROSS JOIN total
+), d AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(p.q_lp) AS BIGINT) AS q_lp_sum
+  FROM tok2 t JOIN probs p USING (tok) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, q_lp_sum,
+       CAST(FLOOR(CAST(q_lp_sum AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro_nats
+FROM d ORDER BY avg_micro_nats ASC, doc_id ASC LIMIT {_UNIGRAM_K}
+"""
+
+
+@register("text_unigram_logprob_junk", oracle=_UNIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_unigram_logprob_junk(spark, sf_dir):
+    """Perplexity-style quality filter on the corpus's own unigram LM:
+    the 50 documents least likely under p(token) = corpus frequency —
+    the junk shortlist (garbled/boilerplate/foreign text) a curation
+    pipeline reviews or drops. Per-token ln p is quantized to int64
+    micro-nats BEFORE the per-doc sum (exact integer accumulation —
+    bit-identical across engines/shuffle orders); ranking is
+    TakeOrderedAndProject on (avg_micro_nats, doc_id). See
+    operators/text.py:unigram_logprob for the scale shape."""
+    return (
+        text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.asc("avg_micro_nats"), F.asc("doc_id"))
+        .limit(_UNIGRAM_K)
+    )
+
+
 def _langid_oracle() -> str:
     score = {
         lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in words)})))"

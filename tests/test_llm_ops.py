@@ -180,6 +180,25 @@ def test_embedding_cosine_pairs_clone_collapse_exact(spark, emb, materialize):
     assert any(b == a + offset for a, b, _ in got)
 
 
+def test_unigram_logprob_scores_rarity(spark):
+    """Docs made of rare tokens must score lower (more negative avg
+    log-prob) than docs made of the corpus-dominant token; values are
+    exact-integer micro-nats and deterministic across runs."""
+    from cdc_poc_spark.operators.text import unigram_logprob
+
+    rows = [(i, "common common common common") for i in range(20)]
+    rows.append((100, "rareword common common common"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert set(got) == {*range(20), 100}
+    assert all(r.q_lp_sum < 0 for r in got.values())
+    common_avg = got[0].avg_micro_nats
+    assert got[100].avg_micro_nats < common_avg  # rare token drags it down
+    assert all(got[i].avg_micro_nats == common_avg for i in range(20))
+    again = {r.doc_id: r.q_lp_sum for r in unigram_logprob(df).collect()}
+    assert again == {k: v.q_lp_sum for k, v in got.items()}
+
+
 def test_media_features_shape_and_determinism(spark, docs):
     media = multimodal.synthesize_media(docs.limit(20))
     f1 = multimodal.extract_features(media).collect()

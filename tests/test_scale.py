@@ -230,3 +230,32 @@ def test_expire_log_epochs(spark, tmp_path):
     assert remaining.count() == 6
     # idempotent: nothing further to expire
     assert expire_log_epochs(log, keep_last=2) == []
+
+
+def test_reliable_checkpoint_guards_session_dir(spark, tmp_path):
+    """reliable_checkpoint only sets the session checkpoint dir when
+    unset, re-uses it silently for the same dir, and WARNS before
+    redirecting to a different one (ADVICE r3: setCheckpointDir is
+    session-global state)."""
+    import warnings
+
+    from cdc_poc_spark.operators.scale import reliable_checkpoint
+
+    df = spark.range(10)
+    # local path (no dir): no session mutation
+    out = reliable_checkpoint(df)
+    assert out.count() == 10
+
+    d1 = str(tmp_path / "ck1")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # same-dir re-pin must not warn
+        assert reliable_checkpoint(df, d1).count() == 10
+        assert reliable_checkpoint(df, d1).count() == 10
+    assert d1.lstrip("/") in spark.sparkContext.getCheckpointDir()
+
+    d2 = str(tmp_path / "ck2")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert reliable_checkpoint(df, d2).count() == 10
+    assert any("overriding session checkpoint dir" in str(x.message) for x in w)
+    assert d2.lstrip("/") in spark.sparkContext.getCheckpointDir()
