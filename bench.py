@@ -61,6 +61,8 @@ HEADLINE = [
     "tw_sessionize_ids",
     "text_tfidf_cosine_topk",
     "pipeline_dup_rate_by_source",
+    # round 4 addition
+    "text_unigram_logprob_junk",
 ]
 
 

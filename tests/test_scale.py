@@ -247,9 +247,11 @@ def test_reliable_checkpoint_guards_session_dir(spark, tmp_path):
     assert out.count() == 10
 
     d1 = str(tmp_path / "ck1")
+    # first pin MAY warn (an earlier test in the session can have set a
+    # different dir — that's exactly the override the guard reports)
+    assert reliable_checkpoint(df, d1).count() == 10
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # same-dir re-pin must not warn
-        assert reliable_checkpoint(df, d1).count() == 10
         assert reliable_checkpoint(df, d1).count() == 10
     assert d1.lstrip("/") in spark.sparkContext.getCheckpointDir()
 
