@@ -825,3 +825,57 @@ def test_validated_timeout_ms_rejects_event_time():
         _validated_timeout_ms(GroupStateTimeout.EventTimeTimeout, 5)
     with _pytest.raises(ValueError):
         _validated_timeout_ms(GroupStateTimeout.ProcessingTimeTimeout, 0)
+
+
+def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup hits == the batch pipeline's pairs
+    when arrival order follows doc_id: every batch pair (a, b) must
+    surface as doc b flagged with dup_of a — including pairs that SPAN
+    the micro-batch cut (doc a accepted in batch 1, near-dup b arriving
+    in batch 2), which is the whole point of keeping bucket state."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators import dedup
+    from cdc_poc_spark.streaming import neardup
+    from cdc_poc_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    d = tmp_path / "neardup_stream"
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(str(d / "00"))
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.parquet(str(d / "01"))
+    data = d / "data"
+    data.mkdir()
+    for i, part in enumerate(["00", "01"]):
+        src = glob.glob(str(d / part / "part-*.parquet"))[0]
+        shutil.copy(src, str(data / f"{i:02d}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data))
+    )
+    hits = neardup.streaming_neardup_hits(stream, threshold=0.5)
+    (
+        hits.writeStream.format("memory")
+        .queryName("neardup_hits")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_neardup"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = {
+        (r.dup_of, r.doc_id, round(r.jaccard, 9))
+        for r in spark.sql("SELECT * FROM neardup_hits").collect()
+    }
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == want and want, f"{len(got)} streaming vs {len(want)} batch"
+    # at least one pair must span the batch cut (state did its job)
+    assert any(a <= cut < b for a, b, _ in got)
