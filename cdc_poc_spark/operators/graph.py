@@ -158,10 +158,13 @@ def connected_components(
         after_large = _symmetric(_large_star(nb))
         nxt = reliable_checkpoint(_symmetric(_small_star(after_large)), checkpoint_dir)
         # Converged iff the symmetric edge sets are identical. Both sides
-        # are distinct()-ed, so two anti-join counts decide it exactly.
+        # are distinct()-ed, so the union of the two anti-joins decides
+        # it exactly — ONE job per round, short-circuited by limit(1).
         changed = (
-            nxt.join(nb, ["u", "v"], "left_anti").limit(1).count()
-            + nb.join(nxt, ["u", "v"], "left_anti").limit(1).count()
+            nxt.join(nb, ["u", "v"], "left_anti")
+            .unionByName(nb.join(nxt, ["u", "v"], "left_anti"))
+            .limit(1)
+            .count()
         )
         nb = nxt
         if changed == 0:

@@ -48,9 +48,12 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
 # driver hash-checks the FIRST 50 registry entries each round. Rounds 1-3
 # rotated module import order so 110 distinct queries got driver rows; this
 # list fronts the remaining 49 (registry keys absent from
-# CORRECTNESS_r01/r02/r03) so round 4 completes driver verification of all
-# 159. After round 4 every query has a driver row and this order stays
-# frozen. The local full sweep (tests/test_oracle_parity.py +
+# CORRECTNESS_r01/r02/r03) so round 4 completes driver verification of the
+# round-3 registry. STANDING POLICY for round 5+: keep this order frozen
+# for existing queries; queries ADDED in round N replace the front of this
+# list in round N+1 (the evicted entries already have driver rows) — e.g.
+# round 5 should front `join_interval_overlap` and
+# `agg_robust_outliers_mad` (added r4, not in the r4 window). The local full sweep (tests/test_oracle_parity.py +
 # tools/run_parity_sweep.py -> PARITY_SWEEP.json) always checks every
 # oracled query regardless of this ordering.
 _ROUND4_FRONT = [

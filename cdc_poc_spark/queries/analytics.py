@@ -220,6 +220,163 @@ def join_range_binned(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD) per group
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), med AS (
+  SELECT event_type, median(cents) AS med FROM c GROUP BY event_type
+), dev AS (
+  SELECT c.event_type, c.cents, abs(c.cents - m.med) AS adev, m.med
+  FROM c JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(ANY_VALUE(d.med), 1) AS median_cents,
+       round(ANY_VALUE(m.mad), 1) AS mad_cents,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("agg_robust_outliers_mad", oracle=_MAD_ORACLE, tags=("agg", "stats", "quality"))
+def agg_robust_outliers_mad(spark, sf_dir):
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation) instead of mean/stddev — the skew-proof anomaly flag a
+    data-quality monitor wants (one fat-fingered amount moves a mean,
+    not a median). Two grouped percentile passes over exact integer
+    cents with broadcast joins back (group-key cardinality is tiny);
+    the deviation grid is half-integer so percentile interpolation is
+    exact in binary and both engines agree bit-for-bit. Outlier rule:
+    |x - median| > 3 * MAD (consistency constant omitted — it scales
+    both sides of a comparison identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (dec("value", VAL) * 100).cast("long")
+    c = ev.select("event_type", cents.alias("cents"))
+    med = c.groupBy("event_type").agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("adev") > 3 * F.col("mad")).cast("long")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.any_value("med"), 1).alias("median_cents"),
+        F.round(F.any_value("mad"), 1).alias("mad_cents"),
+        F.sum(is_out).alias("n_outliers"),
+        F.round(F.sum(is_out) / F.count(F.lit(1)), 6).alias("outlier_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via grid-cell replication (ranges x ranges)
+# ---------------------------------------------------------------------------
+
+_IVL_DAYS = 60      # synthesized activity-window length
+_IVL_CELL = 30      # grid cell width (days) for the binned join
+
+_IVL_ORACLE = f"""
+WITH ca AS (
+  SELECT o_custkey AS custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS a_start,
+         MIN(CAST(o_orderdate AS DATE)) + {_IVL_DAYS} AS a_end
+  FROM orders GROUP BY o_custkey
+), sb AS (
+  SELECT l_suppkey AS suppkey,
+         MIN(CAST(l_shipdate AS DATE)) AS b_start,
+         MIN(CAST(l_shipdate AS DATE)) + {_IVL_DAYS} AS b_end
+  FROM lineitem GROUP BY l_suppkey
+), pairs AS (
+  SELECT c.c_nationkey AS nationkey,
+         datediff('day',
+                  CASE WHEN a_start > b_start THEN a_start ELSE b_start END,
+                  CASE WHEN a_end < b_end THEN a_end ELSE b_end END) + 1
+           AS overlap_days
+  FROM ca JOIN customer c ON c.c_custkey = ca.custkey
+  JOIN sb ON TRUE
+  JOIN supplier s ON s.s_suppkey = sb.suppkey AND s.s_nationkey = c.c_nationkey
+  WHERE a_start <= b_end AND b_start <= a_end
+)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(overlap_days) AS BIGINT) AS sum_overlap_days,
+       CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days
+FROM pairs GROUP BY nationkey
+"""
+
+
+@register("join_interval_overlap", oracle=_IVL_ORACLE, tags=("join", "range", "interval"))
+def join_interval_overlap(spark, sf_dir):
+    """Interval-OVERLAP join (ranges x ranges — the general case behind
+    as-of and point-in-band): customer activity windows [first order,
+    +60d] against supplier shipping windows [first ship, +60d], blocked
+    by nation. A naive `a_start <= b_end AND b_start <= a_end`
+    join is a nested loop; the scale plan REPLICATES each interval onto
+    the fixed 30-day grid cells it covers, equi-joins on (nation, cell)
+    — hash join, partition-parallel — dedups pairs that share several
+    cells, then applies the exact overlap predicate and computes
+    overlap days. Cell width trades replication factor (interval/cell
+    rows per interval) against join selectivity, exactly like the
+    band-join bin width; the oracle is the plain quadratic predicate
+    join, proving the rewrite semantics-preserving."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    ca = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("a_start"))
+        .withColumn("a_end", F.date_add("a_start", _IVL_DAYS))
+        .join(cust.select(F.col("c_custkey").alias("custkey"),
+                          F.col("c_nationkey").alias("nationkey")), "custkey")
+    )
+    sb = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.col("l_shipdate").cast("date")).alias("b_start"))
+        .withColumn("b_end", F.date_add("b_start", _IVL_DAYS))
+        .join(supp.select(F.col("s_suppkey").alias("suppkey"),
+                          F.col("s_nationkey").alias("nationkey")), "suppkey")
+    )
+
+    def cells(start, end):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_date(F.col(start)) / _IVL_CELL).cast("int"),
+                F.floor(F.unix_date(F.col(end)) / _IVL_CELL).cast("int"),
+            )
+        )
+
+    a = ca.withColumn("cell", cells("a_start", "a_end"))
+    b = sb.withColumn("cell", cells("b_start", "b_end"))
+    pairs = (
+        a.join(b, ["nationkey", "cell"])
+        .select("nationkey", "custkey", "suppkey", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+        .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
+        .withColumn(
+            "overlap_days",
+            F.datediff(F.least("a_end", "b_end"), F.greatest("a_start", "b_start")) + 1,
+        )
+    )
+    return pairs.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_days").alias("sum_overlap_days"),
+        F.max("overlap_days").cast("long").alias("max_overlap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch sessionization with session ids (gaps-and-islands)
 # ---------------------------------------------------------------------------
 

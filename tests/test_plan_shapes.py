@@ -123,3 +123,13 @@ def test_histogram_single_agg_plus_broadcast_total(spark):
     scans = [l for l in plan.splitlines() if "Scan parquet" in l and "events" in l]
     assert len(scans) <= 2  # histogram + total both derive from one logical scan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_overlap_is_hash_join(spark):
+    """join_interval_overlap's point: the grid-cell replication turns a
+    ranges-x-ranges overlap join into an equi join on (nation, cell) —
+    a hash join, never a nested loop over all interval pairs."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
