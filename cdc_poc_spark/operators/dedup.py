@@ -375,10 +375,12 @@ def exact_jaccard_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Materialize the cache NOW: the three consumers sit in independent
-    # stage branches of one job and would otherwise race the (empty)
-    # cache and recompute the shingle pipeline concurrently.
-    sh.count()
+    # The cache must be materialized BEFORE the self-join below: its
+    # three consumers sit in independent stage branches of one job and
+    # would otherwise race the (empty) cache and recompute the shingle
+    # pipeline concurrently. The sampled-commons collect below is itself
+    # one full sequential scan of `sh`, so it doubles as the
+    # materializer — no separate count() job (one job saved per call).
     # Prefix ORDER: any FIXED total order of tokens is correct; the
     # selective choice demotes frequent tokens out of prefixes. The
     # exact-frequency formulation (token-freq groupBy + tok join +
