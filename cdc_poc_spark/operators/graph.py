@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "triangle_stats"]
 
 #: Below this many symmetric edges the component map is resolved on the
 #: driver (one collect + union-find) instead of the iterative
@@ -204,4 +204,68 @@ def dedup_clusters(
         )
         .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
         .drop("component")
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row graph profile of an undirected edge list: nodes, edges,
+    wedges (open 2-paths), triangles, and the global clustering
+    coefficient 3*triangles/wedges — the transitivity measure that tells
+    a dedup pipeline whether its pair graph is clique-like (true dup
+    families close their triangles) or chain-like (threshold too loose,
+    clusters formed by weak transitive links).
+
+    Triangle counting via DEGREE-ORDERED ORIENTATION (Suri &
+    Vassilvitskii, "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    joining oriented edges on their SOURCE (fanout per node is its
+    out-degree, which orientation bounds by ~sqrt(|E|) — a hub of
+    degree d contributes d(d-1)/2 wedges UNORIENTED but only
+    out-deg^2 oriented), then close each wedge with one equi-join
+    against the oriented edge set. Every triangle is counted exactly
+    once (its vertices have a unique orientation order). Three keyed
+    shuffles total: degrees, the wedge self-join, the closing join —
+    no cartesian anywhere."""
+    e = _symmetric(edges)  # (u, v) both directions, deduped, no loops
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    # wedges from the SYMMETRIC view: sum_v deg(deg-1)/2
+    wedge_cnt = deg.agg(
+        F.sum(F.col("deg").cast("decimal(38,0)") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("w")
+    )
+    # orientation rank = (deg, id): strict total order over nodes
+    ranked = e.join(deg, "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
+    )
+    oriented = ranked.filter(
+        (F.col("deg") < F.col("deg_v"))
+        | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    a = oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
+    b = oriented.select(F.col("u").alias("c"), F.col("v").alias("y"))
+    wedges = a.join(b, "c").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionByName(
+        oriented.select(F.col("u").alias("y"), F.col("v").alias("x"))
+    )
+    tri_cnt = (
+        wedges.join(closing, ["x", "y"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    n_edges = oriented.count()
+    return (
+        tri_cnt.crossJoin(F.broadcast(wedge_cnt))
+        .select(
+            F.lit(n_nodes).alias("n_nodes"),
+            F.lit(n_edges).alias("n_edges"),
+            F.col("w").alias("n_wedges"),
+            F.col("t").alias("n_triangles"),
+            F.when(F.col("w") > 0, F.round(3.0 * F.col("t") / F.col("w"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coefficient"),
+        )
     )

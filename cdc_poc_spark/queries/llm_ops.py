@@ -325,6 +325,60 @@ def dedup_canonical_docs(spark, sf_dir):
     )
 
 
+_TRIANGLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+), sym AS (
+  SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM sym GROUP BY u
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+         (SELECT CAST(COALESCE(SUM(deg * (deg - 1) / 2), 0) AS BIGINT) FROM deg)
+           AS n_wedges,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM pairs e1
+          JOIN pairs e2 ON e2.ia = e1.ia AND e2.ib > e1.ib
+          JOIN pairs e3 ON e3.ia = e1.ib AND e3.ib = e2.ib) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN round(3.0 * n_triangles / n_wedges, 6) ELSE 0.0 END
+         AS clustering_coefficient
+FROM agg
+"""
+
+
+@register("graph_triangle_stats", oracle=_TRIANGLE_ORACLE, tags=("llm", "dedup", "graph"))
+def graph_triangle_stats(spark, sf_dir):
+    """Transitivity profile of the near-dup pair graph: triangles via
+    degree-ordered orientation (Suri & Vassilvitskii WWW'11 — wedge
+    fanout bounded by out-degree, one closing equi-join, no cartesian)
+    plus wedges and the global clustering coefficient. True duplicate
+    families are clique-like (coefficient near 1); a loose threshold
+    shows up as chains (coefficient falling) before cluster sizes blow
+    up — the graph-shape health check for a dedup pipeline. The oracle
+    recomputes triangles from the quadratic pair join with an ordered
+    3-way self-join. Added r4, enters the driver window in r5."""
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return triangle_stats(pairs)
+
+
 _CC_LSH_AGREE_ORACLE = _CC_PREFIX + """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS agreement_ge_090
 FROM lbl

@@ -526,3 +526,28 @@ def test_prefix_jaccard_empty_common_sample(spark):
         for r in dedup.exact_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert pairs == {(miss[0], miss[1]): 1.0}  # the two clones, nobody else
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 (4 triangles, 12 wedges, coefficient 1.0) plus a disjoint
+    2-path (1 wedge, 0 triangles) — totals must be exact."""
+    from cdc_poc_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + path, ["src", "dst"])
+    row = triangle_stats(df).collect()[0]
+    assert row.n_nodes == 7
+    assert row.n_edges == 8
+    assert row.n_wedges == 13
+    assert row.n_triangles == 4
+    assert row.clustering_coefficient == round(12 / 13, 6)
+
+
+def test_triangle_stats_no_triangles(spark):
+    from cdc_poc_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    row = triangle_stats(df).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 2
+    assert row.clustering_coefficient == 0.0
