@@ -513,6 +513,145 @@ def exact_jaccard_pairs_quadratic(
     )
 
 
+def exact_jaccard_pairs_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """EXACT incremental near-dup join: every (new, index) pair with
+    3-gram Jaccard >= threshold — the R-S form of the PPJoin prefix
+    filter (Xiao et al., WWW'08, §5 extends the self-join filter to
+    two relations unchanged: any FIXED global token order shared by
+    both sides preserves the prefix-intersection guarantee).
+
+    THE production dedup shape at 100 TB: a corpus is deduped once,
+    then every ingest batch is checked against the standing corpus —
+    never re-join the whole corpus against itself. The plan here is
+    asymmetric by design:
+
+    - the prefix EQUI-join keys (token) the huge index side once
+      against the small batch side; AQE broadcasts the batch-side
+      prefix relation when it is small enough, so the index stream
+      never shuffles for the join;
+    - length + positional filters prune candidates before the
+      verification joins exactly as in the self-join (eps-slack so
+      float rounding can only under-prune — verification is exact);
+    - on a real deployment the index's hashed-shingle/prefix relation
+      is PERSISTED once (write_bucketed by token) and reused across
+      batches; here it is recomputed because the fixture index is
+      parquet-only.
+
+    The common-token order is estimated from the INDEX side (the big
+    side: its frequent tokens are the ones that would blow up prefix
+    buckets); the sample scan doubles as the index cache
+    materializer. Output is exact — identical to the quadratic
+    new x index cross join (asserted in tests) — so the driver
+    hash-checks it directly, no recall contract needed."""
+    from pyspark import StorageLevel
+
+    from .scale import reliable_checkpoint
+
+    eps = 1e-9
+
+    def hset(df: DataFrame) -> DataFrame:
+        return with_shingles(df, text_col, n).select(
+            id_col,
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hset"),
+        )
+
+    sh_new = hset(new_df).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_idx = hset(index_df).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize both caches before the multi-consumer join jobs (the
+    # prefix and verification branches would otherwise race an empty
+    # cache and re-run the shingle pipeline per branch). The commons
+    # sample below is a full scan of sh_idx; the small batch side pays
+    # one explicit count job.
+    sh_new.count()
+    k_common = 256
+    sampled = sh_idx.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(8)) == 0)
+    common = [
+        r.tok
+        for r in sampled.select(F.explode("hset").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(k_common)
+        .collect()
+    ]
+    common_arr = F.lit(common).cast("array<bigint>")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    ordered = F.array_sort(
+        F.transform(
+            "hset",
+            lambda t: F.struct(
+                F.array_contains(common_arr, t).cast("int").alias("c"),
+                t.alias("t"),
+            ),
+        )
+    )
+
+    def prefix(sh: DataFrame) -> DataFrame:
+        return (
+            sh.select(
+                F.col(id_col).alias("id"),
+                F.size("hset").alias("sz"),
+                F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+            )
+            .select(
+                "id",
+                "sz",
+                F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
+            )
+            .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+        )
+
+    # R-S filters: J(A,B) >= t forces t|A| <= |B| <= |A|/t (no id
+    # inequality — the sides are distinct relations). Positional bound
+    # identical to the self-join.
+    need = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("a.sz") + F.col("b.sz")
+    ) - eps
+    ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk")
+    )
+    cand = (
+        prefix(sh_new).alias("a")
+        .join(prefix(sh_idx).alias("b"), "tok")
+        .filter(
+            (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - eps)
+            & (F.col("b.sz") <= F.col("a.sz") / F.lit(threshold) + eps)
+        )
+        .groupBy(F.col("a.id").alias("new_id"), F.col("b.id").alias("index_id"))
+        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
+        .filter(F.col("ub") >= F.col("need"))
+        .select("new_id", "index_id")
+    )
+    # Verification is CPU-bound per candidate — spread explicitly (see
+    # exact_jaccard_pairs).
+    cand = cand.repartition(
+        new_df.sparkSession.sparkContext.defaultParallelism, "new_id"
+    )
+    a = sh_new.select(F.col(id_col).alias("new_id"), F.col("hset").alias("sh_a"))
+    b = sh_idx.select(F.col(id_col).alias("index_id"), F.col("hset").alias("sh_b"))
+    out = (
+        cand.join(a, "new_id")
+        .join(b, "index_id")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
+    out = reliable_checkpoint(out, checkpoint_dir)
+    sh_new.unpersist()
+    sh_idx.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Tier 4: SimHash
 # ---------------------------------------------------------------------------

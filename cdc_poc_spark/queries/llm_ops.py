@@ -73,6 +73,38 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.exact_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+_INCR_JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+       CAST(len(list_intersect(n.shingles, i.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(n.shingles, i.shingles))) AS jaccard
+FROM sh n, sh i
+WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0
+  AND CAST(len(list_intersect(n.shingles, i.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(n.shingles, i.shingles))) >= 0.5
+"""
+
+
+@register("dedup_incremental_vs_index", oracle=_INCR_JACCARD_ORACLE, tags=("llm", "dedup", "incremental"))
+def dedup_incremental_vs_index(spark, sf_dir):
+    """Incremental dedup: an ingest batch (doc_id % 10 == 0) checked
+    against the standing corpus index (the rest) — exact R-S PPJoin,
+    never a corpus self-join. THE dedup shape a 100 TB pipeline runs
+    daily; output is exact so the driver hash-checks the pair list
+    directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    idx = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    return dedup.exact_jaccard_pairs_incremental(new, idx)
+
+
 @register("dedup_minhash_lsh_pairs", tags=("llm", "dedup", "lsh"))
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (tier 3, the scale path), clone-

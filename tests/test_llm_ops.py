@@ -503,6 +503,38 @@ def test_prefix_jaccard_equals_quadratic(spark, docs):
         assert p == q, f"threshold {t}: {len(p)} vs {len(q)} pairs"
 
 
+def test_incremental_jaccard_equals_quadratic(spark, docs):
+    """exact_jaccard_pairs_incremental (R-S prefix filter) must emit
+    exactly the naive new x index cross join's rows, at two thresholds
+    — the R-S prefix/length/positional filters are pruning rules over
+    distinct relations, not approximations."""
+    from pyspark.sql import functions as F2
+
+    new = docs.filter(F2.pmod(F2.col("doc_id"), F2.lit(10)) == 0)
+    idx = docs.filter(F2.pmod(F2.col("doc_id"), F2.lit(10)) != 0)
+    a = dedup.with_shingles(new).select(
+        F2.col("doc_id").alias("new_id"), F2.col("shingles").alias("sh_a")
+    )
+    b = dedup.with_shingles(idx).select(
+        F2.col("doc_id").alias("index_id"), F2.col("shingles").alias("sh_b")
+    )
+    for t in (0.5, 0.8):
+        q = {
+            (r.new_id, r.index_id, round(r.jaccard, 9))
+            for r in a.crossJoin(b)
+            .withColumn("jaccard", dedup.jaccard("sh_a", "sh_b"))
+            .filter(F2.col("jaccard") >= t)
+            .collect()
+        }
+        p = {
+            (r.new_id, r.index_id, round(r.jaccard, 9))
+            for r in dedup.exact_jaccard_pairs_incremental(
+                new, idx, threshold=t
+            ).collect()
+        }
+        assert p == q, f"threshold {t}: {len(p)} vs {len(q)} pairs"
+
+
 def test_prefix_jaccard_empty_common_sample(spark):
     """Inputs so small the 1/8 common-token sample selects zero docs
     must still plan and run (typed empty literal, not array<string>)."""

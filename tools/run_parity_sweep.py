@@ -50,7 +50,13 @@ def compare(sdf, odf) -> str:
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = SparkSession.builder.master("local[8]").getOrCreate()  # vanilla
     import __spark_entry__ as e
 
@@ -60,6 +66,8 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
     qs, oracles = e.queries(), e.oracle_sql()
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if n in only}
     results: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
@@ -103,9 +111,12 @@ def main() -> None:
         "total_sec": round(time.time() - t_start, 1),
         "queries": results,
     }
-    out = os.path.join(REPO, "PARITY_SWEEP.json")
-    with open(out, "w") as fh:
-        json.dump(summary, fh, indent=1)
+    if only is None:  # partial runs must not overwrite the committed sweep
+        out = os.path.join(REPO, "PARITY_SWEEP.json")
+        with open(out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+    else:
+        out = "(not written: --only run)"
     print(
         f"\n{summary['n_green']} green / {summary['n_no_oracle']} no_oracle /"
         f" {summary['n_fail']} fail -> {out}"
