@@ -296,3 +296,147 @@ def pipeline_global_index(spark, sf_dir):
     return global_index(
         docs.select("doc_id", "source"), order_cols=["source", "doc_id"]
     ).select("doc_id", F.col("row_idx").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget fill: greedy quality-ordered selection up to a per-source
+# token budget — the "fill the training mix" primitive.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1500
+
+_BUDGET_FILL_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','value'))) AS DOUBLE)
+           / len(toks) AS stopword_ratio
+  FROM d
+), q AS (
+  SELECT doc_id, source, n_tokens,
+         round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0
+                     WHEN n_tokens > 200 THEN 0.5 ELSE 0.25 END) * 0.4
+               + ttr * 0.3
+               + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END) * 0.3, 5)
+           AS quality_score
+  FROM s
+), c AS (
+  SELECT source, doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                ORDER BY quality_score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT source, doc_id, quality_score, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET_TOKENS}
+"""
+
+
+@register("pipeline_token_budget_fill", oracle=_BUDGET_FILL_ORACLE, tags=("llm", "pipeline", "sampling"))
+def pipeline_token_budget_fill(spark, sf_dir):
+    """Greedy token-budget fill per source: order each source's docs by
+    (quality_score DESC, doc_id) and keep the maximal prefix whose
+    cumulative token count fits the budget — how a curated training mix
+    is actually assembled ("best N tokens per domain"), vs the
+    count-based sampling primitives. One shuffle keyed by source (the
+    cumulative window); per-task state is the window sorter (spills),
+    so a 100 TB corpus with millions of sources streams through at
+    |sources| parallelism. Quality is the exact-rational composite
+    score shared with text_quality_score, so both engines order
+    identically (doc_id tiebreak for equal scores)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(docs, keep=("source",)).select(
+        "source",
+        "doc_id",
+        "quality_score",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("source", "doc_id", "quality_score", "n_tokens", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing: deterministic downsample to target weights.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH w AS (
+  SELECT source,
+         CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN 2 ELSE 1 END AS tgt_w
+  FROM (SELECT DISTINCT source FROM documents)
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+         (SELECT SUM(tgt_w) FROM w) AS sum_w
+), cap AS (
+  SELECT w.source, CAST(((tot.n_total // 2) * w.tgt_w) // tot.sum_w AS BIGINT) AS cap_docs
+  FROM w, tot
+), r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.rn, cap.cap_docs
+FROM r JOIN cap ON r.source = cap.source
+WHERE r.rn <= cap.cap_docs
+"""
+
+
+@register("pipeline_mixture_reweight", oracle=_MIX_ORACLE, tags=("llm", "pipeline", "sampling"))
+def pipeline_mixture_reweight(spark, sf_dir):
+    """Rebalance the corpus to a target domain mixture by deterministic
+    downsampling: each source gets a doc quota proportional to its
+    target weight (here: even-numbered sources weighted 2x odd ones,
+    total budget = half the corpus), and keeps its first quota docs in
+    md5(doc_id) order — the same stable uniform shuffle the stratified
+    sampler uses, so re-runs and engine ports agree row-for-row. All
+    quota arithmetic is exact BIGINT cross-multiplication (no float
+    shares). Plan: one tiny per-source agg (broadcast caps relation,
+    |sources| rows) + one window shuffle keyed by source — the md5
+    order means no source ever needs more than its quota of state
+    beyond the window sorter, and a 100 TB corpus rebalances in a
+    single pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(
+                F.expr("CAST(substring(source, 4, 16) AS BIGINT) % 2 = 0"), F.lit(2)
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("tgt_w"),
+        )
+    )
+    totals = (
+        docs.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(tgt.agg(F.sum("tgt_w").alias("sum_w")))
+    )
+    caps = tgt.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.expr("((n_total DIV 2) * tgt_w) DIV sum_w").alias("cap_docs"),
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = docs.select("source", "doc_id").withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    )
+    return (
+        r.join(F.broadcast(caps), "source")
+        .filter(F.col("rn") <= F.col("cap_docs"))
+        .select("source", "doc_id", "rn", "cap_docs")
+    )
