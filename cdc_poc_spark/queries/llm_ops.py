@@ -558,6 +558,82 @@ def dedup_embedding_cosine_pairs(spark, sf_dir):
     return similarity.embedding_cosine_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+_SEM_CANON_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.vec) + 1),
+              i -> a.vec[i] * b.vec[i])) / (a.vnorm * b.vnorm), 5) >= 0.35
+), sym AS (
+  SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+), cc AS (
+  SELECT u AS node, u AS comp FROM (SELECT u FROM sym UNION SELECT v FROM sym)
+  UNION
+  SELECT s.v, c.comp FROM cc c JOIN sym s ON s.u = c.node WHERE c.comp < s.v
+), lbl AS (
+  SELECT node, MIN(comp) AS cluster_id FROM cc GROUP BY node
+), mem AS (
+  SELECT l.cluster_id, l.node, round(n.vnorm, 5) AS r_norm
+  FROM lbl l JOIN n ON n.vec_id = l.node
+), rk AS (
+  SELECT cluster_id, node, r_norm,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY r_norm DESC, node) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM mem
+)
+SELECT cluster_id, node AS keep_id, r_norm AS kept_norm,
+       CAST(sz AS BIGINT) AS n_members
+FROM rk WHERE rn = 1
+"""
+
+
+@register("sim_semantic_canonical", oracle=_SEM_CANON_ORACLE, tags=("llm", "dedup", "similarity", "graph"))
+def sim_semantic_canonical(spark, sf_dir):
+    """Semantic dedup end-to-end: embedding-cosine near-dup pairs ->
+    connected components -> keep ONE representative per semantic
+    cluster (highest-norm vector, vec_id tiebreak) with the member
+    count — the embedding-space twin of dedup_canonical_docs. Plan:
+    the pair graph reuses the clone-collapsed blocked cosine join, the
+    component map is output-sized (nodes that appear in a pair), and
+    the representative pick is a window over cluster_id — so corpus
+    cost is the pair join, and everything after is sized by the
+    near-dup population, not the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_cosine_pairs(emb).select("id_a", "id_b")
+    comp = graph.connected_components(pairs)
+    norms = emb.select(
+        "vec_id",
+        F.round(similarity.norm(similarity.as_double("embedding")), 5).alias("r_norm"),
+    )
+    mem = norms.join(
+        F.broadcast(comp.withColumnRenamed("node", "vec_id")), "vec_id"
+    ).select(F.col("component").alias("cluster_id"), "vec_id", "r_norm")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("r_norm"), F.asc("vec_id"))
+    wsz = Window.partitionBy("cluster_id")
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(wsz))
+        .filter("rn = 1")
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("keep_id"),
+            F.col("r_norm").alias("kept_norm"),
+            F.col("sz").cast("long").alias("n_members"),
+        )
+    )
+
+
 _NORM_ORACLE = """
 WITH e AS (
   SELECT label,
