@@ -52,8 +52,13 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
 # round-3 registry. STANDING POLICY for round 5+: keep this order frozen
 # for existing queries; queries ADDED in round N replace the front of this
 # list in round N+1 (the evicted entries already have driver rows) — e.g.
-# round 5 should front `join_interval_overlap`, `agg_robust_outliers_mad`,
-# and `graph_triangle_stats` (added r4, not in the r4 window). The local full sweep (tests/test_oracle_parity.py +
+# round 5 should front the queries added in r4 that are not in the
+# r4 window: `join_interval_overlap`, `agg_robust_outliers_mad`,
+# `graph_triangle_stats`, `dedup_incremental_vs_index`,
+# `pipeline_token_budget_fill`, `pipeline_mixture_reweight`,
+# `sim_semantic_canonical`, `pipeline_leakage_safe_split`,
+# `text_build_vocab`, `pipeline_contains_decontaminate`.
+# The local full sweep (tests/test_oracle_parity.py +
 # tools/run_parity_sweep.py -> PARITY_SWEEP.json) always checks every
 # oracled query regardless of this ordering.
 _ROUND4_FRONT = [

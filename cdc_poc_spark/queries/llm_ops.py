@@ -939,6 +939,85 @@ def pipeline_split_train_val(spark, sf_dir):
     )
 
 
+_VOCAB_ORACLE = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY token HAVING COUNT(*) >= 3
+)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS vocab_id
+FROM c
+"""
+
+
+@register("text_build_vocab", oracle=_VOCAB_ORACLE, tags=("llm", "text", "vocab"))
+def text_build_vocab(spark, sf_dir):
+    """Corpus vocabulary table: token counts (min_count >= 3) with
+    contiguous frequency-ordered ids — the tokenizer-training /
+    embedding-table primitive. Counting is one map-side-combinable
+    groupBy; id assignment uses the distributed two-pass global_index
+    (range-partitioned by (-count, token)) rather than a global
+    `row_number() OVER ()`, because a web-scale vocab is tens of
+    millions of rows — far past what one window task should sort."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+    )
+    v = global_index(
+        counts.withColumn("neg_cnt", -F.col("cnt")),
+        idx_col="vocab_id",
+        order_cols=["neg_cnt", "token"],
+    )
+    return v.select("token", "cnt", F.col("vocab_id").cast("long"))
+
+
+_LEAK_SPLIT_ORACLE = _CC_PREFIX + """
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+"""
+
+
+@register("pipeline_leakage_safe_split", oracle=_LEAK_SPLIT_ORACLE, tags=("llm", "pipeline", "dedup"))
+def pipeline_leakage_safe_split(spark, sf_dir):
+    """LEAKAGE-SAFE train/val split: the md5 bucket is keyed by the
+    near-dup CLUSTER id, not the doc id, so a document and its
+    near-duplicates always land in the same split — the eval-
+    contamination guarantee a per-doc split cannot give (a train doc's
+    95%-identical twin in val is leakage, not generalization).
+    Composition: clone-collapsed exact-Jaccard components (output-sized
+    map, broadcast) -> coalesce singletons to their own id -> the same
+    stable md5 bucketing as pipeline_split_train_val. At 100 TB the
+    extra cost over a naive split is the dedup pass a curation pipeline
+    already runs — the component map joins back broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup.exact_jaccard_components(docs)
+    clustered = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
+
+
 _TOP_TOKENS_ORACLE = """
 WITH t AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents

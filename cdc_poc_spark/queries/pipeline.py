@@ -440,3 +440,45 @@ def pipeline_mixture_reweight(spark, sf_dir):
         .filter(F.col("rn") <= F.col("cap_docs"))
         .select("source", "doc_id", "rn", "cap_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-substring decontamination (exact containment, not n-gram).
+# ---------------------------------------------------------------------------
+
+_CONTAINS_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT substring(text, 1, 40) AS probe
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_probes_hit
+FROM documents d JOIN p ON contains(d.text, p.probe)
+GROUP BY d.doc_id
+"""
+
+
+@register("pipeline_contains_decontaminate", oracle=_CONTAINS_ORACLE, tags=("llm", "pipeline", "dedup"))
+def pipeline_contains_decontaminate(spark, sf_dir):
+    """EXACT-substring decontamination: flag every document containing
+    any benchmark probe string verbatim (here: 40-char prefixes of a
+    deterministic doc subset stand in for the benchmark suite). The
+    n-gram-overlap decontaminator catches paraphrase-level leakage;
+    this catches the verbatim case with zero false positives. Plan: the
+    probe set is benchmark-sized (KBs-MBs), so it BROADCASTS and the
+    corpus streams past it in one scan — a nested-loop join per row,
+    but each probe test is a JVM `contains` over an in-memory array;
+    for probe sets in the tens of thousands, swap the inner loop for an
+    Aho-Corasick pandas UDF over the same broadcast (same plan shape,
+    one automaton build per batch)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+        .select(F.substring("text", 1, 40).alias("probe"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(F.broadcast(probes), F.expr("contains(text, probe)"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_probes_hit"))
+    )
