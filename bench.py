@@ -61,8 +61,10 @@ HEADLINE = [
     "tw_sessionize_ids",
     "text_tfidf_cosine_topk",
     "pipeline_dup_rate_by_source",
-    # round 4 addition
+    # round 4 additions
     "text_unigram_logprob_junk",
+    "dedup_incremental_vs_index",
+    "pipeline_token_budget_fill",
 ]
 
 

@@ -133,3 +133,39 @@ def test_interval_overlap_is_hash_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_ppjoin_has_no_cartesian(spark):
+    """The R-S incremental dedup join must stay an equi-join pipeline
+    (prefix-token hash join + verification id joins) — a regression to
+    a nested loop over new x index would re-quadratize the daily
+    ingest-dedup path."""
+    plan = _plan(spark, "dedup_incremental_vs_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_reweight_caps_are_broadcast(spark):
+    """The per-source quota relation is |sources| rows — it must join
+    broadcast, and the only row_number window shuffle is the md5-order
+    ranking keyed by source."""
+    plan = _plan(spark, "pipeline_mixture_reweight")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contains_decontaminate_probe_side_is_broadcast(spark):
+    """Substring containment is a non-equi predicate: the plan is a
+    BroadcastNestedLoopJoin with the benchmark-sized probe set as the
+    broadcast side — acceptable because the probe relation is tiny by
+    contract; what must NOT appear is a shuffle-based cartesian."""
+    plan = _plan(spark, "pipeline_contains_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_fill_single_source_shuffle(spark):
+    """The greedy fill is ONE cumulative window keyed by source; the
+    quality exprs ride the scan projection."""
+    plan = _plan(spark, "pipeline_token_budget_fill")
+    assert plan.count("hashpartitioning(source") == 1
