@@ -521,12 +521,24 @@ def exact_jaccard_pairs_incremental(
     n: int = 3,
     threshold: float = 0.5,
     checkpoint_dir: str | None = None,
+    collapse_clones: bool = True,
 ) -> DataFrame:
     """EXACT incremental near-dup join: every (new, index) pair with
     3-gram Jaccard >= threshold — the R-S form of the PPJoin prefix
     filter (Xiao et al., WWW'08, §5 extends the self-join filter to
     two relations unchanged: any FIXED global token order shared by
     both sides preserves the prefix-intersection guarantee).
+
+    ``collapse_clones`` (default on — the standing rule for every
+    similarity-join consumer): md5-exact clones are grouped PER SIDE,
+    the R-S join runs on one canonical doc per family, and canonical
+    pairs expand back over both member lists (identical texts have
+    identical shingle sets, so the Jaccard carries over verbatim; a
+    text present on both sides meets itself at exactly 1.0 through its
+    two canonicals). Output-identical to the flat formulation —
+    asserted in tests — while an ingest batch full of re-crawled
+    boilerplate costs one row per family in the prefix join instead of
+    a quadratic member cross.
 
     THE production dedup shape at 100 TB: a corpus is deduped once,
     then every ingest batch is checked against the standing corpus —
@@ -554,6 +566,48 @@ def exact_jaccard_pairs_incremental(
     from pyspark import StorageLevel
 
     from .scale import reliable_checkpoint
+
+    if collapse_clones:
+        def fams(df: DataFrame) -> DataFrame:
+            # Eligibility (>= n tokens) decided once per family on the
+            # canonical text — clones tokenize identically. Pinned: the
+            # relation feeds the canonical join side AND the expansion.
+            return (
+                df.select(
+                    F.col(id_col).alias("__id"),
+                    F.col(text_col).alias("__text"),
+                    F.md5(text_col).alias("__fp"),
+                )
+                .groupBy("__fp")
+                .agg(
+                    F.min("__id").alias("canon"),
+                    F.array_sort(F.collect_list("__id")).alias("members"),
+                    F.min_by("__text", F.col("__id")).alias("__text"),
+                )
+                .filter(F.size(tokens_col("__text")) >= n)
+                .localCheckpoint(eager=True)
+            )
+
+        fn, fi = fams(new_df), fams(index_df)
+        cpairs = exact_jaccard_pairs_incremental(
+            fn.select(F.col("canon").alias(id_col), F.col("__text").alias(text_col)),
+            fi.select(F.col("canon").alias(id_col), F.col("__text").alias(text_col)),
+            id_col, text_col, n, threshold, checkpoint_dir,
+            collapse_clones=False,
+        )
+        ma = fn.select(F.col("canon").alias("new_id"), F.col("members").alias("ma"))
+        mb = fi.select(F.col("canon").alias("index_id"), F.col("members").alias("mb"))
+        return (
+            cpairs.join(ma, "new_id")
+            .join(mb, "index_id")
+            .select(F.explode("ma").alias("x"), "mb", "jaccard")
+            .select("x", F.explode("mb").alias("y"), "jaccard")
+            .select(
+                F.col("x").alias("new_id"),
+                F.col("y").alias("index_id"),
+                "jaccard",
+            )
+        )
 
     eps = 1e-9
 

@@ -95,3 +95,30 @@ def test_collapsed_cosine_equals_naive_for_any_clone_pattern(spark, vecs):
         for r in _naive_block_pairs(emb, 0.3).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(families=texts_strategy)
+def test_collapsed_incremental_equals_flat_for_any_clone_pattern(spark, families):
+    """The R-S incremental PPJoin with per-side clone collapse must emit
+    exactly the flat R-S rows for ANY clone pattern — including families
+    spanning both sides (a text present in the batch AND the index must
+    meet itself at 1.0 through its two canonicals)."""
+    docs = _mk_docs(spark, families)
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    idx = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    flat = {
+        (r.new_id, r.index_id, round(r.jaccard, 9))
+        for r in dedup.exact_jaccard_pairs_incremental(
+            new, idx, threshold=0.5, collapse_clones=False
+        ).collect()
+    }
+    collapsed = {
+        (r.new_id, r.index_id, round(r.jaccard, 9))
+        for r in dedup.exact_jaccard_pairs_incremental(
+            new, idx, threshold=0.5, collapse_clones=True
+        ).collect()
+    }
+    assert collapsed == flat

@@ -526,13 +526,16 @@ def test_incremental_jaccard_equals_quadratic(spark, docs):
             .filter(F2.col("jaccard") >= t)
             .collect()
         }
-        p = {
-            (r.new_id, r.index_id, round(r.jaccard, 9))
-            for r in dedup.exact_jaccard_pairs_incremental(
-                new, idx, threshold=t
-            ).collect()
-        }
-        assert p == q, f"threshold {t}: {len(p)} vs {len(q)} pairs"
+        for collapse in (False, True):
+            p = {
+                (r.new_id, r.index_id, round(r.jaccard, 9))
+                for r in dedup.exact_jaccard_pairs_incremental(
+                    new, idx, threshold=t, collapse_clones=collapse
+                ).collect()
+            }
+            assert p == q, (
+                f"threshold {t} collapse={collapse}: {len(p)} vs {len(q)} pairs"
+            )
 
 
 def test_prefix_jaccard_empty_common_sample(spark):
