@@ -469,16 +469,17 @@ def pipeline_contains_decontaminate(spark, sf_dir):
     but each probe test is a JVM `contains` over an in-memory array;
     for probe sets in the tens of thousands, swap the inner loop for an
     Aho-Corasick pandas UDF over the same broadcast (same plan shape,
-    one automaton build per batch)."""
+    one automaton build per batch). Both paths live in
+    operators.curation.contains_probes (method='broadcast' here;
+    method='automaton' is the Aho-Corasick mapInPandas twin, asserted
+    row-identical in tests); the probe collect is bounded by the
+    benchmark-sized probe contract."""
+    from ..operators import curation as cur
+
     docs = load_table(spark, sf_dir, "documents")
     probes = (
         docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
         .select(F.substring("text", 1, 40).alias("probe"))
         .distinct()
     )
-    return (
-        docs.select("doc_id", "text")
-        .join(F.broadcast(probes), F.expr("contains(text, probe)"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_probes_hit"))
-    )
+    return cur.contains_probes(docs, probes, method="broadcast")

@@ -138,3 +138,44 @@ def test_pii_redact_scrubs_and_counts(spark):
     assert r.n_emails == 2 and r.n_phones == 1
     assert "<EMAIL>" in r.redacted and "<PHONE>" in r.redacted
     assert "@" not in r.redacted and "+1-555" not in r.redacted
+
+
+def test_contains_probes_automaton_equals_broadcast(spark):
+    """The Aho-Corasick mapInPandas path must emit exactly the broadcast
+    non-equi-join rows — same docs, same distinct-probe hit counts —
+    including overlapping and nested probes."""
+    from cdc_poc_spark.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    probes = [
+        r.probe
+        for r in docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+        .select(F.substring("text", 1, 40).alias("probe"))
+        .distinct()
+        .collect()
+    ]
+    bc = {
+        (r.doc_id, r.n_probes_hit)
+        for r in curation.contains_probes(docs, probes, method="broadcast").collect()
+    }
+    ac = {
+        (r.doc_id, r.n_probes_hit)
+        for r in curation.contains_probes(docs, probes, method="automaton").collect()
+    }
+    assert ac == bc and bc  # non-empty: the probe docs self-hit
+
+
+def test_contains_probes_overlapping_nested(spark):
+    """Nested/overlapping probes all count: 'ab', 'abc', 'b' in 'abcb'
+    -> 3 distinct probes hit (output sets merged along failure links)."""
+    df = spark.createDataFrame([(1, "abcb"), (2, "zzz")], "doc_id long, text string")
+    for method in ("broadcast", "automaton"):
+        out = {
+            r.doc_id: r.n_probes_hit
+            for r in curation.contains_probes(
+                df, ["ab", "abc", "b"], method=method
+            ).collect()
+        }
+        assert out == {1: 3}, (method, out)
