@@ -706,6 +706,199 @@ def exact_jaccard_pairs_incremental(
     return out
 
 
+def build_jaccard_index(
+    df: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize the standing-corpus side of the incremental R-S
+    PPJoin ONCE, as bucketed catalog tables — the deployment shape the
+    flat `exact_jaccard_pairs_incremental` docstring promises:
+
+      {name}_hsets   (id, hset)          bucketed by id   [verification]
+      {name}_prefix  (tok, id, sz, rk)   bucketed by tok  [candidate join]
+      {name}_commons (tok, rank, built_t)                 [shared token order]
+
+    Every future ingest batch then pays ONLY its own shingling: the
+    candidate equi-join reads the prefix table bucket-local (no index
+    shuffle — the batch side repartitions to the bucket layout), and
+    the verification join reads hsets the same way.
+
+    The prefix table is cut at ``threshold`` — build at the LOWEST t
+    you intend to query. Querying at t' >= t keeps rows with
+    rk <= plen(t') (the same fixed token order makes t''s prefix a
+    prefix of t's), so one index serves a threshold range; querying
+    below the built threshold raises."""
+    eps = 1e-9
+    sh = with_shingles(df, text_col, n).select(
+        id_col,
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
+            "hset"
+        ),
+    )
+    from .scale import write_bucketed
+
+    write_bucketed(
+        sh.select(F.col(id_col).alias("id"), "hset"),
+        f"{name}_hsets",
+        ["id"],
+        n_buckets=n_buckets,
+    )
+    spark = df.sparkSession
+    sh_t = spark.table(f"{name}_hsets")
+    sampled = sh_t.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(8)) == 0)
+    common = [
+        r.tok
+        for r in sampled.select(F.explode("hset").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(256)
+        .collect()
+    ]
+    spark.createDataFrame(
+        [(t, i, float(threshold)) for i, t in enumerate(common)],
+        "tok long, rank int, built_t double",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_commons")
+    common_arr = F.lit(common).cast("array<bigint>")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    ordered = F.array_sort(
+        F.transform(
+            "hset",
+            lambda t: F.struct(
+                F.array_contains(common_arr, t).cast("int").alias("c"),
+                t.alias("t"),
+            ),
+        )
+    )
+    prefix = (
+        sh_t.select(
+            "id",
+            F.size("hset").alias("sz"),
+            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+        )
+        .select(
+            "id",
+            "sz",
+            F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
+        )
+        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    )
+    write_bucketed(prefix, f"{name}_prefix", ["tok"], n_buckets=n_buckets)
+
+
+def incremental_vs_jaccard_index(
+    new_df: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
+    pin_result: bool = True,
+) -> DataFrame:
+    """R-S PPJoin of an ingest batch against a PERSISTED corpus index
+    (see build_jaccard_index) — output-identical to
+    `exact_jaccard_pairs_incremental(new, corpus)` (asserted in tests),
+    but the corpus pays nothing per batch: its shingle/prefix relations
+    stream from the bucketed tables, bucket-local on both joins, while
+    only the (small) batch side is computed and shuffled.
+
+    ``pin_result`` (default): the verified pair list is eagerly pinned
+    (reliable checkpoint with ``checkpoint_dir``, else localCheckpoint)
+    and the batch-side cache released — the same multi-consumer
+    contract as exact_jaccard_pairs. Pass False to inspect the
+    un-pinned plan (a pinned DataFrame explains as an RDD scan)."""
+    from pyspark import StorageLevel
+
+    eps = 1e-9
+    spark = new_df.sparkSession
+    commons_rows = spark.table(f"{name}_commons").orderBy("rank").collect()
+    built_t = commons_rows[0].built_t if commons_rows else threshold
+    if threshold < built_t - 1e-12:
+        raise ValueError(
+            f"index {name!r} built at threshold {built_t}; cannot query at"
+            f" lower threshold {threshold} (prefixes too short)"
+        )
+    common = [r.tok for r in commons_rows]
+    common_arr = F.lit(common).cast("array<bigint>")
+    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    sh_new = (
+        with_shingles(new_df, text_col, n)
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hset"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh_new.count()  # materialize before the multi-consumer fan-out
+    ordered = F.array_sort(
+        F.transform(
+            "hset",
+            lambda t: F.struct(
+                F.array_contains(common_arr, t).cast("int").alias("c"),
+                t.alias("t"),
+            ),
+        )
+    )
+    prefix_new = (
+        sh_new.select(
+            F.col(id_col).alias("id"),
+            F.size("hset").alias("sz"),
+            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+        )
+        .select(
+            "id",
+            "sz",
+            F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
+        )
+        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    )
+    # Re-cut the stored prefixes to THIS query's (>= built) threshold.
+    prefix_idx = spark.table(f"{name}_prefix").filter(F.col("rk") <= plen)
+    need = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("a.sz") + F.col("b.sz")
+    ) - eps
+    ub = 1 + F.least(
+        F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk")
+    )
+    cand = (
+        prefix_new.alias("a")
+        .join(prefix_idx.alias("b"), "tok")
+        .filter(
+            (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - eps)
+            & (F.col("b.sz") <= F.col("a.sz") / F.lit(threshold) + eps)
+        )
+        .groupBy(F.col("a.id").alias("new_id"), F.col("b.id").alias("index_id"))
+        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
+        .filter(F.col("ub") >= F.col("need"))
+        .select("new_id", "index_id")
+    )
+    a = sh_new.select(F.col(id_col).alias("new_id"), F.col("hset").alias("sh_a"))
+    b = spark.table(f"{name}_hsets").select(
+        F.col("id").alias("index_id"), F.col("hset").alias("sh_b")
+    )
+    out = (
+        cand.join(a, "new_id")
+        .join(b, "index_id")
+        .withColumn("jaccard", jaccard("sh_a", "sh_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
+    if pin_result:
+        from .scale import reliable_checkpoint
+
+        out = reliable_checkpoint(out, checkpoint_dir)
+        sh_new.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Tier 4: SimHash
 # ---------------------------------------------------------------------------

@@ -586,3 +586,45 @@ def test_triangle_stats_no_triangles(spark):
     row = triangle_stats(df).collect()[0]
     assert row.n_triangles == 0 and row.n_wedges == 2
     assert row.clustering_coefficient == 0.0
+
+
+def test_persisted_jaccard_index_matches_inline(spark, docs):
+    """build_jaccard_index + incremental_vs_jaccard_index must emit
+    exactly the inline R-S join's rows — at the built threshold AND at
+    a higher one (the stored prefixes re-cut to the query threshold) —
+    and refuse a query below the built threshold."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    new = docs.filter(F2.pmod(F2.col("doc_id"), F2.lit(10)) == 0)
+    idx = docs.filter(F2.pmod(F2.col("doc_id"), F2.lit(10)) != 0)
+    dedup.build_jaccard_index(idx, "jidx_test", threshold=0.5)
+    try:
+        for t in (0.5, 0.8):
+            inline = {
+                (r.new_id, r.index_id, round(r.jaccard, 9))
+                for r in dedup.exact_jaccard_pairs_incremental(
+                    new, idx, threshold=t, collapse_clones=False
+                ).collect()
+            }
+            saved = {
+                (r.new_id, r.index_id, round(r.jaccard, 9))
+                for r in dedup.incremental_vs_jaccard_index(
+                    new, "jidx_test", threshold=t
+                ).collect()
+            }
+            assert saved == inline, f"threshold {t}"
+        # the index side must stream from the bucketed tables
+        plan = dedup.incremental_vs_jaccard_index(
+            new, "jidx_test", threshold=0.5, pin_result=False
+        )._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Bucketed: true" in plan
+        with _pytest.raises(ValueError, match="lower threshold"):
+            dedup.incremental_vs_jaccard_index(new, "jidx_test", threshold=0.3)
+    finally:
+        for t_name in ("jidx_test_hsets", "jidx_test_prefix", "jidx_test_commons"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_name}")
