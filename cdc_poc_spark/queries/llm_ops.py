@@ -978,6 +978,73 @@ def text_build_vocab(spark, sf_dir):
     return v.select("token", "cnt", F.col("vocab_id").cast("long"))
 
 
+_ENCODE_ORACLE = """
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY token HAVING COUNT(*) >= 3
+), v AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS vocab_id
+  FROM c
+), d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), e AS (
+  SELECT d.doc_id, i AS pos, d.toks[i] AS tok
+  FROM d, UNNEST(range(1, len(d.toks) + 1)) AS u(i)
+), j AS (
+  SELECT e.doc_id, e.pos, COALESCE(v.vocab_id, -1) AS vid
+  FROM e LEFT JOIN v ON v.token = e.tok
+)
+SELECT doc_id,
+       string_agg(CAST(vid AS VARCHAR), ',' ORDER BY pos) AS token_ids_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM j GROUP BY doc_id
+"""
+
+
+@register("text_encode_ids", oracle=_ENCODE_ORACLE, tags=("llm", "text", "vocab"))
+def text_encode_ids(spark, sf_dir):
+    """Apply the corpus vocabulary (text_build_vocab) to ENCODE every
+    document as its token-id sequence (OOV -> -1) — the build->apply
+    half-pipeline of a tokenizer. Plan: posexplode the corpus, ONE
+    token-keyed join against the vocab (broadcast when the vocab fits,
+    sort-merge past that — no assumption baked in), then one doc-keyed
+    groupBy that reassembles positions via array_sort of (pos, id)
+    structs — order restored without a window. Ids are emitted
+    CSV-joined so both engines serialize the sequence identically."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 3)
+    )
+    vocab = global_index(
+        counts.withColumn("neg_cnt", -F.col("cnt")),
+        idx_col="vocab_id",
+        order_cols=["neg_cnt", "token"],
+    ).select("token", "vocab_id")
+    toks = spread(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    enc = toks.join(vocab, "token", "left").select(
+        "doc_id", "pos", F.coalesce("vocab_id", F.lit(-1)).alias("vid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, vid))), s -> s.vid)"),
+            ",",
+        ).alias("token_ids_csv"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("vid") == -1).cast("long")).alias("n_oov"),
+    )
+
+
 _LEAK_SPLIT_ORACLE = _CC_PREFIX + """
 SELECT d.doc_id,
        COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
