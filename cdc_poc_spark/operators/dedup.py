@@ -721,19 +721,21 @@ def build_jaccard_index(
 
       {name}_hsets   (id, hset)          bucketed by id   [verification]
       {name}_prefix  (tok, id, sz, rk)   bucketed by tok  [candidate join]
-      {name}_commons (tok, rank, built_t)                 [shared token order]
+      {name}_commons (tok, rank)                          [shared token order]
+      {name}_meta    (built_t, n_buckets)                 [one row]
 
     Every future ingest batch then pays ONLY its own shingling: the
     candidate equi-join reads the prefix table bucket-local (no index
     shuffle — the batch side repartitions to the bucket layout), and
-    the verification join reads hsets the same way.
+    the verification join reads hsets the same way. The index GROWS
+    with the corpus via append_to_jaccard_index (accepted batches add
+    their hset/prefix rows under the frozen token order + threshold).
 
     The prefix table is cut at ``threshold`` — build at the LOWEST t
     you intend to query. Querying at t' >= t keeps rows with
     rk <= plen(t') (the same fixed token order makes t''s prefix a
     prefix of t's), so one index serves a threshold range; querying
     below the built threshold raises."""
-    eps = 1e-9
     sh = with_shingles(df, text_col, n).select(
         id_col,
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
@@ -761,9 +763,21 @@ def build_jaccard_index(
         .collect()
     ]
     spark.createDataFrame(
-        [(t, i, float(threshold)) for i, t in enumerate(common)],
-        "tok long, rank int, built_t double",
+        [(t, i) for i, t in enumerate(common)], "tok long, rank int"
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_commons")
+    spark.createDataFrame(
+        [(float(threshold), n_buckets)], "built_t double, n_buckets int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+    prefix = _index_prefix_rel(sh_t, common, threshold)
+    write_bucketed(prefix, f"{name}_prefix", ["tok"], n_buckets=n_buckets)
+
+
+def _index_prefix_rel(
+    sh: DataFrame, common: list[int], threshold: float
+) -> DataFrame:
+    """(tok, id, sz, rk) prefix rows for an (id, hset) relation under
+    the index's frozen common-token order and build threshold."""
+    eps = 1e-9
     common_arr = F.lit(common).cast("array<bigint>")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
     ordered = F.array_sort(
@@ -775,8 +789,8 @@ def build_jaccard_index(
             ),
         )
     )
-    prefix = (
-        sh_t.select(
+    return (
+        sh.select(
             "id",
             F.size("hset").alias("sz"),
             F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
@@ -788,7 +802,46 @@ def build_jaccard_index(
         )
         .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
     )
-    write_bucketed(prefix, f"{name}_prefix", ["tok"], n_buckets=n_buckets)
+
+
+def append_to_jaccard_index(
+    df: DataFrame,
+    name: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Grow a persisted Jaccard index with an accepted ingest batch:
+    the batch's (id, hset) and prefix rows are APPENDED to the bucketed
+    tables under the index's FROZEN common-token order and build
+    threshold (read from {name}_meta/{name}_commons) — the order is a
+    pruning heuristic, so drift between the original sample and the
+    grown corpus can only cost candidate selectivity, never
+    correctness. This is the maintenance half of the daily loop:
+    dedup the batch against the index, then index what was kept."""
+    spark = df.sparkSession
+    meta = spark.table(f"{name}_meta").collect()[0]
+    common = [
+        r.tok for r in spark.table(f"{name}_commons").orderBy("rank").collect()
+    ]
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
+            "hset"
+        ),
+    )
+    from .scale import write_bucketed
+
+    write_bucketed(
+        sh, f"{name}_hsets", ["id"], n_buckets=meta.n_buckets, mode="append"
+    )
+    write_bucketed(
+        _index_prefix_rel(sh, common, meta.built_t),
+        f"{name}_prefix",
+        ["tok"],
+        n_buckets=meta.n_buckets,
+        mode="append",
+    )
 
 
 def incremental_vs_jaccard_index(
@@ -817,14 +870,15 @@ def incremental_vs_jaccard_index(
 
     eps = 1e-9
     spark = new_df.sparkSession
-    commons_rows = spark.table(f"{name}_commons").orderBy("rank").collect()
-    built_t = commons_rows[0].built_t if commons_rows else threshold
+    built_t = spark.table(f"{name}_meta").collect()[0].built_t
     if threshold < built_t - 1e-12:
         raise ValueError(
             f"index {name!r} built at threshold {built_t}; cannot query at"
             f" lower threshold {threshold} (prefixes too short)"
         )
-    common = [r.tok for r in commons_rows]
+    common = [
+        r.tok for r in spark.table(f"{name}_commons").orderBy("rank").collect()
+    ]
     common_arr = F.lit(common).cast("array<bigint>")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
     sh_new = (

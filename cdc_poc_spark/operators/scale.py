@@ -116,12 +116,15 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table.
     Reads of two tables bucketed the same way join bucket-to-bucket with
     no Exchange (verify with .explain: SortMergeJoin over FileScans,
-    'SelectedBucketsCount' present, no Exchange above the scans)."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    'SelectedBucketsCount' present, no Exchange above the scans).
+    ``mode='append'`` adds files honoring the existing bucket spec
+    (the spec passed here must match the table's)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)

@@ -201,3 +201,85 @@ def streaming_neardup_hits(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ingest_vs_index(
+    stream_docs: DataFrame,
+    index_name: str,
+    hits_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    grow: bool = True,
+):
+    """The full ingest-dedup LOOP against a PERSISTED corpus index
+    (operators/dedup.py:build_jaccard_index), as a streaming query:
+    every micro-batch is (1) flagged — exact R-S PPJoin of the batch
+    against the index, hits written parquet to ``hits_dir`` partitioned
+    by epoch — and (2) when ``grow``, the batch's CLEAN docs (no hit)
+    are appended to the index, so batch N+1 dedups against everything
+    accepted through batch N. This is what `streaming_neardup_hits`
+    is not: that operator dedups the stream against ITSELF (per-bucket
+    state); this one dedups it against the standing corpus, with the
+    index as the state — unbounded corpus, zero stream state.
+
+    Exactly-once: hits are idempotent on replay (each batch rewrites
+    its own epoch partition, dynamic overwrite — same contract as the
+    CDC log/DLQ sinks); index growth is guarded by a per-batch ledger
+    table ``{index_name}_applied`` (a replayed batch that completed is
+    skipped wholesale). The unguarded window is one metadata write
+    wide — a crash BETWEEN the index append and the ledger append
+    re-appends that batch on replay (duplicate index rows → duplicate
+    hit rows for later batches). Closing it needs a transactional
+    table format (Delta/Iceberg MERGE — classpath-gated here, like the
+    CDC MERGE path); the ledger narrows it to the same window every
+    at-least-once ingest system documents.
+
+    Returns the configured ``DataStreamWriter`` (availableNow) — call
+    ``.start()``."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.dedup import (
+        append_to_jaccard_index,
+        incremental_vs_jaccard_index,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = f"{index_name}_applied"
+        if not spark.catalog.tableExists(ledger):
+            spark.createDataFrame([], "batch_id long").write.format(
+                "parquet"
+            ).saveAsTable(ledger)
+        replayed = (
+            spark.table(ledger).filter(SF.col("batch_id") == batch_id).limit(1).count()
+            > 0
+        )
+        if replayed:
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 3x below
+        hits = incremental_vs_jaccard_index(
+            batch_df, index_name, threshold=threshold
+        )
+        (
+            hits.withColumn("epoch", SF.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .format("parquet")
+            .save(hits_dir)
+        )
+        if grow:
+            flagged = hits.select(
+                SF.col("new_id").alias("doc_id")
+            ).distinct()
+            clean = batch_df.join(flagged, "doc_id", "left_anti")
+            append_to_jaccard_index(clean, index_name)
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(ledger)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -626,5 +626,46 @@ def test_persisted_jaccard_index_matches_inline(spark, docs):
         with _pytest.raises(ValueError, match="lower threshold"):
             dedup.incremental_vs_jaccard_index(new, "jidx_test", threshold=0.3)
     finally:
-        for t_name in ("jidx_test_hsets", "jidx_test_prefix", "jidx_test_commons"):
+        for t_name in (
+            "jidx_test_hsets",
+            "jidx_test_prefix",
+            "jidx_test_commons",
+            "jidx_test_meta",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t_name}")
+
+
+def test_jaccard_index_append_grows_index(spark, docs):
+    """build on slice A, append slice B, query slice C: results must
+    equal the inline R-S join of C against A ∪ B — the appended rows
+    participate under the frozen token order/threshold."""
+    from pyspark.sql import functions as F2
+
+    part = F2.pmod(F2.col("doc_id"), F2.lit(3))
+    a = docs.filter(part == 1)
+    b = docs.filter(part == 2)
+    c = docs.filter(part == 0)
+    dedup.build_jaccard_index(a, "jidx_grow", threshold=0.5)
+    try:
+        dedup.append_to_jaccard_index(b, "jidx_grow")
+        saved = {
+            (r.new_id, r.index_id, round(r.jaccard, 9))
+            for r in dedup.incremental_vs_jaccard_index(
+                c, "jidx_grow", threshold=0.5
+            ).collect()
+        }
+        inline = {
+            (r.new_id, r.index_id, round(r.jaccard, 9))
+            for r in dedup.exact_jaccard_pairs_incremental(
+                c, a.unionByName(b), threshold=0.5, collapse_clones=False
+            ).collect()
+        }
+        assert saved == inline and inline  # fixture has cross-slice near-dups
+    finally:
+        for t_name in (
+            "jidx_grow_hsets",
+            "jidx_grow_prefix",
+            "jidx_grow_commons",
+            "jidx_grow_meta",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t_name}")

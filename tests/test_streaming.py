@@ -879,3 +879,92 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
     assert got == want and want, f"{len(got)} streaming vs {len(want)} batch"
     # at least one pair must span the batch cut (state did its job)
     assert any(a <= cut < b for a, b, _ in got)
+
+
+def test_ingest_vs_index_streams_and_grows(spark, tmp_path):
+    """The foreachBatch ingest loop against a persisted Jaccard index:
+    batch 1 (slice B) is flagged vs the built index (slice A) and its
+    clean docs appended; batch 2 (slice C) must then be flagged vs
+    A ∪ clean(B) — asserted equal to the inline R-S joins computed
+    batch-style. A replayed completed batch is a ledger no-op."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators import dedup
+    from cdc_poc_spark.streaming import neardup
+    from cdc_poc_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    a = docs.filter(part == 1)
+    b = docs.filter(part == 2)
+    c = docs.filter(part == 0)
+    dedup.build_jaccard_index(a, "jidx_stream", threshold=0.5)
+    d = tmp_path / "ingest_stream"
+    b.coalesce(1).write.parquet(str(d / "b"))
+    c.coalesce(1).write.parquet(str(d / "c"))
+    data = d / "data"
+    data.mkdir()
+    for i, part_dir in enumerate(["b", "c"]):  # lexical order = arrival order
+        src = glob.glob(str(d / part_dir / "part-*.parquet"))[0]
+        shutil.copy(src, str(data / f"{i:02d}.parquet"))
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data))
+        )
+        hits_dir = str(tmp_path / "hits")
+        writer = neardup.ingest_vs_index(
+            stream, "jidx_stream", hits_dir, str(tmp_path / "ckpt_ingest")
+        )
+        writer.start().awaitTermination(180)
+        got = {
+            (r.new_id, r.index_id, round(r.jaccard, 9), r.epoch)
+            for r in spark.read.parquet(hits_dir).collect()
+        }
+        want_b = {
+            (r.new_id, r.index_id, round(r.jaccard, 9), 0)
+            for r in dedup.exact_jaccard_pairs_incremental(
+                b, a, threshold=0.5
+            ).collect()
+        }
+        flagged_b = {x[0] for x in want_b}
+        clean_b = b.filter(~F.col("doc_id").isin(list(flagged_b) or [-1]))
+        want_c = {
+            (r.new_id, r.index_id, round(r.jaccard, 9), 1)
+            for r in dedup.exact_jaccard_pairs_incremental(
+                c, a.unionByName(clean_b), threshold=0.5
+            ).collect()
+        }
+        assert got == want_b | want_c, (
+            f"{len(got)} streamed vs {len(want_b)}+{len(want_c)} inline"
+        )
+        assert want_b and want_c  # both epochs must exercise the join
+        # replaying a completed batch is a no-op (ledger guard)
+        n_hsets = spark.table("jidx_stream_hsets").count()
+        writer2 = neardup.ingest_vs_index(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data)),
+            "jidx_stream",
+            hits_dir,
+            str(tmp_path / "ckpt_ingest"),  # same checkpoint: no new data
+        )
+        writer2.start().awaitTermination(180)
+        assert spark.table("jidx_stream_hsets").count() == n_hsets
+        assert {
+            (r.new_id, r.index_id, round(r.jaccard, 9), r.epoch)
+            for r in spark.read.parquet(hits_dir).collect()
+        } == got
+    finally:
+        for t_name in (
+            "jidx_stream_hsets",
+            "jidx_stream_prefix",
+            "jidx_stream_commons",
+            "jidx_stream_meta",
+            "jidx_stream_applied",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t_name}")
