@@ -1154,3 +1154,103 @@ def pipeline_weighted_sample(spark, sf_dir):
     return d.filter(pick > prev_pick).select(
         "source", "doc_id", "n_chars", pick.alias("pick_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-quantized PageRank, 3 unrolled iterations (iterative-algorithm
+# shape with an EXACT SQL oracle)
+# ---------------------------------------------------------------------------
+
+_PR_Q = 1_000_000_000_000
+
+_PAGERANK_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), b AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS quantum,
+         CAST(((1000000000000 // COUNT(*)) * 15) // 100 AS BIGINT) AS base
+  FROM deg
+), r0 AS (
+  SELECT d.node, d.deg, b.quantum AS r FROM deg d, b
+), r1 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r0.r // r0.deg)) // 100 AS r
+  FROM sym s JOIN r0 ON r0.node = s.v, b
+  GROUP BY s.u, b.base
+), r1d AS (
+  SELECT r1.node, d.deg, r1.r FROM r1 JOIN deg d ON d.node = r1.node
+), r2 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r1d.r // r1d.deg)) // 100 AS r
+  FROM sym s JOIN r1d ON r1d.node = s.v, b
+  GROUP BY s.u, b.base
+), r2d AS (
+  SELECT r2.node, d.deg, r2.r FROM r2 JOIN deg d ON d.node = r2.node
+), r3 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r2d.r // r2d.deg)) // 100 AS r
+  FROM sym s JOIN r2d ON r2d.node = s.v, b
+  GROUP BY s.u, b.base
+)
+SELECT node, node % 2 = 1 AS is_supplier, node // 2 AS entity_key,
+       CAST(r AS BIGINT) AS rank_micro
+FROM r3 ORDER BY r DESC, node LIMIT 20
+"""
+
+
+@register("graph_pagerank_3iter", oracle=_PAGERANK_ORACLE, tags=("graph", "analytics"))
+def graph_pagerank_3iter(spark, sf_dir):
+    """PageRank (d=0.85, 3 unrolled iterations) over the bipartite
+    customer-supplier order graph, top-20 — the iterative-algorithm
+    shape, made EXACTLY oracle-checkable by integer quantization: total
+    mass is 10^12 micro-units, every per-edge contribution is BIGINT
+    DIV, so both engines round identically at every step and the
+    ranking is bit-reproducible (a float formulation would drift with
+    summation order across cluster topologies). Plan per iteration: one
+    neighbor equi-join + one map-side-combinable sum — the log-bounded
+    round structure connected_components uses; the edge list and degree
+    relation are pinned once and reused by all three rounds. Top-20 is
+    TakeOrderedAndProject (total order: rank desc, node), never a
+    global sort."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # feeds deg + all three rounds
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    n = deg.count()
+    quantum = _PR_Q // n
+    base = (quantum * 15) // 100
+    r = deg.select("node", "deg", F.lit(quantum).alias("r"))
+    for _ in range(3):
+        contrib = sym.join(r.withColumnRenamed("node", "v"), "v").select(
+            "u", F.expr("r DIV deg").alias("c")
+        )
+        rsum = contrib.groupBy(F.col("u").alias("node")).agg(F.sum("c").alias("sc"))
+        r = rsum.join(deg, "node").select(
+            "node", "deg", (F.lit(base) + F.expr("(85 * sc) DIV 100")).alias("r")
+        )
+    return (
+        r.select(
+            "node",
+            F.expr("node % 2 = 1").alias("is_supplier"),
+            F.expr("node DIV 2").alias("entity_key"),
+            F.col("r").alias("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(20)
+    )
