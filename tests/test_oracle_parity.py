@@ -36,3 +36,15 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_round4_front_names_all_registered():
+    """Every name in _ROUND4_FRONT must exist in the registry (the
+    window builder silently drops unknown names — a typo would shrink
+    the driver's 50-query window) and must lead the iteration order."""
+    from cdc_poc_spark.queries import _ROUND4_FRONT, all_specs
+
+    specs = all_specs()
+    missing = [n for n in _ROUND4_FRONT if n not in specs]
+    assert not missing, f"front names not registered: {missing}"
+    assert list(specs)[: len(_ROUND4_FRONT)] == _ROUND4_FRONT
