@@ -406,3 +406,121 @@ def norm_stats_by_label(emb: DataFrame, label_col: str = "label", vec_col: str =
         F.min("r_norm").alias("min_norm"),
         F.max("r_norm").alias("max_norm"),
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_buckets: int = 8,
+) -> None:
+    """Persist the IVF index ONCE (train once, query many — the ANN
+    production shape, the embedding-space twin of build_jaccard_index):
+
+      {name}_centroids (cell_id, cvec, cnorm)            [coarse quantizer]
+      {name}_lists     (cell_id, id, vec, vnorm) bucketed by cell_id
+
+    Same deterministic construction as the inline ivf_topk (first
+    n_cells vectors seed, one Lloyd refinement, final assignment =
+    inverted lists); the difference is the lists land as a bucketed
+    catalog table, so every future query batch probes cells with the
+    corpus side bucket-local — no per-query-batch index rebuild, no
+    corpus shuffle. Refreshing after corpus growth is a rebuild (IVF
+    centroids drift with the distribution — unlike the Jaccard index,
+    appends without retraining degrade recall, the standard IVF
+    operational caveat)."""
+    from .scale import write_bucketed
+
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+        "vnorm", norm("vec")
+    )
+    seeds = e.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"),
+        F.col("vec").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            id_col,
+            "vec",
+            "vnorm",
+            "cell_id",
+            (dot("vec", "cvec") / (F.col("vnorm") * F.col("cnorm"))).alias("ccos"),
+        )
+        return scored.groupBy(id_col, "vec", "vnorm").agg(
+            F.max_by("cell_id", F.struct("ccos", F.col("cell_id").cast("double") * -1))
+            .alias("cell_id")
+        )
+
+    refined = (
+        assign(e, seeds)
+        .select("cell_id", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cell_id", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m
+            ).alias("cvec")
+        )
+        .withColumn("cnorm", norm("cvec"))
+        .localCheckpoint(eager=True)  # two consumers: table write + assignment
+    )
+    refined.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{name}_centroids"
+    )
+    assigned = assign(e, refined).select(
+        "cell_id", F.col(id_col).alias("id"), "vec", "vnorm"
+    )
+    write_bucketed(assigned, f"{name}_lists", ["cell_id"], n_buckets=n_buckets)
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index: broadcast the
+    stored centroids to rank cells per query, probe the n_probe
+    nearest, score ONLY the probed inverted lists exactly (bucket-local
+    scan of {name}_lists), window top-k. Per batch the corpus cost is
+    |probed cells| / |cells| of one list scan — nothing is rebuilt."""
+    spark = queries.sparkSession
+    cents = spark.table(f"{name}_centroids")
+    lists = spark.table(f"{name}_lists")
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    ).withColumn("qnorm", norm("qvec"))
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "qnorm",
+            "cell_id",
+            (dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm"))).alias("pcos"),
+        )
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "qvec", "qnorm", "cell_id")
+    )
+    sim = F.round(dot("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 5).alias(
+        "cosine"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(lists, "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"), sim)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

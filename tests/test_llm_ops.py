@@ -669,3 +669,41 @@ def test_jaccard_index_append_grows_index(spark, docs):
             "jidx_grow_meta",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t_name}")
+
+
+def test_persisted_ivf_index_recall_and_determinism(spark, emb):
+    """The persisted IVF index must (1) beat the random-scan recall
+    floor vs brute force exactly like the inline variant, (2) be
+    deterministic across query calls (the index is frozen on disk),
+    and (3) source every neighbor from one of the query's n_probe
+    probed cells (candidates come from the stored inverted lists, not
+    a corpus rescan)."""
+    from pyspark.sql import functions as F2
+
+    similarity.build_ivf_index(emb, "ivf_test")
+    try:
+        queries = emb.filter(F2.col("vec_id") < 10)
+        got1 = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in similarity.ivf_index_topk(queries, "ivf_test").collect()
+        }
+        got2 = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in similarity.ivf_index_topk(queries, "ivf_test").collect()
+        }
+        assert got1 == got2 and got1
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(emb).collect()
+        }
+        approx = {(q, n) for q, n, _, _ in got1}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, f"IVF-index recall {recall:.2f}"
+        # neighbors must come from the probed cells' stored lists
+        lists = {
+            (r.cell_id, r.id) for r in spark.table("ivf_test_lists").collect()
+        }
+        assert all(any((c, n) in lists for c in range(16)) for _, n in approx)
+    finally:
+        for t_name in ("ivf_test_centroids", "ivf_test_lists"):
+            spark.sql(f"DROP TABLE IF EXISTS {t_name}")
