@@ -122,3 +122,43 @@ def test_collapsed_incremental_equals_flat_for_any_clone_pattern(spark, families
         ).collect()
     }
     assert collapsed == flat
+
+
+@settings(
+    max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(families=texts_strategy)
+def test_persisted_index_lifecycle_for_any_clone_pattern(spark, families):
+    """build(A) + append(B) + query(C) against the persisted index must
+    emit exactly the inline R-S join of C vs A ∪ B, for ANY corpus —
+    clone families, short docs (< n tokens), empty strings. Exercises
+    the frozen-token-order append path and the threshold re-cut."""
+    docs = _mk_docs(spark, families)
+    part = F.pmod(F.col("doc_id"), F.lit(3))
+    a = docs.filter(part == 1)
+    b = docs.filter(part == 2)
+    c = docs.filter(part == 0)
+    dedup.build_jaccard_index(a, "jidx_prop", threshold=0.5, n_buckets=2)
+    try:
+        dedup.append_to_jaccard_index(b, "jidx_prop")
+        saved = {
+            (r.new_id, r.index_id, round(r.jaccard, 9))
+            for r in dedup.incremental_vs_jaccard_index(
+                c, "jidx_prop", threshold=0.5
+            ).collect()
+        }
+        inline = {
+            (r.new_id, r.index_id, round(r.jaccard, 9))
+            for r in dedup.exact_jaccard_pairs_incremental(
+                c, a.unionByName(b), threshold=0.5, collapse_clones=False
+            ).collect()
+        }
+        assert saved == inline
+    finally:
+        for t_name in (
+            "jidx_prop_hsets",
+            "jidx_prop_prefix",
+            "jidx_prop_commons",
+            "jidx_prop_meta",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t_name}")
