@@ -58,7 +58,8 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
 # `pipeline_token_budget_fill`, `pipeline_mixture_reweight`,
 # `sim_semantic_canonical`, `pipeline_leakage_safe_split`,
 # `text_build_vocab`, `pipeline_contains_decontaminate`,
-# `text_encode_ids`, `graph_pagerank_3iter`.
+# `text_encode_ids`, `graph_pagerank_3iter`,
+# `pipeline_curation_near_dup_safe`.
 # The local full sweep (tests/test_oracle_parity.py +
 # tools/run_parity_sweep.py -> PARITY_SWEEP.json) always checks every
 # oracled query regardless of this ordering.

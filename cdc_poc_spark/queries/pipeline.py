@@ -483,3 +483,98 @@ def pipeline_contains_decontaminate(spark, sf_dir):
         .distinct()
     )
     return cur.contains_probes(docs, probes, method="broadcast")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation v2: near-dup canonicalization + leakage-safe split
+# + quality gate, ONE component decomposition feeding every stage.
+# ---------------------------------------------------------------------------
+
+_CURATION2_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+), sym AS (
+  SELECT ia AS u, ib AS v FROM pairs UNION SELECT ib, ia FROM pairs
+), cc AS (
+  SELECT u AS node, u AS comp FROM (SELECT u FROM sym UNION SELECT v FROM sym)
+  UNION
+  SELECT s.v, c.comp FROM cc c JOIN sym s ON s.u = c.node WHERE c.comp < s.v
+), lbl AS (
+  SELECT node, MIN(comp) AS cluster_id FROM cc GROUP BY node
+), cl AS (
+  SELECT d.doc_id, d.source, d.text,
+         COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+), keep AS (
+  SELECT doc_id, source, text, cluster_id FROM cl WHERE doc_id = cluster_id
+), s AS (
+  SELECT doc_id, source, cluster_id, string_split(text, ' ') AS toks FROM keep
+), q AS (
+  SELECT doc_id, source, cluster_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round((CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1.0
+                     WHEN len(toks) > 200 THEN 0.5 ELSE 0.25 END) * 0.4
+               + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.3
+               + (CASE WHEN len(list_filter(toks,
+                     t2 -> t2 IN ('the','a','of','and','to','value'))) > 0
+                   THEN 1.0 ELSE 0.0 END) * 0.3, 5) AS quality_score
+  FROM s
+)
+SELECT source,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM q WHERE quality_score >= 0.5
+GROUP BY source, split
+"""
+
+
+@register("pipeline_curation_near_dup_safe", oracle=_CURATION2_ORACLE, tags=("llm", "pipeline", "dedup"))
+def pipeline_curation_near_dup_safe(spark, sf_dir):
+    """Curation v2, composed end-to-end with ONE near-dup decomposition
+    feeding every stage: exact-Jaccard components are computed once
+    (clone-collapsed PPJoin+CC), then (1) canonicalization keeps the
+    min-id doc per near-dup cluster, (2) the quality gate filters the
+    survivors, and (3) the md5 split is keyed by CLUSTER id — so the
+    pipeline never re-runs the similarity join the way independent
+    dedup_cc_clusters + pipeline_leakage_safe_split calls would (the
+    composition rule PLANS.md records for the ~5 s decomposition).
+    Output: per (source, split) kept-doc and token counts."""
+    from ..operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = dedup_ops.exact_jaccard_components(docs)  # ONCE
+    cl = (
+        docs.select("doc_id", "source", "text")
+        .join(F.broadcast(comp.withColumnRenamed("node", "doc_id")), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("component", F.col("doc_id")))
+    )
+    keep = cl.filter(F.col("doc_id") == F.col("cluster_id"))
+    q = text.quality_score(keep, keep=("source", "cluster_id")).filter(
+        F.col("quality_score") >= 0.5
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return (
+        q.withColumn("split", F.when(bucket < 90, "train").otherwise("val"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        )
+    )
