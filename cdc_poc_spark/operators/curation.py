@@ -320,7 +320,13 @@ def contains_probes(
         )
     if method != "automaton":
         raise ValueError(f"unknown method: {method!r}")
-    schema = f"{id_col} long, n_probes_hit long"
+    from pyspark.sql import types as T
+
+    # id type derived from the input (hardcoding long broke string-keyed
+    # corpora on the automaton path only — r4 review)
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("n_probes_hit", T.LongType())]
+    )
 
     def batches(it):
         ac = _ac_build(plist)

@@ -571,8 +571,10 @@ def exact_jaccard_pairs_incremental(
         def fams(df: DataFrame) -> DataFrame:
             # Eligibility (>= n tokens) decided once per family on the
             # canonical text — clones tokenize identically. Pinned: the
-            # relation feeds the canonical join side AND the expansion.
-            return (
+            # relation feeds the canonical join side AND the expansion
+            # (reliable when checkpoint_dir is given — a localCheckpoint
+            # here would defeat the caller's executor-loss contract).
+            return reliable_checkpoint(
                 df.select(
                     F.col(id_col).alias("__id"),
                     F.col(text_col).alias("__text"),
@@ -584,8 +586,8 @@ def exact_jaccard_pairs_incremental(
                     F.array_sort(F.collect_list("__id")).alias("members"),
                     F.min_by("__text", F.col("__id")).alias("__text"),
                 )
-                .filter(F.size(tokens_col("__text")) >= n)
-                .localCheckpoint(eager=True)
+                .filter(F.size(tokens_col("__text")) >= n),
+                checkpoint_dir,
             )
 
         fn, fi = fams(new_df), fams(index_df)
@@ -638,31 +640,12 @@ def exact_jaccard_pairs_incremental(
         .limit(k_common)
         .collect()
     ]
-    common_arr = F.lit(common).cast("array<bigint>")
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
-    ordered = F.array_sort(
-        F.transform(
-            "hset",
-            lambda t: F.struct(
-                F.array_contains(common_arr, t).cast("int").alias("c"),
-                t.alias("t"),
-            ),
-        )
-    )
-
     def prefix(sh: DataFrame) -> DataFrame:
-        return (
-            sh.select(
-                F.col(id_col).alias("id"),
-                F.size("hset").alias("sz"),
-                F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
-            )
-            .select(
-                "id",
-                "sz",
-                F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
-            )
-            .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+        # shared prefix-cut construction — the ONE implementation the
+        # persisted index also uses, so inline and index paths cannot
+        # drift (r4 review)
+        return _index_prefix_rel(
+            sh.select(F.col(id_col).alias("id"), "hset"), common, threshold
         )
 
     # R-S filters: J(A,B) >= t forces t|A| <= |B| <= |A|/t (no id
@@ -768,6 +751,11 @@ def build_jaccard_index(
     spark.createDataFrame(
         [(float(threshold), n_buckets)], "built_t double, n_buckets int"
     ).write.mode("overwrite").format("parquet").saveAsTable(f"{name}_meta")
+    # A REBUILD resets the streaming ingest ledger: batch ids restart
+    # with a fresh stream checkpoint, and a stale ledger would mark the
+    # new run's batches as already-applied and silently drop them
+    # (r4 review). The ledger belongs to the index's lifetime.
+    spark.sql(f"DROP TABLE IF EXISTS {name}_applied")
     prefix = _index_prefix_rel(sh_t, common, threshold)
     write_bucketed(prefix, f"{name}_prefix", ["tok"], n_buckets=n_buckets)
 
@@ -879,7 +867,6 @@ def incremental_vs_jaccard_index(
     common = [
         r.tok for r in spark.table(f"{name}_commons").orderBy("rank").collect()
     ]
-    common_arr = F.lit(common).cast("array<bigint>")
     plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
     sh_new = (
         with_shingles(new_df, text_col, n)
@@ -892,27 +879,10 @@ def incremental_vs_jaccard_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sh_new.count()  # materialize before the multi-consumer fan-out
-    ordered = F.array_sort(
-        F.transform(
-            "hset",
-            lambda t: F.struct(
-                F.array_contains(common_arr, t).cast("int").alias("c"),
-                t.alias("t"),
-            ),
-        )
-    )
-    prefix_new = (
-        sh_new.select(
-            F.col(id_col).alias("id"),
-            F.size("hset").alias("sz"),
-            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
-        )
-        .select(
-            "id",
-            "sz",
-            F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
-        )
-        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    # batch-side prefixes cut at the QUERY threshold via the same
+    # construction the index build used (shared _index_prefix_rel)
+    prefix_new = _index_prefix_rel(
+        sh_new.select(F.col(id_col).alias("id"), "hset"), common, threshold
     )
     # Re-cut the stored prefixes to THIS query's (>= built) threshold.
     prefix_idx = spark.table(f"{name}_prefix").filter(F.col("rk") <= plen)
@@ -949,6 +919,12 @@ def incremental_vs_jaccard_index(
         from .scale import reliable_checkpoint
 
         out = reliable_checkpoint(out, checkpoint_dir)
+        sh_new.unpersist()
+    else:
+        # plan-inspection path: release the cache now (an action on the
+        # returned frame recomputes the batch shingles — acceptable for
+        # the documented explain() use; leaking the materialized cache
+        # across repeated calls is not — r4 review)
         sh_new.unpersist()
     return out
 
@@ -1091,6 +1067,7 @@ def minhash_lsh_pairs_collapsed(
     n: int = 3,
     threshold: float = 0.5,
     bucket_cap: int = LSH_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over ALL document ids, computed with
     clone collapse: md5-exact clones are grouped first, the flat LSH
@@ -1105,7 +1082,16 @@ def minhash_lsh_pairs_collapsed(
     the raw corpus (asserted in tests on a clone-doubled fixture),
     WITHOUT paying the flat pipeline's quadratic-per-bucket cost on
     clones: a family of m clones is 1 row in every LSH bucket instead of
-    m rows costing m(m-1)/2 candidate pairs per band. This is the same
+    m rows costing m(m-1)/2 candidate pairs per band.
+
+    Identity caveat ABOVE the bucket cap: flat truncates each bucket to
+    ``bucket_cap`` raw DOCS (dropping true pairs — its documented memory
+    bound), while collapsed caps FAMILIES and then expands each kept
+    family's full clique. A clone family larger than the cap therefore
+    yields MORE (true) pairs collapsed than flat — collapsed is a
+    superset on such inputs, never missing a pair flat finds; the
+    clique expansion streams from one members array, so the flat cap's
+    task-memory rationale does not apply to it. This is the same
     rule every similarity-join consumer follows
     (exact_jaccard_components, minhash_tiered_pairs); the flat
     formulation stays available as the correctness twin. Eligibility
@@ -1136,11 +1122,14 @@ def minhash_lsh_pairs_collapsed(
             F.min_by("__text", F.col("__id")).alias("__text"),
         )
         .filter(F.size(tokens_col("__text")) >= n)
-        # fams feeds FOUR consumers (the LSH pipeline + both member-
-        # expansion sides + the cliques); pin it once instead of
-        # recomputing the collapse groupBy per branch.
-        .localCheckpoint(eager=True)
     )
+    from .scale import reliable_checkpoint
+
+    # fams feeds FOUR consumers (the LSH pipeline + both member-
+    # expansion sides + the cliques); pin it once instead of
+    # recomputing the collapse groupBy per branch — reliably when the
+    # caller passed a checkpoint_dir (cluster deployments).
+    fams = reliable_checkpoint(fams, checkpoint_dir)
     canon_docs = fams.select(
         F.col("canon").alias(id_col), F.col("__text").alias(text_col)
     )

@@ -227,8 +227,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     once (its vertices have a unique orientation order). Three keyed
     shuffles total: degrees, the wedge self-join, the closing join —
     no cartesian anywhere."""
-    e = _symmetric(edges)  # (u, v) both directions, deduped, no loops
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # Pinned: e feeds deg + the orientation join, deg feeds four
+    # consumers, oriented feeds both wedge sides + the closing relation
+    # + its own count — without the pins the whole upstream (including
+    # a possibly-unpinned pair join) re-evaluates ~5x (r4 review).
+    e = _symmetric(edges).localCheckpoint(eager=True)
+    deg = (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     n_nodes = deg.count()
     # wedges from the SYMMETRIC view: sum_v deg(deg-1)/2
     wedge_cnt = deg.agg(
@@ -240,10 +248,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ranked = e.join(deg, "u").join(
         deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
     )
-    oriented = ranked.filter(
-        (F.col("deg") < F.col("deg_v"))
-        | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    oriented = (
+        ranked.filter(
+            (F.col("deg") < F.col("deg_v"))
+            | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
     a = oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
     b = oriented.select(F.col("u").alias("c"), F.col("v").alias("y"))
     wedges = a.join(b, "c").filter(F.col("x") < F.col("y"))

@@ -69,13 +69,22 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> Dat
     import warnings
 
     sc = df.sparkSession.sparkContext
+
+    def _norm(p: str) -> str:
+        # scheme-insensitive path form for comparison
+        p = p.split("://", 1)[-1]
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        return "/" + p.strip("/")
+
     # getCheckpointDir() reports the UUID SUBDIR Spark created inside
     # the dir passed to setCheckpointDir, so "already set to this dir"
-    # is a containment check, not equality.
+    # means: the existing dir's PARENT equals the requested dir (a
+    # substring test would let any short request match — r4 review).
     existing = sc.getCheckpointDir()
     if existing is None:
         sc.setCheckpointDir(checkpoint_dir)
-    elif checkpoint_dir.rstrip("/").lstrip("/") not in existing:
+    elif _norm(existing).rsplit("/", 1)[0] != _norm(checkpoint_dir):
         warnings.warn(
             f"overriding session checkpoint dir {existing!r} with "
             f"{checkpoint_dir!r} — checkpoints elsewhere in this session "

@@ -214,10 +214,13 @@ def ingest_vs_index(
     """The full ingest-dedup LOOP against a PERSISTED corpus index
     (operators/dedup.py:build_jaccard_index), as a streaming query:
     every micro-batch is (1) flagged — exact R-S PPJoin of the batch
-    against the index, hits written parquet to ``hits_dir`` partitioned
-    by epoch — and (2) when ``grow``, the batch's CLEAN docs (no hit)
-    are appended to the index, so batch N+1 dedups against everything
-    accepted through batch N. This is what `streaming_neardup_hits`
+    against the index PLUS an exact within-batch pair check (a doc is a
+    hit if it near-duplicates the index or any lower-id doc of its own
+    batch), hits written parquet to ``hits_dir`` partitioned by epoch —
+    and (2) when ``grow``, the batch's CLEAN docs (no hit) are appended
+    to the index, so batch N+1 dedups against everything accepted
+    through batch N and no intra-batch duplicate pair ever enters the
+    index together. This is what `streaming_neardup_hits`
     is not: that operator dedups the stream against ITSELF (per-bucket
     state); this one dedups it against the standing corpus, with the
     index as the state — unbounded corpus, zero stream state.
@@ -240,6 +243,7 @@ def ingest_vs_index(
 
     from ..operators.dedup import (
         append_to_jaccard_index,
+        exact_jaccard_pairs,
         incremental_vs_jaccard_index,
     )
 
@@ -256,10 +260,22 @@ def ingest_vs_index(
         )
         if replayed:
             return
-        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 3x below
+        batch_df = batch_df.localCheckpoint(eager=True)  # consumed 4x below
+        # A doc is flagged if it near-duplicates the INDEX or any
+        # LOWER-ID doc of the same batch (with availableNow and no file
+        # throttle the whole backlog can be ONE batch, so batch-vs-index
+        # alone would wave intra-batch duplicates straight into the
+        # index — r4 review). Same deterministic order rule as the
+        # stateful LSH stream: the earlier doc wins regardless of its
+        # own verdict.
+        within = exact_jaccard_pairs(batch_df, threshold=threshold).select(
+            SF.col("id_b").alias("new_id"),
+            SF.col("id_a").alias("index_id"),
+            "jaccard",
+        )
         hits = incremental_vs_jaccard_index(
             batch_df, index_name, threshold=threshold
-        )
+        ).unionByName(within)
         (
             hits.withColumn("epoch", SF.lit(batch_id))
             .write.mode("overwrite")

@@ -925,12 +925,20 @@ def test_ingest_vs_index_streams_and_grows(spark, tmp_path):
             (r.new_id, r.index_id, round(r.jaccard, 9), r.epoch)
             for r in spark.read.parquet(hits_dir).collect()
         }
+        def within(slice_df, epoch):
+            return {
+                (r.id_b, r.id_a, round(r.jaccard, 9), epoch)
+                for r in dedup.exact_jaccard_pairs(
+                    slice_df, threshold=0.5
+                ).collect()
+            }
+
         want_b = {
             (r.new_id, r.index_id, round(r.jaccard, 9), 0)
             for r in dedup.exact_jaccard_pairs_incremental(
                 b, a, threshold=0.5
             ).collect()
-        }
+        } | within(b, 0)
         flagged_b = {x[0] for x in want_b}
         clean_b = b.filter(~F.col("doc_id").isin(list(flagged_b) or [-1]))
         want_c = {
@@ -938,7 +946,7 @@ def test_ingest_vs_index_streams_and_grows(spark, tmp_path):
             for r in dedup.exact_jaccard_pairs_incremental(
                 c, a.unionByName(clean_b), threshold=0.5
             ).collect()
-        }
+        } | within(c, 1)
         assert got == want_b | want_c, (
             f"{len(got)} streamed vs {len(want_b)}+{len(want_c)} inline"
         )
