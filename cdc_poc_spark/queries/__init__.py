@@ -59,7 +59,7 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
 # `sim_semantic_canonical`, `pipeline_leakage_safe_split`,
 # `text_build_vocab`, `pipeline_contains_decontaminate`,
 # `text_encode_ids`, `graph_pagerank_3iter`,
-# `pipeline_curation_near_dup_safe`.
+# `pipeline_curation_near_dup_safe`, `pipeline_curriculum_stages`.
 # The local full sweep (tests/test_oracle_parity.py +
 # tools/run_parity_sweep.py -> PARITY_SWEEP.json) always checks every
 # oracled query regardless of this ordering.

@@ -578,3 +578,76 @@ def pipeline_curation_near_dup_safe(spark, sf_dir):
             F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum staging: 4 difficulty stages (easy -> hard) by the corpus's
+# own unigram LM, exact integer stage boundaries.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tok2 AS (
+  SELECT doc_id, tok FROM tok WHERE tok <> ''
+), counts AS (
+  SELECT tok, COUNT(*) AS c FROM tok2 GROUP BY tok
+), total AS (
+  SELECT SUM(c) AS total FROM counts
+), probs AS (
+  SELECT tok, CAST(round(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT) AS q_lp
+  FROM counts CROSS JOIN total
+), d AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(p.q_lp) AS BIGINT) AS q_lp_sum
+  FROM tok2 t JOIN probs p USING (tok) GROUP BY t.doc_id
+), d2 AS (
+  SELECT doc_id, n_tokens, q_lp_sum,
+         CAST(FLOOR(CAST(q_lp_sum AS DOUBLE) / n_tokens) AS BIGINT) AS avg_micro_nats
+  FROM d
+), r AS (
+  SELECT doc_id, n_tokens, q_lp_sum,
+         CAST(row_number() OVER (ORDER BY avg_micro_nats DESC, doc_id) - 1 AS BIGINT) AS pos,
+         COUNT(*) OVER () AS n
+  FROM d2
+)
+SELECT CAST((4 * r.pos) // r.n AS BIGINT) AS stage, s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(r.q_lp_sum) AS BIGINT) AS sum_micro_nats
+FROM r JOIN documents s USING (doc_id)
+GROUP BY stage, s.source
+"""
+
+
+@register("pipeline_curriculum_stages", oracle=_CURRICULUM_ORACLE, tags=("llm", "pipeline", "curriculum"))
+def pipeline_curriculum_stages(spark, sf_dir):
+    """Curriculum staging: rank the corpus easy -> hard by the unigram-LM
+    difficulty proxy (avg micro-nat log-prob, most-likely first) and cut
+    it into 4 equal stages — the schedule a curriculum-ordered training
+    run consumes. Stage boundaries are EXACT: the rank comes from the
+    distributed two-pass global_index (never a single-task global
+    window) over the integer (avg_micro_nats, doc_id) key, and
+    stage = (4*pos) DIV n is BIGINT arithmetic, so both engines cut
+    identically. Per (stage, source) doc/token/mass rollup — the report
+    that shows whether a source concentrates in the hard tail."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    lp = text.unigram_logprob(docs)
+    ranked = global_index(
+        lp.withColumn("neg_avg", -F.col("avg_micro_nats")),
+        idx_col="pos",
+        order_cols=["neg_avg", "doc_id"],
+    )
+    n = ranked.count()
+    return (
+        ranked.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("stage", F.expr(f"(4 * pos) DIV {n}"))
+        .groupBy("stage", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("q_lp_sum").alias("sum_micro_nats"),
+        )
+    )
