@@ -73,6 +73,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _index_lifecycle(spark, sf_dir: str) -> dict[str, float]:
+    """Timed persisted-Jaccard-index lifecycle (VERDICT r4 #6): the
+    standing-index claim — per-batch dedup cost is bucket-local, not
+    O(corpus) — gets a committed number like every query. Phases:
+    build the index from 90% of documents, append a 5% batch, then
+    incremental-query the remaining 5% against the grown index. Single
+    shot (each phase writes/reads catalog tables; a median-of-n would
+    measure table overwrite churn, not the operator)."""
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.dedup import (
+        append_to_jaccard_index,
+        build_jaccard_index,
+        incremental_vs_jaccard_index,
+    )
+    from cdc_poc_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id"), F.lit(20))
+    corpus = docs.filter(bucket >= 2)
+    batch_a = docs.filter(bucket == 1)
+    batch_b = docs.filter(bucket == 0)
+    name = "bench_jix"
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    build_jaccard_index(corpus, name)
+    out["ix_jaccard_build_90pct"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    append_to_jaccard_index(batch_a, name)
+    out["ix_jaccard_append_5pct"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    _force(incremental_vs_jaccard_index(batch_b, name))
+    out["ix_jaccard_query_5pct"] = round(time.perf_counter() - t0, 3)
+    for suffix in ("_hsets", "_prefix", "_meta", "_commons"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -93,24 +132,50 @@ def main() -> None:
         _force(specs[name].fn(spark, warm_dir))
         spark.catalog.clearCache()
 
-    # n>=3 timed rounds, per-query MEDIAN (VERDICT r2 #3: single-shot
-    # timings flagged two +30% "regressions" that were run-to-run noise).
-    # Rounds are interleaved (all queries per round) so each query sees
-    # the same session temperature every round.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # Timed rounds, per-query MEDIAN (VERDICT r2 #3: single-shot timings
+    # flagged two +30% "regressions" that were run-to-run noise). Round-4
+    # found the residual problem (VERDICT r4 "What's wrong #1"): at n=3
+    # hot-session medians, GC/session temperature dominated the >=3 s
+    # queries' committed numbers. Harness fixes, in order of effect:
+    #   1. ROTATED order per round — round r runs the list rotated by
+    #      r*7 positions (deterministic, no RNG), so no query inherits
+    #      the same predecessor's heap/shuffle debris every round;
+    #   2. n=5 samples for SLOW queries (>= SLOW_SEC in round 1 at the
+    #      target scale) vs n=3 for the rest — median of 5 bounds a
+    #      single GC-hit outlier's influence to zero;
+    #   3. explicit JVM System.gc() before each slow-query measurement,
+    #      so a predecessor's garbage is collected OUTSIDE the timed
+    #      region instead of mid-query.
+    n_base = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_slow = max(n_base, int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_RUNS", "5")))
+    slow_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0"))
+    jvm_gc = spark.sparkContext._jvm.System.gc  # type: ignore[attr-defined]
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(n_runs):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            _force(specs[name].fn(spark, sf_dir))
-            samples[name].append(time.perf_counter() - t0)
-            # Queries that persist intermediates (similarity join, CC) must
-            # not hold blocks into the next measurement — isolate each run.
-            spark.catalog.clearCache()
+    slow: set[str] = set()
+
+    def timed(name: str) -> None:
+        if name in slow:
+            jvm_gc()
+        t0 = time.perf_counter()
+        _force(specs[name].fn(spark, sf_dir))
+        samples[name].append(time.perf_counter() - t0)
+        # Queries that persist intermediates (similarity join, CC) must
+        # not hold blocks into the next measurement — isolate each run.
+        spark.catalog.clearCache()
+
+    for name in HEADLINE:  # round 1 doubles as the slow-set probe
+        timed(name)
+    slow = {n for n, ts in samples.items() if ts[0] >= slow_sec}
+    for r in range(1, n_slow):
+        rot = r * 7 % len(HEADLINE)
+        for name in HEADLINE[rot:] + HEADLINE[:rot]:
+            if len(samples[name]) < (n_slow if name in slow else n_base):
+                timed(name)
 
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
+    timings.update(_index_lifecycle(spark, sf_dir))
     print(
         json.dumps(
             {
@@ -119,7 +184,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": n_runs,
+                "runs_per_query": n_base,
+                "slow_query_runs": n_slow,
+                "slow_queries": sorted(slow),
             }
         )
     )

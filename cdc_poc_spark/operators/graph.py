@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "dedup_clusters", "triangle_stats"]
+__all__ = ["connected_components", "dedup_clusters", "triangle_stats", "pagerank"]
 
 #: Below this many symmetric edges the component map is resolved on the
 #: driver (one collect + union-find) instead of the iterative
@@ -207,7 +207,9 @@ def dedup_clusters(
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """One-row graph profile of an undirected edge list: nodes, edges,
     wedges (open 2-paths), triangles, and the global clustering
     coefficient 3*triangles/wedges — the transitivity measure that tells
@@ -226,16 +228,20 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     against the oriented edge set. Every triangle is counted exactly
     once (its vertices have a unique orientation order). Three keyed
     shuffles total: degrees, the wedge self-join, the closing join —
-    no cartesian anywhere."""
+    no cartesian anywhere.
+
+    ``checkpoint_dir``: when given, the multi-consumer pins are RELIABLE
+    checkpoints instead of localCheckpoint — same executor-loss contract
+    as connected_components / the PPJoin pair pin (VERDICT r4 #3)."""
+    from .scale import reliable_checkpoint
+
     # Pinned: e feeds deg + the orientation join, deg feeds four
     # consumers, oriented feeds both wedge sides + the closing relation
     # + its own count — without the pins the whole upstream (including
     # a possibly-unpinned pair join) re-evaluates ~5x (r4 review).
-    e = _symmetric(edges).localCheckpoint(eager=True)
-    deg = (
-        e.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+    e = reliable_checkpoint(_symmetric(edges), checkpoint_dir)
+    deg = reliable_checkpoint(
+        e.groupBy("u").agg(F.count(F.lit(1)).alias("deg")), checkpoint_dir
     )
     n_nodes = deg.count()
     # wedges from the SYMMETRIC view: sum_v deg(deg-1)/2
@@ -248,13 +254,12 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     ranked = e.join(deg, "u").join(
         deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v")), "v"
     )
-    oriented = (
+    oriented = reliable_checkpoint(
         ranked.filter(
             (F.col("deg") < F.col("deg_v"))
             | ((F.col("deg") == F.col("deg_v")) & (F.col("u") < F.col("v")))
-        )
-        .select("u", "v")
-        .localCheckpoint(eager=True)
+        ).select("u", "v"),
+        checkpoint_dir,
     )
     a = oriented.select(F.col("u").alias("c"), F.col("v").alias("x"))
     b = oriented.select(F.col("u").alias("c"), F.col("v").alias("y"))
@@ -281,3 +286,77 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("clustering_coefficient"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    total_mass: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
+    edge_table: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Integer-quantized PageRank over an undirected graph, returning
+    (node, rank_micro BIGINT) after ``n_iters`` power iterations.
+
+    ``edges`` is a two-column directed edge list treated as undirected:
+    it is symmetrized by a both-directions union (UNION ALL — callers
+    pass a deduped edge relation, matching the SQL oracle's ``sym``
+    CTE). Total mass is ``total_mass`` integer units and every per-edge
+    contribution is BIGINT DIV, so any two engines round identically at
+    every step and the result is bit-reproducible across cluster
+    topologies (a float formulation drifts with summation order).
+
+    Scale design (VERDICT r4 #4 — this is the generalization of the
+    formerly-unrolled 3-iteration query):
+
+    - **Per-round pin.** The rank relation is re-pinned every round
+      (reliable_checkpoint — localCheckpoint without ``checkpoint_dir``,
+      reliable checkpoint with), so round k's plan is one join + one agg
+      deep regardless of k — no lineage nesting of all prior rounds
+      (the connected_components-style blowup this avoids).
+    - **Bucketed edge list.** With ``edge_table``, the symmetric edges
+      are written ONCE as a managed table bucketed by the join key
+      ``v`` (write_bucketed) and every round's contribution join reads
+      it back exchange-free on the edge side — only the |nodes|-row
+      rank relation shuffles per round, never the |edges|-row relation.
+      Without it, the symmetric edges are pinned in memory/disk blocks
+      and each round's join shuffles them (fine at local scale).
+    - The remaining per-round shuffle is the keyed contribution sum
+      (map-side combinable) — the same log-bounded round structure
+      connected_components uses.
+    """
+    from .scale import reliable_checkpoint, write_bucketed
+
+    two = edges.select(
+        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
+    )
+    sym = two.unionByName(two.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if edge_table is not None:
+        write_bucketed(sym, edge_table, ["v"], n_buckets=n_buckets)
+        sym = edges.sparkSession.table(edge_table)
+    else:
+        sym = reliable_checkpoint(sym, checkpoint_dir)
+    deg = reliable_checkpoint(
+        sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg")),
+        checkpoint_dir,
+    )
+    n = deg.count()
+    quantum = total_mass // n
+    base = (quantum * (100 - damping_pct)) // 100
+    r = deg.select("node", "deg", F.lit(quantum).alias("r"))
+    for _ in range(n_iters):
+        contrib = sym.join(r.withColumnRenamed("node", "v"), "v").select(
+            "u", F.expr("r DIV deg").alias("c")
+        )
+        rsum = contrib.groupBy(F.col("u").alias("node")).agg(F.sum("c").alias("sc"))
+        r = reliable_checkpoint(
+            rsum.join(deg, "node").select(
+                "node",
+                "deg",
+                (F.lit(base) + F.expr(f"({damping_pct} * sc) DIV 100")).alias("r"),
+            ),
+            checkpoint_dir,
+        )
+    return r.select("node", F.col("r").alias("rank_micro"))

@@ -70,12 +70,23 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> Dat
 
     sc = df.sparkSession.sparkContext
 
-    def _norm(p: str) -> str:
-        # scheme-insensitive path form for comparison
-        p = p.split("://", 1)[-1]
+    def _parts(p: str) -> tuple:
+        # (scheme, authority, normalized-path) — scheme AND authority
+        # participate in the comparison, so file:/X vs hdfs://nn/X are
+        # DIFFERENT dirs and trigger the override warning rather than
+        # silently keeping local checkpoints (ADVICE r4). Scheme-less
+        # and file: paths normalize to ("file", "", path).
+        if "://" in p:
+            scheme, rest = p.split("://", 1)
+            authority, _, path = rest.partition("/")
+            return (scheme, authority, "/" + path.strip("/"))
         if p.startswith("file:"):
             p = p[len("file:"):]
-        return "/" + p.strip("/")
+        return ("file", "", "/" + p.strip("/"))
+
+    def _parent(parts: tuple) -> tuple:
+        head = parts[2].rsplit("/", 1)[0]
+        return (parts[0], parts[1], head or "/")
 
     # getCheckpointDir() reports the UUID SUBDIR Spark created inside
     # the dir passed to setCheckpointDir, so "already set to this dir"
@@ -84,7 +95,7 @@ def reliable_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> Dat
     existing = sc.getCheckpointDir()
     if existing is None:
         sc.setCheckpointDir(checkpoint_dir)
-    elif _norm(existing).rsplit("/", 1)[0] != _norm(checkpoint_dir):
+    elif _parent(_parts(existing)) != _parts(checkpoint_dir):
         warnings.warn(
             f"overriding session checkpoint dir {existing!r} with "
             f"{checkpoint_dir!r} — checkpoints elsewhere in this session "

@@ -298,6 +298,27 @@ def embedding_cosine_pairs(
     return cross.unionByName(cliques)
 
 
+def _ivf_seeds(e: DataFrame, id_col: str, n_cells: int) -> DataFrame:
+    """Deterministic IVF seed centroids: the ``n_cells`` SMALLEST ids,
+    with cell_id = dense rank 0..n-1. Rank-based (not ``id < n_cells``)
+    so an id space that starts elsewhere — 1-based, offset, sparse —
+    still yields ``n_cells`` seeds instead of a degenerate/empty
+    quantizer (ADVICE r4). The window runs over at most ``n_cells``
+    rows post-limit, so the single-partition sort is bounded."""
+    from pyspark.sql import Window
+
+    seed_w = Window.orderBy(F.col(id_col))
+    return (
+        e.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(seed_w) - 1).alias("cell_id"),
+            F.col("vec").alias("cvec"),
+            F.col("vnorm").alias("cnorm"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -325,11 +346,7 @@ def ivf_topk(
     e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
         "vnorm", norm("vec")
     )
-    seeds = e.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"),
-        F.col("vec").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
+    seeds = _ivf_seeds(e, id_col, n_cells)
 
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         scored = vectors.crossJoin(F.broadcast(cents)).select(
@@ -436,11 +453,12 @@ def build_ivf_index(
     e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
         "vnorm", norm("vec")
     )
-    seeds = e.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"),
-        F.col("vec").alias("cvec"),
-        F.col("vnorm").alias("cnorm"),
-    )
+    seeds = _ivf_seeds(e, id_col, n_cells).localCheckpoint(eager=True)
+    if seeds.count() == 0:
+        raise ValueError(
+            f"build_ivf_index({name!r}): corpus has no vectors to seed "
+            "centroids from — refusing to persist a degenerate index"
+        )
 
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         scored = vectors.crossJoin(F.broadcast(cents)).select(

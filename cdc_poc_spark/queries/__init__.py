@@ -45,24 +45,49 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple = ()):  # deco
 
 
 # Rotation bookkeeping (documented in README.md / COVERAGE.md): the external
-# driver hash-checks the FIRST 50 registry entries each round. Rounds 1-3
-# rotated module import order so 110 distinct queries got driver rows; this
-# list fronts the remaining 49 (registry keys absent from
-# CORRECTNESS_r01/r02/r03) so round 4 completes driver verification of the
-# round-3 registry. STANDING POLICY for round 5+: keep this order frozen
-# for existing queries; queries ADDED in round N replace the front of this
-# list in round N+1 (the evicted entries already have driver rows) — e.g.
-# round 5 should front the queries added in r4 that are not in the
-# r4 window: `join_interval_overlap`, `agg_robust_outliers_mad`,
-# `graph_triangle_stats`, `dedup_incremental_vs_index`,
-# `pipeline_token_budget_fill`, `pipeline_mixture_reweight`,
-# `sim_semantic_canonical`, `pipeline_leakage_safe_split`,
-# `text_build_vocab`, `pipeline_contains_decontaminate`,
-# `text_encode_ids`, `graph_pagerank_3iter`,
-# `pipeline_curation_near_dup_safe`, `pipeline_curriculum_stages`.
-# The local full sweep (tests/test_oracle_parity.py +
-# tools/run_parity_sweep.py -> PARITY_SWEEP.json) always checks every
-# oracled query regardless of this ordering.
+# driver hash-checks the FIRST 50 registry entries each round. Rounds 1-4
+# rotated the front list so 155 distinct queries got driver rows.
+# STANDING POLICY: queries ADDED in round N (or whose oracle changed after
+# their last driver row) are fronted in round N's (or N+1's) window; the
+# evicted entries already have driver rows. The local full sweep
+# (tests/test_oracle_parity.py + tools/run_parity_sweep.py ->
+# PARITY_SWEEP.json) always checks every oracled query regardless of this
+# ordering.
+#
+# ROUND-5 WINDOW (this list, first 50 entries): the 17 pending queries
+# (14 added in r4 after the r4 window froze, plus 3 ANN/LSH-CC queries —
+# `dedup_cc_clusters_lsh`, `sim_ann_lsh_topk`, `sim_ann_ivf_topk` — whose
+# only driver appearance was in r1 *before* they gained bound-contract
+# oracles, per VERDICT r4 "What's missing #1"), followed by queries newly
+# added in round 5 so they get driver rows immediately. After r5 the
+# driver-green set is the full registry minus the 2 structurally rows-only
+# seed-specific LSH pair lists (each contract-twinned by a driver-green
+# recall/agreement query).
+_ROUND5_FRONT = [
+    # -- 3 re-oracled ANN/LSH-CC queries (r1 no_oracle -> contract oracles)
+    "dedup_cc_clusters_lsh",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    # -- 14 round-4 additions that missed the r4 window
+    "join_interval_overlap",
+    "agg_robust_outliers_mad",
+    "graph_triangle_stats",
+    "dedup_incremental_vs_index",
+    "pipeline_token_budget_fill",
+    "pipeline_mixture_reweight",
+    "sim_semantic_canonical",
+    "pipeline_leakage_safe_split",
+    "text_build_vocab",
+    "pipeline_contains_decontaminate",
+    "text_encode_ids",
+    "graph_pagerank_3iter",
+    "pipeline_curation_near_dup_safe",
+    "pipeline_curriculum_stages",
+    # -- round-5 additions are appended here as they land (see
+    #    _ROUND5_NEW below); remaining slots fall through to
+    #    _ROUND4_FRONT order (all already driver-green in r4).
+]
+
 _ROUND4_FRONT = [
     "sql_window_top_suppliers",
     "sql_priority_mix_by_status",
@@ -120,10 +145,16 @@ _ROUND4_FRONT = [
 ]
 
 
+# Queries registered for the first time in round 5 — appended to the r5
+# front so they get driver rows in the same round they land.
+_ROUND5_NEW: list = []
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the
-    full registry, ordered so the ``_ROUND4_FRONT`` queries come first
-    (see the comment above that list for why)."""
+    full registry, ordered so the ``_ROUND5_FRONT`` queries (then
+    ``_ROUND5_NEW``, then the already-driver-green ``_ROUND4_FRONT``) come
+    first (see the comment above ``_ROUND5_FRONT`` for why)."""
     from . import (  # noqa: F401
         tpch,
         tpch2,
@@ -144,6 +175,7 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
     )
 
-    front = {n: _REGISTRY[n] for n in _ROUND4_FRONT if n in _REGISTRY}
+    order = _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    front = {n: _REGISTRY[n] for n in order if n in _REGISTRY}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     return {**front, **rest}

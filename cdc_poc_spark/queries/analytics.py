@@ -1214,6 +1214,8 @@ def graph_pagerank_3iter(spark, sf_dir):
     relation are pinned once and reused by all three rounds. Top-20 is
     TakeOrderedAndProject (total order: rank desc, node), never a
     global sort."""
+    from ..operators.graph import pagerank
+
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -1224,32 +1226,13 @@ def graph_pagerank_3iter(spark, sf_dir):
         )
         .distinct()
     )
-    sym = e0.unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # feeds deg + all three rounds
-    deg = (
-        sym.groupBy(F.col("u").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    n = deg.count()
-    quantum = _PR_Q // n
-    base = (quantum * 15) // 100
-    r = deg.select("node", "deg", F.lit(quantum).alias("r"))
-    for _ in range(3):
-        contrib = sym.join(r.withColumnRenamed("node", "v"), "v").select(
-            "u", F.expr("r DIV deg").alias("c")
-        )
-        rsum = contrib.groupBy(F.col("u").alias("node")).agg(F.sum("c").alias("sc"))
-        r = rsum.join(deg, "node").select(
-            "node", "deg", (F.lit(base) + F.expr("(85 * sc) DIV 100")).alias("r")
-        )
+    r = pagerank(e0, n_iters=3, total_mass=_PR_Q, damping_pct=85)
     return (
         r.select(
             "node",
             F.expr("node % 2 = 1").alias("is_supplier"),
             F.expr("node DIV 2").alias("entity_key"),
-            F.col("r").alias("rank_micro"),
+            F.col("rank_micro"),
         )
         .orderBy(F.desc("rank_micro"), "node")
         .limit(20)

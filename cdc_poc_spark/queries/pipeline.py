@@ -373,7 +373,7 @@ def pipeline_token_budget_fill(spark, sf_dir):
 _MIX_ORACLE = """
 WITH w AS (
   SELECT source,
-         CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN 2 ELSE 1 END AS tgt_w
+         CASE WHEN TRY_CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN 2 ELSE 1 END AS tgt_w
   FROM (SELECT DISTINCT source FROM documents)
 ), tot AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_total,
@@ -413,8 +413,12 @@ def pipeline_mixture_reweight(spark, sf_dir):
         .distinct()
         .select(
             "source",
+            # try_cast + unbounded substring on BOTH sides (oracle uses
+            # TRY_CAST): a source name >19 chars or with a non-numeric
+            # suffix degrades identically (weight 1) in both engines
+            # instead of diverging or erroring (ADVICE r4).
             F.when(
-                F.expr("CAST(substring(source, 4, 16) AS BIGINT) % 2 = 0"), F.lit(2)
+                F.expr("try_cast(substring(source, 4) AS BIGINT) % 2 = 0"), F.lit(2)
             )
             .otherwise(F.lit(1))
             .cast("long")

@@ -231,10 +231,15 @@ def ingest_vs_index(
     table ``{index_name}_applied`` (a replayed batch that completed is
     skipped wholesale). The unguarded window is one metadata write
     wide — a crash BETWEEN the index append and the ledger append
-    re-appends that batch on replay (duplicate index rows → duplicate
-    hit rows for later batches). Closing it needs a transactional
-    table format (Delta/Iceberg MERGE — classpath-gated here, like the
-    CDC MERGE path); the ledger narrows it to the same window every
+    replays the batch with its docs already indexed. Ids are globally
+    unique in this loop, so index-side SELF-hits (new_id == index_id)
+    are filtered in ``handle()``; the residual failure mode of that
+    window is therefore that the replayed batch's clean docs are
+    re-appended to the index (duplicate index rows → duplicate hit
+    rows for later batches), NOT corrupted hits for the replayed
+    epoch (ADVICE r4). Closing it fully needs a transactional table
+    format (Delta/Iceberg MERGE — classpath-gated here, like the CDC
+    MERGE path); the ledger narrows it to the same window every
     at-least-once ingest system documents.
 
     Returns the configured ``DataStreamWriter`` (availableNow) — call
@@ -273,9 +278,18 @@ def ingest_vs_index(
             SF.col("id_a").alias("index_id"),
             "jaccard",
         )
-        hits = incremental_vs_jaccard_index(
-            batch_df, index_name, threshold=threshold
-        ).unionByName(within)
+        # new_id == index_id only happens when a crash between the
+        # index append and the ledger append replays a batch whose docs
+        # are already indexed (ids are globally unique); dropping the
+        # self-hits keeps that epoch's hits output honest and shifts
+        # the residual failure to re-appended index rows (docstring).
+        hits = (
+            incremental_vs_jaccard_index(
+                batch_df, index_name, threshold=threshold
+            )
+            .filter(SF.col("new_id") != SF.col("index_id"))
+            .unionByName(within)
+        )
         (
             hits.withColumn("epoch", SF.lit(batch_id))
             .write.mode("overwrite")

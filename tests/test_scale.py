@@ -261,3 +261,34 @@ def test_reliable_checkpoint_guards_session_dir(spark, tmp_path):
         assert reliable_checkpoint(df, d2).count() == 10
     assert any("overriding session checkpoint dir" in str(x.message) for x in w)
     assert d2.lstrip("/") in spark.sparkContext.getCheckpointDir()
+
+
+def test_reliable_checkpoint_scheme_and_authority_compared(spark, tmp_path):
+    """A same-path dir on a DIFFERENT scheme/authority must be treated
+    as a different dir (warn + override), not silently reused — a
+    caller asking for hdfs://nn/X while the session points at
+    file:/X would otherwise keep checkpointing to local disk,
+    defeating the executor-loss guarantee (ADVICE r4)."""
+    import warnings
+
+    from cdc_poc_spark.operators.scale import reliable_checkpoint
+
+    df = spark.range(10)
+    d = str(tmp_path / "ck_scheme")
+    assert reliable_checkpoint(df, d).count() == 10
+    # same dir, explicit file: scheme — still "same", no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert reliable_checkpoint(df, "file://" + d).count() == 10
+    # same path under a different scheme+authority — must warn (the
+    # write itself fails without an hdfs cluster, which is fine: the
+    # guard decision happens before the checkpoint)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        try:
+            reliable_checkpoint(df, "hdfs://namenode" + d).count()
+        except Exception:
+            pass  # no HDFS in the sandbox; only the guard is under test
+    assert any("overriding session checkpoint dir" in str(x.message) for x in w)
+    # restore a usable local dir for later tests in the session
+    spark.sparkContext.setCheckpointDir(d)
