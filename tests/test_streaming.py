@@ -976,3 +976,154 @@ def test_ingest_vs_index_streams_and_grows(spark, tmp_path):
             "jidx_stream_applied",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t_name}")
+
+
+def test_event_time_sessionize_closes_on_watermark(spark, tmp_path):
+    """EVENT-TIME sessionization (stateful_sessionize_event_time —
+    VERDICT r4 #5): out-of-order events WITHIN the watermark delay are
+    sessionized exactly (buffered + sorted at finalization, matching
+    the batch gaps-and-islands rule), events at/below the watermark are
+    dropped, and sessions are emitted (append mode, exactly once) only
+    after the watermark passes last_event + gap. A sentinel key's
+    far-future event advances the watermark so every earlier key's
+    timer fires before the availableNow run drains."""
+    from cdc_poc_spark.streaming import stateful
+
+    S = 1_000_000  # seconds -> micros
+
+    def ts(sec):
+        import datetime
+
+        return datetime.datetime.fromtimestamp(sec, datetime.timezone.utc)
+
+    # gap = 1800 s, delay = 600 s. Files consumed one per trigger.
+    files = [
+        [(1, ts(1000)), (1, ts(1200)), (2, ts(1100))],   # wm after: 600 s
+        [(1, ts(1150)), (2, ts(1250))],                  # in-order violation, inside delay
+        [(1, ts(100)), (1, ts(5000)), (2, ts(5100))],    # 100 s is below wm 650 -> dropped
+        [(99, ts(20000))],                               # sentinel: wm -> 19400 s, fires timers
+    ]
+    data = tmp_path / "et_sessions"
+    data.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(str(data / f"tmp_{i:02d}"))
+    import glob
+    import shutil
+
+    feed = tmp_path / "et_feed"
+    feed.mkdir()
+    import os as _os
+    import time as _time
+
+    base = _time.time()
+    for i in range(len(files)):
+        src = glob.glob(str(data / f"tmp_{i:02d}" / "part-*.parquet"))[0]
+        dst = str(feed / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        # FileStreamSource orders by modification time; back-to-back
+        # copies land in the same mtime tick, so pin strictly
+        # increasing mtimes to make per-trigger file order the list
+        # order (the standalone repro worked only because interleaved
+        # write+copy spaced the mtimes naturally).
+        _os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    out = stateful.stateful_sessionize_event_time(
+        stream, ts_col="ts", delay="600 seconds", gap_us=1800 * S
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("et_sessionize_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM et_sessionize_out").collect()
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in rows
+    }
+    assert len(rows) == len(got), "append mode must emit each session once"
+    assert got == {
+        # u1: [1000, 1150, 1200] | [5000]  (100 dropped as too late)
+        (1, 1): (3, 1000 * S, 1200 * S),
+        (1, 2): (1, 5000 * S, 5000 * S),
+        # u2: [1100, 1250] | [5100]
+        (2, 1): (2, 1100 * S, 1250 * S),
+        (2, 2): (1, 5100 * S, 5100 * S),
+        # sentinel u99: never times out -> never emitted
+    }
+
+
+def test_event_time_sessionize_matches_batch_twin(spark, tmp_path):
+    """On the real events fixture, the event-time sessionizer's CLOSED
+    sessions equal the batch gaps-and-islands query (tw_sessionize_ids)
+    exactly: the stream is fed in two ts-ordered halves plus a sentinel
+    event far enough ahead (max_ts + gap + delay) that the watermark
+    closes every real session before the availableNow run drains."""
+    import glob
+    import os as _os
+    import time as _time
+
+    from cdc_poc_spark.queries import all_specs
+    from cdc_poc_spark.streaming import stateful
+    from cdc_poc_spark.tables import events_with_time
+
+    ev = ts_ev = events_with_time(spark, SF_DIR).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    sentinel_ts = hi + __import__("datetime").timedelta(seconds=1800 + 600 + 10)
+    parts = [
+        ev.filter(F.col("ts") <= F.lit(cut)),
+        ev.filter(F.col("ts") > F.lit(cut)),
+        spark.createDataFrame([(-1, sentinel_ts)], "user_id long, ts timestamp"),
+    ]
+    feed = tmp_path / "et_twin_feed"
+    feed.mkdir()
+    base = _time.time()
+    for i, part in enumerate(parts):
+        d = tmp_path / f"et_twin_{i}"
+        part.coalesce(1).write.parquet(str(d))
+        src = glob.glob(str(d / "part-*.parquet"))[0]
+        dst = str(feed / f"{i:02d}.parquet")
+        shutil.copy(src, dst)
+        _os.utime(dst, (base + i, base + i))  # pin per-trigger order
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    out = stateful.stateful_sessionize_event_time(
+        stream, ts_col="ts", delay="600 seconds"
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName("et_twin_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et_twin"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in spark.sql(
+            "SELECT * FROM et_twin_out WHERE user_id >= 0"
+        ).collect()
+    }
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.start_us, r.end_us)
+        for r in all_specs()["tw_sessionize_ids"].fn(spark, SF_DIR).collect()
+    }
+    assert got == batch
