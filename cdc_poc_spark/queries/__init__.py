@@ -147,7 +147,16 @@ _ROUND4_FRONT = [
 
 # Queries registered for the first time in round 5 — appended to the r5
 # front so they get driver rows in the same round they land.
-_ROUND5_NEW: list = []
+_ROUND5_NEW: list = [
+    "graph_pagerank_5iter",
+    "agg_heavy_hitters_tokens",
+    "dedup_url_canonical",
+    "text_passage_dedup",
+    "tw_m4_downsample",
+    "pipeline_bpe_merge_step",
+    "ml_kmeans_step_update",
+    "join_nearest_event",
+]
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1237,3 +1237,177 @@ def graph_pagerank_3iter(spark, sf_dir):
         .orderBy(F.desc("rank_micro"), "node")
         .limit(20)
     )
+
+
+_PAGERANK5_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), b AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS quantum,
+         CAST(((1000000000000 // COUNT(*)) * 15) // 100 AS BIGINT) AS base
+  FROM deg
+), r0 AS (
+  SELECT d.node, d.deg, b.quantum AS r FROM deg d, b
+), r1 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r0.r // r0.deg)) // 100 AS r
+  FROM sym s JOIN r0 ON r0.node = s.v, b GROUP BY s.u, b.base
+), r1d AS (
+  SELECT r1.node, d.deg, r1.r FROM r1 JOIN deg d ON d.node = r1.node
+), r2 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r1d.r // r1d.deg)) // 100 AS r
+  FROM sym s JOIN r1d ON r1d.node = s.v, b GROUP BY s.u, b.base
+), r2d AS (
+  SELECT r2.node, d.deg, r2.r FROM r2 JOIN deg d ON d.node = r2.node
+), r3 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r2d.r // r2d.deg)) // 100 AS r
+  FROM sym s JOIN r2d ON r2d.node = s.v, b GROUP BY s.u, b.base
+), r3d AS (
+  SELECT r3.node, d.deg, r3.r FROM r3 JOIN deg d ON d.node = r3.node
+), r4 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r3d.r // r3d.deg)) // 100 AS r
+  FROM sym s JOIN r3d ON r3d.node = s.v, b GROUP BY s.u, b.base
+), r4d AS (
+  SELECT r4.node, d.deg, r4.r FROM r4 JOIN deg d ON d.node = r4.node
+), r5 AS (
+  SELECT s.u AS node, b.base + (85 * SUM(r4d.r // r4d.deg)) // 100 AS r
+  FROM sym s JOIN r4d ON r4d.node = s.v, b GROUP BY s.u, b.base
+)
+SELECT node, node % 2 = 1 AS is_supplier, node // 2 AS entity_key,
+       CAST(r AS BIGINT) AS rank_micro
+FROM r5 ORDER BY r DESC, node LIMIT 20
+"""
+
+
+@register("graph_pagerank_5iter", oracle=_PAGERANK5_ORACLE, tags=("graph", "analytics"))
+def graph_pagerank_5iter(spark, sf_dir):
+    """The generalized `operators.graph.pagerank` at n_iters=5 under the
+    bit-exact integer oracle (VERDICT r4 #4's k=5 check, driver-run):
+    every round is one neighbor equi-join + one map-side-combinable
+    keyed sum, the rank relation re-pinned per round so round 5's plan
+    is as shallow as round 1's — no lineage nesting. Same quantized
+    arithmetic as graph_pagerank_3iter (BIGINT DIV everywhere, both
+    engines round identically at every step)."""
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    r = pagerank(e0, n_iters=5, total_mass=_PR_Q, damping_pct=85)
+    return (
+        r.select(
+            "node",
+            F.expr("node % 2 = 1").alias("is_supplier"),
+            F.expr("node DIV 2").alias("entity_key"),
+            F.col("rank_micro"),
+        )
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(20)
+    )
+
+
+_KMEANS_UPDATE_ORACLE = f"""
+WITH comp AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, label, dim,
+         CAST(round(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT) AS xq
+  FROM comp
+),
+cent AS (
+  SELECT label AS clabel, dim, CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, dim
+),
+terms AS (
+  SELECT v.vec_id, v.label, c.clabel, c.n,
+         CAST(v.xq * c.n - c.s AS DECIMAL(38,0)) AS t
+  FROM q v JOIN cent c ON c.dim = v.dim
+),
+d2 AS (
+  SELECT vec_id, label, clabel,
+         CAST(SUM(t * t) AS DOUBLE) / (CAST(MIN(n) AS DOUBLE) * MIN(n)) AS dist2
+  FROM terms GROUP BY vec_id, label, clabel
+),
+assign AS (
+  SELECT vec_id, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rn
+  FROM d2
+)
+SELECT a.clabel AS assigned, v.dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(v.xq) // COUNT(*) AS BIGINT) AS mean_q
+FROM assign a JOIN q v ON v.vec_id = a.vec_id
+WHERE a.rn = 1
+GROUP BY a.clabel, v.dim
+"""
+
+
+@register("ml_kmeans_step_update", oracle=_KMEANS_UPDATE_ORACLE, tags=("llm", "similarity", "ml"))
+def ml_kmeans_step_update(spark, sf_dir):
+    """The UPDATE half of one Lloyd iteration (ml_kmeans_step_assign is
+    the assign half): re-assign every vector to its nearest centroid
+    under the same exact quantized-distance argmin, then emit the NEW
+    centroid table — per (assigned cluster, dim): member count and the
+    integer-mean component SUM(xq) DIV n. All arithmetic is exact
+    int64/DECIMAL (both engines truncate integer division toward zero),
+    so the next iteration's codebook is bit-identical across engines —
+    the property that makes a distributed k-means/IVF trainer's
+    convergence reproducible across cluster topologies. Plan: the
+    assign join (broadcast centroids, map-side distances) + ONE keyed
+    agg over (cluster, dim) — k x dims output rows, map-side
+    combinable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * _KM_Q).cast("long").alias("xq"),
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    t = (F.col("xq") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    d2 = (
+        q.join(F.broadcast(cent), "dim")
+        .select("vec_id", "label", "clabel", "n", t.alias("t"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            (
+                F.sum(F.col("t") * F.col("t")).cast("double")
+                / (F.min("n").cast("double") * F.min("n"))
+            ).alias("dist2")
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "clabel")
+    assign = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", F.col("clabel").alias("assigned"))
+    )
+    return (
+        q.join(assign, "vec_id")
+        .groupBy("assigned", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr("SUM(xq) DIV COUNT(*)").cast("long").alias("mean_q"),
+        )
+    )

@@ -238,3 +238,95 @@ def join_asof_purchase_to_view(spark, sf_dir):
         .filter("event_type = 'purchase'")
         .select("event_id", "user_id", "ts_us", "prev_view_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event join (bidirectional as-of — round 5)
+# ---------------------------------------------------------------------------
+
+_NEAREST_ORACLE = """
+WITH ordered AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type IN ('view', 'purchase')
+), m AS (
+  SELECT event_id, user_id, event_type, ts_us,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER wb AS pv_id,
+         last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+           OVER wb AS pv_ts,
+         first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER wa AS nv_id,
+         first_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+           OVER wa AS nv_ts
+  FROM ordered
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN nv_ts IS NULL
+                 OR (pv_ts IS NOT NULL AND (ts_us - pv_ts) <= (nv_ts - ts_us))
+            THEN pv_id ELSE nv_id END AS nearest_view_id,
+       CASE WHEN nv_ts IS NULL
+                 OR (pv_ts IS NOT NULL AND (ts_us - pv_ts) <= (nv_ts - ts_us))
+            THEN pv_ts - ts_us ELSE nv_ts - ts_us END AS delta_us
+FROM m WHERE event_type = 'purchase'
+"""
+
+
+@register("join_nearest_event", oracle=_NEAREST_ORACLE, tags=("join", "window", "asof"))
+def join_nearest_event(spark, sf_dir):
+    """NEAREST-event join: each purchase matched to the closest view by
+    the same user in EITHER direction (min |Δt|; ties go to the earlier
+    view) — the bidirectional completion of the backward-only as-of
+    join, and the temporal-join flavor sensor/attribution pipelines ask
+    for ("closest reading to the incident", not "last reading before").
+    Same scale-correct formulation as join_asof_purchase_to_view: union
+    both event kinds, ONE window shuffle on user_id serving both the
+    backward (last view before) and forward (first view after) frames —
+    never a per-row range probe or a quadratic self-join. delta_us is
+    signed (negative = matched view precedes the purchase)."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id", "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    view_row = F.when(
+        F.col("event_type") == "view", F.struct("ts_us", "event_id")
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wa = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    m = ordered.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.last(view_row, ignorenulls=True).over(wb).alias("pv"),
+        F.first(view_row, ignorenulls=True).over(wa).alias("nv"),
+    )
+    take_prev = F.col("nv").isNull() | (
+        F.col("pv").isNotNull()
+        & (
+            (F.col("ts_us") - F.col("pv.ts_us"))
+            <= (F.col("nv.ts_us") - F.col("ts_us"))
+        )
+    )
+    return m.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(take_prev, F.col("pv.event_id"))
+        .otherwise(F.col("nv.event_id"))
+        .alias("nearest_view_id"),
+        F.when(take_prev, F.col("pv.ts_us") - F.col("ts_us"))
+        .otherwise(F.col("nv.ts_us") - F.col("ts_us"))
+        .alias("delta_us"),
+    )

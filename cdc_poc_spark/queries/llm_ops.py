@@ -1235,3 +1235,178 @@ def mm_resize_dims(spark, sf_dir):
             ).alias("shrink_only"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (local-candidate + verify — round 5)
+# ---------------------------------------------------------------------------
+
+_HH_K = 50
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks, tot GROUP BY tok, tot.n HAVING COUNT(*) * {_HH_K + 1} > tot.n
+"""
+
+
+@register("agg_heavy_hitters_tokens", oracle=_HH_ORACLE, tags=("llm", "agg", "sketch"))
+def agg_heavy_hitters_tokens(spark, sf_dir):
+    """EXACT phi-heavy-hitter tokens (freq > N/(k+1), k=50) via the
+    local-candidate + exact-verify plan (operators/sketches.py:
+    heavy_hitters — Misra-Gries pigeonhole guarantee, partitioning-
+    independent output): candidates are values locally heavy in some
+    input partition (map-side combinable count, at most ~k survivors
+    per partition), verification recounts only candidate rows through a
+    broadcast semi-join. At 100 TB the full distinct-token groupBy a
+    naive plan would shuffle never happens — only the bounded candidate
+    set is globally counted. The oracle is the exact GROUP BY/HAVING."""
+    from ..operators.sketches import heavy_hitters
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    return heavy_hitters(toks, "tok", k=_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (web-corpus curation — round 5)
+# ---------------------------------------------------------------------------
+
+_URLC_SYNTH = """
+'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+  || source || '.example.com/' || lang || '/doc-' || (doc_id % 211)
+  || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+          WHEN doc_id % 3 = 1 THEN '?ref=search' ELSE '' END
+"""
+
+_URLC_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, source, {_URLC_SYNTH} AS url FROM documents
+), c AS (
+  SELECT doc_id, source,
+         regexp_replace(regexp_replace(url, '[?](utm_[a-z]+|ref)=[a-z]+$', ''),
+                        '^https://www\\.', 'https://') AS curl
+  FROM u
+), g AS (
+  SELECT source, curl, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keep_doc
+  FROM c GROUP BY source, curl
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_canonical,
+       CAST(SUM(n_dups) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN n_dups > 1 THEN n_dups - 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       MIN(keep_doc) AS first_keep
+FROM g GROUP BY source
+"""
+
+
+@register("dedup_url_canonical", oracle=_URLC_ORACLE, tags=("llm", "dedup", "text"))
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup — the FIRST dedup pass of every web
+    crawl pipeline, ahead of any content similarity: strip the www
+    host prefix and the tracking query suffix (utm_*/ref), group by
+    canonical URL, keep the min doc_id. Per source: canonical count,
+    raw count, removed count, first kept doc. One hash groupBy on the
+    canonical string (constant bytes/row — the same scale shape as
+    exact_dup_groups); at 100 TB this is the cheapest 30-40% volume cut
+    a crawl corpus gets. URLs are synthesized deterministically from
+    (doc_id, source, lang) with the same expression in both engines
+    (fixture has no URL column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = docs.select("doc_id", "source", F.expr(_URLC_SYNTH).alias("url"))
+    c = u.withColumn(
+        "curl",
+        F.regexp_replace(
+            F.regexp_replace("url", r"[?](utm_[a-z]+|ref)=[a-z]+$", ""),
+            r"^https://www\.",
+            "https://",
+        ),
+    )
+    g = c.groupBy("source", "curl").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc")
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n_dups").alias("n_urls"),
+        F.sum(
+            F.when(F.col("n_dups") > 1, F.col("n_dups") - 1).otherwise(F.lit(0))
+        ).alias("n_removed"),
+        F.min("keep_doc").alias("first_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (C4-style span dedup — round 5)
+# ---------------------------------------------------------------------------
+
+_PASSAGE_W = 10  # words per passage
+
+_PASSAGE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), passages AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(0, CAST(len(ws) // {_PASSAGE_W} AS BIGINT)),
+                i -> array_to_string(ws[i * {_PASSAGE_W} + 1 : (i + 1) * {_PASSAGE_W}], ' ')))
+           AS passage
+  FROM words
+), marked AS (
+  SELECT doc_id, source, passage,
+         row_number() OVER (PARTITION BY passage ORDER BY doc_id) AS occ
+  FROM passages
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT CASE WHEN occ > 1 THEN doc_id END) AS BIGINT)
+         AS n_docs_with_dups
+FROM marked GROUP BY source
+"""
+
+
+@register("text_passage_dedup", oracle=_PASSAGE_ORACLE, tags=("llm", "dedup", "text"))
+def text_passage_dedup(spark, sf_dir):
+    """PASSAGE-level exact dedup profile (the C4/RefinedWeb span-dedup
+    shape): each document is cut into consecutive {W}-word passages;
+    a passage occurrence is a duplicate if an identical passage exists
+    in a lower doc_id anywhere in the corpus (first occurrence kept —
+    the deterministic keep rule span dedup needs to be reproducible).
+    Per source: passage volume, duplicated-passage count, docs touched.
+    Plan: one explode (no quadratic pairing anywhere) + one window
+    shuffle keyed by the passage string — at 100 TB hash-partitioned by
+    passage, constant state per key; the passage strings never leave
+    the exchange un-hashed... they do here for exactness; production
+    would key by xxhash64(passage) (collision-safe at 64 bits for
+    profiling) to cut shuffle bytes ~10x, same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _PASSAGE_W
+    passages = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(size(split(text, ' ')) / {w} AS INT) - 1),"
+                f" i -> array_join(slice(split(text, ' '), i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("passage"),
+    )
+    from pyspark.sql import Window
+
+    occ = passages.withColumn(
+        "occ",
+        F.row_number().over(Window.partitionBy("passage").orderBy("doc_id")),
+    )
+    return occ.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup_passages"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct(F.when(F.col("occ") > 1, F.col("doc_id"))).alias(
+            "n_docs_with_dups"
+        ),
+    )

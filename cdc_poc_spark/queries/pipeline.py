@@ -655,3 +655,54 @@ def pipeline_curriculum_stages(spark, sf_dir):
             F.sum("q_lp_sum").alias("sum_micro_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step: global adjacent-symbol pair counts (round 5)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substring(w, i, 2))) AS pair
+  FROM words WHERE length(w) >= 2
+), counted AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS rnk
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM counted WHERE rnk <= 20
+"""
+
+
+@register("pipeline_bpe_merge_step", oracle=_BPE_ORACLE, tags=("llm", "pipeline", "text"))
+def pipeline_bpe_merge_step(spark, sf_dir):
+    """ONE BPE training step, corpus-scale: count every adjacent
+    character pair across all word occurrences and rank the top-20 —
+    the argmax of rank 1 is the next merge a byte-pair-encoding
+    tokenizer would apply (Sennrich et al., ACL'16). The iterative
+    trainer is this query in a loop with the vocabulary rewritten per
+    round; the per-step plan is what must scale: explode to pairs
+    (map-side, no shuffle), ONE map-side-combinable count keyed by the
+    pair (symbol-pair cardinality is tiny — bounded by |alphabet|^2
+    per merge round, so the shuffle is a few KB regardless of corpus
+    size), then a broadcast-size top-k. Deterministic rank tiebreak on
+    the pair string keeps engines and reruns bit-identical."""
+    from pyspark.sql import Window
+
+    words = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair")))
+    return (
+        counted.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "n", "rnk")
+    )

@@ -335,3 +335,58 @@ def tw_gap_fill_interpolate(spark, sf_dir):
         "event_type", "hr", "observed",
         interp.cast("long").alias("value_filled_e5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling: min/max/first/last per pixel bucket (round 5)
+# ---------------------------------------------------------------------------
+
+_M4_US = 15 * 60 * 1_000_000  # one "pixel" = 15 minutes
+
+_M4_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS value,
+         epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // {_M4_US}) * {_M4_US} AS bucket_us,
+         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {_M4_US}
+                            ORDER BY epoch_us(ts), event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // {_M4_US}
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(value) AS v_min, MAX(value) AS v_max,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last
+FROM b GROUP BY event_type, bucket_us
+"""
+
+
+@register("tw_m4_downsample", oracle=_M4_ORACLE, tags=("window", "timeseries", "agg"))
+def tw_m4_downsample(spark, sf_dir):
+    """M4 time-series downsampling (Jugel et al., VLDB'14: the
+    min/max/first/last-per-pixel aggregation that makes a line chart of
+    N points render pixel-identically from 4 points per pixel column):
+    15-minute pixels per series (event_type). The dashboard-backend
+    query of every metrics store, and the visual-fidelity-preserving
+    reduction a 100 TB telemetry table needs before a human looks at
+    it. Plan: ONE map-side-combinable groupBy — first/last are
+    min_by/max_by on the (ts, event_id) total order, no window pass,
+    no per-bucket sort; values pass through un-arithmeticked so the
+    oracle match is bit-exact."""
+    ev = events_with_time(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        ev.withColumn(
+            "bucket_us", (F.col("ts_us") - F.pmod("ts_us", F.lit(_M4_US)))
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", key).alias("v_first"),
+            F.max_by("value", key).alias("v_last"),
+        )
+    )

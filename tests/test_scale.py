@@ -292,3 +292,26 @@ def test_reliable_checkpoint_scheme_and_authority_compared(spark, tmp_path):
     assert any("overriding session checkpoint dir" in str(x.message) for x in w)
     # restore a usable local dir for later tests in the session
     spark.sparkContext.setCheckpointDir(d)
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    """heavy_hitters returns EXACTLY the values with freq > N/(k+1),
+    with exact counts, regardless of physical partitioning (the
+    pigeonhole candidate superset holds for any layout)."""
+    from collections import Counter
+
+    from cdc_poc_spark.operators.sketches import heavy_hitters
+
+    vals = (["a"] * 300 + ["b"] * 150 + ["c"] * 40
+            + [f"x{i}" for i in range(510)])  # N=1000
+    k = 9  # threshold: freq > 100
+    expect = {
+        v: c for v, c in Counter(vals).items() if c * (k + 1) > len(vals)
+    }
+    assert expect == {"a": 300, "b": 150}  # c=40 below, singletons far below
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v string"
+        ).repartition(parts)
+        got = {r.v: r.n for r in heavy_hitters(df, "v", k).collect()}
+        assert got == expect, f"partitioning {parts} changed the result"
