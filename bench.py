@@ -175,6 +175,12 @@ def main() -> None:
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
+    # Per-query MIN alongside the median: back-to-back full-process runs
+    # on this container swing up to ~1.5x from outside CPU contention
+    # (measured r5 — PLANS.md "bench harness variance"); the min is the
+    # least-contended observation and the right stat for attributing a
+    # cross-round delta to code vs environment.
+    mins = {name: round(min(ts), 3) for name, ts in samples.items()}
     timings.update(_index_lifecycle(spark, sf_dir))
     print(
         json.dumps(
@@ -183,6 +189,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": mins,
+                "value_min": round(sum(mins.values()), 3),
                 "sf": sf,
                 "runs_per_query": n_base,
                 "slow_query_runs": n_slow,

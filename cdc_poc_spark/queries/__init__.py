@@ -156,6 +156,10 @@ _ROUND5_NEW: list = [
     "pipeline_bpe_merge_step",
     "ml_kmeans_step_update",
     "join_nearest_event",
+    "agg_key_skew_profile",
+    "agg_mode_per_group",
+    "win_distribution_ranks",
+    "scalar_bitwise_functions",
 ]
 
 

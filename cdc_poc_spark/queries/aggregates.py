@@ -408,3 +408,101 @@ def agg_argmax_per_group(spark, sf_dir):
             F.min_by("s_name", bal).alias("bottom_supplier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profile (shuffle-planning diagnostic — round 5)
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS max_n
+  FROM k
+), top AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rnk FROM k
+)
+SELECT t.rnk AS rnk, t.key, t.n,
+       (t.n * 1000000) // tot.n_rows AS share_ppm,
+       (t.n * tot.n_keys * 100) // tot.n_rows AS x_avg_pct
+FROM top t, tot WHERE t.rnk <= 10
+"""
+
+
+@register("agg_key_skew_profile", oracle=_SKEW_ORACLE, tags=("agg", "skew", "topk"))
+def agg_key_skew_profile(spark, sf_dir):
+    """Join/shuffle-key skew diagnostic: the top-10 heaviest keys of
+    orders.o_custkey with each key's exact row share (ppm) and its
+    multiple of the mean key load (percent) — the numbers that decide
+    whether a join needs salting (operators/scale.py:salted_join) or
+    AQE skew splitting before it runs at 100 TB. All shares are exact
+    BIGINT cross-multiplications (no float division). Plan: one
+    map-side-combinable key count, a broadcast one-row totals relation,
+    TakeOrderedAndProject for the top-10 — never a global sort."""
+    from pyspark.sql import Window as W2
+
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = k.agg(
+        F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = (
+        k.withColumn(
+            "rnk",
+            F.row_number().over(W2.orderBy(F.desc("n"), F.asc("key"))).cast("long"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "key",
+        "n",
+        F.expr("(n * 1000000) DIV n_rows").alias("share_ppm"),
+        F.expr("(n * n_keys * 100) DIV n_rows").alias("x_avg_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode (round 5)
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+), r AS (
+  SELECT c_mktsegment, c_nationkey, n,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY n DESC, c_nationkey) AS rn
+  FROM c
+)
+SELECT c_mktsegment, c_nationkey AS mode_nation, n AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+@register("agg_mode_per_group", oracle=_MODE_ORACLE, tags=("agg", "mode"))
+def agg_mode_per_group(spark, sf_dir):
+    """DETERMINISTIC per-group mode: most frequent nation per market
+    segment, ties broken by the smallest key — built-in `mode()` is
+    tie-arbitrary in both engines, so the reproducible formulation is
+    count + one-pass max_by over (count, -key): two map-side-combinable
+    hash aggregates, no window, no sort. The shape matters at scale:
+    the second agg's input is |group x value| rows (already reduced),
+    never the raw table."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pick = F.struct(F.col("n"), (-F.col("c_nationkey")).alias("neg"))
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_nationkey", pick).alias("mode_nation"),
+        F.max_by("n", pick).alias("mode_count"),
+    )

@@ -408,3 +408,42 @@ def scalar_hash_functions(spark, sf_dir):
         b64.alias("name_b64"),
         F.unbase64(b64).cast("string").alias("roundtrip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise / binary-integer functions (round 5)
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS set_bit,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS shifted_l,
+       o_orderkey >> 3 AS shifted_r,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       CAST(bit_count(xor(o_orderkey, o_custkey)) AS INT) AS hamming_to_cust
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@register("scalar_bitwise_functions", oracle=_BITWISE_ORACLE, tags=("scalar", "bitwise"))
+def scalar_bitwise_functions(spark, sf_dir):
+    """Bitwise scalar surface: AND/OR/XOR, shifts, popcount, and the
+    Hamming distance between two key columns — the primitives the
+    SimHash banding and Morton/Z-order operators are built from
+    (operators/dedup.py:simhash, operators/scale.py:zorder_by),
+    exposed as a first-class query. Pure map-side expressions inside
+    whole-stage codegen; the filter prunes at the scan."""
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 97 = 0")
+    x = F.expr("o_orderkey ^ o_custkey")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("low_byte"),
+        F.expr("o_orderkey | 4096").alias("set_bit"),
+        x.alias("key_xor"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shifted_l"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shifted_r"),
+        F.bit_count("o_orderkey").alias("popcount"),
+        F.bit_count(x).alias("hamming_to_cust"),
+    )

@@ -180,3 +180,39 @@ def win_first_last_per_user(spark, sf_dir):
         F.last("value").over(w).alias("last_value_seen"),
         F.nth_value("value", 2).over(w).alias("second_value_seen"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank analytics: cume_dist / percent_rank (round 5)
+# ---------------------------------------------------------------------------
+
+_DISTRANK_ORACLE = """
+SELECT s_suppkey, s_nationkey,
+       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       ntile(10) OVER w AS decile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY CAST(s_acctbal AS DECIMAL(12,2)), s_suppkey)
+"""
+
+
+@register("win_distribution_ranks", oracle=_DISTRANK_ORACLE, tags=("window", "ranking"))
+def win_distribution_ranks(spark, sf_dir):
+    """The remaining ranking-family analytics in one pass:
+    percent_rank, cume_dist, and ntile deciles of supplier balance
+    within each nation — all three share ONE window (one shuffle on
+    s_nationkey, one per-partition sort). percent_rank/cume_dist are
+    ratios of BIGINT ranks, identical doubles in both engines; the
+    decimal-cast order key + suppkey tiebreak makes the total order
+    (and therefore every rank) engine-stable."""
+    bal = dec("s_acctbal", BAL)
+    w = W.partitionBy("s_nationkey").orderBy(bal, "s_suppkey")
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        bal.cast("double").alias("bal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
