@@ -321,8 +321,14 @@ def pagerank(
       ``v`` (write_bucketed) and every round's contribution join reads
       it back exchange-free on the edge side — only the |nodes|-row
       rank relation shuffles per round, never the |edges|-row relation.
-      Without it, the symmetric edges are pinned in memory/disk blocks
-      and each round's join shuffles them (fine at local scale).
+      Use it when the rank relation is too large to broadcast (the
+      billions-of-nodes regime): measured at the 10x probe with
+      broadcast disabled, 5 iterations run 34 s bucketed vs 48 s plain
+      (the one-time write amortizes over rounds). When the rank
+      relation DOES broadcast (small graphs), every round's join is
+      already exchange-free map-side and the bucketed write is pure
+      overhead (30 s plain vs 47 s bucketed, same probe) — so the
+      default is off and the caller opts in at scale.
     - The remaining per-round shuffle is the keyed contribution sum
       (map-side combinable) — the same log-bounded round structure
       connected_components uses.
@@ -334,6 +340,10 @@ def pagerank(
     )
     sym = two.unionByName(two.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if edge_table is not None:
+        # NOT sortBy: with >1 file per bucket Spark cannot exploit
+        # bucket sortedness at read, so sortBy only adds write cost
+        # (measured: 34 s unsorted vs 49 s sorted, 10x probe, 5 iters,
+        # no-broadcast regime — PLANS.md round 5 pagerank table).
         write_bucketed(sym, edge_table, ["v"], n_buckets=n_buckets)
         sym = edges.sparkSession.table(edge_table)
     else:

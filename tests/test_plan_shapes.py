@@ -169,3 +169,54 @@ def test_token_budget_fill_single_source_shuffle(spark):
     quality exprs ride the scan projection."""
     plan = _plan(spark, "pipeline_token_budget_fill")
     assert plan.count("hashpartitioning(source") == 1
+
+
+def test_heavy_hitters_candidates_broadcast_no_global_distinct(spark):
+    """The heavy-hitters verify pass must semi-join a BROADCAST
+    candidate relation — and the raw token stream must never feed a
+    full-cardinality groupBy directly (the local-candidate stage is
+    keyed by (partition, value), which bounds it)."""
+    plan = _plan(spark, "agg_heavy_hitters_tokens")
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m4_is_single_aggregate_no_window(spark):
+    """M4 must stay ONE map-side-combinable aggregate: no window
+    operator (per-bucket sort) anywhere in the plan."""
+    plan = _plan(spark, "tw_m4_downsample")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_nearest_event_single_user_shuffle(spark):
+    """Both as-of directions must ride ONE user_id window shuffle."""
+    plan = _plan(spark, "join_nearest_event")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profile_topk_and_broadcast_totals(spark):
+    """Top-10 keys via TakeOrderedAndProject-or-window over the reduced
+    key-count relation; the one-row totals relation must broadcast."""
+    plan = _plan(spark, "agg_key_skew_profile")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mode_per_group_is_two_hash_aggs_no_window(spark):
+    plan = _plan(spark, "agg_mode_per_group")
+    assert "Window" not in plan
+
+
+def test_bpe_pairs_shuffle_is_on_reduced_relation(spark):
+    """The BPE pair count must partial-aggregate map-side (HashAggregate
+    below the exchange) — the shuffle carries |alphabet|^2-bounded
+    groups, not the exploded pair stream."""
+    plan = _plan(spark, "pipeline_bpe_merge_step")
+    import re
+
+    # a partial_count aggregate must appear BEFORE (deeper than) the
+    # exchange that feeds the final count
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
