@@ -542,3 +542,106 @@ def ivf_index_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_graph_exact(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT k-nearest-neighbor graph over the whole corpus (cosine):
+    the truth baseline approximate graphs are recall-scored against.
+    Deliberately quadratic (all-pairs equi-join on a constant key is
+    avoided — the pair space is generated per-partition by a broadcast
+    of the corpus against itself only when it fits; here the fixture
+    corpus side is broadcast). Use `knn_graph_cells` at scale."""
+    from pyspark.sql import Window
+
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+        "vnorm", norm("vec")
+    )
+    a = e.select(
+        F.col(id_col).alias("vec_id_"), F.col("vec").alias("va"), F.col("vnorm").alias("na")
+    )
+    b = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("vb"), F.col("vnorm").alias("nb")
+    )
+    p = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id_") != F.col("neighbor_id"))
+        .select(
+            F.col("vec_id_").alias("vec_id"),
+            "neighbor_id",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
+def knn_graph_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """APPROXIMATE kNN graph via IVF coarse cells — the scale path for
+    graph construction over a 100 TB embedding corpus: every vector is
+    assigned to its nearest seed centroid (broadcast product over
+    n_cells rows, map-side); its candidate set is every vector RESIDENT
+    in one of its ``n_probe`` nearest cells (multi-probe: the probe side
+    explodes to n_probe rows, the resident side stays single-cell — an
+    EQUI-join on cell_id, sum over cells of n_probe x |cell|^2 pairs
+    instead of |corpus|^2); exact cosine scores the candidates, one
+    window picks top-k. Same candidate-generation idea as IVF/HNSW
+    libraries, all Catalyst: no index structure to ship, locality comes
+    from the cell equi-join. Recall vs `knn_graph_exact` is the driver
+    contract (`sim_knn_graph_ivf`)."""
+    from pyspark.sql import Window
+
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+        "vnorm", norm("vec")
+    )
+    seeds = _ivf_seeds(e, id_col, n_cells)
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        "vec",
+        "vnorm",
+        "cell_id",
+        (dot("vec", "cvec") / (F.col("vnorm") * F.col("cnorm"))).alias("ccos"),
+    )
+    probe_w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell_id"))
+    probes = scored.withColumn("cell_rank", F.row_number().over(probe_w)).filter(
+        F.col("cell_rank") <= n_probe
+    )
+    assigned = probes.filter(F.col("cell_rank") == 1)
+    a = probes.select(
+        F.col(id_col).alias("vec_id_"), "cell_id",
+        F.col("vec").alias("va"), F.col("vnorm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("neighbor_id"), "cell_id",
+        F.col("vec").alias("vb"), F.col("vnorm").alias("nb"),
+    )
+    p = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_id_") != F.col("neighbor_id"))
+        .select(
+            F.col("vec_id_").alias("vec_id"),
+            "neighbor_id",
+            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "neighbor_id", "cosine")
+    )

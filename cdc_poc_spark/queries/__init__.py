@@ -160,6 +160,8 @@ _ROUND5_NEW: list = [
     "agg_mode_per_group",
     "win_distribution_ranks",
     "scalar_bitwise_functions",
+    "sim_knn_graph",
+    "sim_knn_graph_ivf",
 ]
 
 

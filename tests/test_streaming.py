@@ -1127,3 +1127,48 @@ def test_event_time_sessionize_matches_batch_twin(spark, tmp_path):
         for r in all_specs()["tw_sessionize_ids"].fn(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+def test_m4_downsample_runs_streaming(spark, event_stream_dir):
+    """The M4 aggregation (min/max/min_by/max_by per pixel bucket) must
+    run as a streaming update-mode aggregate — the same groupBy the
+    batch query tw_m4_downsample uses — and its final per-key rows must
+    equal the batch result (update mode re-emits; last row per key
+    wins; with availableNow the final emission has seen every event)."""
+    path, schema = event_stream_dir
+    from cdc_poc_spark.queries.timewindows import _M4_US
+
+    def m4(df):
+        ev = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+        key = F.struct(F.col("ts_us"), F.col("event_id"))
+        return (
+            ev.withColumn(
+                "bucket_us", (F.col("ts_us") - F.pmod("ts_us", F.lit(_M4_US)))
+            )
+            .groupBy("event_type", "bucket_us")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min("value").alias("v_min"),
+                F.max("value").alias("v_max"),
+                F.min_by("value", key).alias("v_first"),
+                F.max_by("value", key).alias("v_last"),
+            )
+        )
+
+    stream = fsrc.parquet_stream(spark, path, schema)
+    got_df = _run_to_memory(spark, m4(stream), "m4_stream_out", "update")
+    # last emission per key = the complete aggregate
+    got = {
+        (r.event_type, r.bucket_us): (r.n_events, r.v_min, r.v_max, r.v_first, r.v_last)
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY event_type, bucket_us ORDER BY n_events DESC) rn
+                 FROM m4_stream_out) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = {
+        (r.event_type, r.bucket_us): (r.n_events, r.v_min, r.v_max, r.v_first, r.v_last)
+        for r in m4(spark.read.schema(schema).parquet(path)).collect()
+    }
+    assert got == batch
