@@ -181,7 +181,11 @@ def main() -> None:
     # least-contended observation and the right stat for attributing a
     # cross-round delta to code vs environment.
     mins = {name: round(min(ts), 3) for name, ts in samples.items()}
-    timings.update(_index_lifecycle(spark, sf_dir))
+    # The lifecycle phases are single-shot posture numbers, reported
+    # under their own key: `value` and `value_min` both sum the SAME
+    # headline-query set, so the two stats (and cross-round `value`
+    # deltas) stay comparable (r5 review).
+    lifecycle = _index_lifecycle(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -191,6 +195,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": mins,
                 "value_min": round(sum(mins.values()), 3),
+                "index_lifecycle": lifecycle,
                 "sf": sf,
                 "runs_per_query": n_base,
                 "slow_query_runs": n_slow,

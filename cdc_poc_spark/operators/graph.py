@@ -353,6 +353,10 @@ def pagerank(
         checkpoint_dir,
     )
     n = deg.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank: empty edge relation — no nodes to distribute mass over"
+        )
     quantum = total_mass // n
     base = (quantum * (100 - damping_pct)) // 100
     r = deg.select("node", "deg", F.lit(quantum).alias("r"))

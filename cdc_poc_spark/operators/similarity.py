@@ -544,6 +544,29 @@ def ivf_index_topk(
     )
 
 
+def knn_topk_edges(candidates: DataFrame, k: int = 3) -> DataFrame:
+    """Shared scoring + edge selection for every kNN-graph variant
+    (exact, cell-probed, label-blocked — r5 review: the tie-break and
+    rounding contract the recall oracles depend on lives in ONE place):
+    given a candidate relation with columns (vec_id_, va, na,
+    neighbor_id, vb, nb), emit (vec_id, rnk, neighbor_id, cosine) —
+    the top-k rounded-cosine neighbors per vector, ties broken by
+    neighbor id so ranks are engine-identical."""
+    from pyspark.sql import Window
+
+    p = candidates.filter(F.col("vec_id_") != F.col("neighbor_id")).select(
+        F.col("vec_id_").alias("vec_id"),
+        "neighbor_id",
+        F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", "rnk", "neighbor_id", "cosine")
+    )
+
+
 def knn_graph_exact(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -567,21 +590,7 @@ def knn_graph_exact(
     b = e.select(
         F.col(id_col).alias("neighbor_id"), F.col("vec").alias("vb"), F.col("vnorm").alias("nb")
     )
-    p = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("vec_id_") != F.col("neighbor_id"))
-        .select(
-            F.col("vec_id_").alias("vec_id"),
-            "neighbor_id",
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        p.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("vec_id", "rnk", "neighbor_id", "cosine")
-    )
+    return knn_topk_edges(a.crossJoin(F.broadcast(b)), k)
 
 
 def knn_graph_cells(
@@ -630,18 +639,4 @@ def knn_graph_cells(
         F.col(id_col).alias("neighbor_id"), "cell_id",
         F.col("vec").alias("vb"), F.col("vnorm").alias("nb"),
     )
-    p = (
-        a.join(b, "cell_id")
-        .filter(F.col("vec_id_") != F.col("neighbor_id"))
-        .select(
-            F.col("vec_id_").alias("vec_id"),
-            "neighbor_id",
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 5).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        p.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= k)
-        .select("vec_id", "rnk", "neighbor_id", "cosine")
-    )
+    return knn_topk_edges(a.join(b, "cell_id"), k)

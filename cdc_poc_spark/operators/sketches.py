@@ -34,13 +34,22 @@ def heavy_hitters(items: DataFrame, col: str, k: int) -> DataFrame:
 
     At 100 TB the candidate relation is at most k values per partition
     (bounded, broadcastable for realistic k); the full data is scanned
-    twice but shuffled only by candidate membership — never a global
-    groupBy over all distinct values. Returns (value-column, n BIGINT),
-    exact, so an ANSI GROUP BY/HAVING oracle hash-matches it."""
-    n_total = items.count()
-    per_part = items.select(
-        F.spark_partition_id().alias("__p"), F.col(col)
-    ).groupBy("__p", col).agg(F.count(F.lit(1)).alias("c_local"))
+    twice — the candidate pass and the verify pass; N comes from the
+    candidate pass's own aggregate, not a third scan (r5 review) — and
+    shuffled only by candidate membership, never a global groupBy over
+    all distinct values. The per-partition count relation is persisted
+    (memory+disk) because it feeds both N and the candidate filter.
+    Returns (value-column, n BIGINT), exact, so an ANSI GROUP BY/HAVING
+    oracle hash-matches it."""
+    from pyspark.storagelevel import StorageLevel
+
+    per_part = (
+        items.select(F.spark_partition_id().alias("__p"), F.col(col))
+        .groupBy("__p", col)
+        .agg(F.count(F.lit(1)).alias("c_local"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_total = per_part.agg(F.sum("c_local")).collect()[0][0] or 0
     part_rows = W.partitionBy("__p")
     candidates = (
         per_part.withColumn("n_part", F.sum("c_local").over(part_rows))

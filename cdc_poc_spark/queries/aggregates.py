@@ -452,12 +452,15 @@ def agg_key_skew_profile(spark, sf_dir):
     tot = k.agg(
         F.sum("n").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
-    top = (
-        k.withColumn(
-            "rnk",
-            F.row_number().over(W2.orderBy(F.desc("n"), F.asc("key"))).cast("long"),
-        )
-        .filter(F.col("rnk") <= 10)
+    # orderBy().limit(10) compiles to TakeOrderedAndProject (per-
+    # partition top-10, k rows to the driver side of the sort); the
+    # row_number window then ranks only those 10 rows — never a global
+    # single-partition sort of the full key relation (r5 review; the
+    # docstring's claim, now actually true).
+    top10 = k.orderBy(F.desc("n"), F.asc("key")).limit(10)
+    top = top10.withColumn(
+        "rnk",
+        F.row_number().over(W2.orderBy(F.desc("n"), F.asc("key"))).cast("long"),
     )
     return top.crossJoin(F.broadcast(tot)).select(
         "rnk",

@@ -1386,13 +1386,20 @@ def text_passage_dedup(spark, sf_dir):
     profiling) to cut shuffle bytes ~10x, same plan shape."""
     docs = load_table(spark, sf_dir, "documents")
     w = _PASSAGE_W
+    # Guarded: Spark's sequence(0, n-1) DESCENDS for n=0 (sequence(0,-1)
+    # = [0,-1]), so a <W-word document would emit two spurious passages
+    # where DuckDB's range(0, 0) is empty — the CASE keeps both engines
+    # at zero passages for short docs (r5 review; explode drops the
+    # empty array, matching unnest of an empty list).
     passages = docs.select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
-                f"transform(sequence(0, CAST(size(split(text, ' ')) / {w} AS INT) - 1),"
+                f"CASE WHEN size(split(text, ' ')) >= {w} THEN"
+                f" transform(sequence(0, CAST(size(split(text, ' ')) / {w} AS INT) - 1),"
                 f" i -> array_join(slice(split(text, ' '), i * {w} + 1, {w}), ' '))"
+                f" ELSE array() END"
             )
         ).alias("passage"),
     )
@@ -1453,38 +1460,20 @@ def sim_knn_graph(spark, sf_dir):
     join-then-window shape over candidates instead of exhaustive
     blocks; this query is the exact-within-block baseline those
     approximate graphs are recall-scored against."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import as_double, dot, norm, spread
+    from ..operators.similarity import as_double, knn_topk_edges, norm, spread
 
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", as_double("embedding").alias("vec")
     ).withColumn("vnorm", norm("vec"))
     a = e.select(
-        F.col("vec_id"), F.col("label"),
-        F.col("vec").alias("vec_a"), F.col("vnorm").alias("norm_a"),
+        F.col("vec_id").alias("vec_id_"), F.col("label"),
+        F.col("vec").alias("va"), F.col("vnorm").alias("na"),
     )
     b = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label"),
-        F.col("vec").alias("vec_b"), F.col("vnorm").alias("norm_b"),
+        F.col("vec").alias("vb"), F.col("vnorm").alias("nb"),
     )
-    p = (
-        a.join(b, "label")
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round(
-                dot("vec_a", "vec_b") / (F.col("norm_a") * F.col("norm_b")), 5
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        p.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 3)
-        .select("vec_id", "rnk", "neighbor_id", "cosine")
-    )
+    return knn_topk_edges(a.join(b, "label"), k=3)
 
 
 _KNN_IVF_ORACLE = (

@@ -777,3 +777,38 @@ def test_pagerank_k5_matches_reference_and_bucketed(spark, tmp_path):
     }
     assert got_bucketed == expect
     spark.sql("DROP TABLE IF EXISTS pr_edges_test")
+
+
+def test_passage_dedup_short_docs_match_oracle(spark, tmp_path):
+    """Documents with fewer than 10 words must contribute ZERO passages
+    in BOTH engines — Spark's sequence(0, -1) descends instead of being
+    empty, so the query guards it (r5 review). Parity is checked on a
+    fixture that actually contains short, empty, and exact-boundary
+    docs (the shipped corpus has none)."""
+    import duckdb
+
+    from cdc_poc_spark.queries import all_specs
+
+    rows = [
+        (1, "a b c", "en", "src_1", 5),                     # 3 words
+        (2, "", "en", "src_1", 0),                          # empty
+        (3, " ".join(f"w{i}" for i in range(10)), "en", "src_1", 30),  # exactly 1 passage
+        (4, " ".join(f"w{i}" for i in range(10)), "en", "src_2", 30),  # dup of 3
+        (5, " ".join(f"w{i}" for i in range(25)), "en", "src_2", 60),  # 2 passages + tail
+    ]
+    d = str(tmp_path / "shortdocs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    spec = all_specs()["text_passage_dedup"]
+    sdf = spec.fn(spark, d).toPandas().sort_values("source").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(spec.oracle).fetchdf().sort_values("source").reset_index(drop=True)
+    assert sdf[sorted(sdf.columns)].astype(str).equals(
+        odf[sorted(sdf.columns)].astype(str)
+    ), f"\n{sdf}\nvs\n{odf}"
+    # and the short/empty docs contributed nothing
+    assert int(sdf["n_passages"].sum()) == 4  # docs 3,4 -> 1 each; doc 5 -> 2

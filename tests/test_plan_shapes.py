@@ -198,9 +198,11 @@ def test_nearest_event_single_user_shuffle(spark):
 
 
 def test_key_skew_profile_topk_and_broadcast_totals(spark):
-    """Top-10 keys via TakeOrderedAndProject-or-window over the reduced
-    key-count relation; the one-row totals relation must broadcast."""
+    """Top-10 keys must compile to TakeOrderedAndProject (never a
+    global single-partition sort of the full key relation — r5 review);
+    the one-row totals relation must broadcast."""
     plan = _plan(spark, "agg_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
