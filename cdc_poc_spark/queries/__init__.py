@@ -162,6 +162,9 @@ _ROUND5_NEW: list = [
     "scalar_bitwise_functions",
     "sim_knn_graph",
     "sim_knn_graph_ivf",
+    "tw_anomaly_zscore",
+    "graph_degree_histogram",
+    "text_keyword_in_context",
 ]
 
 

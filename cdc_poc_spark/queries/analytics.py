@@ -1411,3 +1411,54 @@ def ml_kmeans_step_update(spark, sf_dir):
             F.expr("SUM(xq) DIV COUNT(*)").cast("long").alias("mean_q"),
         )
     )
+
+
+_DEGREE_HIST_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+)
+SELECT CAST(floor(log2(deg)) AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       CAST(SUM(deg) AS BIGINT) AS total_edges_x2
+FROM deg GROUP BY 1
+"""
+
+
+@register("graph_degree_histogram", oracle=_DEGREE_HIST_ORACLE, tags=("graph", "analytics"))
+def graph_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of the customer-supplier order
+    graph — the first profile run before any graph algorithm at scale:
+    the histogram's tail tells you whether PageRank/triangles need skew
+    handling (a 10^6-degree hub) and whether the pair graph is
+    power-law or flat. Two map-side-combinable aggs (degree count,
+    bucket rollup); log2(deg) of a BIGINT is the same double in both
+    engines, floor'd to an exact bucket id."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.withColumn("log2_bucket", F.floor(F.log2("deg")).cast("long"))
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("total_edges_x2"),
+        )
+    )

@@ -159,3 +159,61 @@ def text_inverted_index_stats(spark, sf_dir):
         .orderBy(F.desc("doc_freq"), F.asc("term"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context concordance (round 5)
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "shuffle"
+_KWIC_CTX = 3
+
+_KWIC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), hits AS (
+  SELECT doc_id, ws,
+         unnest(list_filter(range(1, len(ws) + 1), i -> ws[i] = '{_KWIC_TERM}'))
+           AS pos
+  FROM toks
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(ws[GREATEST(pos - {_KWIC_CTX}, 1) : pos - 1], ' ') AS left_ctx,
+       array_to_string(ws[pos + 1 : pos + {_KWIC_CTX}], ' ') AS right_ctx
+FROM hits
+"""
+
+
+@register("text_keyword_in_context", oracle=_KWIC_ORACLE, tags=("llm", "text", "retrieval"))
+def text_keyword_in_context(spark, sf_dir):
+    """KWIC concordance: every occurrence of a term with its +-3-word
+    context window — the inspection query behind corpus linguistics and
+    behind "show me how the corpus uses this token" debugging of
+    tokenizer/quality pipelines. Pure map-side: tokenize, filter match
+    positions (a lambda over the position range — no explode of
+    non-matching tokens), slice the context per hit. The only shuffle
+    is whatever the consumer adds; output is |occurrences| rows. 1-based
+    positions to match the SQL side exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = _KWIC_CTX
+    return docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(sequence(1, size(ws)),"
+                f" i -> element_at(ws, i) = '{_KWIC_TERM}')"
+            )
+        ).alias("pos"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr(
+            f"array_join(slice(ws, greatest(pos - {c}, 1),"
+            f" pos - greatest(pos - {c}, 1)), ' ')"
+        ).alias("left_ctx"),
+        F.expr(f"array_join(slice(ws, pos + 1, {c}), ' ')").alias("right_ctx"),
+    )

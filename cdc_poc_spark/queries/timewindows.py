@@ -390,3 +390,66 @@ def tw_m4_downsample(spark, sf_dir):
             F.max_by("value", key).alias("v_last"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-series z-score anomaly detection over hourly buckets (round 5)
+# ---------------------------------------------------------------------------
+
+_1H_US = 3600 * 1_000_000
+
+_ZSCORE_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_1H_US}) * {_1H_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(n_events) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(n_events * n_events) AS DECIMAL(38,0)) AS s2
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, b.bucket_us, b.n_events,
+       round((CAST(b.n_events AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_buckets)
+             / sqrt(CAST(s.s2 AS DOUBLE) / s.n_buckets
+                    - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                      * (CAST(s.s1 AS DOUBLE) / s.n_buckets)), 4) AS zscore
+FROM b JOIN s ON b.event_type = s.event_type
+WHERE abs((CAST(b.n_events AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_buckets)
+          / sqrt(CAST(s.s2 AS DOUBLE) / s.n_buckets
+                 - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
+                   * (CAST(s.s1 AS DOUBLE) / s.n_buckets))) >= 2.0
+"""
+
+
+@register("tw_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("window", "timeseries", "anomaly"))
+def tw_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly detection: hourly event counts per series, flag
+    buckets whose count sits >= 2 sigma from the series mean — the
+    alerting query of every ingest monitor. Exactness discipline: the
+    per-series moments are EXACT integer sums (DECIMAL(38) s1/s2, no
+    float accumulation across rows), so mean/variance derive from
+    identical integers in both engines and the z-score doubles match
+    bit-for-bit. Plan: two map-side-combinable aggs (bucket count,
+    series moments) + one broadcast join back — series cardinality is
+    tiny, bucket relation is |series x hours|."""
+    ev = events_with_time(spark, sf_dir)
+    b = (
+        ev.withColumn("bucket_us", (F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US))))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("n_events").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("decimal(38,0)").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_buckets")
+    var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    return (
+        b.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select("event_type", "bucket_us", "n_events", F.round(z, 4).alias("zscore"))
+    )
