@@ -165,6 +165,8 @@ _ROUND5_NEW: list = [
     "tw_anomaly_zscore",
     "graph_degree_histogram",
     "text_keyword_in_context",
+    "text_intradoc_repetition_cleanup",
+    "text_gopher_quality_rules",
 ]
 
 

@@ -1506,3 +1506,126 @@ def sim_knn_graph_ivf(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repeated-token cleanup (round 5)
+# ---------------------------------------------------------------------------
+
+_INTRADOC_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), d AS (
+  SELECT doc_id, source, len(ws) AS n_tokens,
+         len(list_filter(range(1, len(ws) + 1),
+             i -> list_position(ws, ws[i]) = i)) AS n_kept
+  FROM t
+)
+SELECT source,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens - n_kept) AS BIGINT) AS n_removed,
+       CAST(MAX(n_tokens - n_kept) AS BIGINT) AS max_removed_per_doc
+FROM d GROUP BY source
+"""
+
+
+@register("text_intradoc_repetition_cleanup", oracle=_INTRADOC_ORACLE, tags=("llm", "text", "dedup"))
+def text_intradoc_repetition_cleanup(spark, sf_dir):
+    """WITHIN-document repetition cleanup profile (the intra-doc sibling
+    of cross-corpus passage dedup — boilerplate/nav-bar/repeated-line
+    removal in C4-style cleaning): keep only the FIRST occurrence of
+    each token per document, report kept/removed volume per source.
+    Pure map-side higher-order functions (position filter against
+    array_position = first index — the deterministic keep rule), zero
+    shuffle before the per-source rollup. At 100 TB this runs at scan
+    speed; the same expression with line-splitting instead of token-
+    splitting is the production line-dedup cleaner."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            "size(filter(sequence(1, size(split(text, ' '))),"
+            " i -> array_position(split(text, ' '), element_at(split(text, ' '), i)) = i))"
+        ).alias("n_kept"),
+    )
+    return d.groupBy("source").agg(
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_kept").alias("n_kept"),
+        F.sum(F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
+        F.max(F.col("n_tokens") - F.col("n_kept")).alias("max_removed_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality gate (round 5)
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws, length(text) AS n_chars_t
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         len(ws) AS n_words,
+         CAST(len(list_filter(ws, w -> w <> '')) AS BIGINT) AS n_nonempty,
+         CAST(n_chars_t - len(ws) + 1 AS DOUBLE) / len(ws) AS mean_word_len,
+         CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','value')))
+              AS DOUBLE) / len(ws) AS stop_ratio
+  FROM t WHERE len(ws) > 0
+), g AS (
+  SELECT doc_id, source,
+         (n_words BETWEEN 50 AND 100000) AS pass_word_count,
+         (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_word_len,
+         (stop_ratio >= 0.01) AS pass_stopwords
+  FROM r
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pass_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_word_count,
+       CAST(SUM(CASE WHEN pass_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_word_len,
+       CAST(SUM(CASE WHEN pass_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopwords,
+       CAST(SUM(CASE WHEN pass_word_count AND pass_word_len AND pass_stopwords
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM g GROUP BY source
+"""
+
+
+@register("text_gopher_quality_rules", oracle=_GOPHER_ORACLE, tags=("llm", "text", "quality"))
+def text_gopher_quality_rules(spark, sf_dir):
+    """Rule-based quality gate in the Gopher/MassiveText style (Rae et
+    al. 2021 §A1.1: word-count bounds, mean-word-length band, stopword
+    floor), reported as per-source pass rates per rule AND for the
+    conjunction — the triage table a curation run reads before choosing
+    thresholds. All per-row map-side expressions; one rollup shuffle.
+    The thresholds here are the published ones adapted to the fixture's
+    synthetic vocabulary (stopword list matches text_quality_score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_words = F.size(ws)
+    mean_wl = (F.length("text") - n_words + 1).cast("double") / n_words
+    stops = ("the", "a", "of", "and", "to", "in", "value")
+    stop_in = ", ".join(f"'{s}'" for s in stops)
+    stop_ratio = (
+        F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_in})))").cast("double")
+        / n_words
+    )
+    g = docs.filter(n_words > 0).select(
+        "source",
+        n_words.between(50, 100000).alias("pass_word_count"),
+        mean_wl.between(3.0, 10.0).alias("pass_word_len"),
+        (stop_ratio >= 0.01).alias("pass_stopwords"),
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("pass_word_count"), 1).otherwise(0)).alias("n_pass_word_count"),
+        F.sum(F.when(F.col("pass_word_len"), 1).otherwise(0)).alias("n_pass_word_len"),
+        F.sum(F.when(F.col("pass_stopwords"), 1).otherwise(0)).alias("n_pass_stopwords"),
+        F.sum(
+            F.when(
+                F.col("pass_word_count") & F.col("pass_word_len") & F.col("pass_stopwords"),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass_all"),
+    )
