@@ -65,6 +65,14 @@ HEADLINE = [
     "text_unigram_logprob_junk",
     "dedup_incremental_vs_index",
     "pipeline_token_budget_fill",
+    # round 5 additions — one per new operator family
+    "agg_heavy_hitters_tokens",
+    "text_passage_dedup",
+    "tw_m4_downsample",
+    "pipeline_bpe_merge_step",
+    "join_nearest_event",
+    "graph_pagerank_5iter",
+    "sim_knn_graph_ivf",
 ]
 
 

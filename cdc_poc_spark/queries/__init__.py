@@ -167,6 +167,8 @@ _ROUND5_NEW: list = [
     "text_keyword_in_context",
     "text_intradoc_repetition_cleanup",
     "text_gopher_quality_rules",
+    "setop_bag_semantics",
+    "scalar_interval_arithmetic",
 ]
 
 

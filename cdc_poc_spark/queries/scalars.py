@@ -447,3 +447,43 @@ def scalar_bitwise_functions(spark, sf_dir):
         F.bit_count("o_orderkey").alias("popcount"),
         F.bit_count(x).alias("hamming_to_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval / calendar arithmetic (round 5)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+       strftime(o_orderdate - INTERVAL 90 DAY, '%Y-%m-%d') AS minus_90d,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS BIGINT) AS days_to_close,
+       CAST(datepart('quarter', o_orderdate) AS INT) AS qtr,
+       CAST(datepart('dayofweek', o_orderdate) AS INT) AS dow
+FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+
+@register("scalar_interval_arithmetic", oracle=_INTERVAL_ORACLE, tags=("scalar", "datetime"))
+def scalar_interval_arithmetic(spark, sf_dir):
+    """Calendar/interval arithmetic beyond the epoch-micros surface:
+    month-safe addition (add_months, not day-86400 math), day offsets,
+    month boundaries, day-difference to a fixed close date, quarter and
+    day-of-week extraction — the retention/cohort date algebra. All
+    map-side; dates emitted as formatted strings (the cross-engine date
+    convention tables.py documents). DuckDB dayofweek is 0=Sunday;
+    Spark dayofweek is 1=Sunday — normalized to DuckDB's 0-based form."""
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey % 101 = 0")
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey",
+        fmt(F.add_months("o_orderdate", 3)).alias("plus_3m"),
+        fmt(F.date_sub("o_orderdate", 90)).alias("minus_90d"),
+        fmt(F.last_day("o_orderdate")).alias("month_end"),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_close"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    )

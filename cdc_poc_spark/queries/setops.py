@@ -119,3 +119,54 @@ def setop_union_by_name_evolving(spark, sf_dir):
         )
     )
     return cust.unionByName(orders, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL (round 5)
+# ---------------------------------------------------------------------------
+
+_BAG_ORACLE = """
+WITH a AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_linenumber = 1
+), b AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_linenumber = 2
+), ia AS (
+  SELECT qty, CAST(COUNT(*) AS BIGINT) AS n_intersect_all
+  FROM (SELECT qty FROM a INTERSECT ALL SELECT qty FROM b) GROUP BY qty
+), ea AS (
+  SELECT qty, CAST(COUNT(*) AS BIGINT) AS n_except_all
+  FROM (SELECT qty FROM a EXCEPT ALL SELECT qty FROM b) GROUP BY qty
+)
+SELECT COALESCE(ia.qty, ea.qty) AS qty,
+       COALESCE(ia.n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(ea.n_except_all, 0) AS n_except_all
+FROM ia FULL OUTER JOIN ea ON ia.qty = ea.qty
+"""
+
+
+@register("setop_bag_semantics", oracle=_BAG_ORACLE, tags=("setop",))
+def setop_bag_semantics(spark, sf_dir):
+    """BAG-semantics set operations — `intersectAll` / `exceptAll`
+    (multiplicity-preserving, per ANSI INTERSECT ALL / EXCEPT ALL):
+    min(count_a, count_b) copies survive the intersection, the count
+    DIFFERENCE survives the except — semantics a distinct-based
+    formulation cannot express. Physically both compile to a
+    count-per-value aggregate + generate (no row-by-row matching), so
+    the shuffle is |distinct values|, not |rows| — the reason these
+    operators stay cheap at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long").alias("qty")
+    a = li.filter("l_linenumber = 1").select(qty)
+    b = li.filter("l_linenumber = 2").select(qty)
+    ia = a.intersectAll(b).groupBy("qty").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    ea = a.exceptAll(b).groupBy("qty").agg(F.count(F.lit(1)).alias("n_except_all"))
+    return (
+        ia.join(ea, "qty", "full_outer")
+        .select(
+            "qty",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
