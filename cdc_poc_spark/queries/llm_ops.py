@@ -1459,21 +1459,14 @@ def sim_knn_graph(spark, sf_dir):
     IVF cell (operators/similarity.py lsh_buckets / ivf cells) — same
     join-then-window shape over candidates instead of exhaustive
     blocks; this query is the exact-within-block baseline those
-    approximate graphs are recall-scored against."""
-    from ..operators.similarity import as_double, knn_topk_edges, norm, spread
-
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", as_double("embedding").alias("vec")
-    ).withColumn("vnorm", norm("vec"))
-    a = e.select(
-        F.col("vec_id").alias("vec_id_"), F.col("label"),
-        F.col("vec").alias("va"), F.col("vnorm").alias("na"),
+    approximate graphs are recall-scored against. CLONE-COLLAPSED
+    (similarity.knn_graph_blocked_collapsed — the r5 10x probe measured
+    the naive all-pairs form at 16.8x on the clone-heavy shape; the
+    registered query is quadratic only in DISTINCT vectors and
+    output-identical to the naive twin, asserted in tests)."""
+    return similarity.knn_graph_blocked_collapsed(
+        load_table(spark, sf_dir, "embeddings"), k=3
     )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label"),
-        F.col("vec").alias("vb"), F.col("vnorm").alias("nb"),
-    )
-    return knn_topk_edges(a.join(b, "label"), k=3)
 
 
 _KNN_IVF_ORACLE = (

@@ -812,3 +812,42 @@ def test_passage_dedup_short_docs_match_oracle(spark, tmp_path):
     ), f"\n{sdf}\nvs\n{odf}"
     # and the short/empty docs contributed nothing
     assert int(sdf["n_passages"].sum()) == 4  # docs 3,4 -> 1 each; doc 5 -> 2
+
+
+def test_knn_graph_collapsed_identical_to_naive(spark):
+    """knn_graph_blocked_collapsed must emit EXACTLY the naive all-pairs
+    graph — including on a clone-heavy corpus where in-family (cosine
+    1.0) edges, cross-family ties, and the k-th-level family tie all
+    exercise the expansion rules (dense_rank tie keep, k-smallest-id
+    caps)."""
+    import random
+
+    from cdc_poc_spark.operators import similarity
+
+    rng = random.Random(3)
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        for fam in range(6):
+            base = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+            for _ in range(rng.choice([1, 1, 2, 5])):  # clone families
+                rows.append((vid, [float(x) for x in base], label))
+                vid += 1
+    # adversarial: two distinct families with the SAME pairwise cosine
+    # to a third (scaled copies -> identical cosine, dense_rank tie)
+    rows.append((vid, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0)); vid += 1
+    rows.append((vid, [2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0)); vid += 1
+    rows.append((vid, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0)); vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    naive = {
+        (r.vec_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in similarity.knn_graph_blocked_naive(emb).collect()
+    }
+    collapsed = {
+        (r.vec_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in similarity.knn_graph_blocked_collapsed(emb).collect()
+    }
+    assert collapsed == naive
+    assert len(naive) > 0
