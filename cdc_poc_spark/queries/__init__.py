@@ -169,6 +169,10 @@ _ROUND5_NEW: list = [
     "text_gopher_quality_rules",
     "setop_bag_semantics",
     "scalar_interval_arithmetic",
+    "tw_ohlc_bars",
+    "win_event_transitions",
+    "tw_retention_cohorts",
+    "agg_decile_stats",
 ]
 
 
@@ -195,6 +199,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation,
         joins,
         llm_ops,
+        timeseries,
     )
 
     order = _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT

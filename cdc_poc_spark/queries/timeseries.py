@@ -1,0 +1,269 @@
+"""Time-series / behavioral analytics over the events stream table:
+OHLC bar aggregation, Markov event-transition matrix, weekly retention
+cohorts, and equi-depth decile statistics.
+
+Reference parity: the reference (thanminh24/CDC_POC) ships no analytics
+at all (SURVEY.md §2) — these extend the engine's event-time surface per
+the north-star brief, alongside queries/timewindows.py.
+
+Cross-engine exactness: all event-time arithmetic is integer micros on
+the epoch-nanos long (never float seconds); money/value columns go
+through exact cents BIGINTs before any aggregation (tables.py
+conventions), so results are bit-identical across engines and shuffle
+orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import VAL, load_table
+from . import register
+
+_15M_US = 15 * 60 * 1_000_000
+_DAY_US = 86_400 * 1_000_000
+
+# ---------------------------------------------------------------------------
+# OHLC bars: open/high/low/close per 15-minute bucket per event_type.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_15M_US}) * {_15M_US} AS win_us,
+         epoch_us(ts) AS ts_us, event_id,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, win_us
+                            ORDER BY ts_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, win_us
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(MAX(cents) AS BIGINT) AS high_cents,
+       CAST(MIN(cents) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS volume,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM r
+GROUP BY win_us, event_type
+"""
+
+
+@register("tw_ohlc_bars", oracle=_OHLC_ORACLE, tags=("timeseries", "window"))
+def tw_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick bars (open/high/low/close/volume) per 15-minute
+    bucket per event_type — the standard financial/metrics downsample
+    (complement of tw_m4_downsample's min/max envelope).
+
+    Scale shape: ONE hash aggregation. open/close use `min_by`/`max_by`
+    keyed on the (ts_us, event_id) struct — typed imperative aggregates
+    with map-side partial merge, so the plan is scan → partial agg →
+    one shuffle on (type, bucket) → final agg, with NO window sort and
+    no per-bucket row_number pass (the oracle's two-window formulation
+    is the engine-neutral spelling of the same pick; event_id uniqueness
+    makes the tie-break total, so both agree exactly). At 100 TB this is
+    the same shape as any keyed rollup: bucket count bounds the output,
+    AQE coalesces the post-shuffle partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"(ts DIV 1000 DIV {_15M_US}) * {_15M_US}").alias("win_us"),
+        F.expr("ts DIV 1000").alias("ts_us"),
+        "event_id",
+        (F.col("value").cast(VAL) * 100).cast("long").alias("cents"),
+    )
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        e.groupBy("win_us", "event_type")
+        .agg(
+            F.min_by("cents", key).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", key).alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.date_format(F.timestamp_micros(F.col("win_us")), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume",
+            "total_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+), t AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS p_transition
+FROM t
+"""
+
+
+@register("win_event_transitions", oracle=_TRANSITIONS_ORACLE, tags=("timeseries", "window"))
+def win_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered pair (prev_type → next_type), the count
+    and the conditional probability P(next | prev) — the session-path
+    model behind funnel diagnostics and next-event prediction baselines.
+
+    Scale shape: one shuffle on user_id for the lag window (per-user
+    sequences are short — no skew), then a keyed count whose output is
+    |event_types|² rows; the per-prev normalization runs on that tiny
+    aggregate. The probability is ONE double division on exact BIGINT
+    counts, performed identically by both engines (no float
+    accumulation)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), F.col("event_id"))
+    t = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(seq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_prev = W.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(per_prev),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts.
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = f"""
+WITH a AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} // 7 AS week FROM events
+), w AS (
+  SELECT DISTINCT user_id, week FROM a
+), c AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM w JOIN c USING (user_id)
+GROUP BY c.cohort_week, w.week - c.cohort_week
+"""
+
+
+@register("tw_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("timeseries", "window"))
+def tw_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: users are cohorted by their first
+    active week (integer weeks since epoch — exact DIV arithmetic on
+    the micros long), and each (cohort_week, week_offset) cell counts
+    the cohort's users still active that many weeks later — the
+    standard product-analytics retention table.
+
+    Scale shape: distinct (user, week) is one shuffle on user_id; the
+    per-user MIN rides the SAME partitioning as a window aggregate —
+    no second exchange and no join back (Catalyst reuses the hash
+    partitioning for both the distinct and the window). The final
+    rollup's output is bounded by cohorts × offsets, not by users."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = (
+        ev.select("user_id", F.expr(f"ts DIV 1000 DIV {_DAY_US} DIV 7").alias("week"))
+        .distinct()
+    )
+    per_user = W.partitionBy("user_id")
+    return (
+        uw.withColumn("cohort_week", F.min("week").over(per_user))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth decile statistics over order totals.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(1 + ((rnk - 1) * 10) // n AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM r
+GROUP BY 1
+"""
+
+
+@register("agg_decile_stats", oracle=_DECILE_ORACLE, tags=("agg", "stats"))
+def agg_decile_stats(spark, sf_dir):
+    """Equi-depth decile profile of order totals: rows are ranked by
+    (cents, orderkey) — a total order, so bucketing is deterministic —
+    and decile d gets rows with 1 + (rank-1)*10 DIV n = d (the
+    equi-probable formula spelled identically in both engines rather
+    than each engine's ntile(), whose remainder distribution is
+    implementation-defined in spirit if not in standard).
+
+    Scale shape: the global rank comes from operators.scale.global_index
+    (range-repartition + per-partition offsets — two light jobs), NOT
+    from `row_number() OVER (ORDER BY ...)`, which would serialize the
+    table through one task. n is a scalar broadcast. The final stats are
+    a 10-row keyed rollup of exact BIGINTs."""
+    from ..operators.scale import global_index
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").alias("cents"),
+    )
+    ranked = global_index(orders, idx_col="rnk0", order_cols=["cents", "o_orderkey"])
+    n = orders.count()
+    return (
+        ranked.withColumn("decile", F.expr(f"1 + (rnk0 * 10) DIV {n}"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
