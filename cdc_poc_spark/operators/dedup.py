@@ -1223,3 +1223,185 @@ def exact_jaccard_components(
         .join(canon_comp.withColumnRenamed("node", "canon"), "canon")
         .select(F.col("__id").alias("node"), "component")
     )
+
+
+def exact_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT pairwise set CONTAINMENT c(A→B) = |A∩B| / |A| >= threshold
+    over 3-gram shingle sets — the ASYMMETRIC near-dup relation Jaccard
+    misses: a document wholly embedded in a longer one (quote farms,
+    re-posts with appended boilerplate, truncated mirrors) scores
+    containment ~1.0 while its Jaccard can be arbitrarily low. Output is
+    ordered pairs (id_a ⊂~ id_b), both directions possible.
+
+    Prefix filter, asymmetric form (the R-S containment variant of
+    PPJoin — Xiao et al. WWW'08): the required overlap α = ceil(t·|A|)
+    depends ONLY on the probe side A, so A joins through its
+    |A| − α + 1 rarest-first prefix tokens while B must expose its FULL
+    ordered token list (no index-side prefix exists when α is unknown
+    at index time). The join stays an equi-join on the token; selectivity
+    survives because A's prefixes exclude the common tokens (sampled
+    common-256 demotion, same order as exact_jaccard_pairs), so hot
+    B-side tokens mostly never match a probe. Candidates then pass the
+    positional upper bound 1 + min(|A|−rkA, |B|−rkB) >= α before the
+    exact |A∩B| verification — all bounds with eps slack so float
+    rounding can only under-prune, never drop a borderline pair.
+
+    Scale shape: sampled-commons collect (256 rows), one token
+    equi-join, pair groupBy, two id-keyed verification joins — no
+    cartesian, no window. Verification is exact, so (as with the
+    Jaccard twin) correctness never depends on the sample."""
+    from pyspark import StorageLevel
+
+    eps = 1e-9
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(
+            id_col,
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hset"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    k_common = 256
+    sampled = sh.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(8)) == 0)
+    common = [
+        r.tok
+        for r in sampled.select(F.explode("hset").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(k_common)
+        .collect()
+    ]
+    common_arr = F.lit(common).cast("array<bigint>")
+    ordered = F.array_sort(
+        F.transform(
+            "hset",
+            lambda t: F.struct(
+                F.array_contains(common_arr, t).cast("int").alias("c"),
+                t.alias("t"),
+            ),
+        )
+    )
+    # Probe side: rarest-first prefix of length |A| - ceil(t|A|) + 1.
+    alpha = F.ceil(F.lit(threshold) * F.col("sz") - eps)
+    plen = F.col("sz") - alpha + 1
+    probe = (
+        sh.select(
+            F.col(id_col).alias("id"),
+            F.size("hset").alias("sz"),
+            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+        )
+        .select(
+            "id", "sz",
+            F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
+        )
+        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    )
+    # Index side: FULL ordered token list (alpha is probe-dependent).
+    index = (
+        sh.select(
+            F.col(id_col).alias("id"),
+            F.size("hset").alias("sz"),
+            F.posexplode(F.transform(ordered, lambda p: p["t"])).alias("rk0", "tok"),
+        )
+        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    )
+    need = F.ceil(F.lit(threshold) * F.col("a.sz") - eps)
+    ub = 1 + F.least(F.col("a.sz") - F.col("a.rk"), F.col("b.sz") - F.col("b.rk"))
+    cand = (
+        probe.alias("a")
+        .join(index.alias("b"), "tok")
+        .filter(
+            (F.col("a.id") != F.col("b.id"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - eps)
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
+        .filter(F.col("ub") >= F.col("need"))
+        .select("id_a", "id_b")
+    )
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("hset").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("hset").alias("sh_b"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size("sh_a").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(threshold) - eps)
+        .select("id_a", "id_b", "containment")
+    )
+    from .scale import reliable_checkpoint
+
+    out = reliable_checkpoint(out, None)
+    sh.unpersist()
+    return out
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    SIGMOD'95): sort the corpus once by a cheap blocking key (here the
+    document's 5 alphabetically-first distinct tokens — shared almost
+    verbatim by near-identical docs), then compare each record only to
+    its `window` successors in that order, verifying with exact token
+    Jaccard. Linear candidate count (N·w), no token inverted index at
+    all — the classic cheap first pass when a full similarity join is
+    too expensive or the sort key is known-discriminative.
+
+    Scale shape: the global rank comes from operators.scale.global_index
+    (range repartition + per-partition offsets), NOT a single-partition
+    row_number window; neighbor pairing is w map-side offset copies of
+    the rank column feeding ONE rank equi-join; verification is the
+    id-keyed join of the pair list against the token sets. Everything is
+    keyed — no cartesian, no global sort through one task."""
+    from .scale import global_index
+
+    tset = F.array_sort(
+        F.array_distinct(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+    )
+    d = df.select(
+        F.col(id_col).alias("id"),
+        tset.alias("tset"),
+    ).withColumn("key", F.array_join(F.slice("tset", 1, 5), " "))
+    ranked = global_index(d, idx_col="rk", order_cols=["key", "id"])
+    left = (
+        ranked.select("id", "tset", "rk")
+        .withColumn("off", F.explode(F.sequence(F.lit(1), F.lit(window))))
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("tset").alias("t_a"),
+            F.col("rk").alias("rk_a"),
+            (F.col("rk") + F.col("off")).alias("rk_b"),
+        )
+    )
+    right = ranked.select(
+        F.col("id").alias("id_b"), F.col("tset").alias("t_b"), F.col("rk").alias("rk_b")
+    )
+    return (
+        left.join(right, "rk_b")
+        .withColumn("jaccard", jaccard("t_a", "t_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rk_b") - F.col("rk_a")).cast("long").alias("rank_gap"),
+            "jaccard",
+        )
+    )

@@ -203,3 +203,205 @@ def unigram_logprob(
             .alias("avg_micro_nats"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document BIGRAM log-probability under the corpus's own
+    add-one-smoothed bigram LM — one model order up from
+    unigram_logprob, and a materially better junk detector: token-salad
+    documents whose unigrams are individually common score near the
+    unigram mode but collapse under P(w2|w1).
+
+    score(d) = sum over adjacent pairs (w1,w2) of
+    ln((c(w1,w2) + 1) / (c(w1) + V)), V = vocabulary size.
+
+    Cross-engine exactness: identical to the unigram contract — each
+    bigram's ln p is quantized to int64 micro-nats BEFORE the per-doc
+    sum (exact integer accumulation under any shuffle order); the
+    smoothed ratio is ONE double division of exact integers, the same
+    IEEE op in both engines.
+
+    Scale shape: bigram expansion is a map-side transform over the
+    token array; the LM is a groupBy(w1,w2) with map-side partial agg;
+    c(w1) and V ride a token groupBy + single-row broadcast; the join
+    back is keyed on (w1,w2) with no fanout (one LM row per bigram
+    value). No collect (V is a broadcast scalar relation), no UDF."""
+    from .scale import spread
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    d = (
+        spread(df)
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .withColumn(
+            "bg",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ),
+        )
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    tok = (
+        spread(df)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = tok.agg(F.count(F.lit(1)).alias("v"))
+    c2 = d.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    probs = (
+        c2.join(tok.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("q_lp"),
+        )
+    )
+    return (
+        d.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("q_lp").alias("q_lp_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "q_lp_sum",
+            F.floor(F.col("q_lp_sum").cast("double") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("avg_micro_nats"),
+        )
+    )
+
+
+#: winnowing fingerprint identity is packed into ONE bigint:
+#: key = h * 2^20 + (2^20 - 1 - pos). Requires pos < 2^20 (per-document
+#: gram positions — ~1M tokens/doc; training-data pipelines chunk far
+#: below this, and pipeline_chunk_documents is the upstream that
+#: guarantees it). h < 2^32 (md5 prefix), so key < 2^52 — exact in
+#: BIGINT and in a double, either engine.
+_WINNOW_POS_BITS = 20
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-gram window, and select each window's MINIMUM hash (rightmost
+    position on ties). Guarantees: any shared substring of length
+    k + w - 1 tokens yields at least one shared fingerprint, while only
+    ~2/(w+1) of grams are kept — the standard sub-linear sketch for
+    plagiarism / overlap detection over a corpus.
+
+    Selection is the pure-relational spelling of the sliding min: each
+    gram at position p replicates to the w window-starts it covers
+    (map-side explode of w offsets — rows × w before the shuffle), and
+    per (doc, window) ONE min over the packed (hash, 2^20-1-pos) bigint
+    picks the min-hash/rightmost-tie gram in a single map-side-
+    combinable aggregate (no window-function sort, no second pass).
+    Short documents (fewer than w grams) collapse to a single window so
+    every document with >= k tokens fingerprints to >= 1 entry.
+
+    Output per document: gram/window/fingerprint counts plus
+    fp_checksum = SUM(DISTINCT packed-key) — an exact integer content
+    signature two corpora can diff without exchanging fingerprint
+    sets. The gram hash is the first 8 md5 hex digits as a bigint —
+    engine-portable (no xxhash in DuckDB), collision-safe enough for
+    fingerprint SELECTION (a collision merely swaps which gram is kept;
+    both engines swap identically)."""
+    win = _winnow_selection(df, id_col, text_col, k, w)
+    return win.groupBy(id_col, "n_grams", "n_windows").agg(
+        F.count_distinct(F.col("sel_key")).alias("n_fingerprints"),
+        F.sum_distinct(F.col("sel_key")).alias("fp_checksum"),
+    )
+
+
+def winnowing_selected(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """The selected winnowing fingerprints themselves — distinct
+    (id, h, p) rows decoded from the packed selection keys. This is the
+    relation an overlap/plagiarism join consumes (equi-join on h across
+    documents); winnowing_fingerprints is the per-doc sketch summary
+    over the same selection. Separate entry point so consumers/tests
+    can exercise the winnowing GUARANTEE (shared >= k+w-1-token
+    substring => shared fingerprint hash) on the actual selected
+    sets."""
+    pos_mod = 1 << _WINNOW_POS_BITS
+    return (
+        _winnow_selection(df, id_col, text_col, k, w)
+        .select(
+            id_col,
+            F.expr(f"sel_key DIV {pos_mod}").alias("h"),
+            (F.lit(pos_mod - 1) - F.col("sel_key") % pos_mod).alias("p"),
+        )
+        .distinct()
+    )
+
+
+def _winnow_selection(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """Shared winnowing selection stage: one row per (doc, window) with
+    the packed min key — see winnowing_fingerprints for the contract."""
+    from .scale import spread
+
+    pos_mod = 1 << _WINNOW_POS_BITS
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = (
+        spread(df)
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            id_col,
+            (F.size("toks") - k + 1).alias("n_grams"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {k}),"
+                    f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.greatest(F.lit(1), F.col("n_grams") - w + 1).alias("n_windows"),
+            (F.col("p0") + 1).alias("p"),
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
+    )
+    keyed = grams.withColumn(
+        "key",
+        F.col("h") * pos_mod + (F.lit(pos_mod - 1) - F.col("p")),
+    )
+    return (
+        keyed.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(w - 1))))
+        .withColumn("ws", F.col("p") - F.col("off"))
+        .filter((F.col("ws") >= 1) & (F.col("ws") <= F.col("n_windows")))
+        .groupBy(id_col, "n_grams", "n_windows", "ws")
+        .agg(F.min("key").alias("sel_key"))
+    )

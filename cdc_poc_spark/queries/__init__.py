@@ -173,6 +173,10 @@ _ROUND5_NEW: list = [
     "win_event_transitions",
     "tw_retention_cohorts",
     "agg_decile_stats",
+    "dedup_token_containment",
+    "dedup_sorted_neighborhood",
+    "text_winnowing_fingerprints",
+    "text_bigram_logprob_junk",
 ]
 
 
@@ -200,6 +204,7 @@ def all_specs() -> dict[str, QuerySpec]:
         joins,
         llm_ops,
         timeseries,
+        textsim,
     )
 
     order = _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT

@@ -1,0 +1,204 @@
+"""Asymmetric / ordering-based near-dup operators and higher-order text
+models: set-containment pairs, sorted-neighborhood candidates, winnowing
+(MOSS) fingerprints, and a corpus bigram LM junk filter.
+
+Reference parity: the reference (thanminh24/CDC_POC) implements none of
+this (SURVEY.md §2 — no similarity or text code at all); these extend
+the dedup/text surface per the north-star brief alongside
+queries/llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Exact set-containment pairs (asymmetric near-dup).
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(a.shingles) AS DOUBLE) AS containment
+FROM sh a, sh b
+WHERE a.doc_id <> b.doc_id
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(a.shingles) AS DOUBLE) >= 0.9 - 1e-9
+"""
+
+
+@register("dedup_token_containment", oracle=_CONTAINMENT_ORACLE, tags=("llm", "dedup"))
+def dedup_token_containment(spark, sf_dir):
+    """Exact 3-gram set-containment pairs c(A→B) = |A∩B|/|A| >= 0.9 —
+    the asymmetric near-dup relation (doc embedded in a longer doc)
+    that Jaccard misses. Asymmetric prefix filter (probe prefixes vs
+    full index side), positional upper bound, exact verification —
+    output-identical to the oracle's quadratic self-join; see
+    operators/dedup.py:exact_containment_pairs for the 100 TB shape."""
+    return dedup.exact_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood method.
+# ---------------------------------------------------------------------------
+
+_SNM_W = 4
+_SNM_T = 0.5
+
+_SNM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x <> ''))) AS tset
+  FROM documents
+), r AS (
+  SELECT doc_id, tset,
+         row_number() OVER (ORDER BY array_to_string(tset[1:5], ' '), doc_id) - 1 AS rk
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+       CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.tset, b.tset))) AS jaccard
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {_SNM_W}
+WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.tset, b.tset))) >= {_SNM_T}
+"""
+
+
+@register("dedup_sorted_neighborhood", oracle=_SNM_ORACLE, tags=("llm", "dedup"))
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup pass (Hernández-Stolfo): one global
+    sort by a cheap blocking key (5 alphabetically-first distinct
+    tokens), compare each doc to its 4 successors, verify with exact
+    token Jaccard >= 0.5. Linear candidate count; the global rank is the
+    distributed two-pass global_index, never a one-task window."""
+    return dedup.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"), window=_SNM_W, threshold=_SNM_T
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4
+_WINNOW_W = 5
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, len(toks) - {_WINNOW_K} + 1 AS n_grams, toks,
+         unnest(generate_series(1, len(toks) - {_WINNOW_K} + 1)) AS p
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+), h AS (
+  SELECT doc_id, n_grams,
+         greatest(1, n_grams - {_WINNOW_W} + 1) AS n_windows, p,
+         CAST(('0x' || substring(md5(array_to_string(toks[p:p+{_WINNOW_K} - 1], ' ')), 1, 8))
+              AS BIGINT) * 1048576 + (1048575 - p) AS key
+  FROM g
+), win AS (
+  SELECT doc_id, n_grams, n_windows, p - o.off AS ws, MIN(key) AS sel_key
+  FROM h, generate_series(0, {_WINNOW_W} - 1) AS o(off)
+  WHERE p - o.off >= 1 AND p - o.off <= n_windows
+  GROUP BY doc_id, n_grams, n_windows, p - o.off
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(COUNT(DISTINCT sel_key) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(DISTINCT sel_key) AS BIGINT) AS fp_checksum
+FROM win
+GROUP BY doc_id, n_grams, n_windows
+"""
+
+
+@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE, tags=("llm", "text"))
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint sketch per document (Schleimer et al.
+    SIGMOD'03): min-hash-per-sliding-window gram selection with the
+    rightmost tie-break, as one packed-bigint MIN aggregate — counts
+    plus an exact SUM(DISTINCT) checksum. See
+    operators/text.py:winnowing_fingerprints for the guarantee and the
+    scale shape."""
+    d = text.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_fingerprints").cast("long").alias("n_fingerprints"),
+        F.col("fp_checksum").cast("long").alias("fp_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM junk filter.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_K = 50
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT unnest(toks) AS tok FROM t
+), c1 AS (
+  SELECT tok, COUNT(*) AS c1 FROM tok GROUP BY tok
+), v AS (
+  SELECT COUNT(*) AS v FROM c1
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> [toks[i], toks[i + 1]])) AS pair
+  FROM t WHERE len(toks) >= 2
+), b AS (
+  SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM bg
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2
+), p AS (
+  SELECT c2.w1, c2.w2,
+         CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1e6)
+              AS BIGINT) AS q_lp
+  FROM c2 JOIN c1 ON c1.tok = c2.w1, v
+), d AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(p.q_lp) AS BIGINT) AS q_lp_sum
+  FROM b JOIN p ON p.w1 = b.w1 AND p.w2 = b.w2
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams, q_lp_sum,
+       CAST(FLOOR(CAST(q_lp_sum AS DOUBLE) / n_bigrams) AS BIGINT) AS avg_micro_nats
+FROM d ORDER BY avg_micro_nats ASC, doc_id ASC LIMIT {_BIGRAM_K}
+"""
+
+
+@register("text_bigram_logprob_junk", oracle=_BIGRAM_ORACLE, tags=("llm", "text", "quality"))
+def text_bigram_logprob_junk(spark, sf_dir):
+    """The 50 documents least likely under the corpus's own add-one-
+    smoothed BIGRAM LM — the order-2 upgrade of
+    text_unigram_logprob_junk (token salad with common unigrams now
+    scores low). Same exactness contract: per-bigram ln p quantized to
+    int64 micro-nats before the per-doc sum; ranking is
+    TakeOrderedAndProject on (avg_micro_nats, doc_id). See
+    operators/text.py:bigram_logprob for the scale shape."""
+    return (
+        text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+        .orderBy(F.asc("avg_micro_nats"), F.asc("doc_id"))
+        .limit(_BIGRAM_K)
+    )

@@ -851,3 +851,101 @@ def test_knn_graph_collapsed_identical_to_naive(spark):
     }
     assert collapsed == naive
     assert len(naive) > 0
+
+
+def test_containment_equals_quadratic(spark, docs):
+    """exact_containment_pairs (asymmetric prefix filter) must emit
+    exactly the naive cross join's ordered (id_a, id_b, containment)
+    rows — the probe-prefix / index-full-list split and the positional
+    bound are pruning rules, not approximations — at two thresholds."""
+    from pyspark.sql import functions as F
+
+    sh = dedup.with_shingles(docs).select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hs"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("sh_b"))
+    for t in (0.7, 0.9):
+        naive = {
+            (r.id_a, r.id_b, round(r.c, 9))
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") != F.col("id_b"))
+            .withColumn(
+                "c",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size("sh_a").cast("double"),
+            )
+            .filter(F.col("c") >= t - 1e-9)
+            .collect()
+        }
+        pruned = {
+            (r.id_a, r.id_b, round(r.containment, 9))
+            for r in dedup.exact_containment_pairs(docs, threshold=t).collect()
+        }
+        assert pruned == naive, f"threshold {t}: {len(pruned)} vs {len(naive)} pairs"
+
+
+def test_sorted_neighborhood_properties(spark, docs):
+    """SNM pairs must respect the window bound, the verification
+    threshold, and precision (every emitted pair IS a true >=t Jaccard
+    pair on distinct token sets); a doubled corpus must surface clone
+    pairs whenever the clones end up within the window."""
+    from pyspark.sql import functions as F
+
+    w, t = 4, 0.5
+    rows = dedup.sorted_neighborhood_pairs(docs, window=w, threshold=t).collect()
+    assert rows, "fixture clone families should produce SNM pairs"
+    assert all(1 <= r.rank_gap <= w for r in rows)
+    assert all(r.jaccard >= t for r in rows)
+    # precision: re-verify each emitted pair against the true token sets
+    tset = {
+        r.doc_id: frozenset(x for x in r.text.split(" ") if x)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in rows:
+        a, b = tset[r.id_a], tset[r.id_b]
+        true_j = len(a & b) / len(a | b)
+        assert abs(true_j - r.jaccard) < 1e-9 and true_j >= t
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee (SIGMOD'03): two documents sharing a
+    substring of >= k + w - 1 tokens must share at least one selected
+    fingerprint HASH. Density: ~2/(w+1) of grams selected — assert the
+    loose upper bound that selection never exceeds window count."""
+    from cdc_poc_spark.operators import text as T
+
+    k, w = 4, 5
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "x1 y1 z1 " + shared + " q1 r1"),
+            (2, "m2 n2 " + shared + " s2 t2 u2 v2 w2"),
+            (3, "completely different tokens without any overlap here at all"),
+        ],
+        "doc_id int, text string",
+    )
+    sel = T.winnowing_selected(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in sel:
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert by_doc[1] & by_doc[2], "shared k+w-1 substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    fp = T.winnowing_fingerprints(df, k=k, w=w).collect()
+    for r in fp:
+        assert 1 <= r.n_fingerprints <= r.n_windows
+
+
+def test_bigram_logprob_ranks_salad_below_prose(spark):
+    """A token-salad document whose unigrams are common but whose
+    transitions never occur in the corpus must score BELOW (more
+    negative than) the repetitive docs that define the corpus's bigram
+    mass — the separation unigram scoring cannot make."""
+    from cdc_poc_spark.operators import text as T
+
+    base = [(i, "a b c d a b c d a b c d") for i in range(20)]
+    salad = [(100, "d c b a d c b a d c b a")]  # same unigrams, unseen bigrams
+    df = spark.createDataFrame(base + salad, "doc_id int, text string")
+    out = {r.doc_id: r.avg_micro_nats for r in T.bigram_logprob(df).collect()}
+    assert out[100] < out[0], (out[100], out[0])
