@@ -374,3 +374,53 @@ def pagerank(
             checkpoint_dir,
         )
     return r.select("node", F.col("r").alias("rank_micro"))
+
+
+def min_label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous min-label propagation over an undirected graph:
+    every node starts labeled with its own id and each round takes the
+    MIN of its label and its neighbors' labels. After k rounds a node's
+    label is the minimum node id within k hops — the deterministic,
+    oracle-checkable core of community
+    detection / components detection (run to fixpoint it IS connected
+    components; bounded-k is the cheap approximation a triage pass
+    uses, and every step is exactly reproducible in ANSI SQL, unlike
+    randomized/async label propagation variants).
+
+    Scale shape (identical to pagerank's round structure): edges are
+    symmetrized once and pinned; each round is ONE neighbor equi-join +
+    ONE map-side-combinable keyed MIN + a node-keyed join with the
+    previous labels, and the label relation is re-pinned per round
+    (reliable_checkpoint — with ``checkpoint_dir`` it survives executor
+    loss), so round k's plan stays one-join deep with no lineage
+    nesting. Labels are BIGINT mins — bit-exact under any shuffle
+    order."""
+    from .scale import reliable_checkpoint
+
+    two = edges.select(
+        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
+    )
+    sym = reliable_checkpoint(
+        two.unionByName(two.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        checkpoint_dir,
+    )
+    lbl = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(n_iters):
+        nb = (
+            sym.join(lbl.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("lbl").alias("nb_min"))
+        )
+        lbl = reliable_checkpoint(
+            lbl.join(nb, "node").select(
+                "node", F.least(F.col("lbl"), F.col("nb_min")).alias("lbl")
+            ),
+            checkpoint_dir,
+        )
+    return lbl

@@ -349,3 +349,43 @@ def expire_log_epochs(path: str, keep_last: int) -> list[int]:
         for d in epoch_dirs[e]:
             shutil.rmtree(d)
     return expired
+
+
+def global_cumsum(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list[str],
+    cum_col: str = "cum",
+) -> DataFrame:
+    """Running total of ``val_col`` in the global (order_cols) total
+    order — WITHOUT the single-partition `SUM() OVER (ORDER BY ...)`
+    window (which serializes the whole table through one task; the
+    cumulative-share / Pareto / quota family of queries all need this).
+
+    Same two-pass shape as global_index: (1) range-repartition by the
+    order, pin the partition assignment (both jobs must see the same
+    layout — repartitionByRange re-samples bounds per execution), sum
+    per partition (one tiny driver collect, a value per partition);
+    (2) each partition adds its prefix offset to a partition-local
+    running sum. The per-partition window touches only local rows; the
+    collect is O(#partitions).
+    """
+    df = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    sdf = df.withColumn("__pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    sums = {
+        r["__pid"]: r["s"]
+        for r in sdf.groupBy("__pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    w = W.partitionBy("__pid").orderBy(*order_cols).rowsBetween(W.unboundedPreceding, 0)
+    offset_map = F.create_map(
+        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    return (
+        sdf.withColumn("__local", F.sum(val_col).over(w))
+        .withColumn(cum_col, offset_map[F.col("__pid")] + F.col("__local"))
+        .drop("__pid", "__local")
+    )

@@ -84,8 +84,9 @@ _ROUND5_FRONT = [
     "pipeline_curation_near_dup_safe",
     "pipeline_curriculum_stages",
     # -- round-5 additions are appended here as they land (see
-    #    _ROUND5_NEW below); remaining slots fall through to
-    #    _ROUND4_FRONT order (all already driver-green in r4).
+    #    _ROUND5_NEW below). With the 33 round-5 additions the window
+    #    is now exactly full (17 + 33 = 50); _ROUND4_FRONT entries
+    #    (all already driver-green in r4) sit at positions 51+.
 ]
 
 _ROUND4_FRONT = [
@@ -177,6 +178,10 @@ _ROUND5_NEW: list = [
     "dedup_sorted_neighborhood",
     "text_winnowing_fingerprints",
     "text_bigram_logprob_junk",
+    "graph_label_propagation",
+    "scalar_struct_functions",
+    "agg_pareto_concentration",
+    "text_winnowing_overlap_pairs",
 ]
 
 

@@ -509,3 +509,92 @@ def agg_mode_per_group(spark, sf_dir):
         F.max_by("c_nationkey", pick).alias("mode_nation"),
         F.max_by("n", pick).alias("mode_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration ("what fraction of customers is 80% of
+# revenue?") via distributed global cumulative sum.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT o_custkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER () AS total,
+         COUNT(*) OVER () AS n
+  FROM r
+)
+SELECT t.threshold_pct,
+       CAST(COALESCE(SUM(CASE WHEN (cum - cents) * 100 < t.threshold_pct * total
+                              THEN 1 END), 0) AS BIGINT) AS n_customers,
+       round(CAST(COALESCE(SUM(CASE WHEN (cum - cents) * 100 < t.threshold_pct * total
+                                    THEN 1 END), 0) AS DOUBLE) / MAX(n), 6) AS share_of_customers
+FROM c, (VALUES (50), (80), (90), (95)) t(threshold_pct)
+GROUP BY t.threshold_pct
+"""
+
+
+@register("agg_pareto_concentration", oracle=_PARETO_ORACLE, tags=("agg", "stats"))
+def agg_pareto_concentration(spark, sf_dir):
+    """Revenue concentration curve: for each threshold T in {50, 80,
+    90, 95}%, the number (and share) of top customers whose cumulative
+    revenue first reaches T% of total — the Pareto 80/20 profile. A
+    customer is counted iff the customers STRICTLY before them (by
+    cents desc, custkey) haven't yet reached T — i.e. the minimal
+    covering prefix — as the exact integer predicate
+    (cum - cents)*100 < T*total (no float shares until display).
+
+    Scale shape: the cumulative sum is operators.scale.global_cumsum —
+    range repartition + per-partition prefix offsets (an O(#partitions)
+    driver collect), NEVER the single-partition `SUM() OVER (ORDER BY)`
+    the naive spelling implies (the oracle's spelling, fine for DuckDB's
+    single node). Thresholds explode from a 4-element literal; the
+    final rollup is 4 rows."""
+    from ..operators.scale import global_cumsum
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("neg", -F.col("cents"))
+    )
+    cum = global_cumsum(rev, "cents", ["neg", "o_custkey"], cum_col="cum")
+    totals = rev.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn("threshold_pct", F.explode(F.array(*[F.lit(t) for t in (50, 80, 90, 95)])))
+        .groupBy("threshold_pct")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("cum") - F.col("cents")) * 100
+                        < F.col("threshold_pct").cast("long") * F.col("total"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_customers"),
+            F.max("n").alias("n_all"),
+        )
+        .select(
+            "threshold_pct",
+            "n_customers",
+            F.round(F.col("n_customers").cast("double") / F.col("n_all"), 6).alias(
+                "share_of_customers"
+            ),
+        )
+    )

@@ -1462,3 +1462,70 @@ def graph_degree_histogram(spark, sf_dir):
             F.sum("deg").alias("total_edges_x2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded min-label propagation (community triage) over the order graph.
+# ---------------------------------------------------------------------------
+
+_LBLPROP_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM sym
+), l1 AS (
+  SELECT n.node, least(n.lbl, MIN(lv.lbl)) AS lbl
+  FROM l0 n JOIN sym s ON s.u = n.node JOIN l0 lv ON lv.node = s.v
+  GROUP BY n.node, n.lbl
+), l2 AS (
+  SELECT n.node, least(n.lbl, MIN(lv.lbl)) AS lbl
+  FROM l1 n JOIN sym s ON s.u = n.node JOIN l1 lv ON lv.node = s.v
+  GROUP BY n.node, n.lbl
+), l3 AS (
+  SELECT n.node, least(n.lbl, MIN(lv.lbl)) AS lbl
+  FROM l2 n JOIN sym s ON s.u = n.node JOIN l2 lv ON lv.node = s.v
+  GROUP BY n.node, n.lbl
+)
+SELECT CAST(lbl AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node
+FROM l3 GROUP BY lbl
+ORDER BY n_nodes DESC, community LIMIT 20
+"""
+
+
+@register("graph_label_propagation", oracle=_LBLPROP_ORACLE, tags=("graph", "analytics"))
+def graph_label_propagation(spark, sf_dir):
+    """Bounded (3-round) synchronous min-label propagation over the
+    bipartite customer-supplier order graph: each node's label becomes
+    the minimum node id within 3 hops; the top-20 label basins by size
+    are the community triage a full connected-components run refines.
+    Deterministic BIGINT mins — bit-exact vs the unrolled SQL oracle.
+    Per round: one neighbor equi-join + one map-side-combinable keyed
+    MIN, label relation re-pinned per round (no lineage nesting) — see
+    operators/graph.py:min_label_propagation."""
+    from ..operators.graph import min_label_propagation
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    lbl = min_label_propagation(e0, n_iters=3)
+    return (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(20)
+    )

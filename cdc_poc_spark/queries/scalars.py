@@ -487,3 +487,64 @@ def scalar_interval_arithmetic(spark, sf_dir):
         F.quarter("o_orderdate").alias("qtr"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
     )
+
+
+_STRUCT_ORACLE = """
+SELECT o_orderkey,
+       struct_pack(status := o_orderstatus, pri := o_orderpriority).status AS s_status,
+       struct_pack(status := o_orderstatus, pri := o_orderpriority).pri AS s_pri,
+       struct_pack(outer_k := o_orderkey,
+                   inner_s := struct_pack(c := o_custkey, p := o_totalprice)
+                  ).inner_s.c AS nested_custkey,
+       ((o_orderstatus, o_orderpriority) < ('O', '3-MEDIUM')) AS lt_mark,
+       list_sort([struct_pack(f1 := CAST(o_custkey % 7 + 1 AS INTEGER), f2 := 'modkey'),
+                  struct_pack(f1 := CAST(length(o_orderpriority) AS INTEGER), f2 := 'prilen')
+                 ])[1].f2 AS min_tag
+FROM orders
+"""
+
+
+@register("scalar_struct_functions", oracle=_STRUCT_ORACLE, tags=("scalar",))
+def scalar_struct_functions(spark, sf_dir):
+    """Struct/row scalar surface: construction (named_struct), field
+    access, NESTED struct traversal, lexicographic struct comparison
+    (field order = comparison order in both engines), and sorting an
+    array of structs (array_sort's lexicographic row ordering) with
+    positional field extraction. Output columns are plain scalars, so
+    the cross-engine struct representations never reach the comparator.
+    All Catalyst built-ins — whole-stage codegen, no shuffle beyond the
+    scan."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.named_struct(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("pri"), F.col("o_orderpriority")
+    )
+    nested = F.named_struct(
+        F.lit("outer_k"),
+        F.col("o_orderkey"),
+        F.lit("inner_s"),
+        F.named_struct(F.lit("c"), F.col("o_custkey"), F.lit("p"), F.col("o_totalprice")),
+    )
+    arr = F.array_sort(
+        F.array(
+            F.struct(
+                (F.col("o_custkey") % 7 + 1).cast("int").alias("f1"),
+                F.lit("modkey").alias("f2"),
+            ),
+            F.struct(
+                F.length("o_orderpriority").cast("int").alias("f1"),
+                F.lit("prilen").alias("f2"),
+            ),
+        )
+    )
+    mark = F.struct(F.lit("O").alias("a"), F.lit("3-MEDIUM").alias("b"))
+    pair = F.struct(
+        F.col("o_orderstatus").alias("a"), F.col("o_orderpriority").alias("b")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("status").alias("s_status"),
+        s.getField("pri").alias("s_pri"),
+        nested.getField("inner_s").getField("c").alias("nested_custkey"),
+        (pair < mark).alias("lt_mark"),
+        arr.getItem(0).getField("f2").alias("min_tag"),
+    )

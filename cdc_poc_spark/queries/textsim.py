@@ -202,3 +202,84 @@ def text_bigram_logprob_junk(spark, sf_dir):
         .orderBy(F.asc("avg_micro_nats"), F.asc("doc_id"))
         .limit(_BIGRAM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document overlap via shared winnowing fingerprints.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_DF_CAP = 64
+_OVERLAP_MIN_SHARED = 5
+
+_WINNOW_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, len(toks) - {_WINNOW_K} + 1 AS n_grams, toks,
+         unnest(generate_series(1, len(toks) - {_WINNOW_K} + 1)) AS p
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+), h AS (
+  SELECT doc_id, greatest(1, n_grams - {_WINNOW_W} + 1) AS n_windows, p,
+         CAST(('0x' || substring(md5(array_to_string(toks[p:p+{_WINNOW_K} - 1], ' ')), 1, 8))
+              AS BIGINT) * 1048576 + (1048575 - p) AS key
+  FROM g
+), win AS (
+  SELECT doc_id, p - o.off AS ws, MIN(key) AS sel_key
+  FROM h, generate_series(0, {_WINNOW_W} - 1) AS o(off)
+  WHERE p - o.off >= 1 AND p - o.off <= n_windows
+  GROUP BY doc_id, p - o.off
+), sel AS (
+  SELECT DISTINCT doc_id, sel_key // 1048576 AS fh FROM win
+), dfc AS (
+  SELECT fh FROM sel GROUP BY fh
+  HAVING COUNT(*) <= {_OVERLAP_DF_CAP}
+), s2 AS (
+  SELECT sel.doc_id, sel.fh FROM sel JOIN dfc USING (fh)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM s2 a JOIN s2 b ON a.fh = b.fh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_OVERLAP_MIN_SHARED}
+"""
+
+
+@register(
+    "text_winnowing_overlap_pairs", oracle=_WINNOW_OVERLAP_ORACLE, tags=("llm", "text", "dedup")
+)
+def text_winnowing_overlap_pairs(spark, sf_dir):
+    """Document pairs sharing >= 5 winnowing fingerprint hashes — the
+    MOSS-style overlap report (each shared fingerprint witnesses a
+    shared k-gram, and any shared run of k+w-1 tokens is guaranteed at
+    least one). Fingerprints occurring in more than 64 documents are
+    dropped BEFORE the pair join (identically in the oracle — the
+    semantics of the operator include the cap): an ultra-common
+    fingerprint is corpus boilerplate, and its df² pair blowup is the
+    exact defect class the LSH bucket cap (_cap_buckets) already
+    guards; exact clone families route through exact/fingerprint dedup
+    first, as everywhere else in this engine.
+
+    Scale shape: the selection is the winnowing aggregate (map-side
+    explode ×w, one keyed MIN); the df cap is one fingerprint-keyed
+    count; the pair join is an equi-join on the fingerprint hash with
+    per-key fanout bounded by the cap — no cartesian, output bounded by
+    capped-df² per hash."""
+    from ..operators.text import winnowing_selected
+
+    sel = winnowing_selected(
+        load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    ).select("doc_id", "h").distinct()
+    dfc = sel.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _OVERLAP_DF_CAP
+    )
+    s2 = sel.join(dfc.select("h"), "h")
+    a = s2.select(F.col("doc_id").alias("id_a"), "h")
+    b = s2.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _OVERLAP_MIN_SHARED)
+    )

@@ -315,3 +315,38 @@ def test_heavy_hitters_exact_and_partitioning_independent(spark):
         ).repartition(parts)
         got = {r.v: r.n for r in heavy_hitters(df, "v", k).collect()}
         assert got == expect, f"partitioning {parts} changed the result"
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum (range partition + prefix offsets) must equal the
+    single-partition window cumsum on the same total order, including
+    ties broken by the secondary key and null-sum partitions."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from cdc_poc_spark.operators.scale import global_cumsum
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(997))).alias("v"),
+    )
+    got = {
+        r.id: r.cum
+        for r in global_cumsum(df, "v", ["v", "id"], cum_col="cum").collect()
+    }
+    w = W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, 0)
+    want = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_min_label_propagation_fixpoint_is_components(spark):
+    """Run past the graph diameter, min-label propagation IS connected
+    components (every node labeled with its component's min id)."""
+    from cdc_poc_spark.operators.graph import min_label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "u long, v long",
+    )
+    out = {r.node: r.lbl for r in min_label_propagation(edges, n_iters=4).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
