@@ -192,22 +192,26 @@ def tw_retention_cohorts(spark, sf_dir):
     the cohort's users still active that many weeks later — the
     standard product-analytics retention table.
 
-    Scale shape: distinct (user, week) is one shuffle on user_id; the
-    per-user MIN rides the SAME partitioning as a window aggregate —
-    no second exchange and no join back (Catalyst reuses the hash
-    partitioning for both the distinct and the window). The final
-    rollup's output is bounded by cohorts × offsets, not by users."""
+    Scale shape: ONE shuffle on user_id — the per-user active-week SET
+    is a collect_set aggregate (map-side partial dedup), and both the
+    cohort (array_min) and the per-week explode are then map-side array
+    expressions; no second exchange, no window, no join back. The
+    per-user set is bounded by the corpus duration in weeks, not by
+    event count. The final rollup's output is bounded by cohorts ×
+    offsets, not by users."""
     ev = load_table(spark, sf_dir, "events")
-    uw = (
+    weeks = (
         ev.select("user_id", F.expr(f"ts DIV 1000 DIV {_DAY_US} DIV 7").alias("week"))
-        .distinct()
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+        .select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
+        )
     )
-    per_user = W.partitionBy("user_id")
-    return (
-        uw.withColumn("cohort_week", F.min("week").over(per_user))
-        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
-        .agg(F.count(F.lit(1)).alias("n_active_users"))
-    )
+    return weeks.groupBy(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
 
 
 # ---------------------------------------------------------------------------

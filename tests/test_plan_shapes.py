@@ -222,3 +222,59 @@ def test_bpe_pairs_shuffle_is_on_reduced_relation(spark):
     # a partial_count aggregate must appear BEFORE (deeper than) the
     # exchange that feeds the final count
     assert "partial_count" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    """OHLC must be ONE hash aggregation (min_by/max_by partial+final)
+    on (bucket, type) — no window sort, no row_number pass."""
+    plan = _plan(spark, "tw_ohlc_bars")
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(win_us") == 1
+
+
+def test_decile_stats_no_single_partition_window(spark):
+    """The global rank must come from the two-pass global_index —
+    a regression to row_number() OVER (ORDER BY) shows up as a
+    SinglePartition exchange."""
+    plan = _plan(spark, "agg_decile_stats")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pareto_no_single_partition_cumsum(spark):
+    """global_cumsum must keep the running total range-partitioned —
+    no SinglePartition exchange, and the totals side is broadcast."""
+    plan = _plan(spark, "agg_pareto_concentration")
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_containment_join_has_no_cartesian(spark):
+    """The asymmetric containment join must stay equi-join-only (prefix
+    probe vs full index side) — no cartesian fallback."""
+    plan = _plan(spark, "dedup_token_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_rank_join_is_hash_join(spark):
+    """SNM neighbor pairing is an equi-join on the offset rank — never
+    a range/cartesian join."""
+    plan = _plan(spark, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_is_two_hash_aggs_no_window(spark):
+    """Winnowing selection must be the packed-key MIN aggregate, not a
+    window-function sliding min."""
+    plan = _plan(spark, "text_winnowing_fingerprints")
+    assert "Window" not in plan
+
+
+def test_retention_single_user_shuffle_no_window(spark):
+    """Cohorting is ONE collect_set aggregate on user_id (cohort and
+    offsets are map-side array expressions after it) — exactly one
+    user_id shuffle and no window operator."""
+    plan = _plan(spark, "tw_retention_cohorts")
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Window" not in plan
