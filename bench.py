@@ -73,6 +73,11 @@ HEADLINE = [
     "join_nearest_event",
     "graph_pagerank_5iter",
     "sim_knn_graph_ivf",
+    # round 5 (cont.) additions — one per new operator family
+    "tw_ohlc_bars",
+    "dedup_token_containment",
+    "text_winnowing_fingerprints",
+    "agg_pareto_concentration",
 ]
 
 

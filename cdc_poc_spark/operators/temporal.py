@@ -93,3 +93,37 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
     ]
     return matched.select(*out_left, *out_right)
+
+
+def anomaly_zscore_flags(
+    buckets: DataFrame,
+    series_col: str = "event_type",
+    bucket_col: str = "bucket_us",
+    n_col: str = "n_events",
+    sigma: float = 2.0,
+) -> DataFrame:
+    """Flag buckets whose count sits >= sigma standard deviations from
+    the series mean, given a (series, bucket, count) relation — the
+    derivation half of tw_anomaly_zscore, shared verbatim by the batch
+    query and the streaming maintainer (streaming/windows.py:
+    derive_bucket_anomalies) so both paths flag IDENTICAL buckets by
+    construction.
+
+    Exactness: per-series moments are exact integer sums (DECIMAL(38)
+    s1/s2 — no float accumulation across rows); mean/variance/z are the
+    same IEEE double expressions on identical integers in any engine.
+    Plan: one map-side-combinable moments agg over the (small) bucket
+    relation + one broadcast join back."""
+    s = buckets.groupBy(series_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(n_col).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col(n_col) * F.col(n_col)).cast("decimal(38,0)").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_buckets")
+    var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
+    z = (F.col(n_col).cast("double") - mean) / F.sqrt(var)
+    return (
+        buckets.join(F.broadcast(s), series_col)
+        .filter(F.abs(z) >= sigma)
+        .select(series_col, bucket_col, n_col, F.round(z, 4).alias("zscore"))
+    )

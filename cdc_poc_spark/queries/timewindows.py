@@ -433,23 +433,17 @@ def tw_anomaly_zscore(spark, sf_dir):
     identical integers in both engines and the z-score doubles match
     bit-for-bit. Plan: two map-side-combinable aggs (bucket count,
     series moments) + one broadcast join back — series cardinality is
-    tiny, bucket relation is |series x hours|."""
+    tiny, bucket relation is |series x hours|. The flag derivation is
+    operators/temporal.py:anomaly_zscore_flags — shared verbatim with
+    the streaming maintainer (streaming/windows.py:
+    streaming_anomaly_zscore), whose drained output is asserted EQUAL
+    to this query in tests/test_streaming.py."""
+    from ..operators.temporal import anomaly_zscore_flags
+
     ev = events_with_time(spark, sf_dir)
     b = (
         ev.withColumn("bucket_us", (F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US))))
         .groupBy("event_type", "bucket_us")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    s = b.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.sum("n_events").cast("decimal(38,0)").alias("s1"),
-        F.sum(F.col("n_events") * F.col("n_events")).cast("decimal(38,0)").alias("s2"),
-    )
-    mean = F.col("s1").cast("double") / F.col("n_buckets")
-    var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
-    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
-    return (
-        b.join(F.broadcast(s), "event_type")
-        .filter(F.abs(z) >= 2.0)
-        .select("event_type", "bucket_us", "n_events", F.round(z, 4).alias("zscore"))
-    )
+    return anomaly_zscore_flags(b, sigma=2.0)

@@ -183,3 +183,69 @@ def stream_static_enrich(
     """
     d = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
     return stream.join(F.broadcast(d), stream_key, "left")
+
+
+def streaming_anomaly_zscore(
+    events_stream: DataFrame, inc_dir: str, checkpoint_dir: str
+):
+    """Streaming half of tw_anomaly_zscore: maintain the hourly
+    (series, bucket) count relation incrementally from the event
+    stream, so the anomaly flags can be re-derived per epoch (or on
+    demand) from a tiny standing aggregate instead of rescanning the
+    event history.
+
+    Why foreachBatch instead of a watermarked append-mode agg: the
+    z-score baseline is a PER-SERIES GLOBAL statistic — every bucket's
+    flag can change when new buckets arrive, so finalized-append
+    semantics are the wrong contract; the right streaming shape is
+    incremental view maintenance of the bucket counts (the IVM pattern
+    of streaming/ivm.py) with derivation on read. Each epoch lands its
+    per-batch bucket increments under ``__epoch=N`` with
+    dynamic-partition overwrite — a replayed epoch REWRITES its own
+    partition, so the maintained counts are exactly-once under restart
+    (same discipline as CDCConsumer.land_log_batch).
+
+    Drained with availableNow over the full fixture,
+    derive_bucket_anomalies(inc_dir) is asserted row-for-row EQUAL to
+    the batch tw_anomaly_zscore in tests/test_streaming.py."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        inc = (
+            batch_df.withColumn("ts_us", F.expr("ts DIV 1000"))
+            .withColumn(
+                "bucket_us", (F.col("ts_us") - F.pmod("ts_us", F.lit(3600 * 1_000_000)))
+            )
+            .groupBy("event_type", "bucket_us")
+            .agg(F.count(F.lit(1)).alias("n_inc"))
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+        )
+        (
+            inc.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(inc_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def derive_bucket_anomalies(spark, inc_dir: str, sigma: float = 2.0) -> DataFrame:
+    """Derive the anomaly flags from the maintained bucket increments —
+    the read side of streaming_anomaly_zscore. Cost is the standing
+    aggregate's size (|series × hours × epochs-touching-them|), never
+    the event history. Shares operators/temporal.py:anomaly_zscore_flags
+    with the batch query, so both flag identical buckets by
+    construction."""
+    from ..operators.temporal import anomaly_zscore_flags
+
+    inc = spark.read.parquet(inc_dir)
+    b = (
+        inc.groupBy("event_type", "bucket_us")
+        .agg(F.sum("n_inc").cast("long").alias("n_events"))
+    )
+    return anomaly_zscore_flags(b, sigma=sigma)

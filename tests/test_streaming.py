@@ -1172,3 +1172,32 @@ def test_m4_downsample_runs_streaming(spark, event_stream_dir):
         for r in m4(spark.read.schema(schema).parquet(path)).collect()
     }
     assert got == batch
+
+
+def test_streaming_anomaly_zscore_matches_batch(spark, event_stream_dir, tmp_path):
+    """The incrementally-maintained hourly bucket counts, drained over
+    the whole fixture with availableNow, must derive EXACTLY the batch
+    tw_anomaly_zscore flags (same z-scores, same buckets): the IVM
+    shape gives full-history semantics with per-epoch incremental cost
+    — no append-mode watermark withholding to excuse."""
+    from cdc_poc_spark.queries import all_specs
+
+    path, schema = event_stream_dir
+    stream = fsrc.parquet_stream(spark, path, schema)
+    inc_dir = str(tmp_path / "inc")
+    q = swin.streaming_anomaly_zscore(stream, inc_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in swin.derive_bucket_anomalies(spark, inc_dir)
+        .select("event_type", "bucket_us", "n_events", "zscore")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in all_specs()["tw_anomaly_zscore"]
+        .fn(spark, SF_DIR)
+        .select("event_type", "bucket_us", "n_events", "zscore")
+        .collect()
+    }
+    assert got == want and got
