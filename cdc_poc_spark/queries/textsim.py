@@ -43,11 +43,17 @@ WHERE a.doc_id <> b.doc_id
 def dedup_token_containment(spark, sf_dir):
     """Exact 3-gram set-containment pairs c(A→B) = |A∩B|/|A| >= 0.9 —
     the asymmetric near-dup relation (doc embedded in a longer doc)
-    that Jaccard misses. Asymmetric prefix filter (probe prefixes vs
-    full index side), positional upper bound, exact verification —
-    output-identical to the oracle's quadratic self-join; see
-    operators/dedup.py:exact_containment_pairs for the 100 TB shape."""
-    return dedup.exact_containment_pairs(load_table(spark, sf_dir, "documents"))
+    that Jaccard misses. Routed through CLONE COLLAPSE (the standing
+    rule for every pairwise consumer): canonical-per-family asymmetric
+    prefix join (probe prefixes vs full index side, positional bound,
+    exact verification), ordered member expansion + in-family 1.0
+    cliques — output-identical to the flat operator (asserted on a
+    clone-doubled fixture) and to the oracle's quadratic self-join; see
+    operators/dedup.py:exact_containment_pairs{,_collapsed} for the
+    100 TB shape."""
+    return dedup.exact_containment_pairs_collapsed(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -949,3 +949,24 @@ def test_bigram_logprob_ranks_salad_below_prose(spark):
     df = spark.createDataFrame(base + salad, "doc_id int, text string")
     out = {r.doc_id: r.avg_micro_nats for r in T.bigram_logprob(df).collect()}
     assert out[100] < out[0], (out[100], out[0])
+
+
+def test_containment_collapsed_equals_flat_on_clones(spark, docs):
+    """The clone-collapsed containment pipeline must emit EXACTLY the
+    flat operator's ordered (id_a, id_b, containment) rows on a
+    clone-doubled corpus — cross-family pairs inherit the canonical
+    containment bit-for-bit, in-family ordered pairs appear at exactly
+    1.0, direction preserved."""
+    from pyspark.sql import functions as F
+
+    base = docs.limit(250)
+    doubled = base.unionByName(base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    flat = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in dedup.exact_containment_pairs(doubled, threshold=0.9).collect()
+    }
+    coll = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in dedup.exact_containment_pairs_collapsed(doubled, threshold=0.9).collect()
+    }
+    assert coll == flat and flat
