@@ -251,8 +251,9 @@ def agg_decile_stats(spark, sf_dir):
     Scale shape: the global rank comes from operators.scale.global_index
     (range-repartition + per-partition offsets — two light jobs), NOT
     from `row_number() OVER (ORDER BY ...)`, which would serialize the
-    table through one task. n is a scalar broadcast. The final stats are
-    a 10-row keyed rollup of exact BIGINTs."""
+    table through one task. n rides a broadcast single-row relation (no
+    separate driver count job). The final stats are a 10-row keyed
+    rollup of exact BIGINTs."""
     from ..operators.scale import global_index
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -260,9 +261,10 @@ def agg_decile_stats(spark, sf_dir):
         (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").alias("cents"),
     )
     ranked = global_index(orders, idx_col="rnk0", order_cols=["cents", "o_orderkey"])
-    n = orders.count()
+    total = orders.agg(F.count(F.lit(1)).alias("n"))
     return (
-        ranked.withColumn("decile", F.expr(f"1 + (rnk0 * 10) DIV {n}"))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("decile", F.expr("1 + (rnk0 * 10) DIV n"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
