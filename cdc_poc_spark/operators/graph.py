@@ -424,3 +424,57 @@ def min_label_propagation(
             checkpoint_dir,
         )
     return lbl
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected graph: each round drops
+    every node whose CURRENT degree is < k, then recomputes degrees on
+    the induced subgraph. Run to fixpoint this yields the k-core
+    (Seidman 1983 — the standard cohesion filter before community/
+    embedding work); bounded rounds are the deterministic, exactly
+    SQL-expressible prefix a triage pass uses. Returns one row per
+    round: (round, n_nodes, n_edges_x2) of the surviving subgraph —
+    the shrinkage profile that says how much of the graph is load-
+    bearing vs peripheral fuzz.
+
+    Scale shape (the pagerank/label-propagation round structure): edges
+    are symmetrized once and pinned; each round is one keyed degree
+    count + one semi-join of the edge list against surviving nodes per
+    endpoint (two keyed shuffles, no cartesian), with the edge relation
+    re-pinned per round — plan depth stays constant in n_rounds."""
+    from .scale import reliable_checkpoint
+
+    two = edges.select(
+        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
+    )
+    sym = reliable_checkpoint(
+        two.unionByName(two.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        checkpoint_dir,
+    )
+    spark = edges.sparkSession
+    rows = []
+    cur = sym
+    for rnd in range(1, n_rounds + 1):
+        deg = cur.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = reliable_checkpoint(
+            cur.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v"),
+            checkpoint_dir,
+        )
+        stats = cur.agg(
+            F.count_distinct("u").alias("n_nodes"),
+            F.count(F.lit(1)).alias("n_edges_x2"),
+        ).collect()[0]
+        rows.append((rnd, stats.n_nodes or 0, stats.n_edges_x2 or 0))
+    return spark.createDataFrame(
+        rows, "round int, n_nodes long, n_edges_x2 long"
+    )

@@ -185,6 +185,20 @@ _ROUND5_NEW: list = [
 ]
 
 
+# Queries registered AFTER the round-5 window froze (the 50 slots above
+# are exactly full). Per the standing policy these take round-6 window
+# slots: next round, promote this list ahead of _ROUND5_FRONT. Until
+# then they sit at positions 51+ and are value-checked by the full
+# sweep (PARITY_SWEEP.json) like everything else.
+_ROUND6_NEW: list = [
+    "agg_benford_profile",
+    "cdc_out_of_order_profile",
+    "graph_kcore_profile",
+    "text_zipf_fit",
+    "graph_copurchase_projection",
+]
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the
     full registry, ordered so the ``_ROUND5_FRONT`` queries (then
@@ -210,9 +224,10 @@ def all_specs() -> dict[str, QuerySpec]:
         llm_ops,
         timeseries,
         textsim,
+        profiling,
     )
 
-    order = _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    order = _ROUND5_FRONT + _ROUND5_NEW + _ROUND6_NEW + _ROUND4_FRONT
     front = {n: _REGISTRY[n] for n in order if n in _REGISTRY}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     return {**front, **rest}

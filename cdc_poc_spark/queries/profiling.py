@@ -1,0 +1,328 @@
+"""Corpus / stream / graph diagnostics: Benford first-digit profile,
+event out-of-order profile, bounded k-core peeling, Zipf rank-frequency
+fit, and the co-purchase bipartite projection — the profiling queries an
+operator runs BEFORE trusting data or launching heavy algorithms.
+
+Reference parity: the reference (thanminh24/CDC_POC) ships no analytics
+(SURVEY.md §2); these extend the engine per the north-star brief.
+
+Added after the round-5 driver window froze (the 50 slots were full) —
+fronted for the ROUND-6 window via `_ROUND6_NEW` in queries/__init__.py
+per the standing rotation policy; value-checked continuously by the
+full-registry sweep regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Benford first-significant-digit profile (data-quality / fraud screen).
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice > 0
+), d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c
+), g AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY digit
+), t AS (
+  SELECT SUM(n_orders) AS total FROM g
+)
+SELECT digit, n_orders,
+       round(CAST(n_orders AS DOUBLE) / total, 6) AS share,
+       round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_expected
+FROM g, t
+"""
+
+
+@register("agg_benford_profile", oracle=_BENFORD_ORACLE, tags=("agg", "quality"))
+def agg_benford_profile(spark, sf_dir):
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation log10(1 + 1/d) — the classic anomaly/fraud/
+    synthetic-data screen (fabricated amounts flunk it). Digit
+    extraction is a string head on the exact cents BIGINT (×100 shifts
+    digits, never changes the leading one for positive amounts); shares
+    are one double division of exact counts; the expectation is the
+    same IEEE ln expression in both engines. Plan: map-side digit + one
+    9-row groupBy + broadcast total."""
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    t = g.agg(F.sum("n_orders").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_orders",
+        F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
+            "benford_expected"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order arrival profile (the watermark-sizing input).
+# ---------------------------------------------------------------------------
+
+_OOO_ORACLE = """
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) < lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS late
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(late) AS BIGINT) AS n_out_of_order,
+       round(CAST(SUM(late) AS DOUBLE) / COUNT(*), 6) AS ooo_share
+FROM s GROUP BY event_type
+"""
+
+
+@register("cdc_out_of_order_profile", oracle=_OOO_ORACLE, tags=("cdc", "streaming", "quality"))
+def cdc_out_of_order_profile(spark, sf_dir):
+    """Fraction of events whose event-time REGRESSES vs the previous
+    arrival in the same key (arrival order = event_id, the changelog
+    sequence) — the measurement that sizes a stream's watermark delay
+    and decides whether at-source reordering is needed. One lag window
+    per user (short per-key sequences, no skew) + a tiny keyed
+    rollup of exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("event_id")
+    late = (
+        F.when(F.expr("ts DIV 1000") < F.lag(F.expr("ts DIV 1000")).over(seq), 1)
+        .otherwise(0)
+    )
+    return (
+        ev.select("event_type", late.alias("late"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("late").alias("n_out_of_order"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_out_of_order",
+            F.round(
+                F.col("n_out_of_order").cast("double") / F.col("n_events"), 6
+            ).alias("ooo_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling profile over the order graph.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+
+_KCORE_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), d0 AS (
+  SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u
+), k1 AS (SELECT node FROM d0 WHERE deg >= {_KCORE_K}),
+e1 AS (
+  SELECT s.u, s.v FROM sym s
+  JOIN k1 a ON a.node = s.u JOIN k1 b ON b.node = s.v
+), d1 AS (
+  SELECT u AS node, COUNT(*) AS deg FROM e1 GROUP BY u
+), k2 AS (SELECT node FROM d1 WHERE deg >= {_KCORE_K}),
+e2 AS (
+  SELECT s.u, s.v FROM e1 s
+  JOIN k2 a ON a.node = s.u JOIN k2 b ON b.node = s.v
+), d2 AS (
+  SELECT u AS node, COUNT(*) AS deg FROM e2 GROUP BY u
+), k3 AS (SELECT node FROM d2 WHERE deg >= {_KCORE_K}),
+e3 AS (
+  SELECT s.u, s.v FROM e2 s
+  JOIN k3 a ON a.node = s.u JOIN k3 b ON b.node = s.v
+)
+SELECT 1 AS round, CAST((SELECT COUNT(DISTINCT u) FROM e1) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges_x2
+UNION ALL
+SELECT 2, CAST((SELECT COUNT(DISTINCT u) FROM e2) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+UNION ALL
+SELECT 3, CAST((SELECT COUNT(DISTINCT u) FROM e3) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+"""
+
+
+@register("graph_kcore_profile", oracle=_KCORE_ORACLE, tags=("graph", "analytics"))
+def graph_kcore_profile(spark, sf_dir):
+    """Three rounds of k-core peeling (k=3) over the bipartite
+    customer-supplier order graph: per round, nodes with current degree
+    < k are dropped and the induced subgraph's size is reported — the
+    cohesion-shrinkage profile run before any community/embedding work
+    (run to fixpoint this IS the k-core). Deterministic integer counts;
+    the oracle is the fully unrolled peel. See
+    operators/graph.py:kcore_peel for the per-round pin structure."""
+    from ..operators.graph import kcore_peel
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    return kcore_peel(e0, k=_KCORE_K, n_rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the corpus vocabulary.
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), f AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+), r AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk FROM f
+), q AS (
+  SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS qx,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS qy
+  FROM r
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(qy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(qx AS DECIMAL(38,0)) * qy) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(qx AS DECIMAL(38,0)) * qx) AS DOUBLE) AS sxx
+  FROM q
+)
+SELECT n_types,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 1e6, 6)
+         AS intercept_nats
+FROM s
+"""
+
+
+@register("text_zipf_fit", oracle=_ZIPF_ORACLE, tags=("llm", "text", "stats"))
+def text_zipf_fit(spark, sf_dir):
+    """Least-squares slope of ln(freq) vs ln(rank) over the corpus
+    vocabulary — the Zipf exponent (natural corpora sit near -1;
+    template/synthetic corpora deviate hard, making this a one-number
+    corpus-health check). Exactness: ln rank / ln freq are quantized to
+    int64 micro-nats per type BEFORE any cross-row sum; the five
+    regression sums accumulate as DECIMAL(38) integers (order-
+    independent), and the closed-form slope is one double expression on
+    identical inputs in both engines. Scale shape: token groupBy (the
+    vocabulary), the distributed two-pass global rank
+    (operators/scale.py:global_index — never a one-task window), one
+    map-side-combinable moments agg. The slope is over quantized logs —
+    bit-identical, not merely close."""
+    from ..operators.scale import global_index
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    f = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("negf", -F.col("freq"))
+    )
+    ranked = global_index(f, idx_col="rnk0", order_cols=["negf", "tok"])
+    q = ranked.select(
+        F.round(F.log((F.col("rnk0") + 1).cast("double")) * 1e6).cast("long").alias("qx"),
+        F.round(F.log(F.col("freq").cast("double")) * 1e6).cast("long").alias("qy"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("qx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("qy").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qy")).cast("double").alias("sxy"),
+        F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n_types",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") / 1e6, 6).alias(
+            "intercept_nats"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase bipartite projection (supplier-supplier affinity graph).
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_DEG_CAP = 64
+_COPURCHASE_MIN_SHARED = 3
+
+_COPURCHASE_ORACLE = f"""
+WITH b0 AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), cap AS (
+  SELECT c FROM b0 GROUP BY c HAVING COUNT(*) <= {_COPURCHASE_DEG_CAP}
+), b AS (
+  SELECT b0.c, b0.s FROM b0 JOIN cap USING (c)
+)
+SELECT a.s AS supp_a, x.s AS supp_b, CAST(COUNT(*) AS BIGINT) AS n_shared_customers
+FROM b a JOIN b x ON a.c = x.c AND a.s < x.s
+GROUP BY a.s, x.s
+HAVING COUNT(*) >= {_COPURCHASE_MIN_SHARED}
+"""
+
+
+@register("graph_copurchase_projection", oracle=_COPURCHASE_ORACLE, tags=("graph", "analytics"))
+def graph_copurchase_projection(spark, sf_dir):
+    """Bipartite projection of the customer-supplier order graph onto
+    suppliers: pairs sharing >= 3 customers, weighted by the shared
+    count — the co-occurrence/affinity graph behind recommendations and
+    assortment analysis. Hub customers (degree > 64) are excluded
+    BEFORE the pair join, identically in the oracle — the cap is part
+    of the operator's semantics, the same df-cap rule the winnowing
+    overlap and LSH buckets use (a hub contributes deg² pairs and ~zero
+    affinity signal; at 100 TB the cap is what bounds per-key fanout).
+    Plan: distinct bipartite edges, one keyed degree filter, one
+    customer-keyed self equi-join — no cartesian."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    b0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cap = b0.groupBy("c").agg(F.count(F.lit(1)).alias("deg")).filter(
+        F.col("deg") <= _COPURCHASE_DEG_CAP
+    )
+    b = b0.join(cap.select("c"), "c")
+    a = b.select("c", F.col("s").alias("supp_a"))
+    x = b.select("c", F.col("s").alias("supp_b"))
+    return (
+        a.join(x, "c")
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_customers"))
+        .filter(F.col("n_shared_customers") >= _COPURCHASE_MIN_SHARED)
+    )
