@@ -304,8 +304,16 @@ def graph_copurchase_projection(spark, sf_dir):
     of the operator's semantics, the same df-cap rule the winnowing
     overlap and LSH buckets use (a hub contributes deg² pairs and ~zero
     affinity signal; at 100 TB the cap is what bounds per-key fanout).
+
     Plan: distinct bipartite edges, one keyed degree filter, one
-    customer-keyed self equi-join — no cartesian."""
+    customer-keyed self equi-join (per-key fanout bounded by the cap) —
+    no cartesian. A collect_set + map-side array-combination variant
+    (two shuffles instead of four) was MEASURED SLOWER — 8.9 s vs
+    7.9 s at sf0.1, 10x ratio 10.5 vs 5.3: the nested
+    transform/slice expansion is per-row O(cap²) interpreted expression
+    work, while the self-join + count stays in whole-stage-codegen
+    columnar joins. Shuffle count lost to CPU path — kept the join
+    (PLANS.md round-5 cont.3)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     b0 = (
