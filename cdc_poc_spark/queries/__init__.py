@@ -196,6 +196,8 @@ _ROUND6_NEW: list = [
     "graph_kcore_profile",
     "text_zipf_fit",
     "graph_copurchase_projection",
+    "agg_gini_coefficient",
+    "cdc_watermark_recommendation",
 ]
 
 

@@ -75,11 +75,30 @@ def agg_benford_profile(spark, sf_dir):
 # Out-of-order arrival profile (the watermark-sizing input).
 # ---------------------------------------------------------------------------
 
-_OOO_ORACLE = """
+#: Deterministic arrival-order perturbation: the fixture's changelog is
+#: PERFECTLY time-ordered (verified: 0 regressions over event_id), so a
+#: profile taken on the raw order is all-zeros — and an all-zero
+#: expected output cannot distinguish a broken lateness computation
+#: from a working one. The registered queries therefore drive the
+#: operators with a SIMULATED jittered arrival (each event displaced by
+#: an md5-derived 0-63-position jitter — network/partition reordering in
+#: miniature), computed identically in both engines, so the oracle
+#: checks real nonzero lateness math. The arrival key is a query input;
+#: a deployment profiles its true arrival sequence.
+_JITTER_SQL = (
+    "event_id + CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)) "
+    "AS BIGINT) % 64"
+)
+_JITTER_SPARK = (
+    "event_id + CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 4), 16, 10)"
+    " AS BIGINT) % 64"
+)
+
+_OOO_ORACLE = f"""
 WITH s AS (
   SELECT event_type,
          CASE WHEN epoch_us(ts) < lag(epoch_us(ts))
-                OVER (PARTITION BY user_id ORDER BY event_id)
+                OVER (PARTITION BY user_id ORDER BY {_JITTER_SQL}, event_id)
               THEN 1 ELSE 0 END AS late
   FROM events
 )
@@ -94,13 +113,15 @@ FROM s GROUP BY event_type
 @register("cdc_out_of_order_profile", oracle=_OOO_ORACLE, tags=("cdc", "streaming", "quality"))
 def cdc_out_of_order_profile(spark, sf_dir):
     """Fraction of events whose event-time REGRESSES vs the previous
-    arrival in the same key (arrival order = event_id, the changelog
-    sequence) — the measurement that sizes a stream's watermark delay
-    and decides whether at-source reordering is needed. One lag window
-    per user (short per-key sequences, no skew) + a tiny keyed
-    rollup of exact counts."""
+    arrival in the same key — the measurement that decides whether
+    at-source reordering is needed. Arrival order = the jitter-displaced
+    changelog sequence (see _JITTER_SQL above: the fixture is perfectly
+    time-ordered, which would make an unperturbed profile an
+    indiscriminate all-zero oracle). One lag window per user (short
+    per-key sequences, no skew) + a tiny keyed rollup of exact
+    counts."""
     ev = load_table(spark, sf_dir, "events")
-    seq = W.partitionBy("user_id").orderBy("event_id")
+    seq = W.partitionBy("user_id").orderBy(F.expr(_JITTER_SPARK), F.col("event_id"))
     late = (
         F.when(F.expr("ts DIV 1000") < F.lag(F.expr("ts DIV 1000")).over(seq), 1)
         .otherwise(0)
@@ -333,4 +354,173 @@ def graph_copurchase_projection(spark, sf_dir):
         .groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("n_shared_customers"))
         .filter(F.col("n_shared_customers") >= _COPURCHASE_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of the revenue distribution.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), k AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS i FROM r
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DOUBLE) AS sxi,
+         CAST(COUNT(*) AS DOUBLE) AS nd
+  FROM k
+)
+SELECT n AS n_customers,
+       round((2.0 * sxi - (nd + 1.0) * sx) / (nd * sx), 6) AS gini
+FROM s
+"""
+
+
+@register("agg_gini_coefficient", oracle=_GINI_ORACLE, tags=("agg", "stats"))
+def agg_gini_coefficient(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the single-number
+    inequality metric next to agg_pareto_concentration's curve, from
+    the closed form G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over
+    ascending-sorted x. The rank comes from the distributed two-pass
+    global_index (never a one-task window); Σ i·x accumulates as
+    DECIMAL(38) integers (i·cents exceeds int64 at cluster scale), so
+    both engines feed identical integers into one final double
+    expression. Plan: revenue groupBy, two-pass rank, ONE moments
+    agg."""
+    from ..operators.scale import global_index
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ranked = global_index(rev, idx_col="i0", order_cols=["cents", "o_custkey"])
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((F.col("i0") + 1).cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("sxi"),
+    )
+    return s.select(
+        "n_customers",
+        F.round(
+            (2.0 * F.col("sxi") - (F.col("nd") + 1.0) * F.col("sx"))
+            / (F.col("nd") * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-delay recommendation from micro-batch high-water-mark lateness.
+# ---------------------------------------------------------------------------
+
+_WM_BATCH = 1000  # arrival-order micro-batch size (event_id DIV batch)
+_WM_MS = 1000  # lateness quantization: milliseconds
+
+
+def _wm_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         ({_JITTER_SQL}) // {_WM_BATCH} AS bkt
+  FROM events
+), bm AS (
+  SELECT bkt, MAX(ts_us) AS bmax FROM e GROUP BY bkt
+), hwm AS (
+  SELECT bkt, MAX(bmax) OVER (ORDER BY bkt
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS hwm_prev
+  FROM bm
+), lat AS (
+  SELECT e.event_type,
+         greatest(0, COALESCE(h.hwm_prev, 0) - e.ts_us) // 1000 // {_WM_MS} AS lat_q
+  FROM e JOIN hwm h ON h.bkt = e.bkt
+), hist AS (
+  SELECT event_type, lat_q, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lat GROUP BY event_type, lat_q
+), cum AS (
+  SELECT event_type, lat_q, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY lat_q
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(MIN(CASE WHEN cc * 2 >= n THEN lat_q END) AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN cc * 20 >= n * 19 THEN lat_q END) AS BIGINT) AS p95_s,
+       CAST(MIN(CASE WHEN cc * 100 >= n * 99 THEN lat_q END) AS BIGINT) AS p99_s,
+       CAST(MAX(lat_q) AS BIGINT) AS max_s
+FROM cum GROUP BY event_type
+"""
+
+
+@register("cdc_watermark_recommendation", oracle=_wm_oracle(), tags=("cdc", "streaming", "quality"))
+def cdc_watermark_recommendation(spark, sf_dir):
+    """How much watermark delay does this stream need? Lateness of each
+    event vs the HIGH-WATER MARK as of the previous arrival micro-batch
+    (jittered-arrival-key DIV 1000 — exactly how a micro-batch engine's
+    watermark advances: on batch boundaries, against the max event-time
+    already seen; arrival = the jitter-displaced sequence per
+    _JITTER_SQL, since the fixture's raw order is perfectly sorted and
+    would make the oracle indiscriminately zero), quantized to seconds,
+    then per-series exact histogram
+    percentiles (smallest bucket whose cumulative count clears q·n — an
+    integer predicate, no interpolation to disagree on). p99_s IS the
+    `withWatermark` delay a deployment should configure; max_s is the
+    drop-tolerance bound.
+
+    Scale shape: batch maxima are one keyed agg; the running high-water
+    mark is a window over the tiny per-batch relation (|batches| rows,
+    never |events|); lateness is a broadcast join back; percentiles
+    come from the per-(series, second) histogram — every full-size
+    relation is keyed, the only windows run on bounded aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr(f"({_JITTER_SPARK}) DIV {_WM_BATCH}").alias("bkt"),
+    )
+    bm = e.groupBy("bkt").agg(F.max("ts_us").alias("bmax"))
+    wprev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    hwm = bm.select("bkt", F.max("bmax").over(wprev).alias("hwm_prev"))
+    lat = e.join(F.broadcast(hwm), "bkt").select(
+        "event_type",
+        F.expr(
+            f"greatest(0L, coalesce(hwm_prev, 0L) - ts_us) DIV 1000 DIV {_WM_MS}"
+        ).alias("lat_q"),
+    )
+    hist = lat.groupBy("event_type", "lat_q").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("event_type").orderBy("lat_q").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "lat_q",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("lat_q"))).alias("p50_s"),
+        F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("lat_q"))).alias(
+            "p95_s"
+        ),
+        F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("lat_q"))).alias(
+            "p99_s"
+        ),
+        F.max("lat_q").alias("max_s"),
     )
