@@ -350,3 +350,66 @@ def test_min_label_propagation_fixpoint_is_components(spark):
     )
     out = {r.node: r.lbl for r in min_label_propagation(edges, n_iters=4).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_kcore_peel_matches_python_reference(spark):
+    """kcore_peel's per-round survivor counts must equal a pure-Python
+    peel on a deterministic pseudo-random graph (and shrink
+    monotonically)."""
+    import random
+
+    from cdc_poc_spark.operators.graph import kcore_peel
+
+    rng = random.Random(7)
+    # canonicalized (min, max) and deduped: the operator symmetrizes
+    # with UNION ALL (matching its SQL oracle), so a pair present in
+    # both orientations would double its degree contribution — callers
+    # feed DISTINCT one-orientation edge relations (the registered
+    # bipartite graph cannot even express a reversed duplicate).
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(120))
+            if a != b
+        }
+    )
+    k, rounds = 3, 3
+    # python reference: symmetric adjacency, peel by current degree
+    cur = {(u, v) for u, v in edges} | {(v, u) for u, v in edges}
+    expect = []
+    for _ in range(rounds):
+        deg = {}
+        for u, _v in cur:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+        expect.append((len({u for u, _ in cur}), len(cur)))
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = [
+        (r.n_nodes, r.n_edges_x2)
+        for r in kcore_peel(df, k=k, n_rounds=rounds).orderBy("round").collect()
+    ]
+    assert got == expect
+    assert all(got[i] >= got[i + 1] for i in range(len(got) - 1))
+
+
+def test_min_label_propagation_matches_python_reference(spark):
+    """Bounded min-label propagation must equal the synchronous
+    pure-Python rounds on a deterministic pseudo-random graph."""
+    import random
+
+    from cdc_poc_spark.operators.graph import min_label_propagation
+
+    rng = random.Random(11)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(80)})
+    edges = [(u, v) for u, v in edges if u != v]
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        lbl = {n: min([lbl[n]] + [lbl[m] for m in adj[n]]) for n in adj}
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.lbl for r in min_label_propagation(df, n_iters=3).collect()}
+    assert got == lbl
