@@ -763,3 +763,67 @@ def knn_graph_blocked_collapsed(
         .filter(F.col("rnk") <= k)
         .select("vec_id", "rnk", "neighbor_id", "cosine")
     )
+
+
+def mips_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact Maximum-Inner-Product top-k — the retrieval semantic of
+    recommendation / dual-encoder relevance scoring, where vector
+    MAGNITUDE carries signal (popularity, confidence) and must NOT be
+    normalized away as cosine does: a long vector can beat a
+    better-aligned short one. Same distributed brute-force shape as
+    cosine_topk (broadcast queries × one corpus scan, per-query top-k
+    window); the LSH family does NOT transfer unchanged (MIPS needs
+    asymmetric transforms), which is exactly why the exact baseline is
+    its own first-class operator."""
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec"))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    score = F.round(dot("qvec", "vec"), 5).alias("inner_product")
+    w = W.partitionBy("query_id").orderBy(F.desc("inner_product"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def euclidean_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact L2-nearest top-k — the metric k-means/IVF actually
+    optimizes and the right semantic when embeddings are NOT
+    length-normalized. Same broadcast × scan plan as cosine_topk;
+    distance folds as sum((q-c)^2) in one zip_with aggregate."""
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec"))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+    )
+    sq = F.aggregate(
+        F.zip_with("qvec", "vec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dist = F.round(F.sqrt(sq), 5).alias("l2_dist")
+    w = W.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"), dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -198,6 +198,8 @@ _ROUND6_NEW: list = [
     "graph_copurchase_projection",
     "agg_gini_coefficient",
     "cdc_watermark_recommendation",
+    "sim_mips_topk",
+    "sim_euclidean_topk",
 ]
 
 

@@ -1622,3 +1622,58 @@ def text_gopher_quality_rules(spark, sf_dir):
             ).otherwise(0)
         ).alias("n_pass_all"),
     )
+
+
+_MIPS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])), 5) AS inner_product
+  FROM e q, e c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY inner_product DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, inner_product, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim_mips_topk", oracle=_MIPS_ORACLE, tags=("llm", "similarity"))
+def sim_mips_topk(spark, sf_dir):
+    """Exact Maximum-Inner-Product top-5 for the first 10 query vectors
+    — the recommendation/dual-encoder semantic where magnitude carries
+    signal cosine normalizes away. See operators/similarity.py:
+    mips_topk for the broadcast × scan plan."""
+    return similarity.mips_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+_L2_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(sqrt(list_sum(list_transform(range(1, len(q.vec) + 1),
+                    i -> (q.vec[i] - c.vec[i]) * (q.vec[i] - c.vec[i])))), 5) AS l2_dist
+  FROM e q, e c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY l2_dist, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, l2_dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim_euclidean_topk", oracle=_L2_ORACLE, tags=("llm", "similarity"))
+def sim_euclidean_topk(spark, sf_dir):
+    """Exact L2-nearest top-5 for the first 10 query vectors — the
+    metric k-means/IVF optimizes; right when embeddings are not
+    length-normalized. See operators/similarity.py:euclidean_topk."""
+    return similarity.euclidean_topk(load_table(spark, sf_dir, "embeddings"))

@@ -1201,3 +1201,52 @@ def test_streaming_anomaly_zscore_matches_batch(spark, event_stream_dir, tmp_pat
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_anomaly_replay_is_idempotent(spark, event_stream_dir, tmp_path):
+    """Replaying an epoch (the foreachBatch crash-recovery case) must
+    leave the maintained bucket counts — and the derived flags —
+    unchanged: the epoch-partitioned dynamic overwrite rewrites its own
+    partition instead of appending duplicates."""
+    from cdc_poc_spark.tables import load_table
+
+    path, schema = event_stream_dir
+    stream = fsrc.parquet_stream(spark, path, schema)
+    inc_dir = str(tmp_path / "inc")
+    q = swin.streaming_anomaly_zscore(stream, inc_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    before = sorted(
+        tuple(r)
+        for r in swin.derive_bucket_anomalies(spark, inc_dir).collect()
+    )
+    # availableNow landed the whole fixture as ONE epoch (assert it — the
+    # replay below re-lands the full batch under that epoch id)
+    import os
+
+    epochs = [d for d in os.listdir(inc_dir) if d.startswith("__epoch=")]
+    assert epochs == ["__epoch=0"], epochs
+    # simulate the foreachBatch replay of epoch 0: land the same
+    # increments under the same epoch id again
+    batch = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    inc = (
+        batch.withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn(
+            "bucket_us", (F.col("ts_us") - F.pmod("ts_us", F.lit(3600 * 1_000_000)))
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("n_inc"))
+        .withColumn("__epoch", F.lit(0))
+    )
+    (
+        inc.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(inc_dir)
+    )
+    after = sorted(
+        tuple(r)
+        for r in swin.derive_bucket_anomalies(spark, inc_dir).collect()
+    )
+    assert after == before and before
