@@ -200,6 +200,7 @@ _ROUND6_NEW: list = [
     "cdc_watermark_recommendation",
     "sim_mips_topk",
     "sim_euclidean_topk",
+    "agg_boolean_aggregates",
 ]
 
 

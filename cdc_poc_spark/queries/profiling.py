@@ -524,3 +524,41 @@ def cdc_watermark_recommendation(spark, sf_dir):
         ),
         F.max("lat_q").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean / conditional aggregate family.
+# ---------------------------------------------------------------------------
+
+_BOOLAGG_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(count_if(CAST(c_acctbal AS DECIMAL(12,2)) > 5000) AS BIGINT) AS n_rich,
+       bool_and(CAST(c_acctbal AS DECIMAL(12,2)) > -1000) AS all_above_floor,
+       bool_or(CAST(c_acctbal AS DECIMAL(12,2)) > 9000) AS any_very_rich,
+       CAST(MIN(CASE WHEN CAST(c_acctbal AS DECIMAL(12,2)) > 5000
+                     THEN c_custkey END) AS BIGINT) AS first_rich_key
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_boolean_aggregates", oracle=_BOOLAGG_ORACLE, tags=("agg",))
+def agg_boolean_aggregates(spark, sf_dir):
+    """The boolean/conditional aggregate family — count_if, bool_and,
+    bool_or, conditional MIN — per market segment (the quorum /
+    invariant-check shapes monitoring queries use). All map-side
+    combinable; predicates evaluate on exact DECIMAL casts so both
+    engines branch identically."""
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_if(bal > 5000).alias("n_rich"),
+            F.bool_and(bal > -1000).alias("all_above_floor"),
+            F.bool_or(bal > 9000).alias("any_very_rich"),
+            F.min(F.when(bal > 5000, F.col("c_custkey"))).alias("first_rich_key"),
+        )
+    )
