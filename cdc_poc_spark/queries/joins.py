@@ -132,15 +132,20 @@ def join_semi_big_spenders(spark, sf_dir):
 
 _ANTI_ORACLE = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
 
 @register("join_anti_customers_without_orders", oracle=_ANTI_ORACLE, tags=("join",))
 def join_anti_customers_without_orders(spark, sf_dir):
-    """Left-anti join = NOT EXISTS."""
+    """Left-anti join = NOT EXISTS: customers with no 300k+ order.
+    The unfiltered form ("no orders at all") is EMPTY at every fixture
+    SF — a green-on-empty oracle that could not distinguish a broken
+    anti join from a working one; the thresholded form is non-empty at
+    all SFs (3 / 30 / 308 rows) through the same left-anti plan."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter("o_totalprice > 300000")
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -165,7 +165,12 @@ def text_inverted_index_stats(spark, sf_dir):
 # Keyword-in-context concordance (round 5)
 # ---------------------------------------------------------------------------
 
-_KWIC_TERM = "shuffle"
+#: "merge" occurs ~900x at sf0.01 (mid-frequency). The original term
+#: ("shuffle") appears in NO fixture at any SF, so the oracle hashed an
+#: EMPTY result — green, but unable to discriminate a broken position/
+#: slice computation from a working one. Same gate-honesty rule as the
+#: jittered arrival order in queries/profiling.py.
+_KWIC_TERM = "merge"
 _KWIC_CTX = 3
 
 _KWIC_ORACLE = f"""
@@ -178,8 +183,10 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-       array_to_string(ws[GREATEST(pos - {_KWIC_CTX}, 1) : pos - 1], ' ') AS left_ctx,
-       array_to_string(ws[pos + 1 : pos + {_KWIC_CTX}], ' ') AS right_ctx
+       COALESCE(array_to_string(ws[GREATEST(pos - {_KWIC_CTX}, 1) : pos - 1], ' '), '')
+         AS left_ctx,
+       COALESCE(array_to_string(ws[pos + 1 : pos + {_KWIC_CTX}], ' '), '')
+         AS right_ctx
 FROM hits
 """
 

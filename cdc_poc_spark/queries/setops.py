@@ -73,17 +73,26 @@ _EXCEPT_ORACLE = """
 SELECT c_nationkey AS nationkey FROM customer
 EXCEPT
 SELECT s_nationkey AS nationkey FROM supplier
+WHERE CAST(s_acctbal AS DECIMAL(12,2)) > 9900
 """
 
 
 @register("setop_except_nations", oracle=_EXCEPT_ORACLE, tags=("setop",))
 def setop_except_nations(spark, sf_dir):
-    """EXCEPT (distinct): nations with customers but no suppliers."""
+    """EXCEPT (distinct): nations with customers but no TOP-BALANCE
+    (>9900) supplier. The unfiltered form ("no suppliers at all") is
+    EMPTY at every fixture SF — a green-on-empty oracle that could not
+    distinguish a broken EXCEPT from a working one (same gate-honesty
+    rule as the KWIC term and the jittered arrival order); the filtered
+    form is non-empty at sf0.001/0.01/0.1 while exercising the same
+    distinct-subtract plan."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal").cast("decimal(12,2)") > 9900)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return cust.subtract(supp)
 

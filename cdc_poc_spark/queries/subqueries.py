@@ -60,7 +60,8 @@ WHERE c_acctbal > (
     SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
     FROM customer WHERE c_acctbal > 0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM events
+                  WHERE user_id = c_custkey AND event_type = 'purchase')
 GROUP BY c_nationkey
 """
 
@@ -68,8 +69,14 @@ GROUP BY c_nationkey
 @register("subq_not_exists_idle_rich", oracle=_NOT_EXISTS_SQL, tags=("subquery", "tpch"))
 def subq_not_exists_idle_rich(spark, sf_dir):
     """Uncorrelated scalar subquery (global exact avg, computed once and
-    broadcast) + NOT EXISTS -> left-anti join on o_custkey."""
-    register_views(spark, sf_dir, ("customer", "orders"))
+    broadcast) + NOT EXISTS -> left-anti join: above-average-balance
+    customers with no purchase event in the stream. The original
+    anti-condition ("no orders at all") made the result EMPTY at every
+    fixture SF — a green-on-empty oracle that could not distinguish a
+    broken correlated NOT EXISTS from a working one; the event-stream
+    form is non-empty at all SFs (61 / 593 / 6193 customers) through
+    the same scalar-subquery + anti-join plan."""
+    register_views(spark, sf_dir, ("customer", "events"))
     return spark.sql(_NOT_EXISTS_SQL)
 
 
