@@ -36,7 +36,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["connected_components", "dedup_clusters", "triangle_stats", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "triangle_stats",
+    "pagerank",
+    "min_label_propagation",
+    "kcore_peel",
+]
 
 #: Below this many symmetric edges the component map is resolved on the
 #: driver (one collect + union-find) instead of the iterative
