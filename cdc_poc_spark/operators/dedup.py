@@ -1231,6 +1231,7 @@ def exact_containment_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.9,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """EXACT pairwise set CONTAINMENT c(A→B) = |A∩B| / |A| >= threshold
     over 3-gram shingle sets — the ASYMMETRIC near-dup relation Jaccard
@@ -1344,7 +1345,7 @@ def exact_containment_pairs(
     )
     from .scale import reliable_checkpoint
 
-    out = reliable_checkpoint(out, None)
+    out = reliable_checkpoint(out, checkpoint_dir)
     sh.unpersist()
     return out
 
@@ -1451,7 +1452,9 @@ def exact_containment_pairs_collapsed(
     canon_docs = fams.select(
         F.col("canon").alias(id_col), F.col("__text").alias(text_col)
     )
-    cpairs = exact_containment_pairs(canon_docs, id_col, text_col, n, threshold)
+    cpairs = exact_containment_pairs(
+        canon_docs, id_col, text_col, n, threshold, checkpoint_dir
+    )
     ma = fams.select(F.col("canon").alias("id_a"), F.col("members").alias("ma"))
     mb = fams.select(F.col("canon").alias("id_b"), F.col("members").alias("mb"))
     # DIRECTION is preserved: x ranges over the probe family, y over the

@@ -970,3 +970,24 @@ def test_containment_collapsed_equals_flat_on_clones(spark, docs):
         for r in dedup.exact_containment_pairs_collapsed(doubled, threshold=0.9).collect()
     }
     assert coll == flat and flat
+
+
+def test_containment_reliable_checkpoint(spark, docs, tmp_path):
+    """checkpoint_dir must route the containment pair pin through a
+    RELIABLE checkpoint (files on disk), with output identical to the
+    local-checkpoint default — same contract as exact_jaccard_pairs."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    out = dedup.exact_containment_pairs_collapsed(
+        docs, threshold=0.9, checkpoint_dir=ckpt
+    )
+    reliable = {
+        (r.id_a, r.id_b, round(r.containment, 9)) for r in out.collect()
+    }
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+    local = {
+        (r.id_a, r.id_b, round(r.containment, 9))
+        for r in dedup.exact_containment_pairs_collapsed(docs, threshold=0.9).collect()
+    }
+    assert reliable == local
