@@ -209,6 +209,7 @@ _ROUND6_NEW: list = [
     "setop_except_nations",
     "join_anti_customers_without_orders",
     "subq_not_exists_idle_rich",
+    "tw_seasonal_baseline",
 ]
 
 

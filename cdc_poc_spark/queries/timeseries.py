@@ -273,3 +273,90 @@ def agg_decile_stats(spark, sf_dir):
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (day-of-week × hour) baseline and top deviating buckets.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+_SEASONAL_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // {_DAY_US} AS day_idx,
+         (epoch_us(ts) % {_DAY_US}) // {_HOUR_US} AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2, 3
+), s AS (
+  SELECT event_type, (day_idx + 4) % 7 AS dow, hour,
+         CAST(SUM(n_events) AS BIGINT) AS slot_total,
+         CAST(COUNT(*) AS BIGINT) AS n_slot_buckets
+  FROM b GROUP BY 1, 2, 3
+)
+SELECT b.event_type, CAST(b.day_idx AS BIGINT) AS day_idx,
+       CAST(b.hour AS BIGINT) AS hour, b.n_events,
+       s.slot_total, s.n_slot_buckets,
+       round(CAST(b.n_events AS DOUBLE) * s.n_slot_buckets / s.slot_total, 6)
+         AS dev_ratio
+FROM b JOIN s ON s.event_type = b.event_type
+             AND s.dow = (b.day_idx + 4) % 7 AND s.hour = b.hour
+ORDER BY dev_ratio DESC, b.event_type, b.day_idx, b.hour
+LIMIT 20
+"""
+
+
+@register("tw_seasonal_baseline", oracle=_SEASONAL_ORACLE, tags=("timeseries", "anomaly"))
+def tw_seasonal_baseline(spark, sf_dir):
+    """Seasonality-aware deviation: each (series, day, hour) bucket is
+    compared to its OWN day-of-week × hour-of-day slot average — the
+    profile that catches "quiet Tuesday 3am is suddenly busy" where a
+    global z-score (tw_anomaly_zscore) averages the diurnal cycle away.
+    Top-20 buckets by deviation ratio.
+
+    Exactness: day/hour/dow all derive from integer DIV/mod on the
+    micros long ((day_idx + 4) % 7 — epoch day 0 was a Thursday — so
+    neither engine's locale-dependent dow function is consulted); the
+    ratio is ONE double expression on exact BIGINTs, rounded for the
+    deterministic TakeOrdered ranking. Plan: two map-side-combinable
+    keyed aggs (buckets, then slots) + a broadcast join back (slots are
+    |series × 7 × 24|); top-20 is TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.expr(f"ts DIV 1000 DIV {_DAY_US}").alias("day_idx"),
+            F.expr(f"(ts DIV 1000 % {_DAY_US}) DIV {_HOUR_US}").alias("hour"),
+        )
+        .groupBy("event_type", "day_idx", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = (
+        b.withColumn("dow", F.expr("(day_idx + 4) % 7"))
+        .groupBy("event_type", "dow", "hour")
+        .agg(
+            F.sum("n_events").alias("slot_total"),
+            F.count(F.lit(1)).alias("n_slot_buckets"),
+        )
+    )
+    joined = b.withColumn("dow", F.expr("(day_idx + 4) % 7")).join(
+        F.broadcast(s), ["event_type", "dow", "hour"]
+    )
+    return (
+        joined.select(
+            "event_type",
+            "day_idx",
+            "hour",
+            "n_events",
+            "slot_total",
+            "n_slot_buckets",
+            F.round(
+                F.col("n_events").cast("double")
+                * F.col("n_slot_buckets")
+                / F.col("slot_total"),
+                6,
+            ).alias("dev_ratio"),
+        )
+        .orderBy(F.desc("dev_ratio"), "event_type", "day_idx", "hour")
+        .limit(20)
+    )
