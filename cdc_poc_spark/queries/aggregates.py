@@ -568,8 +568,10 @@ def agg_pareto_concentration(spark, sf_dir):
         .withColumn("neg", -F.col("cents"))
     )
     cum = global_cumsum(rev, "cents", ["neg", "o_custkey"], cum_col="cum")
-    totals = rev.agg(
-        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    # totals derive from the PINNED cumsum relation (MAX(cum) is the
+    # grand total by construction) — no second scan/agg of orders.
+    totals = cum.agg(
+        F.max("cum").alias("total"), F.count(F.lit(1)).alias("n")
     )
     return (
         cum.crossJoin(F.broadcast(totals))
