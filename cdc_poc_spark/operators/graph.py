@@ -485,3 +485,54 @@ def kcore_peel(
     return spark.createDataFrame(
         rows, "round int, n_nodes long, n_edges_x2 long"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded multi-source BFS: hop distance (0..n_rounds) from a seed
+    node set over an undirected graph — the reachability primitive
+    behind influence radius, contamination spread, and "how far is
+    every account from a flagged one" triage. Nodes unreached within
+    ``n_rounds`` hops are absent from the output (their distance is
+    only known to exceed the bound).
+
+    Round structure identical to min_label_propagation/pagerank: edges
+    symmetrized once and pinned; each round ONE neighbor equi-join +
+    ONE keyed MIN + a merge with the previous frontier, re-pinned per
+    round (constant plan depth, executor-loss-safe with
+    ``checkpoint_dir``). Distances are exact BIGINT mins.
+
+    ``seeds``: one-column DataFrame of seed node ids."""
+    from .scale import reliable_checkpoint
+
+    two = edges.select(
+        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
+    )
+    sym = reliable_checkpoint(
+        two.unionByName(two.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        checkpoint_dir,
+    )
+    dist = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    for _ in range(n_rounds):
+        nb = (
+            sym.join(dist.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg((F.min("dist") + 1).alias("nb_dist"))
+        )
+        dist = reliable_checkpoint(
+            dist.join(nb, "node", "full_outer").select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("nb_dist")),
+                    F.coalesce(F.col("nb_dist"), F.col("dist")),
+                ).alias("dist"),
+            ),
+            checkpoint_dir,
+        )
+    return dist

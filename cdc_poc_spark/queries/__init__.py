@@ -210,6 +210,8 @@ _ROUND6_NEW: list = [
     "join_anti_customers_without_orders",
     "subq_not_exists_idle_rich",
     "tw_seasonal_baseline",
+    "dedup_fuzzy_name_pairs",
+    "graph_bfs_distances",
 ]
 
 

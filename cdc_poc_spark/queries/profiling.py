@@ -562,3 +562,127 @@ def agg_boolean_aggregates(spark, sf_dir):
             F.min(F.when(bal > 5000, F.col("c_custkey"))).alias("first_rich_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy (edit-distance) name matching over DISTINCT values.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH n AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         string_split(p_name, ' ')[1] AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("dedup_fuzzy_name_pairs", oracle=_FUZZY_ORACLE, tags=("llm", "dedup", "fuzzy"))
+def dedup_fuzzy_name_pairs(spark, sf_dir):
+    """Record-linkage fuzzy matching: name pairs within edit distance 3,
+    blocked by first token — reported over DISTINCT names with per-name
+    row counts. This is the collapse-first rule applied to fuzzy
+    matching: the part table has ~64 distinct names across 20k rows at
+    sf0.1, so a row-level fuzzy self-join would emit MILLIONS of pairs
+    (measured 3.1M at sf0.1) that are pure clone fan-out, while the
+    distinct-value form verifies levenshtein on a vocabulary-sized
+    relation and carries the multiplicities as counts — the consumer
+    expands only the name-pairs it accepts. Plan: one name groupBy,
+    block-keyed self equi-join over distinct names (bounded by
+    per-block vocabulary²), Levenshtein as the verify step — the
+    block→verify shape of every production linkage pipeline
+    (Hernández-Stolfo blocking with an edit-distance verifier)."""
+    n = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("blk", F.split("p_name", " ").getItem(0))
+    )
+    a = n.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"), "blk"
+    )
+    b = n.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded multi-source BFS distance histogram over the order graph.
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+), d0 AS (
+  SELECT DISTINCT s_suppkey * 2 + 1 AS node, CAST(0 AS BIGINT) AS dist
+  FROM supplier WHERE s_suppkey < 5
+), n1 AS (
+  SELECT s.u AS node, MIN(d.dist) + 1 AS nd
+  FROM sym s JOIN d0 d ON d.node = s.v GROUP BY s.u
+), d1 AS (
+  SELECT COALESCE(a.node, b.node) AS node,
+         least(COALESCE(a.dist, b.nd), COALESCE(b.nd, a.dist)) AS dist
+  FROM d0 a FULL OUTER JOIN n1 b ON a.node = b.node
+), n2 AS (
+  SELECT s.u AS node, MIN(d.dist) + 1 AS nd
+  FROM sym s JOIN d1 d ON d.node = s.v GROUP BY s.u
+), d2 AS (
+  SELECT COALESCE(a.node, b.node) AS node,
+         least(COALESCE(a.dist, b.nd), COALESCE(b.nd, a.dist)) AS dist
+  FROM d1 a FULL OUTER JOIN n2 b ON a.node = b.node
+), n3 AS (
+  SELECT s.u AS node, MIN(d.dist) + 1 AS nd
+  FROM sym s JOIN d2 d ON d.node = s.v GROUP BY s.u
+), d3 AS (
+  SELECT COALESCE(a.node, b.node) AS node,
+         least(COALESCE(a.dist, b.nd), COALESCE(b.nd, a.dist)) AS dist
+  FROM d2 a FULL OUTER JOIN n3 b ON a.node = b.node
+)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d3 GROUP BY dist
+"""
+
+
+@register("graph_bfs_distances", oracle=_BFS_ORACLE, tags=("graph", "analytics"))
+def graph_bfs_distances(spark, sf_dir):
+    """Bounded (3-hop) multi-source BFS from the 5 lowest-keyed
+    suppliers over the bipartite order graph, reported as a distance
+    histogram — the reachability/influence-radius primitive (min-label
+    propagation finds BASINS; BFS finds DISTANCE, a different
+    semantic). Exact BIGINT mins, fully unrolled SQL oracle; each round
+    is one neighbor equi-join + keyed MIN + a node-keyed frontier
+    merge, re-pinned per round — see operators/graph.py:bfs_distances."""
+    from ..operators.graph import bfs_distances
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 5)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    d = bfs_distances(e0, seeds, n_rounds=3)
+    return d.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
