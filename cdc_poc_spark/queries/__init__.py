@@ -212,6 +212,7 @@ _ROUND6_NEW: list = [
     "tw_seasonal_baseline",
     "dedup_fuzzy_name_pairs",
     "graph_bfs_distances",
+    "pipeline_interleave_order",
 ]
 
 

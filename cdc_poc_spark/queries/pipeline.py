@@ -706,3 +706,75 @@ def pipeline_bpe_merge_step(spark, sf_dir):
         .filter(F.col("rnk") <= 20)
         .select("pair", "n", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic proportional source interleave (training order).
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_Q = 1_000_000_000_000
+
+_INTERLEAVE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS src_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+), k AS (
+  SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+         ((2 * src_rank - 1) * {_INTERLEAVE_Q}) // (2 * n_s) AS interleave_key
+  FROM r
+)
+SELECT doc_id, source, src_rank,
+       CAST(interleave_key AS BIGINT) AS interleave_key,
+       CAST(row_number() OVER (ORDER BY interleave_key, source, doc_id) AS BIGINT)
+         AS global_pos
+FROM k
+"""
+
+
+@register("pipeline_interleave_order", oracle=_INTERLEAVE_ORACLE, tags=("llm", "pipeline"))
+def pipeline_interleave_order(spark, sf_dir):
+    """Deterministic PROPORTIONAL source interleave — the training-order
+    constructor: each source's docs are md5-shuffled, then doc r of a
+    source with n docs is placed at the exact rational position
+    (2r-1)/(2n) of the global order (midpoint rule), so every prefix of
+    the resulting sequence contains each source in proportion to its
+    size — the property batch-wise mixture sampling only achieves in
+    expectation, delivered exactly and reproducibly (integer
+    cross-multiplication, no floats; reshuffling an epoch = changing
+    the md5 salt).
+
+    Scale shape: per-source rank and count share ONE source-keyed
+    window shuffle; the interleave key is map-side integer math; the
+    global position comes from the distributed two-pass global_index —
+    never a single-partition row_number (the oracle's spelling is
+    DuckDB's single-node privilege)."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    wsrc = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wall = W.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wsrc).cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(wall).alias("n_s"),
+    ).withColumn(
+        "interleave_key",
+        F.expr(f"((2 * src_rank - 1) * {_INTERLEAVE_Q}) DIV (2 * n_s)"),
+    )
+    out = global_index(
+        r, idx_col="pos0", order_cols=["interleave_key", "source", "doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "src_rank",
+        "interleave_key",
+        (F.col("pos0") + 1).alias("global_pos"),
+    )
