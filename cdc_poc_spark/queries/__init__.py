@@ -213,6 +213,8 @@ _ROUND6_NEW: list = [
     "dedup_fuzzy_name_pairs",
     "graph_bfs_distances",
     "pipeline_interleave_order",
+    "text_vocab_coverage",
+    "sim_centroid_distances",
 ]
 
 

@@ -686,3 +686,160 @@ def graph_bfs_distances(spark, sf_dir):
     )
     d = bfs_distances(e0, seeds, n_rounds=3)
     return d.groupBy("dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary head-coverage curve (tokenizer sizing).
+# ---------------------------------------------------------------------------
+
+_VOCAB_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents
+), f AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+), c AS (
+  SELECT freq,
+         SUM(freq) OVER (ORDER BY freq DESC, tok ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(freq) OVER () AS total,
+         COUNT(*) OVER () AS n_types
+  FROM f
+)
+SELECT t.threshold_pct,
+       CAST(COALESCE(SUM(CASE WHEN (cum - freq) * 100 < t.threshold_pct * total
+                              THEN 1 END), 0) AS BIGINT) AS n_types_needed,
+       CAST(MAX(n_types) AS BIGINT) AS n_types_total
+FROM c, (VALUES (50), (90), (99), (100)) t(threshold_pct)
+GROUP BY t.threshold_pct
+"""
+
+
+@register("text_vocab_coverage", oracle=_VOCAB_COVERAGE_ORACLE, tags=("llm", "text", "stats"))
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary head-coverage curve: the minimal number of most-
+    frequent types whose cumulative frequency first reaches 50 / 90 /
+    99 / 100% of all tokens — the tokenizer-vocab-size sizing query
+    (how big must the vocab be before <unk> is rare). Same exact
+    integer covering-prefix predicate as agg_pareto_concentration
+    ((cum - freq)·100 < T·total), same distributed machinery: the
+    running total over (freq desc, tok) is operators.scale.global_cumsum
+    (range partition + prefix offsets), never the oracle's
+    single-partition window."""
+    from ..operators.scale import global_cumsum
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    f = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("negf", -F.col("freq"))
+    )
+    cum = global_cumsum(f, "freq", ["negf", "tok"], cum_col="cum")
+    totals = cum.agg(
+        F.max("cum").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold_pct",
+            F.explode(F.array(*[F.lit(t) for t in (50, 90, 99, 100)])),
+        )
+        .groupBy("threshold_pct")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("cum") - F.col("freq")) * 100
+                        < F.col("threshold_pct").cast("long") * F.col("total"),
+                        1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_types_needed"),
+            F.max("n_types").alias("n_types_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid pairwise distance matrix (semantic drift / separability).
+# ---------------------------------------------------------------------------
+
+_CENTROID_Q = 1_000_000
+
+
+def _centroid_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT label, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * {_CENTROID_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+), comp AS (
+  SELECT label, d.i AS dim, qv[d.i] AS qx
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) d
+), q AS (
+  SELECT label, dim,
+         CAST(SUM(qx) // COUNT(*) AS BIGINT) AS qm
+  FROM comp GROUP BY label, dim
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM((a.qm - b.qm) * (a.qm - b.qm)) AS sq
+  FROM q a JOIN q b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       round(sqrt(CAST(sq AS DOUBLE)) / {_CENTROID_Q}, 6) AS centroid_l2
+FROM pairs
+"""
+
+
+@register("sim_centroid_distances", oracle=_centroid_oracle(), tags=("llm", "similarity"))
+def sim_centroid_distances(spark, sf_dir):
+    """Pairwise L2 distance between per-label embedding CENTROIDS — the
+    class-separability / semantic-drift matrix (two labels whose
+    centroids collapse are candidates for merging; a centroid that
+    moves between corpus versions signals drift). Centroid components
+    derive from PER-COMPONENT int64 micro-unit quantization followed by
+    exact integer SUM and truncating integer-DIV mean (Spark DIV and
+    DuckDB // both truncate toward zero — verified on negative sums; a
+    raw double AVG would be
+    shuffle-order-dependent), so the distance matrix is bit-reproducible
+    across engines AND cluster topologies. Plan: one (label, dim) agg over exploded vectors,
+    a dim-keyed self-join over |labels|×dims rows — trivially bounded;
+    the heavy relation is touched once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    f"transform(embedding,"
+                    f" x -> CAST(round(CAST(x AS DOUBLE) * {_CENTROID_Q}) AS BIGINT))"
+                )
+            ).alias("d0", "qx"),
+        )
+        .groupBy("label", (F.col("d0") + 1).alias("dim"))
+        .agg(F.expr("SUM(qx) DIV COUNT(*)").alias("qm"))
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), "dim", F.col("qm").alias("qa")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"), "dim", F.col("qm").alias("qb")
+    )
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))).alias("sq"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.sqrt(F.col("sq").cast("double")) / _CENTROID_Q, 6).alias(
+                "centroid_l2"
+            ),
+        )
+    )
