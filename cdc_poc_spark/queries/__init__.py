@@ -215,6 +215,7 @@ _ROUND6_NEW: list = [
     "pipeline_interleave_order",
     "text_vocab_coverage",
     "sim_centroid_distances",
+    "tw_interarrival_stats",
 ]
 
 

@@ -360,3 +360,77 @@ def tw_seasonal_baseline(spark, sf_dir):
         .orderBy(F.desc("dev_ratio"), "event_type", "day_idx", "hour")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap percentiles (demand spacing / capacity planning).
+# ---------------------------------------------------------------------------
+
+_GAP_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id, event_type
+                  ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+  FROM events
+), h AS (
+  SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM g WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s
+), cum AS (
+  SELECT event_type, gap_s, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cc * 2 >= n THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN cc * 20 >= n * 19 THEN gap_s END) AS BIGINT) AS p95_s,
+       CAST(MIN(CASE WHEN cc * 100 >= n * 99 THEN gap_s END) AS BIGINT) AS p99_s,
+       CAST(MAX(gap_s) AS BIGINT) AS max_s
+FROM cum GROUP BY event_type
+"""
+
+
+@register("tw_interarrival_stats", oracle=_GAP_ORACLE, tags=("timeseries", "stats"))
+def tw_interarrival_stats(spark, sf_dir):
+    """Per-series inter-arrival gap percentiles (per USER-series gaps
+    rolled up per series) — the demand-spacing profile behind capacity
+    planning and session-gap threshold selection (tw_sessionize's 30min
+    is exactly a p-high of this distribution). Percentiles via the
+    exact integer histogram predicate (smallest gap bucket whose
+    cumulative count clears q·n — no interpolation), the same machinery
+    as cdc_watermark_recommendation.
+
+    Scale shape: the lag window partitions by (user, type) — high-
+    cardinality keys, short sequences, NO per-series serialization (a
+    PARTITION BY type alone would drag whole series through single
+    tasks); the histogram and its cumulative window run on the bounded
+    (series × distinct-gap-seconds) relation."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id", "event_type").orderBy(
+        F.expr("ts DIV 1000"), F.col("event_id")
+    )
+    gap_us = F.expr("ts DIV 1000") - F.lag(F.expr("ts DIV 1000")).over(seq)
+    g = ev.select(
+        "event_type",
+        F.floor(gap_us / F.lit(1_000_000)).cast("long").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    h = g.groupBy("event_type", "gap_s").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("event_type").orderBy("gap_s").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "gap_s",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("gap_s"))).alias("p50_s"),
+        F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("gap_s"))).alias("p95_s"),
+        F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("gap_s"))).alias("p99_s"),
+        F.max("gap_s").alias("max_s"),
+    )
