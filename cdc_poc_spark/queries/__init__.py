@@ -216,6 +216,7 @@ _ROUND6_NEW: list = [
     "text_vocab_coverage",
     "sim_centroid_distances",
     "tw_interarrival_stats",
+    "tw_reorder_latency",
 ]
 
 

@@ -434,3 +434,78 @@ def tw_interarrival_stats(spark, sf_dir):
         F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("gap_s"))).alias("p99_s"),
         F.max("gap_s").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reorder-latency distribution by market segment.
+# ---------------------------------------------------------------------------
+
+_REORDER_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+), g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey),
+                   od) AS gap_days
+  FROM o
+), j AS (
+  SELECT c.c_mktsegment, g.gap_days
+  FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL
+), h AS (
+  SELECT c_mktsegment, gap_days, CAST(COUNT(*) AS BIGINT) AS c
+  FROM j GROUP BY c_mktsegment, gap_days
+), cum AS (
+  SELECT c_mktsegment, gap_days, c,
+         SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY gap_days
+                      ROWS UNBOUNDED PRECEDING) AS cc,
+         SUM(c) OVER (PARTITION BY c_mktsegment) AS n
+  FROM h
+)
+SELECT c_mktsegment, CAST(MAX(n) AS BIGINT) AS n_reorders,
+       CAST(MIN(CASE WHEN cc * 2 >= n THEN gap_days END) AS BIGINT) AS p50_days,
+       CAST(MIN(CASE WHEN cc * 10 >= n * 9 THEN gap_days END) AS BIGINT) AS p90_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days
+FROM cum GROUP BY c_mktsegment
+"""
+
+
+@register("tw_reorder_latency", oracle=_REORDER_ORACLE, tags=("timeseries", "stats"))
+def tw_reorder_latency(spark, sf_dir):
+    """Reorder-latency distribution: per customer, day gaps between
+    consecutive orders, rolled up to exact histogram percentiles per
+    market segment — the repeat-purchase-cadence profile behind
+    retention and inventory planning. Same integer histogram-percentile
+    predicate as tw_interarrival_stats; the lag window keys on
+    customer (high cardinality, short sequences), the segment
+    attribution is a keyed dim join, and every window after that runs
+    on the bounded (segment × distinct-gap-days) relation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        "o_orderkey",
+    )
+    seq = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    g = o.select(
+        "o_custkey", F.datediff(F.col("od"), F.lag("od").over(seq)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = g.join(cust, g.o_custkey == cust.c_custkey).select("c_mktsegment", "gap_days")
+    h = j.groupBy("c_mktsegment", "gap_days").agg(F.count(F.lit(1)).alias("c"))
+    wcum = W.partitionBy("c_mktsegment").orderBy("gap_days").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("c_mktsegment")
+    cum = h.select(
+        "c_mktsegment",
+        "gap_days",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_reorders"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("gap_days"))).cast("long").alias("p50_days"),
+        F.min(F.when(F.col("cc") * 10 >= F.col("n") * 9, F.col("gap_days"))).cast("long").alias("p90_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+    )
