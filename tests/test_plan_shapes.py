@@ -278,3 +278,35 @@ def test_retention_single_user_shuffle_no_window(spark):
     plan = _plan(spark, "tw_retention_cohorts")
     assert plan.count("hashpartitioning(user_id") == 1
     assert "Window" not in plan
+
+
+def test_gini_and_vocab_coverage_no_single_partition(spark):
+    """Both cumulative-prefix queries must stay on the two-pass
+    distributed primitives — no SinglePartition exchange anywhere."""
+    for name in ("agg_gini_coefficient", "text_vocab_coverage"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_fuzzy_and_copurchase_no_cartesian(spark):
+    """Blocked fuzzy matching and the capped bipartite projection must
+    pair through equi-joins only."""
+    for name in ("dedup_fuzzy_name_pairs", "graph_copurchase_projection"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_interleave_no_single_partition(spark):
+    """The global training-order position must come from global_index —
+    a SinglePartition row_number would serialize the corpus."""
+    plan = _plan(spark, "pipeline_interleave_order")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_seasonal_baseline_slots_broadcast(spark):
+    """The seasonal slot relation (|series×7×24|) must broadcast back
+    onto the bucket relation."""
+    plan = _plan(spark, "tw_seasonal_baseline")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
