@@ -220,11 +220,17 @@ _ROUND6_NEW: list = [
 ]
 
 
+# Queries registered for the first time DURING round 6 — appended to the
+# r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
+# round they land. Capacity: 50 - 21 = 29 slots.
+_ROUND6B_NEW: list = []
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the
-    full registry, ordered so the ``_ROUND5_FRONT`` queries (then
-    ``_ROUND5_NEW``, then the already-driver-green ``_ROUND4_FRONT``) come
-    first (see the comment above ``_ROUND5_FRONT`` for why)."""
+    full registry, ordered so the round-6 window (``_ROUND6_NEW`` then
+    ``_ROUND6B_NEW``) comes first (see the comment above ``_ROUND5_FRONT``
+    for the rotation policy)."""
     from . import (  # noqa: F401
         tpch,
         tpch2,
@@ -248,7 +254,12 @@ def all_specs() -> dict[str, QuerySpec]:
         profiling,
     )
 
-    order = _ROUND5_FRONT + _ROUND5_NEW + _ROUND6_NEW + _ROUND4_FRONT
+    # ROUND-6 WINDOW: _ROUND6_NEW (21 pending: 18 registered after the r5
+    # window froze + 3 re-oracled formerly-empty queries) comes FIRST so the
+    # r6 driver window hash-checks them; _ROUND6B_NEW (queries added during
+    # round 6) fills the remaining 29 slots. Everything after position 50
+    # is already driver-green.
+    order = _ROUND6_NEW + _ROUND6B_NEW + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
     front = {n: _REGISTRY[n] for n in order if n in _REGISTRY}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     return {**front, **rest}
