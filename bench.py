@@ -109,20 +109,33 @@ def _index_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     batch_a = docs.filter(bucket == 1)
     batch_b = docs.filter(bucket == 0)
     name = "bench_jix"
-    out: dict[str, float] = {}
-    t0 = time.perf_counter()
-    build_jaccard_index(corpus, name)
-    out["ix_jaccard_build_90pct"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    append_to_jaccard_index(batch_a, name)
-    out["ix_jaccard_append_5pct"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _force(incremental_vs_jaccard_index(batch_b, name))
-    out["ix_jaccard_query_5pct"] = round(time.perf_counter() - t0, 3)
+    # Min-of-3 full lifecycles (VERDICT r5 "What's wrong #4": single-shot
+    # phases swung 2.9->15.0 s with zero code changes). Each repetition is
+    # a FRESH build (tables dropped between runs), so the min per phase is
+    # a least-contended observation of the same work, not overwrite churn.
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_LIFECYCLE_RUNS", "3")))
+    phases: dict[str, list[float]] = {
+        "ix_jaccard_build_90pct": [],
+        "ix_jaccard_append_5pct": [],
+        "ix_jaccard_query_5pct": [],
+    }
+    for _ in range(n_reps):
+        for suffix in ("_hsets", "_prefix", "_meta", "_commons"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+        t0 = time.perf_counter()
+        build_jaccard_index(corpus, name)
+        phases["ix_jaccard_build_90pct"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        append_to_jaccard_index(batch_a, name)
+        phases["ix_jaccard_append_5pct"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _force(incremental_vs_jaccard_index(batch_b, name))
+        phases["ix_jaccard_query_5pct"].append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
     for suffix in ("_hsets", "_prefix", "_meta", "_commons"):
         spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
     spark.catalog.clearCache()
-    return out
+    return {k: round(min(ts), 3) for k, ts in phases.items()}
 
 
 def main() -> None:
@@ -194,28 +207,47 @@ def main() -> None:
     # least-contended observation and the right stat for attributing a
     # cross-round delta to code vs environment.
     mins = {name: round(min(ts), 3) for name, ts in samples.items()}
-    # The lifecycle phases are single-shot posture numbers, reported
-    # under their own key: `value` and `value_min` both sum the SAME
-    # headline-query set, so the two stats (and cross-round `value`
-    # deltas) stay comparable (r5 review).
     lifecycle = _index_lifecycle(spark, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": mins,
-                "value_min": round(sum(mins.values()), 3),
-                "index_lifecycle": lifecycle,
-                "sf": sf,
-                "runs_per_query": n_base,
-                "slow_query_runs": n_slow,
-                "slow_queries": sorted(slow),
-            }
-        )
+
+    # Record split (VERDICT r5 "What's wrong #1"): the external driver
+    # keeps only the LAST 2000 bytes of stdout, and the full per-query
+    # payload overflowed that in r5, leaving BENCH_r05.json unparseable.
+    # Fix: the full detail (per-query medians + mins + samples + the
+    # min-of-3 lifecycle phases) is WRITTEN to a committed JSON file, and
+    # stdout ends with one compact summary line guaranteed < 1 KB.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "value_min": round(sum(mins.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": mins,
+        "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
+        "index_lifecycle_min3": lifecycle,
+        "sf": sf,
+        "runs_per_query": n_base,
+        "slow_query_runs": n_slow,
+        "slow_queries": sorted(slow),
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": detail["value"],
+        "value_min": detail["value_min"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf,
+        "detail": os.path.basename(detail_path),
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1000, f"compact bench line must stay <1KB, got {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
