@@ -1470,7 +1470,7 @@ def sim_knn_graph(spark, sf_dir):
 
 
 _KNN_IVF_ORACLE = (
-    "SELECT CAST(COUNT(*) * 3 AS BIGINT) AS n_exact_edges, "
+    "SELECT CAST(3 * LEAST(COUNT(*), 128) AS BIGINT) AS n_exact_edges, "
     "TRUE AS recall_ge_020 FROM embeddings"
 )
 
@@ -1480,14 +1480,20 @@ def sim_knn_graph_ivf(spark, sf_dir):
     """APPROXIMATE kNN graph via IVF cells with multi-probe (the 100 TB
     graph-construction path: candidates from an equi-join on cell_id,
     n_probe x |cell|^2 pairs instead of |corpus|^2), verified as a
-    DRIVER-CHECKED recall contract vs the exact all-pairs graph
-    (operators/similarity.py:knn_graph_exact): the oracle pins the
-    exact edge count (3 per vector) and expects recall >= 0.2 —
+    DRIVER-CHECKED recall contract vs an exact truth baseline computed
+    for a FIXED 128-vector sample (operators/similarity.py:
+    knn_graph_exact_sample — broadcast sample x one corpus scan, linear
+    in the corpus; VERDICT r5 #2 retired the full-corpus quadratic
+    baseline this contract used to embed). The oracle pins the sampled
+    exact edge count (3 per sampled vector) and expects recall >= 0.2 —
     2.7x the 12.5% random-2-of-16-cells floor on this random fixture
-    (measured 0.30-0.34); clustered real corpora sit far higher."""
+    (full-graph recall measured 0.30-0.34; the sample's binomial sd at
+    384 edges is ~0.023, so the 0.2 bar holds with wide margin)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.knn_graph_exact(emb).select("vec_id", "neighbor_id")
-    approx = similarity.knn_graph_cells(emb).select("vec_id", "neighbor_id")
+    exact = similarity.knn_graph_exact_sample(emb, n_sample=128).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = similarity.knn_graph_cells_gemm(emb).select("vec_id", "neighbor_id")
     hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact_edges"))

@@ -814,6 +814,54 @@ def test_passage_dedup_short_docs_match_oracle(spark, tmp_path):
     assert int(sdf["n_passages"].sum()) == 4  # docs 3,4 -> 1 each; doc 5 -> 2
 
 
+def test_knn_graph_cells_gemm_identical_to_catalyst(spark):
+    """knn_graph_cells_gemm (per-cell numpy GEMM scoring over an Arrow
+    cogroup) must emit EXACTLY the Catalyst knn_graph_cells graph — the
+    round(cosine, 5) edge contract absorbs float-summation-order
+    differences between numpy and the sequential higher-order-function
+    aggregate, so the variants are output-identical, not merely
+    recall-equivalent. Checked on the sf0.001 fixture (real corpus, all
+    16 cells populated)."""
+    from cdc_poc_spark.operators import similarity
+    from cdc_poc_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    catalyst = {
+        (r.vec_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in similarity.knn_graph_cells(emb).collect()
+    }
+    gemm = {
+        (r.vec_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in similarity.knn_graph_cells_gemm(emb).collect()
+    }
+    assert gemm == catalyst
+    assert len(catalyst) > 0
+
+
+def test_knn_graph_exact_sample_is_prefix_of_full(spark):
+    """knn_graph_exact_sample's edges must equal the full exact graph's
+    edges restricted to the sampled vec_ids (the n_sample smallest) —
+    the sample baseline is a restriction, not an approximation."""
+    from cdc_poc_spark.operators import similarity
+    from cdc_poc_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_sample = 16
+    full = similarity.knn_graph_exact(emb).collect()
+    ids = sorted({r.vec_id for r in full})[:n_sample]
+    expect = {
+        (r.vec_id, r.rnk, r.neighbor_id, r.cosine)
+        for r in full
+        if r.vec_id in set(ids)
+    }
+    got = {
+        (r.vec_id, r.rnk, r.neighbor_id, r.cosine)
+        for r in similarity.knn_graph_exact_sample(emb, n_sample=n_sample).collect()
+    }
+    assert got == expect
+    assert len(got) == 3 * n_sample
+
+
 def test_knn_graph_collapsed_identical_to_naive(spark):
     """knn_graph_blocked_collapsed must emit EXACTLY the naive all-pairs
     graph — including on a clone-heavy corpus where in-family (cosine
