@@ -405,7 +405,9 @@ def min_label_propagation(
     (reliable_checkpoint — with ``checkpoint_dir`` it survives executor
     loss), so round k's plan stays one-join deep with no lineage
     nesting. Labels are BIGINT mins — bit-exact under any shuffle
-    order."""
+    order, and ROBUST to duplicate or both-orientation input edges
+    (MIN over a multiset equals MIN over its support — unlike
+    kcore_peel's degree counts, no dedup is needed; ADVICE r5)."""
     from .scale import reliable_checkpoint
 
     two = edges.select(
@@ -450,17 +452,22 @@ def kcore_peel(
     bearing vs peripheral fuzz.
 
     Scale shape (the pagerank/label-propagation round structure): edges
-    are symmetrized once and pinned; each round is one keyed degree
-    count + one semi-join of the edge list against surviving nodes per
-    endpoint (two keyed shuffles, no cartesian), with the edge relation
-    re-pinned per round — plan depth stays constant in n_rounds."""
+    are symmetrized once (with a DISTINCT, so duplicate input edges or
+    edges already present in both orientations cannot double-count
+    degrees — ADVICE r5; degree here = number of distinct neighbors)
+    and pinned; each round is one keyed degree count + one semi-join of
+    the edge list against surviving nodes per endpoint (two keyed
+    shuffles, no cartesian), with the edge relation re-pinned per round
+    — plan depth stays constant in n_rounds."""
     from .scale import reliable_checkpoint
 
     two = edges.select(
         F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
     )
     sym = reliable_checkpoint(
-        two.unionByName(two.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        two.unionByName(
+            two.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct(),
         checkpoint_dir,
     )
     spark = edges.sparkSession
@@ -504,7 +511,9 @@ def bfs_distances(
     symmetrized once and pinned; each round ONE neighbor equi-join +
     ONE keyed MIN + a merge with the previous frontier, re-pinned per
     round (constant plan depth, executor-loss-safe with
-    ``checkpoint_dir``). Distances are exact BIGINT mins.
+    ``checkpoint_dir``). Distances are exact BIGINT mins, ROBUST to
+    duplicate or both-orientation input edges (MIN over a multiset
+    equals MIN over its support — no dedup needed; ADVICE r5).
 
     ``seeds``: one-column DataFrame of seed node ids."""
     from .scale import reliable_checkpoint

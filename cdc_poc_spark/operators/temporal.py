@@ -112,8 +112,12 @@ def anomaly_zscore_flags(
     Exactness: per-series moments are exact integer sums (DECIMAL(38)
     s1/s2 — no float accumulation across rows); mean/variance/z are the
     same IEEE double expressions on identical integers in any engine.
-    Plan: one map-side-combinable moments agg over the (small) bucket
-    relation + one broadcast join back."""
+    A CONSTANT series (variance 0 — or microscopically negative from
+    float rounding) is an explicit no-flag path (``var > 0`` guard,
+    ADVICE r5), not NaN fallout: NaN ordering differs across engines
+    (DuckDB sorts NaN above everything, so ``abs(NaN) >= sigma`` FLAGS
+    there while Spark drops it). Plan: one map-side-combinable moments
+    agg over the (small) bucket relation + one broadcast join back."""
     s = buckets.groupBy(series_col).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.sum(n_col).cast("decimal(38,0)").alias("s1"),
@@ -121,7 +125,7 @@ def anomaly_zscore_flags(
     )
     mean = F.col("s1").cast("double") / F.col("n_buckets")
     var = F.col("s2").cast("double") / F.col("n_buckets") - mean * mean
-    z = (F.col(n_col).cast("double") - mean) / F.sqrt(var)
+    z = F.when(var > 0, (F.col(n_col).cast("double") - mean) / F.sqrt(var))
     return (
         buckets.join(F.broadcast(s), series_col)
         .filter(F.abs(z) >= sigma)

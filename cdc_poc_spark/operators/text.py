@@ -394,9 +394,23 @@ def _winnow_selection(
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("h"),
         )
     )
+    # Loud failure instead of silent key corruption (ADVICE r5): a
+    # document with >= 2^20 grams would underflow the position field
+    # into the hash field. The check rides inside the key expression
+    # (not a droppable side column Catalyst could prune away).
+    p_checked = F.when(F.col("p") < pos_mod, F.col("p")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "winnowing: gram position %s >= 2^%s — document too large for "
+                "the packed key; chunk upstream (pipeline_chunk_documents)",
+                F.col("p").cast("string"),
+                F.lit(str(_WINNOW_POS_BITS)),
+            )
+        )
+    )
     keyed = grams.withColumn(
         "key",
-        F.col("h") * pos_mod + (F.lit(pos_mod - 1) - F.col("p")),
+        F.col("h") * pos_mod + (F.lit(pos_mod - 1) - p_checked),
     )
     return (
         keyed.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(w - 1))))

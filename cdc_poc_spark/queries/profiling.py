@@ -155,7 +155,9 @@ WITH e0 AS (
   SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ), sym AS (
-  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+  )
 ), d0 AS (
   SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u
 ), k1 AS (SELECT node FROM d0 WHERE deg >= {_KCORE_K}),
@@ -778,8 +780,12 @@ WITH e AS (
          x -> CAST(round(CAST(x AS DOUBLE) * {_CENTROID_Q}) AS BIGINT)) AS qv
   FROM embeddings
 ), comp AS (
+  -- dim bound derived from the DATA (max embedding length), not a
+  -- hardcoded 64, so a fixture dim change cannot silently under-compare
+  -- dimensions (ADVICE r5)
   SELECT label, d.i AS dim, qv[d.i] AS qx
-  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) d
+  FROM e, (SELECT unnest(generate_series(1,
+           (SELECT MAX(len(embedding)) FROM embeddings))) AS i) d
 ), q AS (
   SELECT label, dim,
          CAST(SUM(qx) // COUNT(*) AS BIGINT) AS qm

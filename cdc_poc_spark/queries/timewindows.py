@@ -416,7 +416,10 @@ SELECT b.event_type, b.bucket_us, b.n_events,
                     - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
                       * (CAST(s.s1 AS DOUBLE) / s.n_buckets)), 4) AS zscore
 FROM b JOIN s ON b.event_type = s.event_type
-WHERE abs((CAST(b.n_events AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_buckets)
+WHERE CAST(s.s2 AS DOUBLE) / s.n_buckets
+      - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
+        * (CAST(s.s1 AS DOUBLE) / s.n_buckets) > 0
+  AND abs((CAST(b.n_events AS DOUBLE) - CAST(s.s1 AS DOUBLE) / s.n_buckets)
           / sqrt(CAST(s.s2 AS DOUBLE) / s.n_buckets
                  - (CAST(s.s1 AS DOUBLE) / s.n_buckets)
                    * (CAST(s.s1 AS DOUBLE) / s.n_buckets))) >= 2.0

@@ -985,6 +985,47 @@ def test_winnowing_guarantee_and_density(spark):
         assert 1 <= r.n_fingerprints <= r.n_windows
 
 
+def test_winnowing_oversized_doc_fails_loudly(spark, monkeypatch):
+    """A document whose gram positions exceed the packed-key position
+    field must FAIL (raise_error inside the key expression) instead of
+    silently corrupting fingerprints (ADVICE r5). Patch the position
+    width down to 4 bits so a 20-gram doc overflows it cheaply."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from cdc_poc_spark.operators import text as T
+
+    monkeypatch.setattr(T, "_WINNOW_POS_BITS", 4)
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(24)))], "doc_id int, text string"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="winnowing"):
+        T.winnowing_fingerprints(df, k=4, w=5).collect()
+    # and a doc under the patched bound still fingerprints fine
+    ok = spark.createDataFrame(
+        [(2, " ".join(f"t{i}" for i in range(12)))], "doc_id int, text string"
+    )
+    assert T.winnowing_fingerprints(ok, k=4, w=5).count() == 1
+
+
+def test_anomaly_zscore_constant_series_no_flags(spark):
+    """A constant series (variance 0) must be an explicit NO-FLAG path,
+    not NaN fallout (ADVICE r5) — and a genuinely anomalous series in
+    the same relation still flags."""
+    from cdc_poc_spark.operators.temporal import anomaly_zscore_flags
+
+    rows = [("const", i, 5) for i in range(20)]
+    rows += [("spiky", i, 5) for i in range(19)] + [("spiky", 19, 500)]
+    b = spark.createDataFrame(
+        rows, "event_type string, bucket_us long, n_events long"
+    )
+    out = anomaly_zscore_flags(b).collect()
+    series = {r.event_type for r in out}
+    assert "const" not in series
+    assert "spiky" in series
+    assert all(r.zscore == r.zscore for r in out)  # no NaN survives
+
+
 def test_bigram_logprob_ranks_salad_below_prose(spark):
     """A token-salad document whose unigrams are common but whose
     transitions never occur in the corpus must score BELOW (more
