@@ -131,3 +131,65 @@ def anomaly_zscore_flags(
         .filter(F.abs(z) >= sigma)
         .select(series_col, bucket_col, n_col, F.round(z, 4).alias("zscore"))
     )
+
+
+# -- watermark-delay recommendation (shared by the batch query
+#    queries/profiling.py:cdc_watermark_recommendation and the streaming
+#    maintainer streaming/windows.py:streaming_watermark_recommendation,
+#    so both paths derive IDENTICAL recommendations by construction).
+
+#: arrival-order micro-batch size (arrival key DIV batch = batch id)
+WM_BATCH = 1000
+#: lateness quantization: milliseconds per second bucket
+WM_MS = 1000
+#: deterministic md5 jitter displacing the fixture's perfectly-sorted
+#: event_id order into a realistic arrival sequence (same expression as
+#: the DuckDB oracle's _JITTER_SQL in queries/profiling.py)
+JITTER_SPARK = (
+    "event_id + CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 4), 16, 10)"
+    " AS BIGINT) % 64"
+)
+
+
+def lateness_histogram(events: DataFrame, hwm: DataFrame) -> DataFrame:
+    """Per-(series, quantized-second) lateness counts given events with
+    (event_type, ts_us, bkt) and a per-bucket high-water-mark relation
+    (bkt, hwm_prev). One broadcast join (|batches| rows) + one keyed
+    count — the |events|-sized relation is touched exactly once."""
+    lat = events.join(F.broadcast(hwm), "bkt").select(
+        "event_type",
+        F.expr(
+            f"greatest(0L, coalesce(hwm_prev, 0L) - ts_us) DIV 1000 DIV {WM_MS}"
+        ).alias("lat_q"),
+    )
+    return lat.groupBy("event_type", "lat_q").agg(F.count(F.lit(1)).alias("c"))
+
+
+def lateness_percentile_rollup(hist: DataFrame) -> DataFrame:
+    """Exact histogram percentiles over (event_type, lat_q, c): the
+    smallest second-bucket whose cumulative count clears q·n — integer
+    predicates, no interpolation for engines to disagree on. p99_s IS
+    the `withWatermark` delay to configure; max_s the drop bound. The
+    windows run over the tiny per-(series, second) histogram, never the
+    event history."""
+    wcum = W.partitionBy("event_type").orderBy("lat_q").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "lat_q",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("lat_q"))).alias("p50_s"),
+        F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("lat_q"))).alias(
+            "p95_s"
+        ),
+        F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("lat_q"))).alias(
+            "p99_s"
+        ),
+        F.max("lat_q").alias("max_s"),
+    )

@@ -428,8 +428,11 @@ def agg_gini_coefficient(spark, sf_dir):
 # Watermark-delay recommendation from micro-batch high-water-mark lateness.
 # ---------------------------------------------------------------------------
 
-_WM_BATCH = 1000  # arrival-order micro-batch size (event_id DIV batch)
-_WM_MS = 1000  # lateness quantization: milliseconds
+# shared with the streaming maintainer — single source of truth in
+# operators/temporal.py (WM_BATCH / WM_MS), aliased here for the oracle
+# f-strings
+from ..operators.temporal import WM_BATCH as _WM_BATCH  # noqa: E402
+from ..operators.temporal import WM_MS as _WM_MS  # noqa: E402
 
 
 def _wm_oracle() -> str:
@@ -487,7 +490,19 @@ def cdc_watermark_recommendation(spark, sf_dir):
     mark is a window over the tiny per-batch relation (|batches| rows,
     never |events|); lateness is a broadcast join back; percentiles
     come from the per-(series, second) histogram — every full-size
-    relation is keyed, the only windows run on bounded aggregates."""
+    relation is keyed, the only windows run on bounded aggregates.
+
+    The histogram + percentile derivation is shared VERBATIM with the
+    streaming maintainer (streaming/windows.py:
+    streaming_watermark_recommendation — operators/temporal.py:
+    lateness_histogram / lateness_percentile_rollup), whose drained
+    output is asserted row-equal to this query in
+    tests/test_streaming.py."""
+    from ..operators.temporal import (
+        lateness_histogram,
+        lateness_percentile_rollup,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
@@ -498,34 +513,7 @@ def cdc_watermark_recommendation(spark, sf_dir):
     bm = e.groupBy("bkt").agg(F.max("ts_us").alias("bmax"))
     wprev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     hwm = bm.select("bkt", F.max("bmax").over(wprev).alias("hwm_prev"))
-    lat = e.join(F.broadcast(hwm), "bkt").select(
-        "event_type",
-        F.expr(
-            f"greatest(0L, coalesce(hwm_prev, 0L) - ts_us) DIV 1000 DIV {_WM_MS}"
-        ).alias("lat_q"),
-    )
-    hist = lat.groupBy("event_type", "lat_q").agg(F.count(F.lit(1)).alias("c"))
-    wcum = W.partitionBy("event_type").orderBy("lat_q").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    wall = W.partitionBy("event_type")
-    cum = hist.select(
-        "event_type",
-        "lat_q",
-        F.sum("c").over(wcum).alias("cc"),
-        F.sum("c").over(wall).alias("n"),
-    )
-    return cum.groupBy("event_type").agg(
-        F.max("n").alias("n_events"),
-        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("lat_q"))).alias("p50_s"),
-        F.min(F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("lat_q"))).alias(
-            "p95_s"
-        ),
-        F.min(F.when(F.col("cc") * 100 >= F.col("n") * 99, F.col("lat_q"))).alias(
-            "p99_s"
-        ),
-        F.max("lat_q").alias("max_s"),
-    )
+    return lateness_percentile_rollup(lateness_histogram(e, hwm))
 
 
 # ---------------------------------------------------------------------------

@@ -249,3 +249,112 @@ def derive_bucket_anomalies(spark, inc_dir: str, sigma: float = 2.0) -> DataFram
         .agg(F.sum("n_inc").cast("long").alias("n_events"))
     )
     return anomaly_zscore_flags(b, sigma=sigma)
+
+
+def streaming_watermark_recommendation(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of queries/profiling.py:cdc_watermark_recommendation
+    (VERDICT r5 task 6): incrementally maintain the per-(series, second)
+    lateness histogram against the running event-time HIGH-WATER MARK,
+    epoch by epoch, with derivation on read — the same IVM shape as
+    streaming_anomaly_zscore.
+
+    Per micro-batch the handler (a) recomputes each event's arrival
+    bucket (deterministic md5 jitter — the arrival key is part of the
+    query definition, identical to the batch query), (b) reads the
+    PRIOR high-water mark from previously landed per-epoch bucket
+    maxima (``__epoch < epoch_id`` — a replayed epoch never sees its
+    own first attempt, so the lateness it computes is exactly what the
+    first attempt computed), (c) extends it with the within-batch
+    running max over earlier buckets, (d) lands the batch's histogram
+    increments AND its per-bucket maxima under ``__epoch=N`` with
+    dynamic-partition overwrite (exactly-once under replay, like
+    CDCConsumer.land_log_batch).
+
+    Input contract: arrival order — files must reach the stream in
+    arrival-bucket order (that is what "arrival" means; the test splits
+    the fixture into per-bucket-range files). Derivation:
+    derive_watermark_recommendation, asserted row-equal to the batch
+    query after an availableNow drain."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.temporal import (
+        JITTER_SPARK,
+        WM_BATCH,
+        lateness_histogram,
+    )
+
+    bm_dir = os.path.join(state_dir, "bm")
+    hist_dir = os.path.join(state_dir, "hist")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        e = batch_df.select(
+            "event_type",
+            "event_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}").alias("bkt"),
+        )
+        prior = None
+        if os.path.isdir(bm_dir):
+            row = (
+                spark.read.parquet(bm_dir)
+                .filter(F.col("__epoch") < int(epoch_id))
+                .agg(F.max("bmax"))
+                .collect()[0]
+            )
+            prior = row[0]
+        bm = e.groupBy("bkt").agg(F.max("ts_us").alias("bmax"))
+        wprev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        # greatest() skips nulls: first bucket of the first epoch gets
+        # NULL hwm_prev -> lateness 0, same as the batch query
+        hwm = bm.select(
+            "bkt",
+            F.greatest(
+                F.lit(prior).cast("long"), F.max("bmax").over(wprev)
+            ).alias("hwm_prev"),
+        )
+        inc = lateness_histogram(e, hwm).withColumnRenamed("c", "n_inc")
+        (
+            inc.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(hist_dir)
+        )
+        (
+            bm.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(bm_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def derive_watermark_recommendation(spark, state_dir: str) -> DataFrame:
+    """Read side of streaming_watermark_recommendation: merge the
+    maintained per-epoch histogram increments and run the SHARED
+    percentile rollup (operators/temporal.py:lateness_percentile_rollup
+    — same code as the batch query, so equal inputs give equal outputs
+    by construction). Cost is the standing histogram's size, never the
+    event history."""
+    import os
+
+    from ..operators.temporal import lateness_percentile_rollup
+
+    hist = (
+        spark.read.parquet(os.path.join(state_dir, "hist"))
+        .groupBy("event_type", "lat_q")
+        .agg(F.sum("n_inc").cast("long").alias("c"))
+    )
+    return lateness_percentile_rollup(hist)

@@ -1250,3 +1250,138 @@ def test_streaming_anomaly_replay_is_idempotent(spark, event_stream_dir, tmp_pat
         for r in swin.derive_bucket_anomalies(spark, inc_dir).collect()
     )
     assert after == before and before
+
+
+def test_streaming_watermark_recommendation_matches_batch(spark, tmp_path):
+    """The incrementally-maintained lateness histogram, drained with
+    availableNow, must derive EXACTLY the batch
+    cdc_watermark_recommendation rows — in BOTH epoch shapes: (a) one
+    epoch holding every arrival bucket (the within-batch running-hwm
+    path) and (b) one file per arrival bucket with maxFilesPerTrigger=1
+    (the cross-epoch prior-hwm state path)."""
+    from cdc_poc_spark.operators.temporal import JITTER_SPARK, WM_BATCH
+    from cdc_poc_spark.queries import all_specs
+    from cdc_poc_spark.tables import load_table
+
+    src = load_table(spark, SF_DIR, "events")
+    schema = src.schema
+    want = sorted(
+        tuple(r)
+        for r in all_specs()["cdc_watermark_recommendation"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+
+    # (a) single epoch, all buckets together
+    d_all = tmp_path / "all"
+    src.coalesce(1).write.parquet(str(d_all / "data"))
+    stream = spark.readStream.schema(schema).parquet(str(d_all / "data"))
+    q = swin.streaming_watermark_recommendation(
+        stream, str(d_all / "state"), str(d_all / "ckpt")
+    )
+    q.awaitTermination(180)
+    got_a = sorted(
+        tuple(r)
+        for r in swin.derive_watermark_recommendation(
+            spark, str(d_all / "state")
+        ).collect()
+    )
+    assert got_a == want and want
+
+    # (b) one file per arrival bucket, processed in arrival order
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    d_split = tmp_path / "split"
+    data_dir = d_split / "data"
+    data_dir.mkdir(parents=True)
+    bkts = sorted(
+        r.bkt
+        for r in src.select(
+            F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}").alias("bkt")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(bkts) >= 2, "fixture must span multiple arrival buckets"
+    import glob
+    import shutil
+
+    for i, b in enumerate(bkts):
+        part = src.filter(F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}") == b)
+        tmp_out = str(tmp_path / f"tmp_b{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dest = str(data_dir / f"b{i:03d}.parquet")
+        shutil.move(pf, dest)
+        # file source orders by modification time: pin arrival order
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+    q = swin.streaming_watermark_recommendation(
+        stream, str(d_split / "state"), str(d_split / "ckpt")
+    )
+    q.awaitTermination(180)
+    state = str(d_split / "state")
+    epochs = {
+        d for d in os.listdir(os.path.join(state, "hist")) if d.startswith("__epoch=")
+    }
+    assert len(epochs) >= 2, f"expected multi-epoch drain, got {epochs}"
+    got_b = sorted(
+        tuple(r)
+        for r in swin.derive_watermark_recommendation(spark, state).collect()
+    )
+    assert got_b == want
+
+    # replay idempotence: re-land the LAST epoch's increments (the
+    # foreachBatch crash-recovery case) and re-derive — unchanged
+    last_epoch = max(int(d.split("=")[1]) for d in epochs)
+    batch = src.filter(
+        F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}") == bkts[-1]
+    )
+
+    # simulate the foreachBatch replay of the last epoch: re-land the
+    # increments computed the same way the handler does (prior = max
+    # bmax of EARLIER epochs only) under the same epoch id
+    prior = (
+        spark.read.parquet(os.path.join(state, "bm"))
+        .filter(F.col("__epoch") < last_epoch)
+        .agg(F.max("bmax"))
+        .collect()[0][0]
+    )
+    e = batch.select(
+        "event_type",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}").alias("bkt"),
+    )
+    from pyspark.sql import Window as W
+
+    from cdc_poc_spark.operators.temporal import lateness_histogram
+
+    bm = e.groupBy("bkt").agg(F.max("ts_us").alias("bmax"))
+    wprev = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    hwm = bm.select(
+        "bkt",
+        F.greatest(F.lit(prior).cast("long"), F.max("bmax").over(wprev)).alias(
+            "hwm_prev"
+        ),
+    )
+    inc = lateness_histogram(e, hwm).withColumnRenamed("c", "n_inc")
+    (
+        inc.withColumn("__epoch", F.lit(last_epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(os.path.join(state, "hist"))
+    )
+    got_replay = sorted(
+        tuple(r)
+        for r in swin.derive_watermark_recommendation(spark, state).collect()
+    )
+    assert got_replay == got_b
