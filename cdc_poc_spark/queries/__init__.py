@@ -223,7 +223,13 @@ _ROUND6_NEW: list = [
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.
-_ROUND6B_NEW: list = []
+_ROUND6B_NEW: list = [
+    "agg_entropy_per_group",
+    "agg_chi_square_cells",
+    "agg_ks_two_sample",
+    "agg_weighted_median",
+    "agg_theil_index",
+]
 
 
 def all_specs() -> dict[str, QuerySpec]:

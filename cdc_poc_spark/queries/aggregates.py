@@ -600,3 +600,317 @@ def agg_pareto_concentration(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Information-theoretic + distribution-comparison aggregates (round 6).
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), g AS (
+  SELECT c_mktsegment, CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
+  FROM c GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n_total, n_classes,
+       round(ln(CAST(n_total AS DOUBLE)) - snln / n_total, 6) AS entropy_nats
+FROM g
+"""
+
+
+@register("agg_entropy_per_group", oracle=_ENTROPY_ORACLE, tags=("agg", "stats"))
+def agg_entropy_per_group(spark, sf_dir):
+    """Shannon entropy of the order-priority distribution within each
+    market segment — the class-balance / diversity metric every corpus
+    report carries (uniform mix -> ln(n_classes), collapsed mix -> 0).
+    Exactness: the only floating math is ln over exact BIGINT counts
+    and ONE n_classes-term sum per group (<= 5 terms, magnitudes O(n
+    ln n)) — identical IEEE expressions on identical integers in both
+    engines, rounded to 6 dp. Plan: two map-side-combinable keyed aggs
+    (cell counts, then per-group rollup), broadcast-free."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double"))).alias(
+                "snln"
+            ),
+        )
+        .select(
+            "c_mktsegment",
+            "n_total",
+            "n_classes",
+            F.round(
+                F.log(F.col("n_total").cast("double"))
+                - F.col("snln") / F.col("n_total"),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+_CHI2_ORACLE = """
+WITH cell AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), rt AS (
+  SELECT c_mktsegment, CAST(SUM(observed) AS BIGINT) AS row_total FROM cell GROUP BY 1
+), ct AS (
+  SELECT o_orderpriority, CAST(SUM(observed) AS BIGINT) AS col_total FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cell
+)
+SELECT cell.c_mktsegment, cell.o_orderpriority, cell.observed,
+       CAST(rt.row_total * ct.col_total * 1000000 // tot.n AS BIGINT) AS expected_ppm,
+       round(
+         (CAST(tot.n AS DOUBLE) * cell.observed - CAST(rt.row_total AS DOUBLE) * ct.col_total)
+         * (CAST(tot.n AS DOUBLE) * cell.observed - CAST(rt.row_total AS DOUBLE) * ct.col_total)
+         / (CAST(tot.n AS DOUBLE) * rt.row_total * ct.col_total), 6) AS chi2_contrib
+FROM cell JOIN rt USING (c_mktsegment) JOIN ct USING (o_orderpriority), tot
+"""
+
+
+@register("agg_chi_square_cells", oracle=_CHI2_ORACLE, tags=("agg", "stats"))
+def agg_chi_square_cells(spark, sf_dir):
+    """Chi-square independence decomposition of the (segment x
+    priority) contingency table, PER CELL — observed count, expected
+    count (exact integer parts-per-million), and the cell's chi-square
+    contribution, so the analyst sees WHICH cells deviate (the scalar
+    statistic is the sum; emitting cells keeps every number a single
+    arithmetic expression over exact integers — no cross-row float
+    accumulation for engines to disagree on). Plan: one cell count +
+    two tiny rollups broadcast back onto the cells."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cell = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cell.groupBy("c_mktsegment").agg(F.sum("observed").alias("row_total"))
+    ct = cell.groupBy("o_orderpriority").agg(F.sum("observed").alias("col_total"))
+    tot = cell.agg(F.sum("observed").alias("n"))
+    nd = F.col("n").cast("double")
+    dev = nd * F.col("observed") - F.col("row_total").cast("double") * F.col("col_total")
+    return (
+        cell.join(F.broadcast(rt), "c_mktsegment")
+        .join(F.broadcast(ct), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            F.expr("row_total * col_total * 1000000 DIV n")
+            .cast("long")
+            .alias("expected_ppm"),
+            F.round(
+                dev * dev / (nd * F.col("row_total") * F.col("col_total")), 6
+            ).alias("chi2_contrib"),
+        )
+    )
+
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT CAST(c_acctbal AS DECIMAL(12,2)) AS v,
+         CAST(count_if(c_mktsegment = 'BUILDING') AS BIGINT) AS c1,
+         CAST(count_if(c_mktsegment = 'MACHINERY') AS BIGINT) AS c2
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1
+), cum AS (
+  SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f2,
+         SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+  FROM s
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_scaled,
+       round(CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+             / (MAX(n1) * MAX(n2)), 6) AS ks_stat
+FROM cum
+"""
+
+
+@register("agg_ks_two_sample", oracle=_KS_ORACLE, tags=("agg", "stats"))
+def agg_ks_two_sample(spark, sf_dir):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    BUILDING and MACHINERY account-balance distributions — the drift
+    detector run between corpus snapshots / data deliveries. Exactness:
+    D = max|F1 - F2| is computed as an INTEGER max of
+    |f1*n2 - f2*n1| over per-value cumulative counts (cents-exact
+    DECIMAL values), divided once at the end — no per-step float CDFs.
+    Plan: one keyed count over distinct values + one window cumsum over
+    the distinct-value relation (|values| rows, not |rows|)."""
+    cust = load_table(spark, sf_dir, "customer")
+    s = (
+        cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(dec("c_acctbal", BAL).alias("v"))
+        .agg(
+            F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("c1"),
+            F.count(F.when(F.col("c_mktsegment") == "MACHINERY", 1)).alias("c2"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    cum = s.select(
+        F.sum("c1").over(wc).alias("f1"),
+        F.sum("c2").over(wc).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))).alias(
+            "d_scaled"
+        ),
+        F.round(
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+            .cast("double")
+            / (F.max("n1") * F.max("n2")),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT c.c_mktsegment,
+         CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS wt
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT c_mktsegment, cents, wt,
+         SUM(wt) OVER (PARTITION BY c_mktsegment ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY c_mktsegment) AS tw
+  FROM w
+)
+SELECT c_mktsegment, CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN cw * 2 >= tw THEN cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM cum GROUP BY c_mktsegment
+"""
+
+
+@register("agg_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("agg", "stats"))
+def agg_weighted_median(spark, sf_dir):
+    """Order-count-weighted median account balance per segment — the
+    weighted-percentile primitive (sampling weights, token weights,
+    importance weights) that percentile_approx cannot do exactly.
+    Integer predicate: smallest cents value whose cumulative weight
+    clears half the total — no interpolation. Plan: one keyed
+    count-weight agg + one window over the per-(segment, value)
+    relation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count("o_orderkey").alias("wt"))
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("c_mktsegment").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("c_mktsegment")
+    cum = w.select(
+        "c_mktsegment",
+        "cents",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    return cum.groupBy("c_mktsegment").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("cents"))).alias(
+            "weighted_median_cents"
+        ),
+    )
+
+
+_THEIL_ORACLE = """
+WITH x AS (
+  SELECT c_mktsegment,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) + 1100000 AS BIGINT)
+           AS cents_pos
+  FROM customer
+), g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(cents_pos) AS DECIMAL(38,0)) AS s_g,
+         SUM(CAST(cents_pos AS DOUBLE) * ln(CAST(cents_pos AS DOUBLE))) AS sxlnx
+  FROM x GROUP BY c_mktsegment
+), t AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS DECIMAL(38,0)) AS s FROM g
+)
+SELECT g.c_mktsegment, g.n_g,
+       round((g.sxlnx / CAST(t.s AS DOUBLE))
+             - (CAST(g.s_g AS DOUBLE) / CAST(t.s AS DOUBLE))
+               * ln(CAST(t.s AS DOUBLE) / t.n), 6) AS theil_share,
+       round(CAST(g.s_g AS DOUBLE) / CAST(t.s AS DOUBLE)
+             * ln((CAST(g.s_g AS DOUBLE) / g.n_g) / (CAST(t.s AS DOUBLE) / t.n)), 6)
+         AS theil_between_term
+FROM g, t
+"""
+
+
+@register("agg_theil_index", oracle=_THEIL_ORACLE, tags=("agg", "stats"))
+def agg_theil_index(spark, sf_dir):
+    """Theil inequality decomposition of (shifted-positive) account
+    balances by segment: each segment's share of the overall Theil-T
+    index plus its between-group term — the decomposable inequality
+    metric Gini cannot split (total T = sum(shares); between-T = sum of
+    between terms). Exact integer cents (shifted +11000.00 so every
+    value is positive, as Theil requires); the only cross-row float sum
+    is sum(x ln x) per group, rounded at 6 dp. Plan: one keyed moments
+    agg + a broadcast of the one-row total."""
+    cust = load_table(spark, sf_dir, "customer")
+    x = cust.select(
+        "c_mktsegment",
+        (F.round(dec("c_acctbal", BAL) * 100).cast("long") + 1_100_000).alias(
+            "cents_pos"
+        ),
+    )
+    g = x.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents_pos").cast("decimal(38,0)").alias("s_g"),
+        F.sum(
+            F.col("cents_pos").cast("double")
+            * F.log(F.col("cents_pos").cast("double"))
+        ).alias("sxlnx"),
+    )
+    t = g.agg(
+        F.sum("n_g").alias("n"), F.sum("s_g").cast("decimal(38,0)").alias("s")
+    )
+    sd = F.col("s").cast("double")
+    sgd = F.col("s_g").cast("double")
+    return g.crossJoin(F.broadcast(t)).select(
+        "c_mktsegment",
+        "n_g",
+        F.round(
+            F.col("sxlnx") / sd - (sgd / sd) * F.log(sd / F.col("n")), 6
+        ).alias("theil_share"),
+        F.round(
+            sgd / sd * F.log((sgd / F.col("n_g")) / (sd / F.col("n"))), 6
+        ).alias("theil_between_term"),
+    )
