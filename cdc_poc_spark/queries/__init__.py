@@ -229,6 +229,9 @@ _ROUND6B_NEW: list = [
     "agg_ks_two_sample",
     "agg_weighted_median",
     "agg_theil_index",
+    "graph_local_clustering",
+    "graph_linkpred_common_neighbors",
+    "graph_degree_assortativity",
 ]
 
 

@@ -837,3 +837,228 @@ def sim_centroid_distances(spark, sf_dir):
             ),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-6 graph analytics over the part CO-ORDER graph: local clustering,
+# common-neighbor link prediction, degree assortativity. The co-purchase
+# supplier projection is COMPLETE at fixture scale (every supplier pair
+# shares >= 3 customers — a K_n gives empty link-prediction candidates
+# and zero degree variance, the non-discriminating-oracle trap the r5
+# gate-honesty audit was about), so these three consume the naturally
+# SPARSE "parts ordered together >= 2 times" graph instead (checked:
+# varied degrees, thousands of triangles, non-empty candidate sets at
+# sf0.001 AND sf0.01).
+# ---------------------------------------------------------------------------
+
+_COORDER_MIN_SHARED = 2
+
+
+def _coorder_part_edges(spark, sf_dir):
+    """(u < v, w) part co-order edges: parts appearing in >= 2 common
+    orders. Plan: distinct (order, part) bipartite edges + one
+    order-keyed self equi-join (per-order fanout = lineitems/order, ~4
+    — bounded by construction, no hub cap needed) + one keyed count."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = b.select("o", F.col("p").alias("u"))
+    x = b.select("o", F.col("p").alias("v"))
+    return (
+        a.join(x, "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _COORDER_MIN_SHARED)
+    )
+
+
+_COORDER_EDGES_CTE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT a.p AS u, x.p AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM b a JOIN b x ON a.o = x.o AND a.p < x.p
+  GROUP BY a.p, x.p
+  HAVING COUNT(*) >= {_COORDER_MIN_SHARED}
+), sym AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+)"""
+
+
+_LOCAL_CC_ORACLE = _COORDER_EDGES_CTE + """
+, tri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT unnest([e1.u, e1.v, e2.v]) AS node
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+  ) GROUP BY node
+)
+SELECT d.node AS part, d.deg,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1.0)), 6)
+            ELSE 0.0 END AS local_cc
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+"""
+
+
+@register("graph_local_clustering", oracle=_LOCAL_CC_ORACLE, tags=("graph", "analytics"))
+def graph_local_clustering(spark, sf_dir):
+    """Per-part LOCAL clustering coefficient over the co-order graph
+    (triangle_stats reports the global transitivity; this is the
+    node-level decomposition: a high-degree part with near-zero local
+    cc is a staple bridging unrelated baskets, a clique member scores
+    ~1). Degree-ordered-orientation triangle ENUMERATION
+    (operators/graph.py:local_clustering, Suri & Vassilvitskii WWW'11 —
+    wedge fanout bounded by out-degree) with an explode(3) credit per
+    triangle — keyed shuffles only; the oracle re-enumerates triangles
+    from the u<v edge list with an ordered 3-way self-join."""
+    from ..operators.graph import local_clustering
+
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    return local_clustering(e).withColumnRenamed("node", "part")
+
+
+_LINKPRED_ORACLE = _COORDER_EDGES_CTE + """
+, cn AS (
+  SELECT s1.u AS a, s2.u AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.u < s2.u
+  GROUP BY 1, 2
+), cand AS (
+  SELECT cn.a, cn.b, cn.n_common
+  FROM cn LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+  WHERE e.u IS NULL AND cn.n_common >= 2
+)
+SELECT cand.a AS part_a, cand.b AS part_b, cand.n_common,
+       round(CAST(cand.n_common AS DOUBLE)
+             / (da.deg + db.deg - cand.n_common), 6) AS neighbor_jaccard
+FROM cand
+JOIN deg da ON da.node = cand.a
+JOIN deg db ON db.node = cand.b
+"""
+
+
+@register("graph_linkpred_common_neighbors", oracle=_LINKPRED_ORACLE, tags=("graph", "analytics"))
+def graph_linkpred_common_neighbors(spark, sf_dir):
+    """Common-neighbor link prediction over the co-order graph:
+    NON-adjacent part pairs sharing >= 2 neighbors, scored by
+    neighborhood Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the classic
+    structural recommender ("parts that should co-occur but don't
+    yet"). Plan: wedge join on the shared neighbor (per-key fanout =
+    neighbor degree — naturally bounded here; on a hubby graph the
+    co-purchase cap rule applies first), one anti-join against the
+    edge set, two broadcast degree joins. Exact integers until the
+    single final division. Non-empty at every fixture SF (checked —
+    the r5 gate-honesty rule)."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    s1 = sym.select(F.col("u").alias("a"), F.col("v").alias("n"))
+    s2 = sym.select(F.col("u").alias("b"), F.col("v").alias("n"))
+    cn = (
+        s1.join(s2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    cand = cn.join(e, (e.u == cn.a) & (e.v == cn.b), "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
+    )
+
+
+_ASSORT_ORACLE = _COORDER_EDGES_CTE + """
+, p AS (
+  SELECT d1.deg AS dx, d2.deg AS dy
+  FROM sym s JOIN deg d1 ON d1.node = s.u JOIN deg d2 ON d2.node = s.v
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(dy) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(dx * dy) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(dx * dx) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(dy * dy) AS DECIMAL(38,0)) AS syy
+  FROM p
+)
+SELECT n AS n_edge_endpoints,
+       CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+            END AS assortativity
+FROM m
+"""
+
+
+@register("graph_degree_assortativity", oracle=_ASSORT_ORACLE, tags=("graph", "analytics"))
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-order graph: Pearson correlation
+    of endpoint degrees over every (symmetric) edge — positive means
+    hubs link hubs (social-network-like), negative means hubs link
+    leaves (infrastructure-like); the one-scalar structure fingerprint.
+    Exact DECIMAL(38) integer moments, ONE double expression at the
+    end — no cross-row float accumulation; a degree-regular graph
+    (zero variance) is an explicit NULL path, not a divide-by-zero
+    (the ADVICE-r5 z-score rule; non-NULL at every fixture SF,
+    checked). Plan: two broadcast degree joins onto the edge relation
+    + one map-side-combinable moments agg."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    p = (
+        sym.join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("dx"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dy"))),
+            "v",
+        )
+        .select("dx", "dy")
+    )
+    m = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return m.select(
+        F.col("n").alias("n_edge_endpoints"),
+        F.when((varx > 0) & (vary > 0), F.round(cov / F.sqrt(varx * vary), 6)).alias(
+            "assortativity"
+        ),
+    )
