@@ -232,6 +232,9 @@ _ROUND6B_NEW: list = [
     "graph_local_clustering",
     "graph_linkpred_common_neighbors",
     "graph_degree_assortativity",
+    "tw_ewma_trailing",
+    "tw_cusum_changepoint",
+    "tw_cross_correlation_lags",
 ]
 
 

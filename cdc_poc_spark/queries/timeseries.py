@@ -509,3 +509,273 @@ def tw_reorder_latency(spark, sf_dir):
         F.min(F.when(F.col("cc") * 10 >= F.col("n") * 9, F.col("gap_days"))).cast("long").alias("p90_days"),
         F.max("gap_days").cast("long").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 sequential analytics: trailing EWMA, CUSUM change point,
+# cross-correlation at lags.
+# ---------------------------------------------------------------------------
+
+_1H_US = 3600 * 1_000_000
+
+_EWMA_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_1H_US}) * {_1H_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, bucket_us, x,
+         lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+         lag(x, 3) OVER w AS x3, lag(x, 4) OVER w AS x4,
+         lag(x, 5) OVER w AS x5, lag(x, 6) OVER w AS x6,
+         lag(x, 7) OVER w AS x7
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
+), s AS (
+  SELECT event_type, bucket_us, x,
+         128 * x + 64 * COALESCE(x1, 0) + 32 * COALESCE(x2, 0)
+           + 16 * COALESCE(x3, 0) + 8 * COALESCE(x4, 0)
+           + 4 * COALESCE(x5, 0) + 2 * COALESCE(x6, 0) + COALESCE(x7, 0)
+           AS num,
+         128 + CASE WHEN x1 IS NULL THEN 0 ELSE 64 END
+             + CASE WHEN x2 IS NULL THEN 0 ELSE 32 END
+             + CASE WHEN x3 IS NULL THEN 0 ELSE 16 END
+             + CASE WHEN x4 IS NULL THEN 0 ELSE 8 END
+             + CASE WHEN x5 IS NULL THEN 0 ELSE 4 END
+             + CASE WHEN x6 IS NULL THEN 0 ELSE 2 END
+             + CASE WHEN x7 IS NULL THEN 0 ELSE 1 END AS den
+  FROM l
+)
+SELECT event_type, bucket_us, x AS n_events,
+       CAST(num AS BIGINT) AS ewma_num, CAST(den AS BIGINT) AS ewma_den,
+       round(CAST(num AS DOUBLE) / den, 6) AS ewma8
+FROM s
+"""
+
+
+@register("tw_ewma_trailing", oracle=_EWMA_ORACLE, tags=("window", "timeseries"))
+def tw_ewma_trailing(spark, sf_dir):
+    """Trailing 8-bucket exponentially-weighted moving average (alpha =
+    1/2) of hourly event counts per series — the smoothing baseline
+    dashboards and alerting draw. EXACT by construction: alpha = 1/2
+    makes every weight a power of two, so numerator and denominator are
+    INTEGER window expressions (8 lags, short ramp-up renormalized by
+    the present-lag mask) and the only float op is one final division,
+    rounded at 6 dp — no recurrence, no accumulated float state. Plan:
+    one keyed bucket count + one lag window over the per-(series, hour)
+    relation (|series x hours| rows, never |events|)."""
+    from .timewindows import events_with_time  # shared ts normalization
+
+    ev = events_with_time(spark, sf_dir)
+    b = (
+        ev.withColumn(
+            "bucket_us", F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US))
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_us")
+    lags = {i: F.lag("x", i).over(w) for i in range(1, 8)}
+    num = F.col("x") * 128
+    den = F.lit(128)
+    for i, c in lags.items():
+        wgt = 1 << (7 - i)
+        num = num + F.coalesce(c, F.lit(0)) * wgt
+        den = den + F.when(c.isNull(), 0).otherwise(wgt)
+    return b.select(
+        "event_type",
+        "bucket_us",
+        F.col("x").alias("n_events"),
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        F.round(num.cast("double") / den, 6).alias("ewma8"),
+    )
+
+
+_CUSUM_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_1H_US}) * {_1H_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(x) AS BIGINT) AS s
+  FROM b GROUP BY event_type
+), p AS (
+  SELECT b.event_type, b.bucket_us,
+         SUM(tot.nb * b.x - tot.s) OVER (PARTITION BY b.event_type
+                                         ORDER BY b.bucket_us
+                                         ROWS UNBOUNDED PRECEDING) AS pre
+  FROM b JOIN tot ON tot.event_type = b.event_type
+), c AS (
+  SELECT event_type, bucket_us,
+         pre - least(0, MIN(pre) OVER (PARTITION BY event_type
+                                       ORDER BY bucket_us
+                                       ROWS UNBOUNDED PRECEDING)) AS cusum
+  FROM p
+)
+SELECT c.event_type, CAST(tot.nb AS BIGINT) AS n_buckets,
+       CAST(MAX(c.cusum) AS BIGINT) AS max_cusum_scaled,
+       CAST(MIN(CASE WHEN c.cusum = mc.m THEN c.bucket_us END) AS BIGINT)
+         AS changepoint_bucket_us
+FROM c
+JOIN (SELECT event_type, MAX(cusum) AS m FROM c GROUP BY event_type) mc
+  ON mc.event_type = c.event_type
+JOIN tot ON tot.event_type = c.event_type
+GROUP BY c.event_type, tot.nb
+"""
+
+
+@register("tw_cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("window", "timeseries", "anomaly"))
+def tw_cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM change-point scan over hourly counts per series:
+    S_t = max(0, S_{t-1} + (x_t - mean)) — the sequential drift
+    detector. The recurrence is rewritten relationally via the
+    prefix-sum identity S_t = P_t - min(0, min_{j<=t} P_j), and the
+    mean-centering is SCALED BY n (drift = n*x_t - total) so every
+    intermediate is an exact BIGINT — no float recurrence, no rounding
+    anywhere. Reports each series' peak CUSUM and the earliest bucket
+    attaining it (the change point). Plan: one keyed count, one tiny
+    per-series rollup broadcast back, two windows over the bucket
+    relation."""
+    from .timewindows import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    b = (
+        ev.withColumn(
+            "bucket_us", F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US))
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("x").alias("s")
+    )
+    wc = W.partitionBy("event_type").orderBy("bucket_us").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    p = b.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket_us",
+        "nb",
+        F.sum(F.col("nb") * F.col("x") - F.col("s")).over(wc).alias("pre"),
+    )
+    c = p.select(
+        "event_type",
+        "bucket_us",
+        "nb",
+        (F.col("pre") - F.least(F.lit(0), F.min("pre").over(wc))).alias("cusum"),
+    )
+    mc = c.groupBy("event_type").agg(F.max("cusum").alias("m"))
+    return (
+        c.join(F.broadcast(mc), "event_type")
+        .groupBy("event_type", "nb")
+        .agg(
+            F.max("cusum").alias("max_cusum_scaled"),
+            F.min(F.when(F.col("cusum") == F.col("m"), F.col("bucket_us"))).alias(
+                "changepoint_bucket_us"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("nb").alias("n_buckets"),
+            "max_cusum_scaled",
+            "changepoint_bucket_us",
+        )
+    )
+
+
+_XCORR_SERIES_A = "click"
+_XCORR_SERIES_B = "purchase"
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_1H_US}) * {_1H_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type IN ('{_XCORR_SERIES_A}', '{_XCORR_SERIES_B}')
+  GROUP BY 1, 2
+), lags AS (
+  SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag_h
+), p AS (
+  SELECT l.lag_h, a.x AS xa, y.x AS xb
+  FROM lags l
+  JOIN b a ON a.event_type = '{_XCORR_SERIES_A}'
+  JOIN b y ON y.event_type = '{_XCORR_SERIES_B}'
+          AND y.bucket_us = a.bucket_us + l.lag_h * {_1H_US}
+), m AS (
+  SELECT lag_h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xa) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(xb) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(xa * xb) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(xa * xa) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(xb * xb) AS DECIMAL(38,0)) AS syy
+  FROM p GROUP BY lag_h
+)
+SELECT CAST(lag_h AS BIGINT) AS lag_h, n AS n_pairs,
+       CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                       6)
+            END AS xcorr
+FROM m
+"""
+
+
+@register("tw_cross_correlation_lags", oracle=_XCORR_ORACLE, tags=("window", "timeseries"))
+def tw_cross_correlation_lags(spark, sf_dir):
+    """Cross-correlation between the click and purchase hourly series
+    at lags 0..3h — "does click volume lead purchase volume, and by how
+    much?", the lead-lag diagnostic behind attribution and capacity
+    models. Lag alignment is an EQUI-join on shifted bucket ids (no
+    sequence assumptions about gaps — only co-present buckets pair);
+    moments are exact DECIMAL(38) integer sums with ONE double
+    expression per lag, degenerate variance an explicit NULL. Plan: one
+    keyed bucket count, a 4-row lag explode on the (tiny) series-A
+    relation, one equi-join on (shifted) bucket, one keyed moments
+    agg."""
+    from .timewindows import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    b = (
+        ev.filter(F.col("event_type").isin(_XCORR_SERIES_A, _XCORR_SERIES_B))
+        .withColumn("bucket_us", F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US)))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    a = (
+        b.filter(F.col("event_type") == _XCORR_SERIES_A)
+        .select("bucket_us", F.col("x").alias("xa"))
+        .withColumn(
+            "lag_h", F.explode(F.sequence(F.lit(0), F.lit(_XCORR_MAX_LAG)))
+        )
+        .select(
+            "lag_h",
+            "xa",
+            (F.col("bucket_us") + F.col("lag_h") * _1H_US).alias("b_bucket"),
+        )
+    )
+    y = b.filter(F.col("event_type") == _XCORR_SERIES_B).select(
+        F.col("bucket_us").alias("b_bucket"), F.col("x").alias("xb")
+    )
+    p = a.join(y, "b_bucket")
+    m = p.groupBy("lag_h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").cast("decimal(38,0)").alias("sx"),
+        F.sum("xb").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n")
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        F.col("lag_h").cast("long").alias("lag_h"),
+        F.col("n").alias("n_pairs"),
+        F.when((varx > 0) & (vary > 0), F.round(cov / F.sqrt(varx * vary), 6)).alias(
+            "xcorr"
+        ),
+    )
