@@ -946,3 +946,91 @@ def euclidean_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_range_search(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 8,
+    tau: float = 0.3,
+) -> DataFrame:
+    """RANGE search (radius query): every corpus vector with cosine >=
+    tau to each of the first ``n_queries`` vectors — the "all
+    sufficiently similar" primitive behind semantic dedup candidate
+    generation and recall-oriented retrieval, where top-k's fixed
+    cutoff is the wrong contract. Same broadcast-queries x one-scan
+    plan as cosine_topk, but the filter replaces the window: no
+    per-query sort at all, so range search is strictly cheaper than
+    top-k at scale (scan + filter, map-side only after the broadcast)."""
+    e = spread(emb).select(F.col(id_col), as_double(vec_col).alias("vec")).withColumn(
+        "vnorm", norm("vec")
+    )
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    sim = F.round(dot("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 5)
+    return (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def topk_per_label(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_queries: int = 5,
+) -> DataFrame:
+    """DIVERSIFIED retrieval: for each query vector, the single best
+    match within EVERY label class, ranked across labels — the grouped
+    variant of top-k that guarantees coverage of each stratum (the
+    cheap, deterministic alternative to MMR re-ranking when a class
+    column exists). One window per (query, label) picks the class
+    winner; a second window ranks winners per query. Both windows run
+    over the scored relation (|queries| x |corpus| rows pre-window,
+    |queries| x |labels| after the first)."""
+    e = spread(emb).select(
+        F.col(id_col), F.col(label_col), as_double(vec_col).alias("vec")
+    ).withColumn("vnorm", norm("vec"))
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    sim = F.round(dot("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 5)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(label_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w_in = W.partitionBy("query_id", label_col).orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    winners = scored.withColumn("rn", F.row_number().over(w_in)).filter(
+        F.col("rn") == 1
+    )
+    w_out = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return winners.select(
+        "query_id",
+        label_col,
+        "neighbor_id",
+        "cosine",
+        F.row_number().over(w_out).cast("long").alias("label_rank"),
+    )

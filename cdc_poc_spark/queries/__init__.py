@@ -235,6 +235,8 @@ _ROUND6B_NEW: list = [
     "tw_ewma_trailing",
     "tw_cusum_changepoint",
     "tw_cross_correlation_lags",
+    "sim_range_search",
+    "sim_topk_per_label",
 ]
 
 

@@ -1683,3 +1683,78 @@ def sim_euclidean_topk(spark, sf_dir):
     metric k-means/IVF optimizes; right when embeddings are not
     length-normalized. See operators/similarity.py:euclidean_topk."""
     return similarity.euclidean_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 similarity additions: radius search + label-diversified top-k.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                      i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5) AS cosine
+FROM n q, n c
+WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+  AND round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                     i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5) >= 0.3
+"""
+
+
+@register("sim_range_search", oracle=_RANGE_ORACLE, tags=("llm", "similarity"))
+def sim_range_search(spark, sf_dir):
+    """Cosine RADIUS search (all neighbors >= 0.3) for the first 8
+    query vectors — the recall-oriented "everything similar enough"
+    contract semantic-dedup candidate generation needs, where top-k
+    truncation is wrong (operators/similarity.py:cosine_range_search:
+    broadcast x scan + filter, NO per-query sort — strictly cheaper
+    than top-k at scale). Threshold chosen non-empty at every fixture
+    SF (29/33 rows — the r5 gate-honesty rule)."""
+    return similarity.cosine_range_search(load_table(spark, sf_dir, "embeddings"))
+
+
+_TOPK_LABEL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, c.label, c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+           AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+), winners AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, label
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, label, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS BIGINT)
+         AS label_rank
+FROM winners WHERE rn = 1
+"""
+
+
+@register("sim_topk_per_label", oracle=_TOPK_LABEL_ORACLE, tags=("llm", "similarity"))
+def sim_topk_per_label(spark, sf_dir):
+    """Label-DIVERSIFIED retrieval: per query vector, the best match in
+    EVERY label class, ranked across classes — guaranteed-coverage
+    top-k (the deterministic stand-in for MMR when a stratum column
+    exists; at 100 TB the label is a topic/cluster id and this is the
+    "one result per topic" product contract). Two windows: class
+    winner, then cross-class rank (operators/similarity.py:
+    topk_per_label)."""
+    return similarity.topk_per_label(load_table(spark, sf_dir, "embeddings"))
