@@ -237,6 +237,10 @@ _ROUND6B_NEW: list = [
     "tw_cross_correlation_lags",
     "sim_range_search",
     "sim_topk_per_label",
+    "text_lexical_diversity",
+    "text_char_ngram_profile",
+    "text_collocations_pmi",
+    "text_rake_keywords",
 ]
 
 

@@ -289,3 +289,279 @@ def text_winnowing_overlap_pairs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _OVERLAP_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 text analytics: lexical diversity, char-ngram source profile,
+# PMI collocations, RAKE keyword extraction.
+# ---------------------------------------------------------------------------
+
+_LEXDIV_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), f AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(count_if(c = 1) AS BIGINT) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       round(CAST(count_if(c = 1) AS DOUBLE) / COUNT(*), 6) AS hapax_share
+FROM f GROUP BY source
+"""
+
+
+@register("text_lexical_diversity", oracle=_LEXDIV_ORACLE, tags=("llm", "text", "quality"))
+def text_lexical_diversity(spark, sf_dir):
+    """Per-source lexical-diversity profile: type-token ratio and hapax
+    share — the vocabulary-richness signals that separate generated /
+    templated junk (low TTR, few hapax) from natural prose in corpus
+    quality dashboards. Exact integers + two final divisions. Plan: one
+    explode + two keyed aggs, all map-side-combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return f.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.count(F.when(F.col("c") == 1, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("hapax_share"),
+    )
+
+
+_CHARGRAM_ORACLE = """
+WITH g AS (
+  SELECT source, substring(text, s.i, 3) AS gram
+  FROM documents,
+       LATERAL unnest(generate_series(1, greatest(length(text) - 2, 0))) AS s(i)
+), c AS (
+  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n DESC, gram) AS rnk
+  FROM c
+)
+SELECT source, gram, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 5
+"""
+
+
+@register("text_char_ngram_profile", oracle=_CHARGRAM_ORACLE, tags=("llm", "text"))
+def text_char_ngram_profile(spark, sf_dir):
+    """Top-5 character trigrams per source with counts — the
+    language/script fingerprint cheap lang-id and encoding-anomaly
+    detection read (a source whose trigram head suddenly shifts has a
+    scraper or charset problem). Map-side position explode + one keyed
+    count + one small window over the per-source gram relation.
+    Deterministic ties by gram string."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "source",
+        F.posexplode(
+            F.expr("transform(sequence(1, greatest(length(text) - 2, 0)),"
+                   " i -> substring(text, i, 3))")
+        ).alias("_p", "gram"),
+    ).drop("_p")
+    c = g.groupBy("source", "gram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("source").orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_PMI_MIN_COUNT = 10
+
+_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, s.i AS p, toks[s.i] AS tok
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS s(i)
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY tok
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni
+), pairs AS (
+  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+)
+SELECT p.w1, p.w2, p.c_xy,
+       round(ln(CAST(p.c_xy AS DOUBLE) * n.total
+                / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.tok = p.w1
+JOIN uni u2 ON u2.tok = p.w2, n
+"""
+
+
+@register("text_collocations_pmi", oracle=_PMI_ORACLE, tags=("llm", "text"))
+def text_collocations_pmi(spark, sf_dir):
+    """Pointwise mutual information of token pairs co-occurring within
+    a +-2 window — the collocation detector ("strongly associated word
+    pairs") behind phrase mining and tokenizer-merge candidates.
+    Co-occurrence pairing is an equi-join on doc_id with a 1..2
+    position band (per-doc fanout 2n, never n^2); counts are exact;
+    PMI is ONE ln expression per pair. Plan: position explode, one
+    keyed pair count, two broadcast unigram joins + broadcast total."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p", "tok"),
+    )
+    uni = pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.sum("c").alias("total"))
+    # offset explode -> EQUI-join on (doc, position): per-token fanout is
+    # exactly 2, never the n^2 a doc-keyed band filter would produce
+    a = pos.select(
+        "doc_id", F.col("p").alias("pa"), F.col("tok").alias("ta")
+    ).withColumn("off", F.explode(F.array(F.lit(1), F.lit(2))))
+    b = pos.select(
+        "doc_id", (F.col("p")).alias("pb"), F.col("tok").alias("tb")
+    )
+    pairs = (
+        a.withColumn("pb", F.col("pa") + F.col("off"))
+        .join(b, ["doc_id", "pb"])
+        .select(
+            F.least("ta", "tb").alias("w1"), F.greatest("ta", "tb").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("total")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_RAKE_STOPWORDS = ("the", "a")
+_RAKE_MAX_PHRASE = 4
+_RAKE_MIN_COUNT = 2
+
+_RAKE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, s.i AS p, toks[s.i] AS tok,
+         toks[s.i] IN ('the', 'a') AS stop
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS s(i)
+), grp AS (
+  SELECT doc_id, p, tok, stop,
+         SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM pos
+), phr AS (
+  SELECT doc_id, g, string_agg(tok, ' ' ORDER BY p) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM grp WHERE NOT stop GROUP BY doc_id, g
+  HAVING COUNT(*) <= {_RAKE_MAX_PHRASE}
+), pw AS (
+  SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w FROM phr
+), wstat AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM pw GROUP BY w
+), occ AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM phr GROUP BY phrase
+), ps AS (
+  SELECT d.phrase, round(SUM(CAST(ws.deg AS DOUBLE) / ws.freq), 6) AS rake_score
+  FROM (SELECT DISTINCT phrase FROM phr) d,
+       LATERAL unnest(string_split(d.phrase, ' ')) AS x(w)
+  JOIN wstat ws ON ws.w = x.w
+  GROUP BY d.phrase
+)
+SELECT o.phrase, o.n_occurrences, ps.rake_score
+FROM occ o JOIN ps ON ps.phrase = o.phrase
+WHERE o.n_occurrences >= {_RAKE_MIN_COUNT}
+"""
+
+
+@register("text_rake_keywords", oracle=_RAKE_ORACLE, tags=("llm", "text"))
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases =
+    maximal stopword-free token runs (<= 4 tokens); word score =
+    degree/frequency over the phrase corpus; phrase score = sum of its
+    words' scores — the classic unsupervised keyword extractor, run
+    per-corpus. Phrase assembly is windowed grouping on the cumulative
+    stopword count (deterministic order via sorted position structs —
+    collect_list alone is shuffle-order-dependent); scoring is exact
+    integer degree/freq with one float sum over <= 4 ratio terms.
+    Emits every phrase occurring >= 2 times with its score."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    ).withColumn("stop", F.col("tok").isin(*_RAKE_STOPWORDS))
+    wg = W.partitionBy("doc_id").orderBy("p").rowsBetween(W.unboundedPreceding, 0)
+    grp = pos.withColumn(
+        "g", F.sum(F.when(F.col("stop"), 1).otherwise(0)).over(wg)
+    )
+    phr = (
+        grp.filter(~F.col("stop"))
+        .groupBy("doc_id", "g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    pw = phr.select("phrase", "plen", F.explode(F.split("phrase", " ")).alias("w"))
+    wstat = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    ps = (
+        phr.select("phrase").distinct()
+        .select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(F.broadcast(wstat), "w")
+        .groupBy("phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("rake_score")
+        )
+    )
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        occ.join(ps, "phrase")
+        .filter(F.col("n_occurrences") >= _RAKE_MIN_COUNT)
+        .select("phrase", "n_occurrences", "rake_score")
+    )
