@@ -241,6 +241,11 @@ _ROUND6B_NEW: list = [
     "text_char_ngram_profile",
     "text_collocations_pmi",
     "text_rake_keywords",
+    "scalar_ip_cidr_functions",
+    "pipeline_epoch_shuffle",
+    "ml_naive_bayes_train",
+    "ml_logreg_grad_step",
+    "mm_payload_dedup",
 ]
 
 

@@ -1758,3 +1758,196 @@ def sim_topk_per_label(spark, sf_dir):
     winner, then cross-class rank (operators/similarity.py:
     topk_per_label)."""
     return similarity.topk_per_label(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 distributed-ML steps: multinomial naive-Bayes training and one
+# exact logistic-regression gradient step.
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), wc AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_wc FROM t GROUP BY 1, 2
+), cls AS (
+  SELECT lang, CAST(SUM(n_wc) AS BIGINT) AS n_tokens_c FROM wc GROUP BY lang
+), v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM t
+), d AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_c FROM documents GROUP BY lang
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+)
+SELECT wc.lang, wc.tok, wc.n_wc,
+       CAST(round(ln(CAST(wc.n_wc + 1 AS DOUBLE) / (cls.n_tokens_c + v.vocab))
+                  * 1000000) AS BIGINT) AS loglik_micro,
+       CAST(round(ln(CAST(d.n_docs_c AS DOUBLE) / nd.n_docs) * 1000000) AS BIGINT)
+         AS logprior_micro
+FROM wc
+JOIN cls ON cls.lang = wc.lang
+JOIN d ON d.lang = wc.lang, v, nd
+"""
+
+
+@register("ml_naive_bayes_train", oracle=_NB_ORACLE, tags=("llm", "ml"))
+def ml_naive_bayes_train(spark, sf_dir):
+    """Multinomial naive-Bayes training over the corpus (class = lang,
+    features = tokens, Laplace smoothing): the full model — per-(class,
+    token) log-likelihoods and class log-priors in micro-nats — from
+    TWO keyed counting aggs plus broadcast class/vocab totals; training
+    IS the aggregation, which is why NB is the canonical first
+    distributed text classifier. Exactness: every input to ln is a
+    ratio of exact BIGINTs; micro-nat rounding fixes the comparison
+    grid (the unigram-LM discipline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    wc = t.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n_wc"))
+    cls = wc.groupBy("lang").agg(F.sum("n_wc").alias("n_tokens_c"))
+    v = t.agg(F.countDistinct("tok").alias("vocab"))
+    d = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_c"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        wc.join(F.broadcast(cls), "lang")
+        .join(F.broadcast(d), "lang")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "lang",
+            "tok",
+            "n_wc",
+            F.round(
+                F.log(
+                    (F.col("n_wc") + 1).cast("double")
+                    / (F.col("n_tokens_c") + F.col("vocab"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("loglik_micro"),
+            F.round(
+                F.log(F.col("n_docs_c").cast("double") / F.col("n_docs"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("logprior_micro"),
+        )
+    )
+
+
+_LOGREG_Q = 1 << 20
+
+_LOGREG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label % 2 AS y,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_LOGREG_Q}) AS BIGINT)) AS xq
+  FROM embeddings
+), comp AS (
+  SELECT vec_id, y, d.i AS dim, xq[d.i] AS x
+  FROM e, LATERAL unnest(generate_series(1, len(xq))) AS d(i)
+), g AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((1 - 2 * y) * x) AS DECIMAL(38,0)) AS grad_q
+  FROM comp GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n AS n_rows,
+       CAST(grad_q AS BIGINT) AS grad_scaled,
+       round(CAST(grad_q AS DOUBLE) / (2.0 * n * {_LOGREG_Q}), 8) AS gradient
+FROM g
+"""
+
+
+@register("ml_logreg_grad_step", oracle=_LOGREG_ORACLE, tags=("llm", "ml"))
+def ml_logreg_grad_step(spark, sf_dir):
+    """One EXACT full-batch logistic-regression gradient step at w = 0
+    (binary target label%2 on the embeddings): with p = sigmoid(0) =
+    1/2, grad_j = (1/2n) * sum((1 - 2y) * x_j) — the embedding
+    components are quantized to a 2^-20 integer grid (multiplication by
+    a power of two is float-exact, so the quantization is identical in
+    both engines) and the gradient numerator is an exact DECIMAL(38)
+    INTEGER sum per dimension, divided once. This is the map-side-
+    combinable all-reduce every distributed SGD/L-BFGS step is built
+    from: posexplode to (dim, contribution), one keyed sum — no float
+    accumulation across rows anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        (F.col("label") % 2).alias("y"),
+        F.posexplode(
+            F.expr(
+                f"transform(embedding,"
+                f" x -> CAST(round(CAST(x AS DOUBLE) * {_LOGREG_Q}) AS BIGINT))"
+            )
+        ).alias("d0", "x"),
+    )
+    g = e.groupBy((F.col("d0") + 1).alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((1 - 2 * F.col("y")) * F.col("x")).cast("decimal(38,0)").alias("grad_q"),
+    )
+    return g.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").alias("n_rows"),
+        F.col("grad_q").cast("long").alias("grad_scaled"),
+        F.round(
+            F.col("grad_q").cast("double") / (2.0 * F.col("n") * _LOGREG_Q), 8
+        ).alias("gradient"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: binary payload dedup (content-addressed media storage stats).
+# ---------------------------------------------------------------------------
+
+_MM_DEDUP_ORACLE = """
+WITH m AS (
+  SELECT doc_id, sha256(text) AS digest, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), d AS (
+  SELECT digest, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         CAST(MIN(n_bytes) AS BIGINT) AS n_bytes
+  FROM m GROUP BY digest
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(n_copies) AS BIGINT) AS n_media,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_duplicate_media,
+       CAST(SUM(n_copies * n_bytes) AS BIGINT) AS bytes_raw,
+       CAST(SUM(n_bytes) AS BIGINT) AS bytes_deduped,
+       round(1.0 - CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_copies * n_bytes), 6)
+         AS dedup_savings
+FROM d
+"""
+
+
+@register("mm_payload_dedup", oracle=_MM_DEDUP_ORACLE, tags=("llm", "multimodal", "dedup"))
+def mm_payload_dedup(spark, sf_dir):
+    """Content-addressed dedup over BINARY media payloads: sha256
+    digest per payload (the media table synthesized from documents —
+    operators/multimodal.py), storage stats raw vs deduped — the
+    blob-store planning query for a multimodal corpus (images/audio
+    dedup by digest BEFORE any decode). Digest + length are computed on
+    the binary column itself; one digest-keyed agg + one scalar
+    rollup. At 100 TB this runs at scan speed and the digest is the
+    bucketing key for the content-addressed store layout."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    m = media.select(
+        F.sha2(F.col("payload"), 256).alias("digest"),
+        F.length(F.col("payload")).cast("long").alias("n_bytes"),
+    )
+    d = m.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("n_bytes").alias("n_bytes")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_distinct_payloads"),
+        F.sum("n_copies").alias("n_media"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_duplicate_media"),
+        F.sum(F.col("n_copies") * F.col("n_bytes")).alias("bytes_raw"),
+        F.sum("n_bytes").alias("bytes_deduped"),
+        F.round(
+            1.0
+            - F.sum("n_bytes").cast("double")
+            / F.sum(F.col("n_copies") * F.col("n_bytes")),
+            6,
+        ).alias("dedup_savings"),
+    )

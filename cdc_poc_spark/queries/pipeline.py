@@ -778,3 +778,43 @@ def pipeline_interleave_order(spark, sf_dir):
         "interleave_key",
         (F.col("pos0") + 1).alias("global_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: deterministic epoch shuffle (training data order).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+WITH k AS (
+  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+), r AS (
+  SELECT doc_id, skey,
+         row_number() OVER (ORDER BY skey, doc_id) - 1 AS shuffle_pos
+  FROM k
+)
+SELECT CAST(shuffle_pos AS BIGINT) AS shuffle_pos, doc_id, skey
+FROM r WHERE shuffle_pos < 100
+"""
+
+
+@register("pipeline_epoch_shuffle", oracle=_SHUFFLE_ORACLE, tags=("llm", "pipeline"))
+def pipeline_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle: position = rank
+    of md5(epoch_salt || doc_id) — the reproducible global permutation
+    a data loader needs (same epoch -> same order on any cluster
+    layout; next epoch -> change the salt). The global rank uses the
+    two-pass range-partitioned global_index (operators/scale.py), NEVER
+    a single-partition row_number window — the difference between a
+    permutation that works at 100 TB and one that funnels the corpus
+    through one task. Emits the first 100 positions for the contract."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = docs.withColumn(
+        "skey", F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    )
+    r = global_index(k, idx_col="shuffle_pos", order_cols=["skey", "doc_id"])
+    return r.filter(F.col("shuffle_pos") < 100).select(
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"), "doc_id", "skey"
+    )

@@ -548,3 +548,93 @@ def scalar_struct_functions(spark, sf_dir):
         (pair < mark).alias("lt_mark"),
         arr.getItem(0).getField("f2").alias("min_tag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: IPv4 / CIDR arithmetic (web-corpus provenance analytics).
+# ---------------------------------------------------------------------------
+
+_IP_ORACLE = """
+WITH ip AS (
+  SELECT CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS ip32
+  FROM customer
+), o AS (
+  SELECT ip32,
+         ip32 // 16777216 AS o1,
+         (ip32 // 65536) % 256 AS o2,
+         (ip32 // 256) % 256 AS o3,
+         ip32 % 256 AS o4
+  FROM ip
+), c AS (
+  SELECT *,
+         (o1 = 10) OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+           OR (o1 = 192 AND o2 = 168) AS is_private
+  FROM o
+)
+SELECT CAST(o1 AS BIGINT) AS first_octet,
+       CAST(COUNT(*) AS BIGINT) AS n_ips,
+       CAST(COUNT(DISTINCT o1 * 256 + o2) AS BIGINT) AS n_slash16,
+       CAST(count_if(is_private) AS BIGINT) AS n_private,
+       CAST(MIN(ip32) AS BIGINT) AS min_ip32,
+       MIN(CASE WHEN ip32 = m THEN dotted END) AS min_ip_dotted
+FROM (
+  SELECT c.*, MIN(ip32) OVER (PARTITION BY o1) AS m,
+         CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+           || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS dotted
+  FROM c
+)
+GROUP BY o1
+"""
+
+
+@register("scalar_ip_cidr_functions", oracle=_IP_ORACLE, tags=("scalar",))
+def scalar_ip_cidr_functions(spark, sf_dir):
+    """IPv4 / CIDR arithmetic over a deterministic md5-derived address
+    per customer (the fixture carries no IP column; the derivation is
+    part of the query, computed identically in both engines — the
+    jittered-arrival precedent): octet extraction by integer shifts,
+    dotted-quad rendering, RFC-1918 private classification, /16 prefix
+    cardinality — the provenance rollup a web-corpus pipeline runs per
+    crawl. Pure integer div/mod + string concat, one first-octet
+    rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    ip = cust.select(
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("ip32")
+    )
+    o = ip.select(
+        "ip32",
+        (F.col("ip32") / 16777216).cast("long").alias("o1"),
+        ((F.col("ip32") / 65536).cast("long") % 256).alias("o2"),
+        ((F.col("ip32") / 256).cast("long") % 256).alias("o3"),
+        (F.col("ip32") % 256).alias("o4"),
+    )
+    c = o.withColumn(
+        "is_private",
+        (F.col("o1") == 10)
+        | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+        | ((F.col("o1") == 192) & (F.col("o2") == 168)),
+    ).withColumn(
+        "dotted",
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    m = c.withColumn("m", F.min("ip32").over(W.partitionBy("o1")))
+    return m.groupBy(F.col("o1").alias("first_octet")).agg(
+        F.count(F.lit(1)).alias("n_ips"),
+        F.countDistinct(F.col("o1") * 256 + F.col("o2")).alias("n_slash16"),
+        F.count(F.when(F.col("is_private"), 1)).alias("n_private"),
+        F.min("ip32").alias("min_ip32"),
+        F.min(F.when(F.col("ip32") == F.col("m"), F.col("dotted"))).alias(
+            "min_ip_dotted"
+        ),
+    )
