@@ -246,6 +246,10 @@ _ROUND6B_NEW: list = [
     "ml_naive_bayes_train",
     "ml_logreg_grad_step",
     "mm_payload_dedup",
+    "tw_peak_detection",
+    "tw_runs_profile",
+    "win_streak_lengths",
+    "pipeline_kfold_assignment",
 ]
 
 

@@ -818,3 +818,52 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     return r.filter(F.col("shuffle_pos") < 100).select(
         F.col("shuffle_pos").cast("long").alias("shuffle_pos"), "doc_id", "skey"
     )
+
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_KFOLD_K} AS fold
+  FROM documents
+)
+SELECT CAST(fold AS BIGINT) AS fold, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM f GROUP BY fold, lang
+"""
+
+
+@register("pipeline_kfold_assignment", oracle=_KFOLD_ORACLE, tags=("llm", "pipeline"))
+def pipeline_kfold_assignment(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment: fold =
+    md5(salt || doc_id) mod k — reproducible on any cluster layout
+    (the split_train_val discipline generalized to k folds), reported
+    as per-(fold, lang) counts with id ranges so stratification skew
+    is visible. Map-side hash + one keyed count; at 100 TB the fold
+    column is also the partition key for fold-local training reads."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _KFOLD_K
+        ).alias("fold"),
+    )
+    return f.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

@@ -779,3 +779,194 @@ def tw_cross_correlation_lags(spark, sf_dir):
             "xcorr"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 (cont.): peak detection, runs profile, streak lengths.
+# ---------------------------------------------------------------------------
+
+_PEAKS_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_1H_US}) * {_1H_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, bucket_us, x,
+         lag(x) OVER w AS xp, lead(x) OVER w AS xn
+  FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)
+)
+SELECT event_type, bucket_us, x AS n_events,
+       CAST(x - greatest(xp, xn) AS BIGINT) AS prominence
+FROM l
+WHERE xp IS NOT NULL AND xn IS NOT NULL AND x > xp AND x > xn
+"""
+
+
+@register("tw_peak_detection", oracle=_PEAKS_ORACLE, tags=("window", "timeseries"))
+def tw_peak_detection(spark, sf_dir):
+    """Strict local maxima of the hourly count series per event type
+    (greater than BOTH neighbors; series edges excluded), with
+    prominence over the higher neighbor — the peak picker behind load
+    profiling and burst triage. Pure integer lag/lead comparisons on
+    the per-(series, hour) relation; one window per series."""
+    from .timewindows import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    b = (
+        ev.withColumn("bucket_us", F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US)))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_us")
+    l = b.select(
+        "event_type",
+        "bucket_us",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    )
+    return l.filter(
+        F.col("xp").isNotNull()
+        & F.col("xn").isNotNull()
+        & (F.col("x") > F.col("xp"))
+        & (F.col("x") > F.col("xn"))
+    ).select(
+        "event_type",
+        "bucket_us",
+        F.col("x").alias("n_events"),
+        (F.col("x") - F.greatest("xp", "xn")).cast("long").alias("prominence"),
+    )
+
+
+_RUNS_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, (epoch_us(ts) // {_1H_US}) * {_1H_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(x) AS BIGINT) AS s
+  FROM b GROUP BY event_type
+), f AS (
+  SELECT b.event_type, b.bucket_us,
+         CASE WHEN tot.nb * b.x > tot.s THEN 1 ELSE 0 END AS above
+  FROM b JOIN tot USING (event_type)
+), g AS (
+  SELECT event_type, bucket_us, above,
+         CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY bucket_us)
+                   IS DISTINCT FROM above THEN 1 ELSE 0 END AS boundary
+  FROM f
+), r AS (
+  SELECT event_type, above,
+         SUM(boundary) OVER (PARTITION BY event_type ORDER BY bucket_us
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM g
+), runs AS (
+  SELECT event_type, run_id, above, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM r GROUP BY event_type, run_id, above
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(count_if(above = 1) AS BIGINT) AS n_runs_above,
+       CAST(MAX(CASE WHEN above = 1 THEN run_len END) AS BIGINT)
+         AS longest_run_above,
+       CAST(MAX(CASE WHEN above = 0 THEN run_len END) AS BIGINT)
+         AS longest_run_below
+FROM runs GROUP BY event_type
+"""
+
+
+@register("tw_runs_profile", oracle=_RUNS_ORACLE, tags=("window", "timeseries", "stats"))
+def tw_runs_profile(spark, sf_dir):
+    """Wald-Wolfowitz-style runs profile of each hourly series vs its
+    own mean: run counts and longest above/below stretches — too few
+    runs means trend/regime structure, too many means oscillation; the
+    cheap randomness screen before fitting seasonal models. The
+    above-mean flag uses the SCALED integer compare nb*x > sum (no
+    float mean), runs come from the boundary-flag cumulative-sum
+    gaps-and-islands identity — exact integers throughout."""
+    from .timewindows import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    b = (
+        ev.withColumn("bucket_us", F.col("ts_us") - F.pmod("ts_us", F.lit(_1H_US)))
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("x").alias("s")
+    )
+    f = b.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket_us",
+        F.when(F.col("nb") * F.col("x") > F.col("s"), 1).otherwise(0).alias("above"),
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_us")
+    wc = w.rowsBetween(W.unboundedPreceding, 0)
+    g = f.withColumn(
+        "boundary",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        ).otherwise(0),
+    )
+    r = g.select(
+        "event_type", "above", F.sum("boundary").over(wc).alias("run_id")
+    )
+    runs = r.groupBy("event_type", "run_id", "above").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.count(F.when(F.col("above") == 1, 1)).alias("n_runs_above"),
+        F.max(F.when(F.col("above") == 1, F.col("run_len"))).alias(
+            "longest_run_above"
+        ),
+        F.max(F.when(F.col("above") == 0, F.col("run_len"))).alias(
+            "longest_run_below"
+        ),
+    )
+
+
+_STREAK_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id) AS isl
+  FROM events
+), streaks AS (
+  SELECT user_id, event_type, isl, CAST(COUNT(*) AS BIGINT) AS streak_len
+  FROM s GROUP BY user_id, event_type, isl
+)
+SELECT event_type,
+       CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+       CAST(count_if(streak_len >= 3) AS BIGINT) AS n_streaks_ge3,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY event_type
+"""
+
+
+@register("win_streak_lengths", oracle=_STREAK_ORACLE, tags=("window", "analytics"))
+def win_streak_lengths(spark, sf_dir):
+    """Longest CONSECUTIVE same-event-type streak per user (arrival
+    order), rolled up per type — the classic gaps-and-islands by
+    row-number DIFFERENCE (two row_numbers over the same shuffle
+    partitioning; their gap is constant exactly within a streak), the
+    engagement/repetition shape behind "N purchases in a row" features.
+    Exact integers; both windows share the user_id partitioning — one
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    w1 = W.partitionBy("user_id").orderBy("event_id")
+    w2 = W.partitionBy("user_id", "event_type").orderBy("event_id")
+    s = ev.withColumn(
+        "isl", F.row_number().over(w1) - F.row_number().over(w2)
+    )
+    streaks = s.groupBy("user_id", "event_type", "isl").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("event_type").agg(
+        F.max("streak_len").alias("max_streak"),
+        F.count(F.when(F.col("streak_len") >= 3, 1)).alias("n_streaks_ge3"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
