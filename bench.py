@@ -78,6 +78,15 @@ HEADLINE = [
     "dedup_token_containment",
     "text_winnowing_fingerprints",
     "agg_pareto_concentration",
+    # round 6 additions — one per new operator family (statistical aggs,
+    # co-order graph analytics, sequential analytics, text collocations,
+    # distributed-ML step, deterministic shuffle)
+    "agg_ks_two_sample",
+    "graph_local_clustering",
+    "tw_cusum_changepoint",
+    "text_collocations_pmi",
+    "ml_logreg_grad_step",
+    "pipeline_epoch_shuffle",
 ]
 
 
