@@ -310,3 +310,51 @@ def test_seasonal_baseline_slots_broadcast(spark):
     plan = _plan(spark, "tw_seasonal_baseline")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6_graph_queries_no_cartesian(spark):
+    """The co-order wedge/linkpred/assortativity plans must stay
+    equi-joins — a regression to a cross join is O(n^2) at scale."""
+    for name in (
+        "graph_local_clustering",
+        "graph_linkpred_common_neighbors",
+        "graph_degree_assortativity",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_pmi_pairing_is_position_equi_join(spark):
+    """text_collocations_pmi's co-occurrence pairing must be an
+    equi-join on (doc, position) — a doc-keyed band filter would fan
+    out n^2 per document."""
+    plan = _plan(spark, "text_collocations_pmi")
+    assert "CartesianProduct" not in plan
+    # the single permitted nested-loop NODE is the broadcast of the
+    # ONE-ROW grand-total relation (formatted explain names each node
+    # twice: tree + detail); the pairing itself must be a hash join
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_epoch_shuffle_no_single_partition_window(spark):
+    """pipeline_epoch_shuffle's global rank must come from the two-pass
+    range-partitioned global_index, never a one-task window."""
+    plan = _plan(spark, "pipeline_epoch_shuffle")
+    assert "SinglePartition" not in plan or "row_number" not in plan.lower()
+
+
+def test_streaks_share_one_user_shuffle(spark):
+    """win_streak_lengths' two row_number windows must share the
+    user_id partitioning — one shuffle, not two."""
+    plan = _plan(spark, "win_streak_lengths")
+    assert plan.count("hashpartitioning(user_id") <= 2  # window + its reuse
+
+
+def test_logreg_gradient_is_keyed_agg(spark):
+    """ml_logreg_grad_step must be a keyed HashAggregate all-reduce (no
+    windows, no joins)."""
+    plan = _plan(spark, "ml_logreg_grad_step")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
