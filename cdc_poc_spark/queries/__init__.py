@@ -250,6 +250,8 @@ _ROUND6B_NEW: list = [
     "tw_runs_profile",
     "win_streak_lengths",
     "pipeline_kfold_assignment",
+    "scalar_haversine_distance",
+    "agg_geometric_mean",
 ]
 
 

@@ -914,3 +914,45 @@ def agg_theil_index(spark, sf_dir):
             sgd / sd * F.log((sgd / F.col("n_g")) / (sd / F.col("n"))), 6
         ).alias("theil_between_term"),
     )
+
+
+_GEOMEAN_ORACLE = """
+WITH x AS (
+  SELECT c_mktsegment,
+         CAST(round(ln((CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100)
+                        AS BIGINT) + 1100000) / 100.0) * 1000000) AS BIGINT)
+           AS ln_micro
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(ln_micro) AS BIGINT) AS sum_ln_micro,
+       round(exp(CAST(SUM(ln_micro) AS DOUBLE) / COUNT(*) / 1000000.0), 4)
+         AS geomean_shifted
+FROM x GROUP BY c_mktsegment
+"""
+
+
+@register("agg_geometric_mean", oracle=_GEOMEAN_ORACLE, tags=("agg", "stats"))
+def agg_geometric_mean(spark, sf_dir):
+    """Geometric mean of (positivity-shifted) account balances per
+    segment — the multiplicative-average for ratios/growth factors an
+    arithmetic mean distorts. Cross-engine exactness via the unigram-LM
+    discipline: per-row ln is QUANTIZED to int64 micro-nats BEFORE the
+    cross-row sum (a raw double SUM(ln x) is shuffle-order-dependent),
+    so the only float ops after aggregation are one division and one
+    exp. Map-side-combinable keyed agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents_pos = F.round(dec("c_acctbal", BAL) * 100).cast("long") + 1_100_000
+    x = cust.select(
+        "c_mktsegment",
+        F.round(F.log(cents_pos / 100.0) * 1_000_000).cast("long").alias("ln_micro"),
+    )
+    return x.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ln_micro").alias("sum_ln_micro"),
+        F.round(
+            F.exp(F.sum("ln_micro").cast("double") / F.count(F.lit(1)) / 1_000_000.0),
+            4,
+        ).alias("geomean_shifted"),
+    )

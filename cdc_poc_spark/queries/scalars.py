@@ -638,3 +638,101 @@ def scalar_ip_cidr_functions(spark, sf_dir):
             "min_ip_dotted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: great-circle (haversine) distance.
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_ORACLE = """
+WITH geo AS (
+  SELECT n_nationkey, n_name, n_regionkey,
+         (CAST(('0x' || substring(md5('lat:' || CAST(n_nationkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 140000000) / 1000000.0 - 70.0 AS lat,
+         (CAST(('0x' || substring(md5('lon:' || CAST(n_nationkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 360000000) / 1000000.0 - 180.0 AS lon
+  FROM nation
+)
+SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+       round(2 * 6371.0088 * asin(sqrt(
+         pow(sin(radians(b.lat - a.lat) / 2), 2)
+         + cos(radians(a.lat)) * cos(radians(b.lat))
+           * pow(sin(radians(b.lon - a.lon) / 2), 2)
+       )), 3) AS km
+FROM geo a JOIN geo b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+@register("scalar_haversine_distance", oracle=_HAVERSINE_ORACLE, tags=("scalar", "geo"))
+def scalar_haversine_distance(spark, sf_dir):
+    """Great-circle (haversine) distance between same-region nation
+    pairs over deterministic md5-derived coordinates (the fixture has
+    no geo columns; the derivation is part of the query, identical in
+    both engines) — the geo-distance primitive of store-radius /
+    shipping analytics. One region-keyed self equi-join over the tiny
+    dim; the distance is a single trig expression per pair (sin/cos/
+    asin/radians — identical IEEE sequences), rounded to meters."""
+    nat = load_table(spark, sf_dir, "nation")
+    geo = nat.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lat:"), F.col("n_nationkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 140000000
+            / 1000000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lon:"), F.col("n_nationkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 360000000
+            / 1000000.0
+            - 180.0
+        ).alias("lon"),
+    )
+    a = geo.select(
+        F.col("n_regionkey").alias("rk"),
+        F.col("n_nationkey").alias("ka"),
+        F.col("n_name").alias("nation_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+    )
+    b = geo.select(
+        F.col("n_regionkey").alias("rk"),
+        F.col("n_nationkey").alias("kb"),
+        F.col("n_name").alias("nation_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+    )
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat_b") - F.col("lat_a")) / 2), 2)
+        + F.cos(F.radians("lat_a"))
+        * F.cos(F.radians("lat_b"))
+        * F.pow(F.sin(F.radians(F.col("lon_b") - F.col("lon_a")) / 2), 2)
+    )
+    return (
+        a.join(b, "rk")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(
+            "nation_a",
+            "nation_b",
+            F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("km"),
+        )
+    )
