@@ -193,3 +193,72 @@ def lateness_percentile_rollup(hist: DataFrame) -> DataFrame:
         ),
         F.max("lat_q").alias("max_s"),
     )
+
+
+def ewma_trailing(buckets: DataFrame) -> DataFrame:
+    """Trailing 8-bucket alpha=1/2 EWMA over a (event_type, bucket_us,
+    x) relation — shared verbatim by the batch query tw_ewma_trailing
+    and the streaming derivation (streaming/windows.py:
+    derive_bucket_ewma), so both paths smooth IDENTICAL values by
+    construction. Exact: power-of-two weights keep numerator and
+    denominator INTEGER window expressions; one final division."""
+    w = W.partitionBy("event_type").orderBy("bucket_us")
+    lags = {i: F.lag("x", i).over(w) for i in range(1, 8)}
+    num = F.col("x") * 128
+    den = F.lit(128)
+    for i, c in lags.items():
+        wgt = 1 << (7 - i)
+        num = num + F.coalesce(c, F.lit(0)) * wgt
+        den = den + F.when(c.isNull(), 0).otherwise(wgt)
+    return buckets.select(
+        "event_type",
+        "bucket_us",
+        F.col("x").alias("n_events"),
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+        F.round(num.cast("double") / den, 6).alias("ewma8"),
+    )
+
+
+def cusum_changepoints(buckets: DataFrame) -> DataFrame:
+    """One-sided CUSUM peak + change point over a (event_type,
+    bucket_us, x) relation — shared verbatim by the batch query
+    tw_cusum_changepoint and the streaming derivation
+    (streaming/windows.py:derive_bucket_cusum). Prefix-sum identity
+    S_t = P_t - min(0, min_{j<=t} P_j) with n-scaled mean centering —
+    every intermediate an exact BIGINT."""
+    tot = buckets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("x").alias("s")
+    )
+    wc = W.partitionBy("event_type").orderBy("bucket_us").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    p = buckets.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket_us",
+        "nb",
+        F.sum(F.col("nb") * F.col("x") - F.col("s")).over(wc).alias("pre"),
+    )
+    c = p.select(
+        "event_type",
+        "bucket_us",
+        "nb",
+        (F.col("pre") - F.least(F.lit(0), F.min("pre").over(wc))).alias("cusum"),
+    )
+    mc = c.groupBy("event_type").agg(F.max("cusum").alias("m"))
+    return (
+        c.join(F.broadcast(mc), "event_type")
+        .groupBy("event_type", "nb")
+        .agg(
+            F.max("cusum").alias("max_cusum_scaled"),
+            F.min(F.when(F.col("cusum") == F.col("m"), F.col("bucket_us"))).alias(
+                "changepoint_bucket_us"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("nb").alias("n_buckets"),
+            "max_cusum_scaled",
+            "changepoint_bucket_us",
+        )
+    )

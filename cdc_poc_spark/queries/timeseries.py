@@ -565,6 +565,8 @@ def tw_ewma_trailing(spark, sf_dir):
     relation (|series x hours| rows, never |events|)."""
     from .timewindows import events_with_time  # shared ts normalization
 
+    from ..operators.temporal import ewma_trailing
+
     ev = events_with_time(spark, sf_dir)
     b = (
         ev.withColumn(
@@ -573,22 +575,7 @@ def tw_ewma_trailing(spark, sf_dir):
         .groupBy("event_type", "bucket_us")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    w = W.partitionBy("event_type").orderBy("bucket_us")
-    lags = {i: F.lag("x", i).over(w) for i in range(1, 8)}
-    num = F.col("x") * 128
-    den = F.lit(128)
-    for i, c in lags.items():
-        wgt = 1 << (7 - i)
-        num = num + F.coalesce(c, F.lit(0)) * wgt
-        den = den + F.when(c.isNull(), 0).otherwise(wgt)
-    return b.select(
-        "event_type",
-        "bucket_us",
-        F.col("x").alias("n_events"),
-        num.cast("long").alias("ewma_num"),
-        den.cast("long").alias("ewma_den"),
-        F.round(num.cast("double") / den, 6).alias("ewma8"),
-    )
+    return ewma_trailing(b)
 
 
 _CUSUM_ORACLE = f"""
@@ -647,41 +634,9 @@ def tw_cusum_changepoint(spark, sf_dir):
         .groupBy("event_type", "bucket_us")
         .agg(F.count(F.lit(1)).alias("x"))
     )
-    tot = b.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nb"), F.sum("x").alias("s")
-    )
-    wc = W.partitionBy("event_type").orderBy("bucket_us").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    p = b.join(F.broadcast(tot), "event_type").select(
-        "event_type",
-        "bucket_us",
-        "nb",
-        F.sum(F.col("nb") * F.col("x") - F.col("s")).over(wc).alias("pre"),
-    )
-    c = p.select(
-        "event_type",
-        "bucket_us",
-        "nb",
-        (F.col("pre") - F.least(F.lit(0), F.min("pre").over(wc))).alias("cusum"),
-    )
-    mc = c.groupBy("event_type").agg(F.max("cusum").alias("m"))
-    return (
-        c.join(F.broadcast(mc), "event_type")
-        .groupBy("event_type", "nb")
-        .agg(
-            F.max("cusum").alias("max_cusum_scaled"),
-            F.min(F.when(F.col("cusum") == F.col("m"), F.col("bucket_us"))).alias(
-                "changepoint_bucket_us"
-            ),
-        )
-        .select(
-            "event_type",
-            F.col("nb").alias("n_buckets"),
-            "max_cusum_scaled",
-            "changepoint_bucket_us",
-        )
-    )
+    from ..operators.temporal import cusum_changepoints
+
+    return cusum_changepoints(b)
 
 
 _XCORR_SERIES_A = "click"

@@ -358,3 +358,35 @@ def derive_watermark_recommendation(spark, state_dir: str) -> DataFrame:
         .agg(F.sum("n_inc").cast("long").alias("c"))
     )
     return lateness_percentile_rollup(hist)
+
+
+def _derived_buckets(spark, inc_dir: str) -> DataFrame:
+    """The maintained hourly bucket counts (read side of
+    streaming_anomaly_zscore's IVM state) as the (event_type,
+    bucket_us, x) relation every bucket-derived analytic consumes."""
+    return (
+        spark.read.parquet(inc_dir)
+        .groupBy("event_type", "bucket_us")
+        .agg(F.sum("n_inc").cast("long").alias("x"))
+    )
+
+
+def derive_bucket_ewma(spark, inc_dir: str) -> DataFrame:
+    """Trailing EWMA derived from the SAME maintained bucket counts the
+    z-score anomaly flags read — the point of the IVM design: one
+    incrementally-maintained aggregate, many derived analytics, each
+    sharing its batch query's derivation verbatim
+    (operators/temporal.py:ewma_trailing; asserted row-equal to
+    tw_ewma_trailing in tests/test_streaming.py)."""
+    from ..operators.temporal import ewma_trailing
+
+    return ewma_trailing(_derived_buckets(spark, inc_dir))
+
+
+def derive_bucket_cusum(spark, inc_dir: str) -> DataFrame:
+    """CUSUM change points derived from the same maintained bucket
+    counts (operators/temporal.py:cusum_changepoints; asserted
+    row-equal to tw_cusum_changepoint in tests/test_streaming.py)."""
+    from ..operators.temporal import cusum_changepoints
+
+    return cusum_changepoints(_derived_buckets(spark, inc_dir))

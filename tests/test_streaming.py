@@ -1385,3 +1385,29 @@ def test_streaming_watermark_recommendation_matches_batch(spark, tmp_path):
         for r in swin.derive_watermark_recommendation(spark, state).collect()
     )
     assert got_replay == got_b
+
+
+def test_streaming_bucket_derivations_match_batch(spark, event_stream_dir, tmp_path):
+    """ONE incrementally-maintained bucket-count aggregate, THREE
+    derived analytics: after an availableNow drain, the EWMA and CUSUM
+    derivations over the maintained counts must equal their batch
+    queries row-for-row (the z-score equality is its own test) — the
+    IVM design's whole point: derivations share the batch code, so the
+    streaming path can never drift."""
+    from cdc_poc_spark.queries import all_specs
+
+    path, schema = event_stream_dir
+    stream = fsrc.parquet_stream(spark, path, schema)
+    inc_dir = str(tmp_path / "inc")
+    q = swin.streaming_anomaly_zscore(stream, inc_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    specs = all_specs()
+    for derive, batch_name in (
+        (swin.derive_bucket_ewma, "tw_ewma_trailing"),
+        (swin.derive_bucket_cusum, "tw_cusum_changepoint"),
+    ):
+        got = sorted(tuple(r) for r in derive(spark, inc_dir).collect())
+        want = sorted(
+            tuple(r) for r in specs[batch_name].fn(spark, SF_DIR).collect()
+        )
+        assert got == want and got, batch_name
