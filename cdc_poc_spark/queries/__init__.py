@@ -220,6 +220,17 @@ _ROUND6_NEW: list = [
 ]
 
 
+# Queries registered AFTER the round-6 window filled (21 + 28 = 49 of 50
+# slots). Per the standing policy these take round-7 window slots: next
+# round, promote this list to the front. Until then the full sweep
+# value-checks them like everything else.
+_ROUND7_NEW: list = [
+    "sql_recursive_hierarchy",
+    "sql_recursive_subtree_rollup",
+    "scalar_variant_functions",
+]
+
+
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.
@@ -288,7 +299,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # r6 driver window hash-checks them; _ROUND6B_NEW (queries added during
     # round 6) fills the remaining 29 slots. Everything after position 50
     # is already driver-green.
-    order = _ROUND6_NEW + _ROUND6B_NEW + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    order = (
+        _ROUND6_NEW + _ROUND6B_NEW + _ROUND7_NEW
+        + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    )
     front = {n: _REGISTRY[n] for n in order if n in _REGISTRY}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     return {**front, **rest}

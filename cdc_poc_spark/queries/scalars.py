@@ -736,3 +736,50 @@ def scalar_haversine_distance(spark, sf_dir):
             F.round(2 * 6371.0088 * F.asin(F.sqrt(hav)), 3).alias("km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: VARIANT semi-structured type (Spark 4).
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       CAST(count_if(json_extract(props, '$.missing') IS NULL) AS BIGINT)
+         AS n_missing_null,
+       TRUE AS schema_ok
+FROM events GROUP BY event_type
+"""
+
+
+@register("scalar_variant_functions", oracle=_VARIANT_ORACLE, tags=("scalar", "variant"))
+def scalar_variant_functions(spark, sf_dir):
+    """Spark 4 VARIANT semi-structured type over the events props JSON:
+    parse_json -> typed variant_get extraction, try_variant_get on an
+    absent path (NULL, not error), and an in-engine schema_of_variant
+    contract (the schema string itself is engine-specific, so the
+    ORACLED column is the all-rows-match flag — the
+    approx-count-distinct contract pattern). VARIANT is the
+    shredded-JSON scale path: at 100 TB a parsed-once VARIANT column
+    replaces per-query get_json_object re-parsing."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("parse_json(props)").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'long')").alias("missing"),
+        (F.expr("schema_of_variant(v)") == F.lit("OBJECT<k: BIGINT>")).alias(
+            "schema_match"
+        ),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+        F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing_null"),
+        F.bool_and("schema_match").alias("schema_ok"),
+    )

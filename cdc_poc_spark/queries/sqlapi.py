@@ -170,3 +170,60 @@ HAVING COUNT(*) >= 5
 """,
     tags=("sql", "agg", "having"),
 )
+
+
+# Round 6: WITH RECURSIVE — supported by BOTH Spark 4.1 and DuckDB, so
+# the shared-text discipline extends to iterative SQL. Hierarchy:
+# parent(c) = floor(c/10) over the contiguous customer key space — a
+# deterministic 10-ary forest rooted at keys < 10; the recursion walks
+# it top-down accumulating depth.
+_sql_query(
+    "sql_recursive_hierarchy",
+    """
+WITH RECURSIVE h AS (
+  SELECT c_custkey, 0 AS depth,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.depth + 1,
+         CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+  FROM customer c
+  JOIN h ON CAST(floor(c.c_custkey / 10) AS BIGINT) = h.c_custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_total,
+       CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+       CAST(MAX(c_custkey) AS BIGINT) AS max_key
+FROM h GROUP BY depth
+""",
+    tags=("sql", "recursive"),
+)
+
+
+# Recursive transitive reachability: every (root < 10)-anchored customer
+# chain following parent links UP (child -> floor(child/10)) expressed
+# as the reverse closure — per-root subtree rollup (the org-chart /
+# bill-of-materials aggregation pattern).
+_sql_query(
+    "sql_recursive_subtree_rollup",
+    """
+WITH RECURSIVE h AS (
+  SELECT c_custkey, c_custkey AS root,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root,
+         CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+  FROM customer c
+  JOIN h ON CAST(floor(c.c_custkey / 10) AS BIGINT) = h.c_custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT root,
+       CAST(COUNT(*) AS BIGINT) AS subtree_size,
+       CAST(SUM(bal_cents) AS BIGINT) AS subtree_bal_cents
+FROM h GROUP BY root
+""",
+    tags=("sql", "recursive"),
+)

@@ -50,11 +50,15 @@ def test_round6_front_names_all_registered():
         _ROUND5_NEW,
         _ROUND6_NEW,
         _ROUND6B_NEW,
+        _ROUND7_NEW,
         all_specs,
     )
 
     specs = all_specs()
-    order = _ROUND6_NEW + _ROUND6B_NEW + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    order = (
+        _ROUND6_NEW + _ROUND6B_NEW + _ROUND7_NEW
+        + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    )
     missing = [n for n in order if n not in specs]
     assert not missing, f"front names not registered: {missing}"
     assert len(set(order)) == len(order), "duplicate names across front lists"
