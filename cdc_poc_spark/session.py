@@ -24,6 +24,10 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Python Data Source filter pushdown (sources/pyds.py implements
+    # pushFilters; the API refuses a pushdown-capable reader when this
+    # is off, rather than silently skipping pushdown)
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

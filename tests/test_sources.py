@@ -126,3 +126,120 @@ def test_kafka_batch_smoke(spark):
     assert {"key", "value", "topic", "partition", "offset"} <= cols
     assert df.schema["value"].dataType.typeName() == "binary"
     df.limit(1).collect()  # the scan itself executes
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python Data Source API (sources/pyds.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_envelopes(tmp_path):
+    import json
+
+    d = tmp_path / "env_pyds"
+    d.mkdir()
+    rows1 = [
+        {"value": json.dumps({"p": i}), "topic": "cdc.a", "offset": i}
+        for i in range(5)
+    ]
+    rows2 = [
+        {"value": json.dumps({"p": i}), "topic": "cdc.b", "offset": 5 + i}
+        for i in range(4)
+    ]
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows1))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in rows2))
+    return str(d)
+
+
+def test_python_batch_source_matches_builtin_json(spark, tmp_path):
+    """cdc_envelope_py must read exactly what the built-in JSON reader
+    reads from the same files, with ONE partition per file (the planner
+    contract that keeps the scan parallel)."""
+    from cdc_poc_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    d = _write_envelopes(tmp_path)
+    custom = spark.read.format("cdc_envelope_py").option("path", d).load()
+    builtin = spark.read.schema("value STRING, topic STRING, offset LONG").json(d)
+    assert custom.rdd.getNumPartitions() == 2  # one per file
+    a = sorted(tuple(r) for r in custom.collect())
+    b = sorted(tuple(r) for r in builtin.select("value", "topic", "offset").collect())
+    assert a == b and len(a) == 9
+
+
+def test_python_batch_source_filter_pushdown(spark, tmp_path):
+    """Pushed filters (topic equality + offset lower bound) must be
+    absorbed by the reader — verified at the unit level on pushFilters'
+    yielded remainder AND end-to-end on result correctness."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from cdc_poc_spark.sources.pyds import (
+        EnvelopeJsonReader,
+        register_python_sources,
+    )
+
+    r = EnvelopeJsonReader(None, {"path": "/nonexistent"})
+    remaining = list(
+        r.pushFilters(
+            [EqualTo(("topic",), "cdc.b"), GreaterThanOrEqual(("offset",), 7)]
+        )
+    )
+    assert remaining == []  # both absorbed
+    assert r.topic_eq == "cdc.b" and r.offset_min == 7
+    # an unsupported filter must be yielded back, not dropped
+    remaining = list(r.pushFilters([EqualTo(("value",), "x")]))
+    assert len(remaining) == 1
+
+    register_python_sources(spark)
+    d = _write_envelopes(tmp_path)
+    df = (
+        spark.read.format("cdc_envelope_py").option("path", d).load()
+        .filter((F.col("topic") == "cdc.b") & (F.col("offset") >= 7))
+    )
+    assert sorted(row.offset for row in df.collect()) == [7, 8]
+
+
+def test_python_stream_source_deterministic_and_replayable(spark):
+    """synthetic_events_py: (a) streamed rows are the deterministic
+    sequence with contiguous offsets (exactly-once across micro-batch
+    boundaries); (b) readBetweenOffsets replays any committed range
+    bit-identically — the crash-recovery contract."""
+    import time
+
+    from cdc_poc_spark.sources.pyds import (
+        SyntheticEventsStreamReader,
+        register_python_sources,
+        synthetic_event,
+    )
+
+    register_python_sources(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events_py")
+        .option("batchsize", "25")
+        .load()
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("syn_pyds_out")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table("syn_pyds_out").count() < 50:
+        time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    got = sorted(
+        (r.event_id, r.event_type, r.value)
+        for r in spark.table("syn_pyds_out").collect()
+    )
+    assert len(got) >= 50
+    assert got == [synthetic_event(i) for i in range(len(got))]
+
+    r = SyntheticEventsStreamReader({"batchsize": "10"})
+    rows, nxt = r.read(r.initialOffset())
+    assert rows == [synthetic_event(i) for i in range(10)] and nxt == {"idx": 10}
+    assert r.readBetweenOffsets({"idx": 40}, {"idx": 55}) == [
+        synthetic_event(i) for i in range(40, 55)
+    ]
