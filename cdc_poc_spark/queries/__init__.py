@@ -228,6 +228,9 @@ _ROUND7_NEW: list = [
     "sql_recursive_hierarchy",
     "sql_recursive_subtree_rollup",
     "scalar_variant_functions",
+    "cdc_snapshot_diff",
+    "pipeline_weighted_reservoir",
+    "scalar_generator_functions",
 ]
 
 

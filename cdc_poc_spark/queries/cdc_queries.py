@@ -385,3 +385,86 @@ def cdc_continuous_aggregate(spark, sf_dir):
     return agg.totals().select(
         "c_mktsegment", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: snapshot DIFF between two points in time (changefeed summary).
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_T2_US = 1_705_881_600_000_000  # 2024-01-22T00:00:00Z, one week later
+
+_SNAPDIFF_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+  ) WHERE rn = 1 AND event_type <> 'error'
+), s2 AS (
+  SELECT user_id, event_id, event_type FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '2024-01-22 00:00:00'
+  ) WHERE rn = 1 AND event_type <> 'error'
+), d AS (
+  SELECT CASE
+           WHEN s1.user_id IS NULL THEN 'added'
+           WHEN s2.user_id IS NULL THEN 'removed'
+           WHEN s1.event_id <> s2.event_id THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type,
+         COALESCE(s1.user_id, s2.user_id) AS user_id
+  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MIN(user_id) AS BIGINT) AS min_user_id,
+       CAST(MAX(user_id) AS BIGINT) AS max_user_id
+FROM d GROUP BY change_type
+"""
+
+
+@register("cdc_snapshot_diff", oracle=_SNAPDIFF_ORACLE, tags=("cdc", "window", "timetravel"))
+def cdc_snapshot_diff(spark, sf_dir):
+    """Changefeed summary between two points in time: reconstruct the
+    mirror AS OF T1 and AS OF T2 from the same changelog, full-outer
+    join on the key, classify added / removed / changed / unchanged —
+    "what did this week's changes do to the table", the audit query
+    every CDC deployment runs. Both snapshots share the window-dedup
+    shape of cdc_snapshot_at_time (cutoff pushed into the scan); the
+    diff is ONE key-keyed join of two key-unique relations. At 100 TB
+    both snapshot windows and the join share the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def snap(cutoff_us):
+        w = W.partitionBy("user_id").orderBy(
+            F.expr("ts DIV 1000").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.filter(F.expr("ts DIV 1000") <= F.lit(cutoff_us))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1 AND event_type <> 'error'")
+            .select("user_id", "event_id")
+        )
+
+    s1 = snap(SNAPSHOT_CUTOFF_US).select(
+        F.col("user_id").alias("k1"), F.col("event_id").alias("e1")
+    )
+    s2 = snap(SNAPSHOT_T2_US).select(
+        F.col("user_id").alias("k2"), F.col("event_id").alias("e2")
+    )
+    d = s1.join(s2, s1.k1 == s2.k2, "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("e1") != F.col("e2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("k1", "k2").alias("user_id"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("user_id").alias("min_user_id"),
+        F.max("user_id").alias("max_user_id"),
+    )

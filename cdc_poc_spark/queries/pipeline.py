@@ -867,3 +867,76 @@ def pipeline_kfold_assignment(spark, sf_dir):
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+_RESERVOIR_K = 20
+
+_RESERVOIR_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         CAST(round(ln((CAST(('0x' || substring(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967297.0) * 1000000) AS BIGINT)
+           AS ln_u_micro
+  FROM documents WHERE n_chars > 0
+), k AS (
+  SELECT doc_id, n_chars, ln_u_micro,
+         CAST(ln_u_micro AS DOUBLE) / n_chars AS akey
+  FROM u
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY akey DESC, doc_id) AS pos FROM k
+)
+SELECT CAST(pos AS BIGINT) AS pos, doc_id, n_chars, ln_u_micro,
+       round(akey, 9) AS akey
+FROM r WHERE pos <= {_RESERVOIR_K}
+"""
+
+
+@register("pipeline_weighted_reservoir", oracle=_RESERVOIR_ORACLE, tags=("llm", "pipeline", "sampling"))
+def pipeline_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): each doc draws key = ln(u)/w (equivalent ordering
+    to u^(1/w)) with weight = n_chars and a deterministic md5 uniform;
+    the top-k keys ARE the weighted sample — one distributed top-k, no
+    sequential reservoir state, which is why A-ES is THE distributed
+    weighted sampler (and mergeable: union then re-top-k). Exactness:
+    ln(u) is QUANTIZED to int64 micro-nats (single per-row expression),
+    so the sort key is one identical integer division in both engines.
+    Top-k via TakeOrderedAndProject — never a global sort
+    materialization."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.log(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    + 1
+                )
+                / 4294967297.0
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("ln_u_micro"),
+    )
+    k = u.withColumn("akey", F.col("ln_u_micro").cast("double") / F.col("n_chars"))
+    top = k.orderBy(F.desc("akey"), F.asc("doc_id")).limit(_RESERVOIR_K)
+    from pyspark.sql import Window as W
+
+    pos_w = W.orderBy(F.desc("akey"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(pos_w).cast("long").alias("pos"),
+        "doc_id",
+        "n_chars",
+        "ln_u_micro",
+        F.round("akey", 9).alias("akey"),
+    )

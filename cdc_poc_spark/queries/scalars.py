@@ -783,3 +783,87 @@ def scalar_variant_functions(spark, sf_dir):
         F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing_null"),
         F.bool_and("schema_match").alias("schema_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: generator functions (explode/posexplode_outer/inline/stack).
+# ---------------------------------------------------------------------------
+
+_GENERATOR_ORACLE = """
+WITH t AS (
+  SELECT n_nationkey, n_name, string_split(n_name, ' ') AS toks FROM nation
+), pos AS (
+  SELECT n_nationkey, s.i - 1 AS tok_pos, toks[s.i] AS tok
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS s(i)
+), outer_part AS (
+  -- posexplode_outer: nations with NO multi-word name still emit one
+  -- NULL-position row (LEFT JOIN against the >=2-token explosion)
+  SELECT t.n_nationkey,
+         CAST(p.tok_pos AS BIGINT) AS tok_pos, p.tok
+  FROM t LEFT JOIN (SELECT * FROM pos WHERE tok_pos >= 1) p
+    ON p.n_nationkey = t.n_nationkey
+), stacked AS (
+  SELECT n_nationkey, 'name_len' AS metric, CAST(length(n_name) AS BIGINT) AS v
+  FROM t
+  UNION ALL
+  SELECT n_nationkey, 'n_tokens', CAST(len(toks) AS BIGINT) FROM t
+)
+SELECT o.n_nationkey,
+       CAST(COUNT(o.tok) AS BIGINT) AS n_extra_tokens,
+       CAST(MIN(o.tok_pos) AS BIGINT) AS first_extra_pos,
+       CAST(MAX(s1.v) AS BIGINT) AS name_len,
+       CAST(MAX(s2.v) AS BIGINT) AS n_tokens
+FROM outer_part o
+JOIN stacked s1 ON s1.n_nationkey = o.n_nationkey AND s1.metric = 'name_len'
+JOIN stacked s2 ON s2.n_nationkey = o.n_nationkey AND s2.metric = 'n_tokens'
+GROUP BY o.n_nationkey
+"""
+
+
+@register("scalar_generator_functions", oracle=_GENERATOR_ORACLE, tags=("scalar", "generator"))
+def scalar_generator_functions(spark, sf_dir):
+    """Generator-function surface: posexplode_OUTER (rows with nothing
+    to explode survive as NULL rows — the left-join semantic plain
+    explode silently drops), plus stack() wide→long unpivot, rolled
+    back up per nation so the output is generator-shape-sensitive but
+    compact. The oracle spells the outer/inner distinction explicitly
+    as a LEFT JOIN."""
+    nat = load_table(spark, sf_dir, "nation")
+    t = nat.select(
+        "n_nationkey", "n_name", F.split("n_name", " ").alias("toks")
+    )
+    outer_part = t.select(
+        "n_nationkey",
+        F.posexplode_outer(F.expr("slice(toks, 2, size(toks))")).alias(
+            "p0", "tok"
+        ),
+    ).select(
+        "n_nationkey",
+        (F.col("p0") + 1).cast("long").alias("tok_pos"),
+        "tok",
+    )
+    stacked = t.select(
+        "n_nationkey",
+        F.expr(
+            "stack(2, 'name_len', CAST(length(n_name) AS LONG),"
+            " 'n_tokens', CAST(size(toks) AS LONG)) AS (metric, v)"
+        ),
+    )
+    s1 = stacked.filter("metric = 'name_len'").select(
+        "n_nationkey", F.col("v").alias("name_len")
+    )
+    s2 = stacked.filter("metric = 'n_tokens'").select(
+        "n_nationkey", F.col("v").alias("n_tokens")
+    )
+    return (
+        outer_part.groupBy("n_nationkey")
+        .agg(
+            F.count("tok").alias("n_extra_tokens"),
+            F.min("tok_pos").alias("first_extra_pos"),
+        )
+        .join(F.broadcast(s1), "n_nationkey")
+        .join(F.broadcast(s2), "n_nationkey")
+        .select(
+            "n_nationkey", "n_extra_tokens", "first_extra_pos", "name_len", "n_tokens"
+        )
+    )
