@@ -231,6 +231,7 @@ _ROUND7_NEW: list = [
     "cdc_snapshot_diff",
     "pipeline_weighted_reservoir",
     "scalar_generator_functions",
+    "join_spatial_grid_pairs",
 ]
 
 

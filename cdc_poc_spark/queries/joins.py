@@ -335,3 +335,112 @@ def join_nearest_event(spark, sf_dir):
         .otherwise(F.col("nv.ts_us") - F.col("ts_us"))
         .alias("delta_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: 2D spatial self-join via grid-cell bucketing.
+# ---------------------------------------------------------------------------
+
+_SPATIAL_KM = 250.0  # pair radius
+_SPATIAL_DEG = 2.5   # grid cell size ~ radius in degrees (flat-earth demo grid)
+
+_SPATIAL_ORACLE = f"""
+WITH geo AS (
+  SELECT s_suppkey,
+         (CAST(('0x' || substring(md5('slat:' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 20000000) / 1000000.0 - 10.0 AS lat,
+         (CAST(('0x' || substring(md5('slon:' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+               AS BIGINT) % 20000000) / 1000000.0 - 10.0 AS lon
+  FROM supplier
+), cells AS (
+  SELECT *, CAST(floor(lat / {_SPATIAL_DEG}) AS BIGINT) AS cx,
+            CAST(floor(lon / {_SPATIAL_DEG}) AS BIGINT) AS cy
+  FROM geo
+), probe AS (
+  SELECT c.*, c.cx + dx.d AS px, c.cy + dy.d AS py
+  FROM cells c,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+), pairs AS (
+  SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+  FROM probe a JOIN cells b ON b.cx = a.px AND b.cy = a.py
+  WHERE a.s_suppkey < b.s_suppkey
+)
+SELECT supp_a, supp_b, round(km, 3) AS km
+FROM pairs WHERE km <= {_SPATIAL_KM}
+"""
+
+
+@register("join_spatial_grid_pairs", oracle=_SPATIAL_ORACLE, tags=("join", "geo"))
+def join_spatial_grid_pairs(spark, sf_dir):
+    """Spatial self-join — all supplier pairs within 250 km (md5-derived
+    coordinates; the derivation is part of the query) via GRID-CELL
+    bucketing: each point lands in one floor(coord/cell) cell, the
+    probe side explodes to its 3x3 neighborhood, candidates come from
+    a cell-key EQUI-join (never a cross join), and the exact haversine
+    residual filters. Cell size ~ radius caps candidates at the 9-cell
+    neighborhood — the standard distributed spatial-join plan (same
+    replicate-then-equi-join shape as join_range_binned, one dimension
+    up). a<b dedup keeps each pair once despite the 9x replication."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def coord(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("s_suppkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 20000000
+            / 1000000.0
+            - 10.0
+        )
+
+    geo = sup.select(
+        "s_suppkey", coord("slat:").alias("lat"), coord("slon:").alias("lon")
+    )
+    cells = geo.select(
+        "*",
+        F.floor(F.col("lat") / _SPATIAL_DEG).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _SPATIAL_DEG).cast("long").alias("cy"),
+    )
+    probe = (
+        cells.withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            F.col("s_suppkey").alias("supp_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    b = cells.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cx").alias("px"),
+        F.col("cy").alias("py"),
+    )
+    hav = (
+        F.pow(F.sin(F.radians(F.col("lat_b") - F.col("lat_a")) / 2), 2)
+        + F.cos(F.radians("lat_a"))
+        * F.cos(F.radians("lat_b"))
+        * F.pow(F.sin(F.radians(F.col("lon_b") - F.col("lon_a")) / 2), 2)
+    )
+    km = 2 * 6371.0088 * F.asin(F.sqrt(hav))
+    return (
+        probe.join(b, ["px", "py"])
+        .filter(F.col("supp_a") < F.col("supp_b"))
+        .withColumn("km", km)
+        .filter(F.col("km") <= _SPATIAL_KM)
+        .select("supp_a", "supp_b", F.round("km", 3).alias("km"))
+    )
