@@ -232,6 +232,10 @@ _ROUND7_NEW: list = [
     "pipeline_weighted_reservoir",
     "scalar_generator_functions",
     "join_spatial_grid_pairs",
+    "sql_lateral_topn_per_nation",
+    "agg_bloom_filter_semijoin",
+    "agg_countmin_estimate",
+    "agg_mann_whitney_u",
 ]
 
 

@@ -956,3 +956,307 @@ def agg_geometric_mean(spark, sf_dir):
             4,
         ).alias("geomean_shifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: probabilistic-structure contracts — Bloom-filter semi-join
+# pre-filter and count-min frequency sketch, both built from first
+# principles in relational algebra so the SAME bit/cell math runs in
+# both engines (no engine-specific sketch state crosses the boundary).
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384  # bit-array size
+_BLOOM_K = 4      # hash functions
+
+_BLOOM_ORACLE = f"""
+WITH build AS (
+  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+), js AS (
+  SELECT unnest([0, 1, 2, 3]) AS j
+), bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('bloom' || CAST(j AS VARCHAR) || ':'
+                                      || CAST(key AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM build, js
+), probe AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), pp AS (
+  SELECT key, j,
+         CAST(('0x' || substring(md5('bloom' || CAST(j AS VARCHAR) || ':'
+                                      || CAST(key AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM probe, js
+), passed AS (
+  SELECT key FROM pp JOIN bits USING (pos)
+  GROUP BY key HAVING COUNT(*) = {_BLOOM_K}
+), flags AS (
+  SELECT p.key,
+         CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS is_member,
+         CASE WHEN ps.key IS NULL THEN 0 ELSE 1 END AS bloom_pass
+  FROM probe p
+  LEFT JOIN build b ON b.key = p.key
+  LEFT JOIN passed ps ON ps.key = p.key
+)
+SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+       CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(bloom_pass) AS BIGINT) AS bloom_pass,
+       CAST(SUM(is_member) AS BIGINT) AS true_members,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            * 1000000 // (COUNT(*) - SUM(is_member)) AS BIGINT) AS fpr_ppm
+FROM flags
+"""
+
+
+@register("agg_bloom_filter_semijoin", oracle=_BLOOM_ORACLE, tags=("agg", "sketch"))
+def agg_bloom_filter_semijoin(spark, sf_dir):
+    """Bloom-filter semi-join pre-filter CONTRACT: build a k=4/m=16384
+    Bloom bit-set over one side's keys (BUILDING-segment customers),
+    probe the fact side's distinct keys through it, and report pass /
+    true-member / false-positive counts plus the realized FPR in exact
+    ppm — the runtime-filter pattern that prunes a 100 TB fact scan
+    before the shuffle join (Spark's own runtime row-group skipping,
+    built here from first principles so the math is checkable).
+
+    Bloom soundness (zero false NEGATIVES) is implied by
+    true_members <= bloom_pass in the output; the realized FPR is the
+    quality number. Plan: the bit-set is ~m distinct ints -> broadcast
+    to the probe side (map-side membership, no shuffle of the fact
+    table); every hash is the engine-portable md5-prefix bigint. All
+    outputs exact integers."""
+    m, k = _BLOOM_M, _BLOOM_K
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+
+    def pos():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bloom"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    bits = build.select("key", js).select(pos().alias("pos")).distinct()
+    probe = orders.select(F.col("o_custkey").alias("key")).distinct()
+    pp = probe.select("key", js).select("key", pos().alias("pos"))
+    passed = (
+        pp.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("key")
+    )
+    flags = (
+        probe.join(F.broadcast(build.withColumn("m", F.lit(1))), "key", "left")
+        .join(F.broadcast(passed.withColumn("bp", F.lit(1))), "key", "left")
+        .select(
+            F.coalesce(F.col("m"), F.lit(0)).alias("is_member"),
+            F.coalesce(F.col("bp"), F.lit(0)).alias("bloom_pass"),
+        )
+    )
+    n_build = build.count()
+    fp = F.sum(
+        F.when((F.col("bloom_pass") == 1) & (F.col("is_member") == 0), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.lit(n_build).cast("long").alias("n_build"),
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("bloom_pass").cast("long").alias("bloom_pass"),
+        F.sum("is_member").cast("long").alias("true_members"),
+        fp.cast("long").alias("false_positives"),
+        F.expr(
+            "CAST(SUM(CASE WHEN bloom_pass = 1 AND is_member = 0 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV (COUNT(*) - SUM(is_member)) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )
+
+
+_CMS_D = 4    # sketch rows (hash functions)
+_CMS_W = 512  # sketch width (cells per row)
+_CMS_TOPN = 15
+
+_CMS_ORACLE = f"""
+WITH counts AS (
+  SELECT o_custkey AS key, COUNT(*) AS exact_n FROM orders GROUP BY o_custkey
+), js AS (
+  SELECT unnest([0, 1, 2, 3]) AS j
+), kp AS (
+  SELECT key, exact_n, j,
+         CAST(('0x' || substring(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                      || CAST(key AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_CMS_W} AS pos
+  FROM counts, js
+), cells AS (
+  SELECT j, pos, SUM(exact_n) AS cell_n FROM kp GROUP BY j, pos
+), est AS (
+  SELECT kp.key, kp.exact_n, MIN(c.cell_n) AS cms_estimate
+  FROM kp JOIN cells c ON c.j = kp.j AND c.pos = kp.pos
+  GROUP BY kp.key, kp.exact_n
+)
+SELECT CAST(key AS BIGINT) AS custkey, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - exact_n AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_n DESC, custkey
+LIMIT {_CMS_TOPN}
+"""
+
+
+@register("agg_countmin_estimate", oracle=_CMS_ORACLE, tags=("agg", "sketch"))
+def agg_countmin_estimate(spark, sf_dir):
+    """Count-min sketch CONTRACT (Cormode & Muthukrishnan '05): a
+    d=4 x w=512 counter grid over per-customer order-counts,
+    point-estimate = min over the d hashed cells, reported against the
+    exact count for the top-15 customers (overestimate >= 0 always —
+    CMS never undercounts; that one-sided bound is what the output
+    exhibits).
+
+    Scale shape: the sketch build is a map-side-combinable SUM into
+    d*w = 2048 cells regardless of key cardinality — the fixed-size
+    mergeable summary you ship from 1000 executors when exact per-key
+    counts don't fit; the estimate join is against a 2048-row broadcast.
+    Top-15 via TakeOrderedAndProject. All outputs exact integers."""
+    d, w = _CMS_D, _CMS_W
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    kp = counts.select(
+        "key",
+        "exact_n",
+        F.explode(F.array(*[F.lit(j) for j in range(d)])).alias("j"),
+    ).select(
+        "key",
+        "exact_n",
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cms"), F.col("j").cast("string"),
+                                   F.lit(":"), F.col("key").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        ).alias("pos"),
+    )
+    cells = kp.groupBy("j", "pos").agg(F.sum("exact_n").alias("cell_n"))
+    est = (
+        kp.join(F.broadcast(cells), ["j", "pos"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            F.col("key").cast("long").alias("custkey"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "custkey")
+        .limit(_CMS_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: Mann-Whitney U (rank-sum) two-sample test via the value
+# histogram — the nonparametric location test completing the KS /
+# chi-square / t-moments family.
+# ---------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH x AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS gx
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), h AS (
+  SELECT v, SUM(gx) AS nx, SUM(1 - gx) AS ny FROM x GROUP BY v
+), c AS (
+  SELECT v, nx, ny,
+         COALESCE(SUM(ny) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS cum_y_before
+  FROM h
+)
+SELECT CAST(SUM(nx) AS BIGINT) AS n_x,
+       CAST(SUM(ny) AS BIGINT) AS n_y,
+       CAST(SUM(nx * (2 * cum_y_before + ny)) AS BIGINT) AS u_x_doubled,
+       CAST(2 * SUM(nx) * SUM(ny) - SUM(nx * (2 * cum_y_before + ny)) AS BIGINT)
+         AS u_y_doubled,
+       CAST(SUM(nx * (2 * cum_y_before + ny)) * 1000000
+            // (2 * SUM(nx) * SUM(ny)) AS BIGINT) AS auc_ppm
+FROM c
+"""
+
+
+@register("agg_mann_whitney_u", oracle=_MWU_ORACLE, tags=("agg", "stats"))
+def agg_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U two-sample rank test — order totals of BUILDING
+    vs MACHINERY customers. Computed WITHOUT ranking individual rows:
+    U_x = sum over distinct values v of nx(v) * (#y below v) + ties/2,
+    kept exact by doubling (u_x_doubled is an exact integer; ties
+    contribute nx*ny per tied value, odd or even). auc_ppm =
+    U_x / (n_x*n_y) in exact ppm — the common-language effect size
+    (P(X > Y) + P(X = Y)/2).
+
+    Scale shape: rows collapse to the VALUE HISTOGRAM first (keyed agg,
+    map-side combinable), and the only ordered pass is a running sum
+    over distinct values via operators.scale.global_cumsum — the
+    two-pass range-partitioned prefix sum, NOT a single-partition
+    `SUM() OVER (ORDER BY ...)` window. The identity U_x + U_y =
+    n_x*n_y is visible in the output (u_y_doubled derived, not
+    recomputed)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        orders.join(
+            F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("gx"),
+        )
+    )
+    h = x.groupBy("v").agg(
+        F.sum("gx").alias("nx"), F.sum(1 - F.col("gx")).alias("ny")
+    )
+    from ..operators.scale import global_cumsum
+
+    c = global_cumsum(h, "ny", ["v"], cum_col="cum_y_incl").withColumn(
+        "cum_y_before", F.col("cum_y_incl") - F.col("ny")
+    )
+    term = F.sum(F.col("nx") * (2 * F.col("cum_y_before") + F.col("ny")))
+    return c.agg(
+        F.sum("nx").cast("long").alias("n_x"),
+        F.sum("ny").cast("long").alias("n_y"),
+        term.cast("long").alias("u_x_doubled"),
+        (2 * F.sum("nx") * F.sum("ny") - term).cast("long").alias("u_y_doubled"),
+        F.expr(
+            "CAST(SUM(nx * (2 * cum_y_before + ny)) * 1000000"
+            " DIV (2 * SUM(nx) * SUM(ny)) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )

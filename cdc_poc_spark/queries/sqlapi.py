@@ -227,3 +227,27 @@ FROM h GROUP BY root
 """,
     tags=("sql", "recursive"),
 )
+
+
+# Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+# ANSI "top-N per group without window functions" surface (Spark 3.2+
+# lateral join; Catalyst decorrelates it into a DomainJoin + ranked
+# window under the hood, so the physical plan is the same shuffle-once
+# rank the window form pays — but the SQL surface is the standard one
+# users port from Postgres/DuckDB). Shared text: the identical string
+# runs in both engines.
+_sql_query(
+    "sql_lateral_topn_per_nation",
+    """
+SELECT n.n_name, t.o_orderkey, t.price_cents
+FROM nation n, LATERAL (
+  SELECT o.o_orderkey,
+         CAST(round(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS price_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY price_cents DESC, o.o_orderkey LIMIT 3
+) t
+""",
+    tags=("sql", "join", "lateral", "topk"),
+)
