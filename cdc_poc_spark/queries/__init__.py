@@ -236,6 +236,9 @@ _ROUND7_NEW: list = [
     "agg_bloom_filter_semijoin",
     "agg_countmin_estimate",
     "agg_mann_whitney_u",
+    "graph_association_rules",
+    "ml_power_iteration_step",
+    "agg_rfm_segmentation",
 ]
 
 

@@ -1260,3 +1260,79 @@ def agg_mann_whitney_u(spark, sf_dir):
             " DIV (2 * SUM(nx) * SUM(ny)) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: RFM segmentation with mean-split scoring (broadcast scalar
+# thresholds — no global sort, no ntile).
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+           AS last_day,
+         COUNT(*) AS freq,
+         SUM(CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT))
+           AS cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT COUNT(*) AS n, CAST(SUM(last_day) AS BIGINT) AS s_r,
+         CAST(SUM(freq) AS BIGINT) AS s_f, CAST(SUM(cents) AS BIGINT) AS s_m
+  FROM m
+), s AS (
+  SELECT CASE WHEN last_day * t.n >= t.s_r THEN 1 ELSE 0 END AS r_hi,
+         CASE WHEN freq * t.n > t.s_f THEN 1 ELSE 0 END AS f_hi,
+         CASE WHEN cents * t.n > t.s_m THEN 1 ELSE 0 END AS m_hi,
+         cents
+  FROM m, t
+)
+SELECT r_hi, f_hi, m_hi, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS cents_total,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS cents_avg
+FROM s GROUP BY r_hi, f_hi, m_hi
+"""
+
+
+@register("agg_rfm_segmentation", oracle=_RFM_ORACLE, tags=("agg", "analytics"))
+def agg_rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation with
+    MEAN-split scoring: each customer scores high/low on last-order
+    day, order count, and lifetime cents vs the population mean, and
+    the output is the 8-cell segment grid with counts and exact
+    monetary totals. The mean comparison is kept in exact integers
+    (metric * N vs population SUM — no division, no float threshold),
+    which is also what makes it scale: the three thresholds are ONE
+    broadcast single-row aggregate, against which every customer scores
+    map-side — no ntile/percent_rank global sort anywhere (the usual
+    RFM-quintile implementation is a single-partition window at 100 TB;
+    a mean split is threshold semantics with zero ordered passes)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    m = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_date(F.col("o_orderdate").cast("date")).cast("long")).alias(
+            "last_day"
+        ),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(dec("o_totalprice", MONEY) * 100).cast("long")).alias("cents"),
+    )
+    t = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("last_day").alias("s_r"),
+        F.sum("freq").alias("s_f"),
+        F.sum("cents").alias("s_m"),
+    )
+    s = m.crossJoin(F.broadcast(t)).select(
+        F.when(F.col("last_day") * F.col("n") >= F.col("s_r"), 1)
+        .otherwise(0)
+        .alias("r_hi"),
+        F.when(F.col("freq") * F.col("n") > F.col("s_f"), 1).otherwise(0).alias("f_hi"),
+        F.when(F.col("cents") * F.col("n") > F.col("s_m"), 1).otherwise(0).alias("m_hi"),
+        "cents",
+    )
+    return s.groupBy("r_hi", "f_hi", "m_hi").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("cents_total"),
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("cents_avg"),
+    )

@@ -1062,3 +1062,162 @@ def graph_degree_assortativity(spark, sf_dir):
             "assortativity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: market-basket association rules (support / confidence / lift)
+# on the order->part bipartite graph.
+# ---------------------------------------------------------------------------
+
+_ASSOC_MIN_BOTH = 2
+
+_ASSOC_ORACLE = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT o) AS n_orders FROM b
+), pc AS (
+  SELECT p, COUNT(*) AS cnt FROM b GROUP BY p
+), pairs AS (
+  SELECT a.p AS part_a, x.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM b a JOIN b x ON a.o = x.o AND a.p < x.p
+  GROUP BY a.p, x.p
+  HAVING COUNT(*) >= {_ASSOC_MIN_BOTH}
+)
+SELECT part_a, part_b, n_both,
+       CAST(n_both * 1000000 // n.n_orders AS BIGINT) AS support_ppm,
+       CAST(n_both * 1000000 // ca.cnt AS BIGINT) AS conf_a_to_b_ppm,
+       CAST(n_both * 1000000 // cb.cnt AS BIGINT) AS conf_b_to_a_ppm,
+       CAST(n_both * n.n_orders * 1000000 // (ca.cnt * cb.cnt) AS BIGINT)
+         AS lift_micro
+FROM pairs
+JOIN pc ca ON ca.p = part_a
+JOIN pc cb ON cb.p = part_b, n
+"""
+
+
+@register("graph_association_rules", oracle=_ASSOC_ORACLE, tags=("graph", "analytics"))
+def graph_association_rules(spark, sf_dir):
+    """Market-basket association rules over parts co-ordered in the
+    same order: for every part pair seen together >= 2 times, exact-ppm
+    support (share of orders containing both), both directed
+    confidences (P(B|A), P(A|B)), and micro-scaled lift
+    (P(A,B)/(P(A)P(B)) — > 1e6 means positively associated). The
+    classic Agrawal-Srikant frequent-itemset output at size 2, kept
+    fully relational: no Apriori candidate generation is needed because
+    the pair enumeration is already bounded by per-order basket size
+    (~7 items -> <= 21 pairs per order), the same bounded-fanout
+    argument as graph_copurchase_projection one level up.
+
+    Plan: distinct bipartite edges, order-keyed self equi-join (per-key
+    fanout = basket size), keyed pair count, then two BROADCAST joins
+    against the part-count relation (|parts| rows) and a broadcast
+    single-row order count. All ratios exact integer ppm (floor
+    division on positive integers — identical in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.agg(F.countDistinct("o").alias("n_orders"))
+    pc = b.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a = b.select("o", F.col("p").alias("part_a"))
+    x = b.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(x, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _ASSOC_MIN_BOTH)
+    )
+    ca = pc.select(F.col("p").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = pc.select(F.col("p").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.expr("CAST(n_both * 1000000 DIV n_orders AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 DIV cnt_a AS BIGINT)").alias(
+                "conf_a_to_b_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 DIV cnt_b AS BIGINT)").alias(
+                "conf_b_to_a_ppm"
+            ),
+            F.expr(
+                "CAST(n_both * n_orders * 1000000 DIV (cnt_a * cnt_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: one distributed power-iteration step on the embedding
+# second-moment matrix (the top-eigenvector / spectral-drift primitive).
+# ---------------------------------------------------------------------------
+
+_POWER_ORACLE = """
+WITH q AS (
+  SELECT vec_id, d.i AS dim,
+         CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1000000) AS BIGINT) AS qx
+  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS d(i)
+), dots AS (
+  SELECT vec_id, CAST(SUM(qx) AS BIGINT) AS dot FROM q GROUP BY vec_id
+), mv AS (
+  SELECT dim, SUM(CAST(q.qx AS DECIMAL(38,0)) * dots.dot) AS v
+  FROM q JOIN dots USING (vec_id) GROUP BY dim
+), mx AS (
+  SELECT MAX(abs(v)) AS m FROM mv
+)
+SELECT dim,
+       CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END
+            * (CAST(abs(v) AS HUGEINT) * 1000000 // CAST(m AS HUGEINT))
+            AS BIGINT) AS v_scaled_ppm
+FROM mv, mx
+"""
+
+
+@register("ml_power_iteration_step", oracle=_POWER_ORACLE, tags=("ml", "similarity"))
+def ml_power_iteration_step(spark, sf_dir):
+    """One POWER-ITERATION step v1 = (X^T X) v0 on the embedding
+    second-moment matrix with v0 = all-ones, reported per dimension
+    scaled to ppm of the max component — the distributed primitive
+    under top-eigenvector / spectral-norm / PCA-drift estimation. The
+    d x d Gram matrix is NEVER materialized: (X^T X) v0 = X^T (X v0),
+    so the step is one per-row dot product (map-side, array aggregate)
+    followed by one dim-keyed weighted sum — two narrow aggregations
+    over n*d rows, no d^2 state anywhere, which is why it scales to
+    100 TB of embeddings while a Gram-matrix materialization would not.
+
+    Exactness: components quantized to int64 micro-units before any
+    cross-row sum; per-dim accumulator DECIMAL(38,0); final scaling is
+    floor division on the ABSOLUTE value with the sign reapplied
+    (Spark decimal DIV truncates toward zero, DuckDB decimal `//`
+    ROUNDS at scale 0 — measured; HUGEINT floor division on abs values
+    is the portable form)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        (F.col("i") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("qx"),
+    )
+    dots = q.groupBy("vec_id").agg(F.sum("qx").alias("dot"))
+    mv = (
+        q.join(dots, "vec_id")
+        .groupBy("dim")
+        .agg(F.sum(F.col("qx").cast("decimal(38,0)") * F.col("dot")).alias("v"))
+    )
+    mx = mv.agg(F.max(F.abs(F.col("v"))).alias("m"))
+    return mv.crossJoin(F.broadcast(mx)).select(
+        "dim",
+        F.expr(
+            "CAST(CASE WHEN v < 0 THEN -1 ELSE 1 END"
+            " * (abs(v) * 1000000 DIV m) AS BIGINT)"
+        ).alias("v_scaled_ppm"),
+    )

@@ -358,3 +358,57 @@ def test_logreg_gradient_is_keyed_agg(spark):
     assert "HashAggregate" in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_spatial_grid_join_is_equi_join(spark):
+    """join_spatial_grid_pairs must pair via the cell-key equi-join —
+    a regression to a cross join is O(n^2) at scale."""
+    plan = _plan(spark, "join_spatial_grid_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_and_cms_broadcast_the_summary(spark):
+    """The Bloom bit-set and the CMS cell grid are fixed-size summaries
+    — they must reach the probe side as broadcasts, never shuffle the
+    probe relation against them; CMS top-15 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "agg_bloom_filter_semijoin")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    plan = _plan(spark, "agg_countmin_estimate")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mwu_no_single_partition_window(spark):
+    """agg_mann_whitney_u's prefix sum runs on global_cumsum's range
+    partitioning — a SinglePartition window would serialize the value
+    histogram through one task."""
+    plan = _plan(spark, "agg_mann_whitney_u")
+    assert "Exchange SinglePartition" not in plan or "rangepartitioning" in plan
+
+
+def test_association_rules_no_cartesian_and_broadcast_counts(spark):
+    """Pair enumeration bounded by basket size via the order-keyed
+    equi-join; the part-count relation joins back as a broadcast."""
+    plan = _plan(spark, "graph_association_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_power_iteration_no_gram_matrix_no_window(spark):
+    """ml_power_iteration_step is two keyed aggregations — no window,
+    no d^2 intermediate (the only joins are vec-keyed and the 1-row
+    max broadcast)."""
+    plan = _plan(spark, "ml_power_iteration_step")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_thresholds_are_broadcast(spark):
+    """agg_rfm_segmentation scores against ONE broadcast single-row
+    aggregate — no ntile/global sort anywhere."""
+    plan = _plan(spark, "agg_rfm_segmentation")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
