@@ -87,6 +87,15 @@ HEADLINE = [
     "text_collocations_pmi",
     "ml_logreg_grad_step",
     "pipeline_epoch_shuffle",
+    # round 6 (cont.) — spatial join, probabilistic structures, lateral
+    # SQL, basket rules, spectral step
+    "join_spatial_grid_pairs",
+    "sql_lateral_topn_per_nation",
+    "agg_bloom_filter_semijoin",
+    "agg_countmin_estimate",
+    "agg_mann_whitney_u",
+    "graph_association_rules",
+    "ml_power_iteration_step",
 ]
 
 
