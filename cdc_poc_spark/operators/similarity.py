@@ -1034,3 +1034,83 @@ def topk_per_label(
         "cosine",
         F.row_number().over(w_out).cast("long").alias("label_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split d dims into M subspaces, quantize
+# each subvector against a per-subspace codebook of K centroids -> a
+# vector compresses to M small codes (64 floats -> 8 bytes at M=8/K=16).
+# ---------------------------------------------------------------------------
+
+
+def pq_assign_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    q: int = 1_000_000,
+) -> DataFrame:
+    """Assign every vector its per-subspace PQ code: (id, sub, code,
+    dist2) where code is the L2-nearest of the K per-subspace centroids
+    and dist2 the exact squared distance in micro^2 units.
+
+    Codebook: rank-based seeds (the K smallest ids' subvectors — same
+    deterministic seeding as the IVF quantizer, _ivf_seeds). Everything
+    runs DIM-EXPLODED and integer-quantized: vector dims equi-join the
+    broadcast centroid dims on the dimension index, squared diffs sum
+    per (id, sub, code), and the argmin is the winnowing-style PACKED
+    MIN key (dist2 * K + code — exact, tie-broken toward the smaller
+    code, no arg_min/row_number engine semantics involved).
+
+    Scale: the only large relation is rows x d dim-cells; centroids are
+    M*K*d_sub broadcast cells; per-vector fanout is a constant K per
+    subspace. The partial aggregation combines map-side, so the shuffle
+    carries one row per (id, sub, code) at most — at 100 TB this is the
+    relational (codegen) form; a numpy-GEMM mapInPandas twin (the
+    knn_graph_cells_gemm pattern) is the drop-in if profile shows the
+    squared-diff expression dominating."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # dim-exploded quantized cells: sub = dim DIV (d/m)
+    qdims = base.select(
+        "id",
+        (F.size("vec") / m).cast("int").alias("d_sub"),
+        F.posexplode("vec").alias("j", "x"),
+    ).select(
+        "id",
+        "j",
+        (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
+        F.round(F.col("x").cast("double") * q).cast("long").alias("qx"),
+    )
+    seed_w = W.orderBy(F.col("id"))
+    seeds = (
+        base.orderBy(F.col("id"))
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("code"), "id", "vec")
+    )
+    cdims = seeds.select(
+        "code",
+        (F.size("vec") / m).cast("int").alias("d_sub"),
+        F.posexplode("vec").alias("j", "cx"),
+    ).select(
+        "code",
+        "j",
+        (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
+        F.round(F.col("cx").cast("double") * q).cast("long").alias("qc"),
+    )
+    diff = qdims.join(F.broadcast(cdims.select("code", "j", "qc")), "j")
+    dist = diff.groupBy("id", "sub", "code").agg(
+        F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("d2")
+    )
+    best = (
+        dist.groupBy("id", "sub")
+        .agg(F.min(F.col("d2") * k + F.col("code")).alias("key"))
+        .select(
+            "id",
+            "sub",
+            (F.col("key") % k).cast("int").alias("code"),
+            F.expr(f"key DIV {k}").alias("dist2"),
+        )
+    )
+    return best

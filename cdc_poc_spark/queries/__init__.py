@@ -239,6 +239,11 @@ _ROUND7_NEW: list = [
     "graph_association_rules",
     "ml_power_iteration_step",
     "agg_rfm_segmentation",
+    "ml_feature_hashing",
+    "pipeline_schema_profile",
+    "agg_welch_t_test",
+    "agg_poisson_bootstrap",
+    "sim_pq_codebook_stats",
 ]
 
 

@@ -1336,3 +1336,209 @@ def agg_rfm_segmentation(spark, sf_dir):
         F.sum("cents").alias("cents_total"),
         F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("cents_avg"),
     )
+
+
+_WELCH_ORACLE = """
+WITH x AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS v,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS gx
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+), s AS (
+  SELECT CAST(SUM(gx) AS BIGINT) AS n1,
+         CAST(SUM(1 - gx) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN gx = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN gx = 0 THEN v ELSE 0 END) AS BIGINT) AS s2,
+         SUM(CASE WHEN gx = 1 THEN CAST(v AS DECIMAL(38,0)) * v ELSE 0 END) AS q1,
+         SUM(CASE WHEN gx = 0 THEN CAST(v AS DECIMAL(38,0)) * v ELSE 0 END) AS q2
+  FROM x
+), d AS (
+  SELECT n1, n2,
+         CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS mean_diff,
+         (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 AS a1,
+         (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2 AS a2
+  FROM s
+)
+SELECT n1 AS n_x, n2 AS n_y,
+       round(mean_diff / 100, 4) AS mean_diff_dollars,
+       round(mean_diff / sqrt(a1 + a2), 6) AS t_stat,
+       round(pow(a1 + a2, 2)
+             / (pow(a1, 2) / (n1 - 1) + pow(a2, 2) / (n2 - 1)), 4) AS df_welch
+FROM d
+"""
+
+
+@register("agg_welch_t_test", oracle=_WELCH_ORACLE, tags=("agg", "stats"))
+def agg_welch_t_test(spark, sf_dir):
+    """Welch's unequal-variance t-test on order totals (BUILDING vs
+    MACHINERY customers) — completing the two-sample family alongside
+    KS (distribution shape), chi-square (categorical), and
+    Mann-Whitney (rank location): Welch is the parametric mean test
+    robust to unequal variances, with Welch-Satterthwaite effective df.
+
+    Exactness discipline: everything up to the final t/df expressions
+    is exact integer state — BIGINT sums and DECIMAL(38) sums of
+    squares of integer cents — so the only float ops are the SAME
+    closed-form expressions on identical integers in both engines.
+    Plan: one map-side-combinable conditional aggregate over the
+    broadcast-dim join; no shuffle wider than the 1-row moment state."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = orders.join(
+        F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).select(
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("gx"),
+    )
+    s = x.agg(
+        F.sum("gx").cast("long").alias("n1"),
+        F.sum(1 - F.col("gx")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("gx") == 1, F.col("v")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("gx") == 0, F.col("v")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(
+            F.when(F.col("gx") == 1, F.col("v").cast("decimal(38,0)") * F.col("v")).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q1"),
+        F.sum(
+            F.when(F.col("gx") == 0, F.col("v").cast("decimal(38,0)") * F.col("v")).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q2"),
+    )
+    mean_diff = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
+    a1 = (
+        (F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    a2 = (
+        (F.col("q2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    d = s.select(
+        F.col("n1").alias("n_x"),
+        F.col("n2").alias("n_y"),
+        mean_diff.alias("mean_diff"),
+        a1.alias("a1"),
+        a2.alias("a2"),
+    )
+    return d.select(
+        "n_x",
+        "n_y",
+        F.round(F.col("mean_diff") / 100, 4).alias("mean_diff_dollars"),
+        F.round(F.col("mean_diff") / F.sqrt(F.col("a1") + F.col("a2")), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(F.col("a1") + F.col("a2"), 2)
+            / (
+                F.pow(F.col("a1"), 2) / (F.col("n_x") - 1)
+                + F.pow(F.col("a2"), 2) / (F.col("n_y") - 1)
+            ),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams", Google 2012) — the distributed bootstrap.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 64
+# Poisson(1) inverse-CDF thresholds scaled to 2^32, k = 0..9 (P(k > 9)
+# replaced by k = 10 — probability < 1e-7). Integer compares only, so
+# both engines derive IDENTICAL replicate weights from the same md5.
+_BOOT_T = [1580030169, 3160060337, 3950075422, 4213413783, 4279248374,
+           4292415292, 4294609778, 4294923276, 4294962463, 4294966817]
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CASE {cases} ELSE 10 END"
+
+
+_BOOT_ORACLE = f"""
+WITH b AS (
+  SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS rep
+), r AS (
+  SELECT rep,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS v,
+         CAST(('0x' || substring(md5('boot' || CAST(rep AS VARCHAR) || ':'
+                                      || CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u
+  FROM orders, b
+), w AS (
+  SELECT rep, v, {_boot_w_sql("u")} AS wt FROM r
+)
+SELECT rep, CAST(SUM(wt) AS BIGINT) AS n_eff,
+       CAST(CAST(SUM(CAST(wt AS DECIMAL(38,0)) * v) AS HUGEINT) * 1000000
+            // CAST(SUM(wt) AS HUGEINT) AS BIGINT) AS mean_micro_cents
+FROM w GROUP BY rep
+"""
+
+
+@register("agg_poisson_bootstrap", oracle=_BOOT_ORACLE, tags=("agg", "stats", "approx"))
+def agg_poisson_bootstrap(spark, sf_dir):
+    """POISSON BOOTSTRAP of the mean order value: 64 replicates where
+    every row enters replicate b with an independent Poisson(1) weight
+    derived from md5(b, key) through an exact integer inverse-CDF
+    lookup. One row per replicate (effective n, exact floor-divided
+    micro-cents mean); the caller reads the replicate spread as the
+    sampling distribution (CI = order statistics of these 64 values).
+
+    This is THE bootstrap that works on 100 TB (Chamandy et al. 2012):
+    classic resampling needs N draws per replicate from a global
+    multinomial — impossible to coordinate across executors — while
+    Poisson weights are PER-ROW INDEPENDENT, so all B replicates
+    compute in one map-side pass + one 64-row aggregate, no shuffle of
+    the data, no coordination. Exactness: integer thresholds (scaled
+    2^32), integer weights, DECIMAL(38) weighted sums, HUGEINT-floor
+    division — bit-identical across engines by construction."""
+    from ..operators.scale import spread
+
+    # spread BEFORE the x64 explode: a single-row-group orders file
+    # scans as ONE task, and 64x per-row md5 work on one core is the
+    # bottleneck (measured: 15.0 s at sf0.1 single-file vs 8.1 s at
+    # 10x the data in a 32-split layout — parallelism, not volume).
+    orders = spread(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    )
+    r0 = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
+    )
+    r = r0.select(
+        "rep",
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    w = r.select("rep", "v", F.expr(_boot_w_sql("u")).alias("wt"))
+    return w.groupBy("rep").agg(
+        F.sum("wt").cast("long").alias("n_eff"),
+        F.expr(
+            "CAST(SUM(CAST(wt AS DECIMAL(38,0)) * v) * 1000000"
+            " DIV SUM(CAST(wt AS BIGINT)) AS BIGINT)"
+        ).alias("mean_micro_cents"),
+    )

@@ -1951,3 +1951,146 @@ def mm_payload_dedup(spark, sf_dir):
             6,
         ).alias("dedup_savings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: feature hashing (the "hashing trick") — fixed-dimension signed
+# text vectorization without a vocabulary.
+# ---------------------------------------------------------------------------
+
+_FHASH_DIMS = 256
+
+_FHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token <> '' GROUP BY doc_id, token
+), sig AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('fh:' || token), 1, 8)) AS BIGINT)
+           % {_FHASH_DIMS} AS dim,
+         CASE WHEN CAST(('0x' || substring(md5('fs:' || token), 1, 8)) AS BIGINT)
+                   % 2 = 0 THEN tf ELSE -tf END AS val
+  FROM tf
+), ent AS (
+  SELECT doc_id, dim, CAST(SUM(val) AS BIGINT) AS w
+  FROM sig GROUP BY doc_id, dim
+  HAVING SUM(val) <> 0
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(abs(w)) AS BIGINT) AS sum_abs_w,
+       CAST(SUM(w) AS BIGINT) AS net_w
+FROM ent GROUP BY dim
+"""
+
+
+@register("ml_feature_hashing", oracle=_FHASH_ORACLE, tags=("ml", "llm", "text"))
+def ml_feature_hashing(spark, sf_dir):
+    """Signed feature hashing (Weinberger et al. ICML'09 — the
+    "hashing trick"): every token maps to one of 256 dimensions by
+    hash, with a second hash choosing the sign so collisions cancel in
+    expectation; per-document vectors are the signed term-frequency
+    sums. The contract output is the per-dimension corpus profile
+    (documents touching the dim, total |weight|, net weight — net ~ 0
+    on high-collision dims is the sign trick working).
+
+    This is THE vocabulary-free vectorizer at 100 TB: no vocab build,
+    no broadcast dictionary, no OOV path — the feature space is fixed
+    at d=256 regardless of corpus size, every step a keyed agg (token
+    tf -> hashed signed sum -> dim profile), all map-side combinable.
+    Exact integers end-to-end (engine-portable md5-prefix hashes)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    def h(salt):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("token"))), 1, 8), 16, 10
+        ).cast("long")
+
+    sig = tf.select(
+        "doc_id",
+        (h("fh:") % _FHASH_DIMS).alias("dim"),
+        F.when(h("fs:") % 2 == 0, F.col("tf")).otherwise(-F.col("tf")).alias("val"),
+    )
+    ent = (
+        sig.groupBy("doc_id", "dim")
+        .agg(F.sum("val").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+    return ent.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.abs(F.col("w"))).alias("sum_abs_w"),
+        F.sum("w").alias("net_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: product-quantization codebook statistics.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_K = 16
+
+_PQ_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+         len(embedding) AS d
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, j.i - 1 AS j,
+         CAST((j.i - 1) // (d // {_PQ_M}) AS INTEGER) AS sub,
+         qv[j.i] AS qx
+  FROM q, LATERAL unnest(generate_series(1, d)) AS j(i)
+), seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv, d
+  FROM q ORDER BY vec_id LIMIT {_PQ_K}
+), cd AS (
+  SELECT code, j.i - 1 AS j, qv[j.i] AS qc
+  FROM seeds, LATERAL unnest(generate_series(1, d)) AS j(i)
+), dist AS (
+  SELECT vec_id, sub, code,
+         CAST(SUM((qx - qc) * (qx - qc)) AS BIGINT) AS d2
+  FROM qd JOIN cd USING (j)
+  GROUP BY vec_id, sub, code
+), best AS (
+  SELECT vec_id, sub, MIN(d2 * {_PQ_K} + code) AS key
+  FROM dist GROUP BY vec_id, sub
+)
+SELECT sub, CAST(key % {_PQ_K} AS INTEGER) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(key // {_PQ_K}) AS BIGINT) AS total_distortion
+FROM best GROUP BY sub, code
+"""
+
+
+@register("sim_pq_codebook_stats", oracle=_PQ_ORACLE, tags=("llm", "similarity"))
+def sim_pq_codebook_stats(spark, sf_dir):
+    """Product quantization (Jegou et al., TPAMI 2011) codebook
+    assignment profile: every embedding splits into M=8 subvectors,
+    each assigned its L2-nearest of K=16 per-subspace centroids
+    (rank-based deterministic seeds — the IVF seeding rule per
+    subspace), reported as per-(subspace, code) occupancy and exact
+    total distortion. PQ is how 100 TB of embeddings fit in memory for
+    ANN: 64 floats -> 8 one-byte codes (32x), with distance tables per
+    query instead of full vectors; the occupancy/distortion profile is
+    the codebook-health diagnostic (empty codes = wasted capacity,
+    distortion spikes = subspace needs retraining).
+
+    Argmin = winnowing-style packed MIN (d2 * K + code): exact,
+    tie-broken toward the smaller code, no engine-specific arg_min
+    semantics. See operators/similarity.py:pq_assign_codes for the
+    plan shape (dim-exploded equi-join against broadcast centroid
+    cells; map-side-combinable everywhere)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    best = similarity.pq_assign_codes(emb, m=_PQ_M, k=_PQ_K)
+    return best.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("dist2").alias("total_distortion"),
+    )

@@ -1221,3 +1221,114 @@ def ml_power_iteration_step(spark, sf_dir):
             " * (abs(v) * 1000000 DIV m) AS BIGINT)"
         ).alias("v_scaled_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: per-column schema/data-quality profile (the "describe table"
+# a pipeline runs before trusting an unfamiliar 100 TB dataset).
+# ---------------------------------------------------------------------------
+
+_SCHEMA_PROFILE_ORACLE = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_cents', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)),
+       CAST(MIN(CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)) AS VARCHAR),
+       CAST(MAX(CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+       strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d'),
+       strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+"""
+
+
+@register("pipeline_schema_profile", oracle=_SCHEMA_PROFILE_ORACLE, tags=("pipeline", "profiling"))
+def pipeline_schema_profile(spark, sf_dir):
+    """Per-column schema/data-quality profile of the orders table: one
+    row per column with row count, null count, exact distinct count,
+    and canonicalized min/max (keys as integer strings, money as exact
+    cents, dates as ISO days — raw float/timestamp formatting is
+    engine-specific, so the profile canonicalizes BEFORE stringifying;
+    that choice is part of the operator contract).
+
+    Plan: ONE scan with every per-column aggregate computed together —
+    Catalyst expands the 6 DISTINCT aggregates into a single Expand
+    (x6 rows) + two-phase agg, which beats 6 separate scans of a
+    100 TB table by ~6x scan cost; the final unpivot to rows is a
+    1-row stack. The profile a pipeline diffs day-over-day to catch
+    upstream schema drift (sudden nulls, cardinality jumps, range
+    shifts) before training on bad data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    oday = F.col("o_orderdate").cast("date")
+    a = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # o_orderkey
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("nn_k"),
+        F.countDistinct("o_orderkey").alias("nd_k"),
+        F.min("o_orderkey").cast("string").alias("mn_k"),
+        F.max("o_orderkey").cast("string").alias("mx_k"),
+        # o_custkey
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("nn_c"),
+        F.countDistinct("o_custkey").alias("nd_c"),
+        F.min("o_custkey").cast("string").alias("mn_c"),
+        F.max("o_custkey").cast("string").alias("mx_c"),
+        # o_orderstatus
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("nn_s"),
+        F.countDistinct("o_orderstatus").alias("nd_s"),
+        F.min("o_orderstatus").alias("mn_s"),
+        F.max("o_orderstatus").alias("mx_s"),
+        # o_totalprice as cents
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("nn_p"),
+        F.countDistinct(cents).alias("nd_p"),
+        F.min(cents).cast("string").alias("mn_p"),
+        F.max(cents).cast("string").alias("mx_p"),
+        # o_orderdate as ISO day
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("nn_d"),
+        F.countDistinct(oday).alias("nd_d"),
+        F.date_format(F.min(oday), "yyyy-MM-dd").alias("mn_d"),
+        F.date_format(F.max(oday), "yyyy-MM-dd").alias("mx_d"),
+        # o_orderpriority
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0)).alias("nn_o"),
+        F.countDistinct("o_orderpriority").alias("nd_o"),
+        F.min("o_orderpriority").alias("mn_o"),
+        F.max("o_orderpriority").alias("mx_o"),
+    )
+    return a.selectExpr(
+        """stack(6,
+           'o_orderkey', n_rows, nn_k, nd_k, mn_k, mx_k,
+           'o_custkey', n_rows, nn_c, nd_c, mn_c, mx_c,
+           'o_orderstatus', n_rows, nn_s, nd_s, mn_s, mx_s,
+           'o_totalprice_cents', n_rows, nn_p, nd_p, mn_p, mx_p,
+           'o_orderdate', n_rows, nn_d, nd_d, mn_d, mx_d,
+           'o_orderpriority', n_rows, nn_o, nd_o, mn_o, mx_o
+        ) AS (col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"""
+    )
