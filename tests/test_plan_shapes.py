@@ -412,3 +412,44 @@ def test_rfm_thresholds_are_broadcast(spark):
     plan = _plan(spark, "agg_rfm_segmentation")
     assert "Window" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_welch_is_single_pass_moment_agg(spark):
+    """agg_welch_t_test: one conditional aggregate over a broadcast-dim
+    join — no window, no extra shuffle beyond the 1-row state."""
+    plan = _plan(spark, "agg_welch_t_test")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_bootstrap_is_map_pass_plus_tiny_agg(spark):
+    """agg_poisson_bootstrap: the x64 replicate explode must ride a
+    SPREAD scan (round-robin exchange), aggregate map-side, and never
+    sort or window."""
+    plan = _plan(spark, "agg_poisson_bootstrap")
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    assert "roundrobin" in plan.lower() or "RoundRobin" in plan
+
+
+def test_feature_hashing_keyed_aggs_only(spark):
+    plan = _plan(spark, "ml_feature_hashing")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_schema_profile_single_scan_with_expand(spark):
+    """pipeline_schema_profile computes 6 distinct aggregates in ONE
+    scan via Catalyst's Expand — 6 separate scans would read a 100 TB
+    table 6 times."""
+    plan = _plan(spark, "pipeline_schema_profile")
+    assert "Expand" in plan
+    # one scan LEAF in the plan tree (formatted mode also prints a
+    # "(1) Scan parquet" detail section per leaf — count tree nodes)
+    assert plan.count("+- Scan parquet") + plan.count("* Scan parquet") == 1
+
+
+def test_pq_assign_broadcasts_centroids(spark):
+    plan = _plan(spark, "sim_pq_codebook_stats")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
