@@ -244,6 +244,8 @@ _ROUND7_NEW: list = [
     "agg_welch_t_test",
     "agg_poisson_bootstrap",
     "sim_pq_codebook_stats",
+    "cdc_point_in_time_join",
+    "graph_linkpred_adamic_adar",
 ]
 
 

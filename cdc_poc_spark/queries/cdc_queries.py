@@ -468,3 +468,100 @@ def cdc_snapshot_diff(spark, sf_dir):
         F.min("user_id").alias("min_user_id"),
         F.max("user_id").alias("max_user_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: point-in-time (feature-store) join — each fact row sees the
+# dimension STATE that was valid at its own event time.
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, 0 AS kind, event_id,
+         event_id AS st_id, epoch_us(ts) AS st_ts_us,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS st_cents
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 1, event_id,
+         NULL, NULL, NULL
+  FROM events WHERE event_type = 'click'
+), s AS (
+  SELECT user_id, ts_us, kind, event_id,
+         last_value(st_id IGNORE NULLS) OVER w AS state_event_id,
+         last_value(st_ts_us IGNORE NULLS) OVER w AS state_ts_us,
+         last_value(st_cents IGNORE NULLS) OVER w AS state_cents
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS click_event_id, user_id, ts_us,
+       state_event_id, state_cents,
+       CAST(ts_us - state_ts_us AS BIGINT) AS staleness_us
+FROM s WHERE kind = 1 AND state_event_id IS NOT NULL
+"""
+
+
+@register("cdc_point_in_time_join", oracle=_PIT_ORACLE, tags=("cdc", "join", "window"))
+def cdc_point_in_time_join(spark, sf_dir):
+    """POINT-IN-TIME correct join (the feature-store primitive): every
+    click event is paired with the purchase-state version that was
+    valid AT ITS OWN TIMESTAMP — never a later one, which is exactly
+    the future-leakage a training pipeline must prevent when joining
+    features to labels (the 'time-travel' join of Feast/Tecton-class
+    systems, here first-class relational).
+
+    Implementation is the UNION + running-last-state form, NOT the
+    interval join: state changes (kind 0) and facts (kind 1) union into
+    one keyed stream, one window pass per key carries the latest
+    non-null state forward, facts read it. That shape is what scales —
+    ONE shuffle on the key, no per-fact interval fanout, no range
+    predicate; a fact at exactly a change's timestamp sees that change
+    (kind 0 sorts first — the tie rule is part of the contract).
+    staleness_us (fact time minus state version time) is the
+    feature-freshness metric monitored in production."""
+    ev = events_with_time(spark, sf_dir)
+    cents = F.round(dec("value", VAL) * 100).cast("long")
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.col("event_id").alias("st_id"),
+        F.col("ts_us").alias("st_ts_us"),
+        cents.alias("st_cents"),
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts_us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("st_id"),
+        F.lit(None).cast("long").alias("st_ts_us"),
+        F.lit(None).cast("long").alias("st_cents"),
+    )
+    u = dim.unionByName(facts)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = u.select(
+        "user_id",
+        "ts_us",
+        "kind",
+        "event_id",
+        F.last("st_id", ignorenulls=True).over(w).alias("state_event_id"),
+        F.last("st_ts_us", ignorenulls=True).over(w).alias("state_ts_us"),
+        F.last("st_cents", ignorenulls=True).over(w).alias("state_cents"),
+    )
+    return (
+        s.filter((F.col("kind") == 1) & F.col("state_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            "ts_us",
+            "state_event_id",
+            "state_cents",
+            (F.col("ts_us") - F.col("state_ts_us")).cast("long").alias("staleness_us"),
+        )
+    )

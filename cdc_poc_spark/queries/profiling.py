@@ -1332,3 +1332,80 @@ def pipeline_schema_profile(spark, sf_dir):
            'o_orderpriority', n_rows, nn_o, nd_o, mn_o, mx_o
         ) AS (col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: Adamic-Adar link prediction (hub-discounted common neighbors).
+# ---------------------------------------------------------------------------
+
+_AA_ORACLE = _COORDER_EDGES_CTE + """
+, wn AS (
+  -- deg-1 neighbors can never be SHARED (a wedge needs two edges at n)
+  -- and ln(1) = 0 would make the weight a division hazard: filtered
+  -- before the weight is evaluated, identically in both engines.
+  SELECT sym.u, sym.v AS n,
+         CAST(round(1000000.0 / ln(deg.deg)) AS BIGINT) AS w_n
+  FROM sym JOIN deg ON deg.node = sym.v
+  WHERE deg.deg >= 2
+), cn AS (
+  SELECT s1.u AS a, s2.u AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(s1.w_n) AS BIGINT) AS aa_micro
+  FROM wn s1 JOIN wn s2 ON s1.n = s2.n AND s1.u < s2.u
+  GROUP BY 1, 2
+)
+SELECT cn.a AS part_a, cn.b AS part_b, cn.n_common, cn.aa_micro
+FROM cn LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+WHERE e.u IS NULL AND cn.n_common >= 2
+"""
+
+
+@register("graph_linkpred_adamic_adar", oracle=_AA_ORACLE, tags=("graph", "analytics"))
+def graph_linkpred_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the co-order graph: the same
+    non-adjacent >= 2-common-neighbor candidates as
+    graph_linkpred_common_neighbors, but each shared neighbor n
+    contributes 1/ln(deg(n)) instead of 1 — a rare shared neighbor is
+    strong evidence, a hub is weak evidence (Adamic & Adar, "Friends
+    and neighbors on the Web", 2003). A shared neighbor always has
+    deg >= 2, so ln(deg) > 0 by construction — and deg-1 rows are
+    filtered BEFORE the weight expression evaluates (ANSI mode turns
+    the eager 1/ln(1) into a query-killing divide-by-zero even though
+    those rows could never survive the wedge join; the 10x probe
+    caught this — no deg-1 node exists at sf0.01).
+
+    Exactness: the per-neighbor weight is quantized ONCE to an integer
+    (round(1e6/ln(deg)) — identical IEEE ops on identical integers in
+    both engines) and the pair score is then an exact integer SUM —
+    the micro-nat discipline, applied to graph scoring. Plan: weight
+    the symmetrized edges by one broadcast degree join BEFORE the
+    wedge join, so the weight rides the wedge rows and the score is a
+    plain keyed SUM; anti-join drops existing edges."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    wn = sym.join(
+        F.broadcast(deg.filter(F.col("deg") >= 2)), sym.v == deg.node
+    ).select(
+        "u",
+        F.col("v").alias("n"),
+        F.round(1000000.0 / F.log(F.col("deg").cast("double"))).cast("long").alias("w_n"),
+    )
+    s1 = wn.select(F.col("u").alias("a"), "n", "w_n")
+    s2 = wn.select(F.col("u").alias("b"), "n")
+    cn = (
+        s1.join(s2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w_n").alias("aa_micro"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    return cn.join(e, (e.u == cn.a) & (e.v == cn.b), "left_anti").select(
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        "n_common",
+        "aa_micro",
+    )
