@@ -447,3 +447,96 @@ def stateful_sessionize_event_time(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming point-in-time enrichment — the online twin of the batch
+# queries/cdc_queries.py:cdc_point_in_time_join (feature-store join).
+# ---------------------------------------------------------------------------
+
+PIT_OUTPUT_SCHEMA = (
+    "user_id long, click_event_id long, ts_us long,"
+    " state_event_id long, state_cents long, staleness_us long"
+)
+PIT_STATE_SCHEMA = "st_ts long, st_id long, st_cents long"
+
+_PIT_OUT_COLS = [
+    "user_id",
+    "click_event_id",
+    "ts_us",
+    "state_event_id",
+    "state_cents",
+    "staleness_us",
+]
+
+
+def _pit_group(
+    key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-key PIT state machine: rows (ts_us, kind, event_id, cents)
+    sorted by (ts_us, kind, event_id) within the batch — kind 0 (state
+    change) advances the carried (st_ts, st_id, st_cents), kind 1
+    (fact) emits enriched against the state seen so far. The carried
+    state only advances FORWARD ((ts, id) order), so a replayed or
+    late-arriving older state change never rewrites it."""
+    (uid,) = key
+    if state.exists:
+        st_ts, st_id, st_cents = state.get
+    else:
+        st_ts = st_id = st_cents = None
+    out = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        rows = rows.sort_values(["ts_us", "kind", "event_id"])
+        for r in rows.itertuples(index=False):
+            if r.kind == 0:
+                if st_ts is None or (int(r.ts_us), int(r.event_id)) >= (st_ts, st_id):
+                    st_ts, st_id, st_cents = (
+                        int(r.ts_us),
+                        int(r.event_id),
+                        int(r.cents),
+                    )
+            elif st_id is not None:
+                out.append(
+                    (
+                        int(uid),
+                        int(r.event_id),
+                        int(r.ts_us),
+                        st_id,
+                        st_cents,
+                        int(r.ts_us) - st_ts,
+                    )
+                )
+    if st_id is not None:
+        state.update((st_ts, st_id, st_cents))
+    yield pd.DataFrame(out, columns=_PIT_OUT_COLS)
+
+
+def streaming_point_in_time_enrich(keyed: DataFrame) -> DataFrame:
+    """Online feature-store enrichment: maintain each key's latest
+    dimension state and stamp every incoming fact with the state valid
+    at its event time — the streaming twin of the batch
+    ``cdc_point_in_time_join`` (asserted row-equal after an
+    availableNow drain in tests/test_streaming.py, in both the
+    one-epoch and per-file epoch shapes).
+
+    Input: a streaming DataFrame (user_id LONG, ts_us LONG, kind INT —
+    0 = state change carrying ``cents``, 1 = fact, event_id LONG,
+    cents LONG). Append mode — each enriched fact is emitted exactly
+    once, in the micro-batch that carries it.
+
+    Honesty note on ordering: WITHIN a micro-batch, rows apply in full
+    (ts_us, kind, event_id) event-time order (exact PIT even for
+    out-of-order rows that share a batch); ACROSS batches, a state
+    change arriving after a fact it should have served cannot
+    retroactively re-enrich it — the batch query is the reprocessing
+    truth, this operator is the low-latency online path. That split
+    (online best-effort forward state + offline exact backfill) is the
+    standard feature-store architecture, stated rather than hidden."""
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _pit_group,
+        outputStructType=PIT_OUTPUT_SCHEMA,
+        stateStructType=PIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1411,3 +1411,95 @@ def test_streaming_bucket_derivations_match_batch(spark, event_stream_dir, tmp_p
             tuple(r) for r in specs[batch_name].fn(spark, SF_DIR).collect()
         )
         assert got == want and got, batch_name
+
+
+def _pit_keyed_batch(spark):
+    """The batch-side keyed relation the PIT twin consumes: purchase
+    state changes (kind 0) + click facts (kind 1), mirroring
+    queries/cdc_queries.py:cdc_point_in_time_join's inputs."""
+    from cdc_poc_spark.tables import VAL, dec, events_with_time
+
+    ev = events_with_time(spark, SF_DIR)
+    cents = F.round(dec("value", VAL) * 100).cast("long")
+    dim = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("kind"),
+        "event_id",
+        cents.alias("cents"),
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("long").alias("cents"),
+    )
+    return dim.unionByName(facts)
+
+
+def test_streaming_point_in_time_matches_batch(spark, tmp_path):
+    """The streaming PIT enricher, drained with availableNow, must
+    emit EXACTLY the batch cdc_point_in_time_join rows — in both epoch
+    shapes: (a) the whole keyed relation in one file (within-batch
+    event-time sort path) and (b) four time-ordered files with
+    maxFilesPerTrigger=1 (the carried-state-across-epochs path)."""
+    from cdc_poc_spark.queries import all_specs
+    from cdc_poc_spark.streaming.stateful import streaming_point_in_time_enrich
+
+    want = sorted(
+        (r["user_id"], r["click_event_id"], r["ts_us"], r["state_event_id"],
+         r["state_cents"], r["staleness_us"])
+        for r in all_specs()["cdc_point_in_time_join"].fn(spark, SF_DIR).collect()
+    )
+    assert want  # non-degenerate fixture
+
+    keyed = _pit_keyed_batch(spark)
+    schema = keyed.schema
+
+    def drain(src_dir, name, **read_opts):
+        reader = spark.readStream.schema(schema)
+        for k, v in read_opts.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(src_dir)
+        q = (
+            streaming_point_in_time_enrich(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / (name + "_ckpt")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            tuple(r)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    # (a) one epoch holding everything
+    d_all = tmp_path / "all"
+    keyed.coalesce(1).write.parquet(str(d_all))
+    assert drain(str(d_all), "pit_one_epoch") == want
+
+    # (b) four time-ordered files, one micro-batch each (state carried
+    # across epochs). Files must be fed in time order: name them by
+    # time-quartile and rely on maxFilesPerTrigger=1 + sorted listing.
+    import time as _time
+
+    d_split = tmp_path / "split"
+    d_split.mkdir()
+    qs = keyed.approxQuantile("ts_us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i in range(4):
+        part = keyed.filter(
+            (F.col("ts_us") > F.lit(bounds[i]))
+            & (F.col("ts_us") <= F.lit(bounds[i + 1]))
+        )
+        pdir = tmp_path / f"part{i}"
+        part.coalesce(1).write.parquet(str(pdir))
+        src = next(p for p in pdir.iterdir() if p.suffix == ".parquet")
+        src.rename(d_split / f"epoch_{i}.parquet")
+        _time.sleep(0.05)  # distinct mtimes: listing order == time order
+    got = drain(str(d_split), "pit_epochs", maxFilesPerTrigger="1")
+    assert got == want
