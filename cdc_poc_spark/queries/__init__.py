@@ -248,6 +248,7 @@ _ROUND7_NEW: list = [
     "cdc_point_in_time_join",
     "graph_linkpred_adamic_adar",
     "dedup_minhash_estimate_accuracy",
+    "text_textrank_keywords",
 ]
 
 

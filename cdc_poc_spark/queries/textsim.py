@@ -565,3 +565,140 @@ def text_rake_keywords(spark, sf_dir):
         .filter(F.col("n_occurrences") >= _RAKE_MIN_COUNT)
         .select("phrase", "n_occurrences", "rake_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: TextRank keyword extraction — weighted PageRank on the token
+# co-occurrence graph (Mihalcea & Tarau, "TextRank: Bringing Order into
+# Text", EMNLP 2004), 3 iterations in EXACT integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_TR_MIN_COUNT = 5
+_TR_TOPK = 15
+_TR_MASS = 1_000_000_000_000  # total rank mass (pico-units)
+
+_TEXTRANK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, s.i AS p, toks[s.i] AS tok
+  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS s(i)
+), pairs AS (
+  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_TR_MIN_COUNT}
+), sym AS (
+  SELECT w1 AS u, w2 AS v, w FROM pairs
+  UNION ALL
+  SELECT w2 AS u, w1 AS v, w FROM pairs
+), ws AS (
+  SELECT u AS node, CAST(SUM(w) AS BIGINT) AS wu FROM sym GROUP BY u
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM ws
+), r0 AS (
+  SELECT node, CAST({_TR_MASS} // n_nodes AS BIGINT) AS r FROM ws, nn
+), c1 AS (
+  SELECT sym.v AS node, CAST(SUM(r0.r * sym.w // ws.wu) AS BIGINT) AS s
+  FROM sym JOIN r0 ON r0.node = sym.u JOIN ws ON ws.node = sym.u
+  GROUP BY sym.v
+), r1 AS (
+  SELECT c1.node,
+         CAST(15 * ({_TR_MASS} // nn.n_nodes) // 100 + 85 * c1.s // 100
+              AS BIGINT) AS r
+  FROM c1, nn
+), c2 AS (
+  SELECT sym.v AS node, CAST(SUM(r1.r * sym.w // ws.wu) AS BIGINT) AS s
+  FROM sym JOIN r1 ON r1.node = sym.u JOIN ws ON ws.node = sym.u
+  GROUP BY sym.v
+), r2 AS (
+  SELECT c2.node,
+         CAST(15 * ({_TR_MASS} // nn.n_nodes) // 100 + 85 * c2.s // 100
+              AS BIGINT) AS r
+  FROM c2, nn
+), c3 AS (
+  SELECT sym.v AS node, CAST(SUM(r2.r * sym.w // ws.wu) AS BIGINT) AS s
+  FROM sym JOIN r2 ON r2.node = sym.u JOIN ws ON ws.node = sym.u
+  GROUP BY sym.v
+), r3 AS (
+  SELECT c3.node,
+         CAST(15 * ({_TR_MASS} // nn.n_nodes) // 100 + 85 * c3.s // 100
+              AS BIGINT) AS r
+  FROM c3, nn
+)
+SELECT r3.node AS token, r3.r AS rank_pico, ws.wu AS cooc_weight
+FROM r3 JOIN ws ON ws.node = r3.node
+ORDER BY rank_pico DESC, token
+LIMIT {_TR_TOPK}
+"""
+
+
+@register("text_textrank_keywords", oracle=_TEXTRANK_ORACLE, tags=("llm", "text", "graph"))
+def text_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau EMNLP'04):
+    weighted PageRank (d = 0.85, 3 iterations) over the token
+    co-occurrence graph (+-2 window pairing, min edge weight 5), top-15
+    tokens by rank. Complements RAKE (degree heuristic) with the
+    random-walk centrality scorer the original paper showed beats
+    frequency — a token ranks high when linked from other HIGH-RANKED
+    tokens, not merely often.
+
+    Exactness: rank mass is 1e12 integer pico-units; every step is
+    integer multiply + FLOOR division in the SAME order in both engines
+    (r*w DIV W_u per edge, 85*S DIV 100 + base per node) — three
+    unrolled iterations, hash-identical, no float anywhere. Plan: the
+    +-2 pairing is the PMI equi-join (per-token fanout exactly 2);
+    each iteration is one edge-keyed join + keyed SUM with the
+    degree relation broadcast — constant plan depth, the same
+    scale shape as operators/graph.py:pagerank with the reliable pin
+    (unnecessary here: 3 unrolls is bounded depth)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "tok")
+    )
+    a = pos.select(
+        "doc_id", F.col("p").alias("pa"), F.col("tok").alias("ta")
+    ).withColumn("off", F.explode(F.array(F.lit(1), F.lit(2))))
+    b = pos.select("doc_id", F.col("p").alias("pb"), F.col("tok").alias("tb"))
+    pairs = (
+        a.withColumn("pb", F.col("pa") + F.col("off"))
+        .join(b, ["doc_id", "pb"])
+        .select(F.least("ta", "tb").alias("w1"), F.greatest("ta", "tb").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TR_MIN_COUNT)
+    )
+    sym = pairs.select(
+        F.col("w1").alias("u"), F.col("w2").alias("v"), "w"
+    ).unionByName(
+        pairs.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "w")
+    )
+    ws = sym.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("wu"))
+    nn = ws.agg(F.count(F.lit(1)).alias("n_nodes"))
+    r = ws.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({_TR_MASS} DIV n_nodes AS BIGINT)").alias("r")
+    )
+    wsrc = ws.select(F.col("node").alias("u"), "wu")
+    for _ in range(3):
+        contrib = (
+            sym.join(r.select(F.col("node").alias("u"), "r"), "u")
+            .join(F.broadcast(wsrc), "u")
+            .select(F.col("v").alias("node"), F.expr("r * w DIV wu").alias("c"))
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = s.crossJoin(F.broadcast(nn)).select(
+            "node",
+            F.expr(
+                f"CAST(15 * ({_TR_MASS} DIV n_nodes) DIV 100"
+                " + 85 * s DIV 100 AS BIGINT)"
+            ).alias("r"),
+        )
+    return (
+        r.join(F.broadcast(ws), "node")
+        .select(F.col("node").alias("token"), F.col("r").alias("rank_pico"),
+                F.col("wu").alias("cooc_weight"))
+        .orderBy(F.desc("rank_pico"), "token")
+        .limit(_TR_TOPK)
+    )
