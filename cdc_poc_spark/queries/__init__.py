@@ -249,6 +249,7 @@ _ROUND7_NEW: list = [
     "graph_linkpred_adamic_adar",
     "dedup_minhash_estimate_accuracy",
     "text_textrank_keywords",
+    "ml_decision_stump",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..tables import MONEY, QTY, VAL, dec, events_with_time, load_table
+from ..tables import BAL, MONEY, QTY, VAL, dec, events_with_time, load_table
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -1528,4 +1528,136 @@ def graph_label_propagation(spark, sf_dir):
         )
         .orderBy(F.desc("n_nodes"), F.asc("community"))
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: decision-stump training — exact best-split search as
+# relational algebra (the weak learner under boosting/CART).
+# ---------------------------------------------------------------------------
+
+_STUMP_ORACLE = """
+WITH base AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS v_price,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS v_bal,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+           AS label
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS npos
+  FROM base
+), f AS (
+  SELECT 'price_cents' AS feature, v_price AS v, label FROM base
+  UNION ALL
+  SELECT 'cust_bal_cents' AS feature, v_bal AS v, label FROM base
+), h AS (
+  SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(label) AS BIGINT) AS pos
+  FROM f GROUP BY feature, v
+), c AS (
+  SELECT feature, v,
+         SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl
+  FROM h
+  WINDOW w AS (PARTITION BY feature ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT feature, v AS threshold, nl, pl,
+         tot.n - nl AS nr, tot.npos - pl AS pr, tot.n AS n
+  FROM c, tot WHERE nl < tot.n
+), g AS (
+  SELECT feature, threshold, nl, pl, nr, pr,
+         CAST(
+           CAST(CAST(nl AS HUGEINT) * nl - CAST(pl AS HUGEINT) * pl
+                - CAST(nl - pl AS HUGEINT) * (nl - pl) AS HUGEINT)
+             * 1000000 // CAST(nl AS HUGEINT)
+           + CAST(CAST(nr AS HUGEINT) * nr - CAST(pr AS HUGEINT) * pr
+                  - CAST(nr - pr AS HUGEINT) * (nr - pr) AS HUGEINT)
+             * 1000000 // CAST(nr AS HUGEINT)
+         AS BIGINT) AS gini_num_micro
+  FROM s
+)
+SELECT feature, threshold, gini_num_micro,
+       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right
+FROM g
+ORDER BY gini_num_micro, feature, threshold
+LIMIT 1
+"""
+
+
+@register("ml_decision_stump", oracle=_STUMP_ORACLE, tags=("ml", "analytics"))
+def ml_decision_stump(spark, sf_dir):
+    """Train a DECISION STUMP (depth-1 CART / the AdaBoost weak
+    learner) entirely in relational algebra: label = order priority in
+    {URGENT, HIGH}; candidate splits = every distinct value of each
+    feature (order cents, customer balance cents); the winner minimizes
+    the weighted Gini impurity. No sampling, no binning — the EXACT
+    optimum over ~n candidate thresholds per feature.
+
+    The split search never touches row pairs: rows collapse to the
+    per-feature VALUE HISTOGRAM, a prefix sum gives every threshold's
+    (n_left, pos_left) in one pass, and the weighted-Gini numerator
+    n_l*gini_l + n_r*gini_r is evaluated per candidate as EXACT integer
+    micro-units (n^2 - pos^2 - neg^2 over each side, HUGEINT/DECIMAL
+    floor division — the engine-portable form; all operands
+    nonnegative). The prefix sum runs on global_cumsum PER FEATURE —
+    not a partition-by-feature window, which would serialize each
+    feature's whole histogram through one task at scale. Winner by
+    TakeOrdered(1) on (score, feature, threshold) — fully
+    deterministic ties."""
+    from ..operators.scale import global_cumsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    base = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v_price"),
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("v_bal"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int").alias("label"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").cast("long").alias("npos")
+    )
+    parts = []
+    for feat, col in (("price_cents", "v_price"), ("cust_bal_cents", "v_bal")):
+        h = (
+            base.select(F.col(col).alias("v"), "label")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos"))
+        )
+        c = global_cumsum(h, "cnt", ["v"], cum_col="nl")
+        c = global_cumsum(c, "pos", ["v"], cum_col="pl")
+        parts.append(c.select(F.lit(feat).alias("feature"), "v", "nl", "pl"))
+    c = parts[0].unionByName(parts[1])
+    s = c.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n")).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        "nl",
+        "pl",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("npos") - F.col("pl")).alias("pr"),
+    )
+    gini = F.expr(
+        "CAST("
+        " (CAST(nl AS DECIMAL(38,0)) * nl - CAST(pl AS DECIMAL(38,0)) * pl"
+        "  - CAST(nl - pl AS DECIMAL(38,0)) * (nl - pl)) * 1000000 DIV nl"
+        " + (CAST(nr AS DECIMAL(38,0)) * nr - CAST(pr AS DECIMAL(38,0)) * pr"
+        "    - CAST(nr - pr AS DECIMAL(38,0)) * (nr - pr)) * 1000000 DIV nr"
+        " AS BIGINT)"
+    )
+    return (
+        s.select(
+            "feature",
+            "threshold",
+            gini.alias("gini_num_micro"),
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("pl").cast("long").alias("pos_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            F.col("pr").cast("long").alias("pos_right"),
+        )
+        .orderBy("gini_num_micro", "feature", "threshold")
+        .limit(1)
     )
