@@ -1114,3 +1114,165 @@ def pq_assign_codes(
         )
     )
     return best
+
+
+def _qdims(df: DataFrame, id_alias: str, m: int, q: int) -> DataFrame:
+    """Dim-exploded integer quantization shared by the IVFPQ pieces:
+    (id, j, sub, qx) with sub = j DIV (d/m)."""
+    return df.select(
+        F.col(df.columns[0]).alias(id_alias),
+        (F.size(df.columns[1]) / m).cast("int").alias("d_sub"),
+        F.posexplode(df.columns[1]).alias("j", "x"),
+    ).select(
+        id_alias,
+        "j",
+        (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
+        F.round(F.col("x").cast("double") * q).cast("long").alias("qx"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    q: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ approximate L2 top-k (Jégou et al. TPAMI 2011) — the
+    PRODUCTION ANN composition at 100 TB: a coarse inverted-file
+    quantizer prunes the corpus to ``n_probe``/``n_cells`` of its
+    cells, and within candidates the EXACT vectors are never touched —
+    distance is the PQ asymmetric form ADC(q, x) = sum_m ||q_m -
+    c_{m, code_m(x)}||^2, looked up from a per-query distance table of
+    m * pq_k entries. Memory per database vector: m codes (8 bytes
+    here) instead of d floats (256 bytes) — the 32x compression that
+    lets a billion-vector index live in RAM.
+
+    Everything is INTEGER-exact end-to-end (micro-quantized components,
+    packed-MIN argmins, integer ADC sums): the same result on any
+    engine, cluster, or row order. Plan: cell assignment and PQ coding
+    are dim-exploded equi-joins vs broadcast centroid cells (see
+    pq_assign_codes); the per-query distance tables are
+    n_queries * m * pq_k rows, broadcast; candidate scoring is an
+    equi-join on cell_id then (sub, code) — no full-corpus scan per
+    query anywhere."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    dims = _qdims(base, "id", m, q)
+
+    # --- coarse quantizer: n_cells rank-based seeds, exact L2 assignment
+    seed_w = W.orderBy(F.col("id"))
+    cell_seeds = (
+        base.orderBy(F.col("id"))
+        .limit(n_cells)
+        .select((F.row_number().over(seed_w) - 1).alias("cell_id"), "id", "vec")
+    )
+    cdims = _qdims(cell_seeds.select("cell_id", "vec"), "cell_id", m, q).select(
+        "cell_id", "j", F.col("qx").alias("qc")
+    )
+    def _assign(cent_dims: DataFrame):
+        cd = (
+            dims.join(F.broadcast(cent_dims), "j")
+            .groupBy("id", "cell_id")
+            .agg(
+                F.sum(
+                    (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+                ).alias("d2")
+            )
+        )
+        a = (
+            cd.groupBy("id")
+            .agg(F.min(F.col("d2") * n_cells + F.col("cell_id")).alias("key"))
+            .select("id", (F.col("key") % n_cells).cast("int").alias("cell_id"))
+        )
+        return cd, a
+
+    _, assigned0 = _assign(cdims)
+    # one integer-exact Lloyd step: refined centroid component = floor
+    # integer mean of the assigned members (SUM DIV n — deterministic,
+    # engine-portable; the double-avg form would be order-dependent)
+    refined = (
+        assigned0.join(dims, "id")
+        .groupBy("cell_id", "j")
+        .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
+    )
+    cell_d, assigned = _assign(refined)
+
+    # --- PQ codebooks: rank-based seeds + one integer-exact Lloyd step
+    # per subspace (measured on the fixture: seeds alone leave end-to-end
+    # recall at the 4/16 random-scan floor even though 92% of true
+    # neighbors are in the probed cells — the distortion is the codebook)
+    pq_seeds = (
+        base.orderBy(F.col("id"))
+        .limit(pq_k)
+        .select((F.row_number().over(seed_w) - 1).alias("code"), "vec")
+    )
+    pq_cdims = _qdims(pq_seeds, "code", m, q).select(
+        "code", "j", "sub", F.col("qx").alias("qc")
+    )
+
+    def _pq_assign(cb_dims: DataFrame) -> DataFrame:
+        d = (
+            dims.join(F.broadcast(cb_dims.select("code", "j", "qc")), "j")
+            .groupBy("id", "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+                ).alias("d2")
+            )
+        )
+        return (
+            d.groupBy("id", "sub")
+            .agg(F.min(F.col("d2") * pq_k + F.col("code")).alias("key"))
+            .select("id", "sub", (F.col("key") % pq_k).cast("int").alias("code"))
+        )
+
+    codes0 = _pq_assign(pq_cdims)
+    pq_refined = (
+        codes0.join(dims, ["id", "sub"])
+        .groupBy("sub", "code", "j")
+        .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
+    )
+    codes = _pq_assign(pq_refined)
+
+    # --- queries: ADC distance tables (n_queries * m * pq_k entries)
+    qdims_q = dims.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("query_id"), "j", F.col("qx").alias("qq")
+    )
+    dtable = (
+        qdims_q.join(F.broadcast(pq_refined.select("sub", "code", "j", "qc")), "j")
+        .groupBy("query_id", "sub", "code")
+        .agg(F.sum((F.col("qq") - F.col("qc")) * (F.col("qq") - F.col("qc"))).alias("dt"))
+    )
+
+    # --- probe the n_probe nearest cells per query (exact, 16 rows/query)
+    probe_w = W.partitionBy("query_id").orderBy("d2", "cell_id")
+    probes = (
+        cell_d.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("query_id"), "cell_id", "d2")
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+
+    # --- candidates on probed lists, scored via the broadcast tables
+    w = W.partitionBy("query_id").orderBy("adc_dist2", F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .join(
+            codes.select(F.col("id").alias("neighbor_id"), "sub", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(dtable), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dt").alias("adc_dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -250,6 +250,7 @@ _ROUND7_NEW: list = [
     "dedup_minhash_estimate_accuracy",
     "text_textrank_keywords",
     "ml_decision_stump",
+    "sim_ann_ivfpq_topk",
 ]
 
 

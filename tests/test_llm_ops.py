@@ -120,6 +120,23 @@ def test_ann_ivf_recall_vs_brute_force(spark, emb):
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
 
 
+def test_ann_ivfpq_recall_vs_brute_force(spark, emb):
+    """IVF-PQ: same 4/16 pruning as IVF plus PQ asymmetric distance —
+    recall must still beat the 25% random-scan floor even though
+    database vectors are scored from 8 one-byte codes (32x
+    compression; measured 0.34 on the fixture, ceiling 0.92)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.euclidean_topk(emb).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(emb).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.28, f"IVFPQ recall {recall:.2f}"
+
+
 def test_embedding_cosine_pairs_symmetric_subset(spark, emb):
     """Blocked pairs must be ordered (id_a < id_b), unique, and respect
     the threshold."""
