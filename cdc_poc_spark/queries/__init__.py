@@ -251,6 +251,7 @@ _ROUND7_NEW: list = [
     "text_textrank_keywords",
     "ml_decision_stump",
     "sim_ann_ivfpq_topk",
+    "sim_random_projection_jl",
 ]
 
 

@@ -2214,3 +2214,155 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
             ).alias("recall_ge_028"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: Johnson-Lindenstrauss random projection — distance-preserving
+# dimension reduction (64 -> 16), exact distortion accounting.
+# ---------------------------------------------------------------------------
+
+_JL_K = 16  # output dims
+
+_JL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+         len(embedding) AS d
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, j.i - 1 AS j, qv[j.i] AS qx
+  FROM q, LATERAL unnest(generate_series(1, d)) AS j(i)
+), r AS (
+  SELECT i.i AS oi, j.j AS j,
+         CASE WHEN CAST(('0x' || substring(md5('jl' || CAST(i.i AS VARCHAR)
+                || ':' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(generate_series(0, {_JL_K - 1})) AS i) i,
+       (SELECT unnest(generate_series(0, (SELECT MAX(d) FROM q) - 1)) AS j) j
+), y AS (
+  SELECT vec_id, r.oi, CAST(SUM(r.sgn * dims.qx) AS BIGINT) AS y
+  FROM dims JOIN r ON r.j = dims.j
+  GROUP BY vec_id, r.oi
+), ids AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM (SELECT vec_id FROM q WHERE vec_id < 10) a,
+       (SELECT vec_id FROM q WHERE vec_id % 29 = 0) b
+  WHERE a.vec_id <> b.vec_id
+), d_orig AS (
+  SELECT ids.id_a, ids.id_b,
+         CAST(SUM((da.qx - db.qx) * (da.qx - db.qx)) AS BIGINT) AS d2
+  FROM ids
+  JOIN dims da ON da.vec_id = ids.id_a
+  JOIN dims db ON db.vec_id = ids.id_b AND db.j = da.j
+  GROUP BY ids.id_a, ids.id_b
+), d_proj AS (
+  SELECT ids.id_a, ids.id_b,
+         CAST(SUM((ya.y - yb.y) * (ya.y - yb.y)) AS BIGINT) AS p2
+  FROM ids
+  JOIN y ya ON ya.vec_id = ids.id_a
+  JOIN y yb ON yb.vec_id = ids.id_b AND yb.oi = ya.oi
+  GROUP BY ids.id_a, ids.id_b
+)
+SELECT o.id_a, o.id_b, o.d2 AS d_orig2,
+       CAST(CAST(p.p2 AS HUGEINT) * 1000000
+            // ({_JL_K} * CAST(o.d2 AS HUGEINT)) AS BIGINT) AS ratio_ppm
+FROM d_orig o JOIN d_proj p ON p.id_a = o.id_a AND p.id_b = o.id_b
+WHERE o.d2 > 0
+"""
+
+
+@register("sim_random_projection_jl", oracle=_JL_ORACLE, tags=("llm", "similarity"))
+def sim_random_projection_jl(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (Achlioptas '01 ±1
+    variant): project 64-dim embeddings to k=16 with a deterministic
+    md5-parity sign matrix and report, for every (query x sampled
+    corpus) pair, the EXACT squared-distance preservation ratio
+    E[||Rx - Ry||^2 / k] = ||x - y||^2 — ratio_ppm ~ 1e6 with
+    JL-bounded spread. This is the 100 TB pre-ANN trick: 4x fewer
+    bytes per vector before any index is built, with the distortion
+    ACCOUNTED (hash-checked per pair), not assumed.
+
+    All integer: quantized components, exact integer projections
+    (sums of signed ints), integer squared distances, HUGEINT floor
+    division for the ratio. Plan: the sign matrix is k*d = 1024
+    generated broadcast rows; projection is one dim-keyed equi-join +
+    keyed SUM (map-side combinable); the pair set is bounded (10
+    queries x a deterministic 1/29 corpus sample)."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", "embedding")
+    dims = base.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        "j",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("qx"),
+    )
+    d = F.size("embedding")
+    r = (
+        base.limit(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(_JL_K - 1))).alias("oi"), d.alias("d"))
+        .select("oi", F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("j"))
+        .select(
+            "oi",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("jl"),
+                                F.col("oi").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("sgn"),
+        )
+    )
+    y = (
+        dims.join(F.broadcast(r), "j")
+        .groupBy("vec_id", "oi")
+        .agg(F.sum(F.col("sgn") * F.col("qx")).alias("y"))
+    )
+    qa = base.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("id_a"))
+    sb = base.filter(F.col("vec_id") % 29 == 0).select(F.col("vec_id").alias("id_b"))
+    ids = qa.crossJoin(F.broadcast(sb)).filter(F.col("id_a") != F.col("id_b"))
+    da = dims.select(F.col("vec_id").alias("id_a"), "j", F.col("qx").alias("xa"))
+    db = dims.select(F.col("vec_id").alias("id_b"), "j", F.col("qx").alias("xb"))
+    d_orig = (
+        ids.join(da, "id_a")
+        .join(db, ["id_b", "j"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).alias("d2"))
+    )
+    ya = y.select(F.col("vec_id").alias("id_a"), "oi", F.col("y").alias("ya"))
+    yb = y.select(F.col("vec_id").alias("id_b"), "oi", F.col("y").alias("yb"))
+    d_proj = (
+        ids.join(ya, "id_a")
+        .join(yb, ["id_b", "oi"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))).alias("p2"))
+    )
+    # identical vectors (clone families — guaranteed on the 10x clone
+    # probe) have d2 = 0: a zero distance is preserved trivially and the
+    # ratio is undefined — excluded identically in both engines.
+    return d_orig.filter(F.col("d2") > 0).join(d_proj, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.col("d2").alias("d_orig2"),
+        F.expr(
+            f"CAST(CAST(p2 AS DECIMAL(38,0)) * 1000000"
+            f" DIV (CAST({_JL_K} AS DECIMAL(38,0)) * d2) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
