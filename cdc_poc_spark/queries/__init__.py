@@ -252,6 +252,7 @@ _ROUND7_NEW: list = [
     "ml_decision_stump",
     "sim_ann_ivfpq_topk",
     "sim_random_projection_jl",
+    "graph_boruvka_round",
 ]
 
 

@@ -1409,3 +1409,76 @@ def graph_linkpred_adamic_adar(spark, sf_dir):
         "n_common",
         "aa_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: one Boruvka round on the co-order affinity graph — the
+# distributed MST / affinity-clustering primitive.
+# ---------------------------------------------------------------------------
+
+_BORUVKA_PACK = 1 << 40
+
+_BORUVKA_ORACLE = _COORDER_EDGES_CTE + f"""
+, wsym AS (
+  -- the shared CTE's sym drops w; re-symmetrize WITH the weight
+  SELECT u, v, w FROM e
+  UNION ALL
+  SELECT v AS u, u AS v, w FROM e
+), pick AS (
+  SELECT u AS node, MAX(w * {_BORUVKA_PACK} - v) AS key
+  FROM wsym GROUP BY u
+), sel AS (
+  SELECT node,
+         CAST(key // {_BORUVKA_PACK} + 1 AS BIGINT) AS w,
+         CAST((key // {_BORUVKA_PACK} + 1) * {_BORUVKA_PACK} - key AS BIGINT)
+           AS nbr
+  FROM pick
+), und AS (
+  SELECT least(node, nbr) AS part_a, greatest(node, nbr) AS part_b,
+         MAX(w) AS weight, CAST(COUNT(*) AS BIGINT) AS picked_by
+  FROM sel GROUP BY 1, 2
+)
+SELECT part_a, part_b, weight, picked_by FROM und
+"""
+
+
+@register("graph_boruvka_round", oracle=_BORUVKA_ORACLE, tags=("graph", "analytics"))
+def graph_boruvka_round(spark, sf_dir):
+    """One BORUVKA round on the co-order affinity graph: every node
+    picks its MAXIMUM-weight incident edge (tie -> smaller neighbor),
+    and the union of picks — each undirected edge kept once, with how
+    many endpoints chose it — is the first round of the maximum
+    spanning forest / affinity clustering (Boruvka 1926; Bateni et al.,
+    "Affinity Clustering: Hierarchical Clustering at Scale",
+    NeurIPS 2017). Contracting these edges and repeating is the
+    O(log n)-round distributed MST; the round-1 edge set is already
+    the standard large-scale agglomerative-clustering seed.
+
+    The argmax is ONE keyed MAX of the packed key w * 2^40 - neighbor
+    (equal weights -> smaller neighbor wins; neighbor ids >= 1 so
+    w = key DIV 2^40 + 1 and nbr = w * 2^40 - key recover both fields
+    exactly) — no window, no join, map-side combinable; the undirected
+    dedup is a second tiny keyed agg. Engine-portable integers
+    end-to-end."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v", "w")
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    p = _BORUVKA_PACK
+    pick = sym.groupBy(F.col("u").alias("node")).agg(
+        F.max(F.col("w") * p - F.col("v")).alias("key")
+    )
+    sel = pick.select(
+        "node",
+        F.expr(f"CAST(key DIV {p} + 1 AS BIGINT)").alias("w"),
+        F.expr(f"CAST((key DIV {p} + 1) * {p} - key AS BIGINT)").alias("nbr"),
+    )
+    return (
+        sel.select(
+            F.least("node", "nbr").alias("part_a"),
+            F.greatest("node", "nbr").alias("part_b"),
+            "w",
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.max("w").alias("weight"), F.count(F.lit(1)).alias("picked_by"))
+    )
