@@ -253,6 +253,7 @@ _ROUND7_NEW: list = [
     "sim_ann_ivfpq_topk",
     "sim_random_projection_jl",
     "graph_boruvka_round",
+    "sim_hard_negatives",
 ]
 
 

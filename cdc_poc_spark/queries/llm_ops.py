@@ -2366,3 +2366,80 @@ def sim_random_projection_jl(spark, sf_dir):
             f" DIV (CAST({_JL_K} AS DECIMAL(38,0)) * d2) AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: hard-negative mining for contrastive training.
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS anchor_label,
+         c.vec_id AS negative_id, c.label AS negative_label,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+           AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND q.label <> c.label
+)
+SELECT query_id, anchor_label, negative_id, negative_label, cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, negative_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("sim_hard_negatives", oracle=_HARDNEG_ORACLE, tags=("llm", "similarity", "ml"))
+def sim_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors with a DIFFERENT label — the
+    near-misses that make InfoNCE/triplet losses learn (random
+    negatives are trivially separable; hard ones carry the gradient).
+    This is the standard offline mining pass run over the whole corpus
+    between training epochs of a dual encoder.
+
+    Same distributed shape as cosine_topk — broadcast anchors x one
+    corpus scan with the label inequality as a map-side filter, per-
+    anchor top-k window; at scale the scan side drops to an ANN
+    candidate set (ivfpq_topk) with the same label filter. 5-decimal
+    rounded cosine + id tiebreak = deterministic ranking."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    e = emb.select(
+        "vec_id", "label", similarity.as_double("embedding").alias("vec")
+    ).withColumn("vnorm", similarity.norm("vec"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    sim = F.round(
+        similarity.dot("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 5
+    ).alias("cosine")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("anchor_label") != F.col("label"))
+        .select(
+            "query_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            sim,
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
