@@ -99,6 +99,9 @@ HEADLINE = [
     "agg_poisson_bootstrap",
     "sim_pq_codebook_stats",
     "cdc_point_in_time_join",
+    "text_textrank_keywords",
+    "ml_decision_stump",
+    "sim_ann_ivfpq_topk",
 ]
 
 

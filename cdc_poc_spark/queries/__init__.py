@@ -254,6 +254,7 @@ _ROUND7_NEW: list = [
     "sim_random_projection_jl",
     "graph_boruvka_round",
     "sim_hard_negatives",
+    "cdc_sequence_gap_detect",
 ]
 
 

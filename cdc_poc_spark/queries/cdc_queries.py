@@ -565,3 +565,68 @@ def cdc_point_in_time_join(spark, sf_dir):
             (F.col("ts_us") - F.col("state_ts_us")).cast("long").alias("staleness_us"),
         )
     )
+
+
+_SEQ_GAP_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_id
+  FROM events
+), g AS (
+  SELECT user_id, prev_id, event_id, event_id - prev_id AS gap
+  FROM s WHERE prev_id IS NOT NULL
+), t AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS total_gap
+  FROM g GROUP BY user_id
+)
+SELECT g.user_id, CAST(g.prev_id AS BIGINT) AS gap_after,
+       CAST(g.event_id AS BIGINT) AS resume_at,
+       CAST(g.gap - 1 AS BIGINT) AS n_missing
+FROM g JOIN t ON t.user_id = g.user_id
+WHERE g.gap * t.n_gaps > 5 * t.total_gap
+"""
+
+
+@register("cdc_sequence_gap_detect", oracle=_SEQ_GAP_ORACLE, tags=("cdc", "window"))
+def cdc_sequence_gap_detect(spark, sf_dir):
+    """Changelog SEQUENCE-GAP detection — the data-loss alarm a CDC
+    consumer runs continuously: per key, consecutive change ids whose
+    gap exceeds 5x the KEY'S OWN mean gap — a scale-free threshold
+    (interleaved global ids make the per-key baseline gap ~ the number
+    of active keys, which varies with SF; the exact-integer
+    cross-multiplied compare gap * n_gaps > 5 * total_gap needs no
+    division and discriminates at every fixture SF — checked non-empty
+    at both; in production on a per-key monotonic seq the threshold is
+    simply gap > 1). A gap means dropped
+    binlog events between `gap_after` and `resume_at` — the mirror is
+    silently stale and needs a re-snapshot of that key range.
+
+    Plan: one keyed lag window (the key shuffle only) + a broadcast
+    per-key baseline join — at 100 TB this is the cheapest
+    continuously-affordable integrity check because it touches no
+    relation but the changelog itself. n_missing quantifies the loss
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    g = (
+        ev.select(
+            "user_id", "event_id", F.lag("event_id").over(w).alias("prev_id")
+        )
+        .filter(F.col("prev_id").isNotNull())
+        .withColumn("gap", F.col("event_id") - F.col("prev_id"))
+    )
+    t = g.groupBy(F.col("user_id").alias("uid")).agg(
+        F.count(F.lit(1)).alias("n_gaps"), F.sum("gap").alias("total_gap")
+    )
+    return (
+        g.join(F.broadcast(t), g.user_id == t.uid)
+        .filter(F.col("gap") * F.col("n_gaps") > 5 * F.col("total_gap"))
+        .select(
+            "user_id",
+            F.col("prev_id").cast("long").alias("gap_after"),
+            F.col("event_id").cast("long").alias("resume_at"),
+            (F.col("gap") - 1).cast("long").alias("n_missing"),
+        )
+    )
