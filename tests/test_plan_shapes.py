@@ -453,3 +453,51 @@ def test_pq_assign_broadcasts_centroids(spark):
     plan = _plan(spark, "sim_pq_codebook_stats")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_textrank_constant_depth_no_cartesian(spark):
+    """3 unrolled TextRank iterations: every join is an equi-join with
+    the degree/count relations broadcast — no cartesian anywhere."""
+    plan = _plan(spark, "text_textrank_keywords")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stump_no_single_partition(spark):
+    """Split search rides global_cumsum's range partitioning — never a
+    SinglePartition exchange; winner via TakeOrdered."""
+    plan = _plan(spark, "ml_decision_stump")
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_operator_path_no_cartesian(spark):
+    """The IVFPQ OPERATOR (not the recall contract, whose exact
+    baseline is a deliberate broadcast NLJ) must candidate-join on
+    cell_id and score via broadcast tables — equi-joins only."""
+    from cdc_poc_spark.operators.similarity import ivfpq_topk
+    from cdc_poc_spark.tables import load_table
+
+    df = ivfpq_topk(load_table(spark, SF_DIR, "embeddings"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boruvka_argmax_no_window(spark):
+    """The packed-MAX edge pick is a keyed aggregate — zero windows in
+    the whole plan (the graph build is joins + aggs only)."""
+    plan = _plan(spark, "graph_boruvka_round")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_detect_single_key_shuffle(spark):
+    """Lag window and the per-key baseline agg share the user_id
+    partitioning; baseline joins back as a broadcast."""
+    plan = _plan(spark, "cdc_sequence_gap_detect")
+    assert "BroadcastExchange" in plan
+    assert plan.count("hashpartitioning(user_id") <= 2
