@@ -255,6 +255,7 @@ _ROUND7_NEW: list = [
     "graph_boruvka_round",
     "sim_hard_negatives",
     "cdc_sequence_gap_detect",
+    "ml_naive_bayes_apply",
 ]
 
 

@@ -2443,3 +2443,140 @@ def sim_hard_negatives(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+_NB_APPLY_ORACLE = """
+WITH t0 AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, lang AS true_lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM t0 GROUP BY 1, 2, 3
+), wc AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_wc FROM t0 GROUP BY 1, 2
+), cls AS (
+  SELECT lang, CAST(SUM(n_wc) AS BIGINT) AS n_tokens_c FROM wc GROUP BY lang
+), v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM t0
+), model AS (
+  SELECT wc.lang AS c, wc.tok,
+         CAST(round(ln(CAST(wc.n_wc + 1 AS DOUBLE) / (cls.n_tokens_c + v.vocab))
+                    * 1000000) AS BIGINT) AS ll
+  FROM wc JOIN cls ON cls.lang = wc.lang, v
+), floors AS (
+  SELECT cls.lang AS c,
+         CAST(round(ln(1.0 / (cls.n_tokens_c + v.vocab)) * 1000000) AS BIGINT)
+           AS fl
+  FROM cls, v
+), priors AS (
+  SELECT d.lang AS c,
+         CAST(round(ln(CAST(d.n AS DOUBLE) / nd.n_docs) * 1000000) AS BIGINT)
+           AS lp
+  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang) d,
+       (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) nd
+), pairs AS (
+  SELECT tf.doc_id, tf.true_lang, f.c, tf.tf, COALESCE(m.ll, f.fl) AS ll
+  FROM tf
+  CROSS JOIN floors f
+  LEFT JOIN model m ON m.c = f.c AND m.tok = tf.tok
+), scores AS (
+  SELECT p.doc_id, p.true_lang, p.c,
+         pr.lp + CAST(SUM(p.tf * p.ll) AS BIGINT) AS score
+  FROM pairs p JOIN priors pr ON pr.c = p.c
+  GROUP BY p.doc_id, p.true_lang, p.c, pr.lp
+), pred AS (
+  SELECT doc_id, true_lang, c AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, c) AS rn
+  FROM scores
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang
+"""
+
+
+@register("ml_naive_bayes_apply", oracle=_NB_APPLY_ORACLE, tags=("llm", "ml"))
+def ml_naive_bayes_apply(spark, sf_dir):
+    """Naive-Bayes INFERENCE closing the ml_naive_bayes_train loop:
+    score every document against every class (per-doc term frequencies
+    x the model's micro-nat log-likelihoods, unseen tokens falling back
+    to the class smoothing floor ln(1/(n_tokens_c + V)) — the same
+    Laplace mass the trainer assigns a count-0 token), argmax class per
+    doc, and report the CONFUSION MATRIX (resubstitution — train and
+    eval on the same corpus, stated not hidden; the leakage-safe-split
+    queries provide the held-out discipline when needed).
+
+    Exactness: the entire score is INTEGER (tf x micro-nat ints + the
+    integer prior) — argmax and the confusion counts are hash-stable,
+    no float comparison anywhere past the model quantization. Plan:
+    tf left-joins the model per class (x|classes| = 5 map-side fanout
+    off the broadcast floors), one (doc, class) keyed SUM, one per-doc
+    argmax window (keyed by doc — never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    tf = t0.groupBy(
+        "doc_id", F.col("lang").alias("true_lang"), "tok"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    wc = t0.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n_wc"))
+    cls = wc.groupBy("lang").agg(F.sum("n_wc").alias("n_tokens_c"))
+    v = t0.agg(F.countDistinct("tok").alias("vocab"))
+    model = (
+        wc.join(F.broadcast(cls), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            F.col("lang").alias("c"),
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n_wc") + 1).cast("double")
+                    / (F.col("n_tokens_c") + F.col("vocab"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("ll"),
+        )
+    )
+    floors = (
+        cls.crossJoin(F.broadcast(v)).select(
+            F.col("lang").alias("c"),
+            F.round(
+                F.log(1.0 / (F.col("n_tokens_c") + F.col("vocab"))) * 1_000_000
+            )
+            .cast("long")
+            .alias("fl"),
+        )
+    )
+    d = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    priors = d.crossJoin(F.broadcast(nd)).select(
+        F.col("lang").alias("c"),
+        F.round(F.log(F.col("n").cast("double") / F.col("n_docs")) * 1_000_000)
+        .cast("long")
+        .alias("lp"),
+    )
+    pairs = (
+        tf.crossJoin(F.broadcast(floors))
+        .join(model, ["c", "tok"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "c",
+            "tf",
+            F.coalesce(F.col("ll"), F.col("fl")).alias("ll"),
+        )
+    )
+    scores = (
+        pairs.join(F.broadcast(priors), "c")
+        .groupBy("doc_id", "true_lang", "c", "lp")
+        .agg((F.col("lp") + F.sum(F.col("tf") * F.col("ll"))).alias("score"))
+        .select("doc_id", "true_lang", "c", "score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("c").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
