@@ -256,6 +256,8 @@ _ROUND7_NEW: list = [
     "sim_hard_negatives",
     "cdc_sequence_gap_detect",
     "ml_naive_bayes_apply",
+    "pipeline_negative_sampling",
+    "agg_bayes_ab_posterior",
 ]
 
 

@@ -1542,3 +1542,109 @@ def agg_poisson_bootstrap(spark, sf_dir):
             " DIV SUM(CAST(wt AS BIGINT)) AS BIGINT)"
         ).alias("mean_micro_cents"),
     )
+
+
+_BAYES_AB_ORACLE = """
+WITH x AS (
+  SELECT c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS conv
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY c_mktsegment
+), p AS (
+  SELECT seg, n, conv,
+         CAST((conv + 1) * 1000000 // (n + 2) AS BIGINT) AS post_mean_ppm,
+         CAST(conv + 1 AS DOUBLE) / (n + 2) AS m,
+         CAST(conv + 1 AS DOUBLE) * (n + 1 - conv)
+           / ((n + 2) * (n + 2) * (n + 3)) AS var
+  FROM x
+)
+SELECT a.seg AS seg_a, b.seg AS seg_b,
+       a.n AS n_a, a.conv AS conv_a, a.post_mean_ppm AS post_mean_a_ppm,
+       b.n AS n_b, b.conv AS conv_b, b.post_mean_ppm AS post_mean_b_ppm,
+       round((a.m - b.m) / sqrt(a.var + b.var), 4) AS z_a_gt_b
+FROM p a JOIN p b ON a.seg < b.seg
+"""
+
+
+@register("agg_bayes_ab_posterior", oracle=_BAYES_AB_ORACLE, tags=("agg", "stats"))
+def agg_bayes_ab_posterior(spark, sf_dir):
+    """Bayesian A/B comparison of finalized-order rates (BUILDING vs
+    MACHINERY) under a Beta(1,1) prior: exact-ppm posterior means
+    ((conv+1)/(n+2) by integer floor division) plus the normal-
+    approximate z-score of P(rate_A > rate_B) from the closed-form
+    Beta posterior moments — the decision number an experimentation
+    platform reports without any sampling.
+
+    Exactness: counts and posterior means are exact integers; the one
+    float expression (z) is the same closed form on identical integers
+    in both engines, rounded at the edge. Plan: one conditional keyed
+    agg over the broadcast-dim join, then a 2-row self-join."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = (
+        orders.join(
+            F.broadcast(
+                cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    p = x.select(
+        "seg",
+        "n",
+        "conv",
+        F.expr("CAST((conv + 1) * 1000000 DIV (n + 2) AS BIGINT)").alias(
+            "post_mean_ppm"
+        ),
+        ((F.col("conv") + 1).cast("double") / (F.col("n") + 2)).alias("m"),
+        (
+            (F.col("conv") + 1).cast("double")
+            * (F.col("n") + 1 - F.col("conv"))
+            / ((F.col("n") + 2) * (F.col("n") + 2) * (F.col("n") + 3))
+        ).alias("var"),
+    )
+    a = p.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("n_a"),
+        F.col("conv").alias("conv_a"),
+        F.col("post_mean_ppm").alias("post_mean_a_ppm"),
+        F.col("m").alias("m_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = p.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("n_b"),
+        F.col("conv").alias("conv_b"),
+        F.col("post_mean_ppm").alias("post_mean_b_ppm"),
+        F.col("m").alias("m_b"),
+        F.col("var").alias("var_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "conv_a",
+            "post_mean_a_ppm",
+            "n_b",
+            "conv_b",
+            "post_mean_b_ppm",
+            F.round(
+                (F.col("m_a") - F.col("m_b"))
+                / F.sqrt(F.col("var_a") + F.col("var_b")),
+                4,
+            ).alias("z_a_gt_b"),
+        )
+    )

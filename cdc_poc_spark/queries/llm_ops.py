@@ -2580,3 +2580,67 @@ def ml_naive_bayes_apply(spark, sf_dir):
         .groupBy("true_lang", F.col("c").alias("pred_lang"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_NEGSAMPLE_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS query_id, label AS anchor_label FROM embeddings
+  WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS negative_id, label AS negative_label FROM embeddings
+), r AS (
+  SELECT a.query_id, a.anchor_label, c.negative_id, c.negative_label,
+         row_number() OVER (
+           PARTITION BY a.query_id
+           ORDER BY md5('neg:' || CAST(a.query_id AS VARCHAR) || ':'
+                        || CAST(c.negative_id AS VARCHAR)), c.negative_id
+         ) AS rank
+  FROM a JOIN c ON c.negative_label <> a.anchor_label
+)
+SELECT query_id, anchor_label, negative_id, negative_label,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+@register("pipeline_negative_sampling", oracle=_NEGSAMPLE_ORACLE, tags=("llm", "ml", "pipeline"))
+def pipeline_negative_sampling(spark, sf_dir):
+    """UNIFORM random negative sampling for contrastive training — the
+    cheap complement to sim_hard_negatives: per anchor, 5 different-
+    label examples drawn by the deterministic md5('neg:anchor:cand')
+    order (a reproducible uniform permutation per anchor — re-running
+    the pipeline regenerates byte-identical training pairs, and
+    changing the salt re-draws). Production recipes mix both: uniform
+    negatives early (stable gradients), hard negatives later.
+
+    Plan: broadcast anchors x corpus with the label filter map-side,
+    one per-anchor rank window over the md5 key — no similarity
+    computation at all, which is the point: at 100 TB this pass is
+    scan-speed."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    a = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("anchor_label")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"), F.col("label").alias("negative_label")
+    )
+    from pyspark.sql import Window as W
+
+    key = F.md5(
+        F.concat(
+            F.lit("neg:"),
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("negative_id").cast("string"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(key, "negative_id")
+    return (
+        F.broadcast(a)
+        .crossJoin(c)
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "anchor_label", "negative_id", "negative_label",
+                F.col("rank").cast("long").alias("rank"))
+    )
