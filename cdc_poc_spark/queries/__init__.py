@@ -222,7 +222,7 @@ _ROUND6_NEW: list = [
 
 # Queries registered AFTER the round-6 window filled (21 + 28 = 49 of 50
 # slots). Per the standing policy these take round-7 window slots: next
-# round, promote this list to the front (29 entries — 21 slots remain
+# round, promote this list to the front (32 entries — 18 slots remain
 # for round-7 additions). Until then the full sweep value-checks them
 # like everything else.
 _ROUND7_NEW: list = [
