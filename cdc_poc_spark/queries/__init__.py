@@ -258,6 +258,8 @@ _ROUND7_NEW: list = [
     "ml_naive_bayes_apply",
     "pipeline_negative_sampling",
     "agg_bayes_ab_posterior",
+    "text_distribution_drift_js",
+    "agg_capture_recapture",
 ]
 
 

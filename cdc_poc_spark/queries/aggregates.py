@@ -1648,3 +1648,89 @@ def agg_bayes_ab_posterior(spark, sf_dir):
             ).alias("z_a_gt_b"),
         )
     )
+
+
+_CAPTURE_ORACLE = """
+WITH pool AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), s1 AS (
+  SELECT key FROM pool
+  WHERE CAST(('0x' || substring(md5('cap1:' || CAST(key AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < 30
+), s2 AS (
+  SELECT key FROM pool
+  WHERE CAST(('0x' || substring(md5('cap2:' || CAST(key AS VARCHAR)), 1, 8))
+             AS BIGINT) % 100 < 30
+), m AS (
+  SELECT CAST((SELECT COUNT(*) FROM pool) AS BIGINT) AS true_n,
+         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+         CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+         CAST((SELECT COUNT(*) FROM s1 JOIN s2 USING (key)) AS BIGINT) AS n_both
+)
+SELECT true_n, n1, n2, n_both,
+       CAST((n1 + 1) * (n2 + 1) // (n_both + 1) - 1 AS BIGINT) AS chapman_estimate,
+       CAST(CASE WHEN (n1 + 1) * (n2 + 1) // (n_both + 1) - 1 >= true_n
+                 THEN 1 ELSE -1 END
+            * (abs((n1 + 1) * (n2 + 1) // (n_both + 1) - 1 - true_n) * 1000000
+               // true_n) AS BIGINT) AS rel_err_ppm
+FROM m
+"""
+
+
+@register("agg_capture_recapture", oracle=_CAPTURE_ORACLE, tags=("agg", "stats", "approx"))
+def agg_capture_recapture(spark, sf_dir):
+    """CAPTURE-RECAPTURE population estimation (Chapman's estimator):
+    two independent deterministic 30% samples of the active-customer
+    pool; the overlap rate estimates the total population as
+    (n1+1)(n2+1)/(m+1) - 1 — the technique for sizing what you cannot
+    enumerate (distinct users across unlinkable logs, coverage of a
+    crawl against the true web segment), here run against a KNOWN
+    truth so the driver hashes the estimator's exact realized error.
+
+    Deterministic md5 sampling (independent salts), exact integer
+    Chapman estimate (floor division on nonnegative operands —
+    identical in both engines), and a SIGNED rel_err_ppm in the
+    sign-times-abs-floor-division form (DuckDB floors negative
+    quotients, Spark truncates — the same cross-engine hazard the
+    power-iteration scaling hit; abs() makes floor == trunc and the
+    sign is reapplied outside)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    pool = orders.select(F.col("o_custkey").alias("key")).distinct()
+
+    def samp(salt):
+        return pool.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("key").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+            < 30
+        )
+
+    s1, s2 = samp("cap1:"), samp("cap2:")
+    m = (
+        pool.agg(F.count(F.lit(1)).alias("true_n"))
+        .crossJoin(s1.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(
+            s1.join(s2, "key").agg(F.count(F.lit(1)).alias("n_both"))
+        )
+    )
+    return m.select(
+        "true_n",
+        "n1",
+        "n2",
+        "n_both",
+        F.expr("CAST((n1 + 1) * (n2 + 1) DIV (n_both + 1) - 1 AS BIGINT)").alias(
+            "chapman_estimate"
+        ),
+        F.expr(
+            "CAST(CASE WHEN (n1 + 1) * (n2 + 1) DIV (n_both + 1) - 1 >= true_n"
+            " THEN 1 ELSE -1 END"
+            " * (abs((n1 + 1) * (n2 + 1) DIV (n_both + 1) - 1 - true_n) * 1000000"
+            " DIV true_n) AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )

@@ -702,3 +702,104 @@ def text_textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("rank_pico"), "token")
         .limit(_TR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: token-distribution drift between corpus versions (JS
+# divergence, exact micro-nat arithmetic).
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = """
+WITH t AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM t GROUP BY tok
+), n AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM c
+), q AS (
+  -- per-token contributions to KL(P||M) and KL(Q||M), each ln
+  -- quantized to int64 micro-nats BEFORE the cross-token sum; M is the
+  -- even mixture. Zero-count sides contribute 0 by the x*ln(x) limit.
+  SELECT c.tok,
+         CASE WHEN c.a = 0 THEN 0 ELSE c.a * CAST(round(ln(
+           (CAST(c.a AS DOUBLE) / n.na)
+           / ((CAST(c.a AS DOUBLE) / n.na + CAST(c.b AS DOUBLE) / n.nb) / 2)
+         ) * 1000000) AS BIGINT) END AS ka_micro,
+         CASE WHEN c.b = 0 THEN 0 ELSE c.b * CAST(round(ln(
+           (CAST(c.b AS DOUBLE) / n.nb)
+           / ((CAST(c.a AS DOUBLE) / n.na + CAST(c.b AS DOUBLE) / n.nb) / 2)
+         ) * 1000000) AS BIGINT) END AS kb_micro,
+         c.a, c.b
+  FROM c, n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_token_types,
+       CAST(SUM(CASE WHEN a = 0 OR b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_one_sided_types,
+       CAST(SUM(ka_micro) AS BIGINT) AS kl_a_m_weighted_micro,
+       CAST(SUM(kb_micro) AS BIGINT) AS kl_b_m_weighted_micro,
+       round((CAST(SUM(ka_micro) AS DOUBLE) / (SELECT na FROM n)
+              + CAST(SUM(kb_micro) AS DOUBLE) / (SELECT nb FROM n))
+             / 2 / 1000000, 6) AS js_divergence_nats
+FROM q
+"""
+
+
+@register("text_distribution_drift_js", oracle=_JS_ORACLE, tags=("llm", "text", "stats"))
+def text_distribution_drift_js(spark, sf_dir):
+    """Token-distribution DRIFT between two corpus versions (here the
+    even/odd doc_id halves — in production: yesterday's snapshot vs
+    today's): Jensen-Shannon divergence, the symmetric bounded
+    [0, ln 2] drift score a pipeline alarms on before a tokenizer or
+    mixture silently shifts. One-sided token types (present in only
+    one half) are counted separately — vocabulary churn and frequency
+    drift are different failure modes.
+
+    Exactness: per-token ln contributions quantized to int64
+    micro-nats BEFORE the cross-token sums (shuffle-order-proof — the
+    unigram-LM discipline); zero counts take the x*ln(x) -> 0 limit
+    explicitly rather than relying on engine NULL/Inf behavior. Plan:
+    one conditional keyed count per token + broadcast totals — two
+    scans' worth of work in one, map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    c = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    n = c.agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    pa = F.col("a").cast("double") / F.col("na")
+    pb = F.col("b").cast("double") / F.col("nb")
+    mix = (pa + pb) / 2
+    ka = F.when(
+        F.col("a") == 0, F.lit(0).cast("long")
+    ).otherwise(F.col("a") * F.round(F.log(pa / mix) * 1_000_000).cast("long"))
+    kb = F.when(
+        F.col("b") == 0, F.lit(0).cast("long")
+    ).otherwise(F.col("b") * F.round(F.log(pb / mix) * 1_000_000).cast("long"))
+    q = c.crossJoin(F.broadcast(n)).select(
+        "a", "b", "na", "nb", ka.alias("ka_micro"), kb.alias("kb_micro")
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n_token_types"),
+        F.sum(F.when((F.col("a") == 0) | (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_one_sided_types"),
+        F.sum("ka_micro").cast("long").alias("kl_a_m_weighted_micro"),
+        F.sum("kb_micro").cast("long").alias("kl_b_m_weighted_micro"),
+        F.round(
+            (
+                F.sum("ka_micro").cast("double") / F.max("na")
+                + F.sum("kb_micro").cast("double") / F.max("nb")
+            )
+            / 2
+            / 1_000_000,
+            6,
+        ).alias("js_divergence_nats"),
+    )
