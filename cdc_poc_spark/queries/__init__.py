@@ -260,6 +260,9 @@ _ROUND7_NEW: list = [
     "agg_bayes_ab_posterior",
     "text_distribution_drift_js",
     "agg_capture_recapture",
+    "agg_tail_index_hill",
+    "agg_winsorized_mean",
+    "pipeline_temporal_split",
 ]
 
 

@@ -1734,3 +1734,160 @@ def agg_capture_recapture(spark, sf_dir):
             " DIV true_n) AS BIGINT)"
         ).alias("rel_err_ppm"),
     )
+
+
+_HILL_K = 200
+
+_HILL_ORACLE = f"""
+WITH top AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS v
+  FROM orders
+  ORDER BY v DESC, o_orderkey
+  LIMIT {_HILL_K}
+), mn AS (
+  SELECT CAST(MIN(v) AS BIGINT) AS x_k FROM top
+), s AS (
+  SELECT CAST(SUM(CAST(round(ln(CAST(top.v AS DOUBLE) / mn.x_k) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sum_ln_micro
+  FROM top, mn
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k, mn.x_k,
+       s.sum_ln_micro,
+       round({_HILL_K - 1} * 1000000.0 / s.sum_ln_micro, 4) AS hill_alpha
+FROM s, mn
+"""
+
+
+@register("agg_tail_index_hill", oracle=_HILL_ORACLE, tags=("agg", "stats"))
+def agg_tail_index_hill(spark, sf_dir):
+    """HILL ESTIMATOR of the power-law tail index over the top-200
+    order values: alpha_hat = (k-1) / sum ln(X_i / X_(k)) — the
+    standard heavy-tail diagnostic (alpha <= 2 means infinite
+    variance: means and z-tests silently stop working; this is the
+    check that says whether agg_moment_stats can be trusted on a
+    column). Complements the Zipf slope (rank-frequency) and Pareto
+    concentration (share curves) with the extreme-value-theory number.
+
+    Plan: ONE TakeOrderedAndProject(200) — never a global sort — then
+    a broadcast min and a 200-row micro-nat sum; the only float op
+    after quantization is the final division. At 100 TB the top-k is
+    the per-partition-heap + driver-merge Spark already implements."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    top = (
+        orders.select(
+            F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v"),
+            "o_orderkey",
+        )
+        .orderBy(F.desc("v"), "o_orderkey")
+        .limit(_HILL_K)
+        .select("v")
+    )
+    mn = top.agg(F.min("v").alias("x_k"))
+    s = top.crossJoin(F.broadcast(mn)).agg(
+        F.sum(
+            F.round(F.log(F.col("v").cast("double") / F.col("x_k")) * 1_000_000)
+            .cast("long")
+        ).alias("sum_ln_micro"),
+        F.max("x_k").alias("x_k"),
+    )
+    return s.select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        "x_k",
+        "sum_ln_micro",
+        F.round((_HILL_K - 1) * 1_000_000.0 / F.col("sum_ln_micro"), 4).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+_WINSOR_ORACLE = """
+WITH x AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), h AS (
+  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY seg, v
+), c AS (
+  SELECT seg, v, cnt,
+         SUM(cnt) OVER (PARTITION BY seg ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY seg) AS n
+  FROM h
+), t AS (
+  -- discrete order statistics: smallest v whose cumulative count
+  -- reaches ceil(q * n) (exact integers — no interpolation)
+  SELECT seg,
+         CAST(MIN(CASE WHEN cum * 20 >= n THEN v END) AS BIGINT) AS t_lo,
+         CAST(MIN(CASE WHEN cum * 20 >= 19 * n THEN v END) AS BIGINT) AS t_hi
+  FROM c GROUP BY seg
+)
+SELECT x.seg, CAST(COUNT(*) AS BIGINT) AS n, t.t_lo, t.t_hi,
+       CAST(SUM(LEAST(GREATEST(x.v, t.t_lo), t.t_hi)) AS BIGINT)
+         AS winsorized_cents_total,
+       CAST(SUM(LEAST(GREATEST(x.v, t.t_lo), t.t_hi)) // COUNT(*) AS BIGINT)
+         AS winsorized_cents_mean
+FROM x JOIN t ON t.seg = x.seg
+GROUP BY x.seg, t.t_lo, t.t_hi
+"""
+
+
+@register("agg_winsorized_mean", oracle=_WINSOR_ORACLE, tags=("agg", "stats"))
+def agg_winsorized_mean(spark, sf_dir):
+    """WINSORIZED mean per segment: clamp order cents into the
+    [p5, p95] band before averaging — the robust mean that keeps tail
+    rows (unlike trimming) but caps their leverage; alongside MAD
+    (robust spread) this completes the outlier-resistant location
+    pair. Thresholds are DISCRETE order statistics (smallest value
+    whose cumulative count reaches ceil(q*n) — exact integers via the
+    cum*20 >= n cross-multiplication, no interpolation, no floats), so
+    the clamped sum is an exact BIGINT.
+
+    Plan: rows collapse to the per-segment value histogram; the
+    cumulative pass is a window over HISTOGRAM-sized input partitioned
+    by segment (parallel across segments; per-partition size = the
+    segment's distinct values — at 100 TB still histogram-scale, and
+    the global_cumsum two-pass form is the drop-in if one segment's
+    histogram outgrows a task); thresholds broadcast back for a
+    map-side clamp + keyed sum."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    x = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v"),
+    )
+    h = x.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("seg").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("seg")
+    c = h.select(
+        "seg",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    t = c.groupBy("seg").agg(
+        F.min(F.when(F.col("cum") * 20 >= F.col("n"), F.col("v"))).alias("t_lo"),
+        F.min(F.when(F.col("cum") * 20 >= 19 * F.col("n"), F.col("v"))).alias(
+            "t_hi"
+        ),
+    )
+    clamped = F.least(F.greatest(F.col("v"), F.col("t_lo")), F.col("t_hi"))
+    return (
+        x.join(F.broadcast(t), "seg")
+        .groupBy("seg", "t_lo", "t_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(clamped).alias("winsorized_cents_total"),
+            F.expr(
+                "CAST(SUM(LEAST(GREATEST(v, t_lo), t_hi)) DIV COUNT(*) AS BIGINT)"
+            ).alias("winsorized_cents_mean"),
+        )
+        .select(
+            "seg", "n", "t_lo", "t_hi",
+            "winsorized_cents_total", "winsorized_cents_mean",
+        )
+    )

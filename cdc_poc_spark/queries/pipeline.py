@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import text
-from ..tables import load_table
+from ..tables import MONEY, dec, load_table
 from . import register
 
 _STRATIFIED_K = 15
@@ -939,4 +939,73 @@ def pipeline_weighted_reservoir(spark, sf_dir):
         "n_chars",
         "ln_u_micro",
         F.round("akey", 9).alias("akey"),
+    )
+
+
+_TEMPORAL_SPLIT_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+), b AS (
+  SELECT CAST(MIN(day) AS BIGINT) AS d0, CAST(MAX(day) AS BIGINT) AS d1 FROM d
+), cut AS (
+  SELECT d0, d1, d0 + (d1 - d0) * 8 // 10 AS train_end FROM b
+), lab AS (
+  SELECT d.o_orderkey, d.day, d.cents,
+         CASE WHEN d.day <= cut.train_end THEN 'train'
+              WHEN d.day <= cut.train_end + 7 THEN 'purged'
+              ELSE 'test' END AS split
+  FROM d, cut
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(day) AS BIGINT) AS min_day,
+       CAST(MAX(day) AS BIGINT) AS max_day,
+       CAST(SUM(cents) AS BIGINT) AS cents_total
+FROM lab GROUP BY split
+"""
+
+
+@register("pipeline_temporal_split", oracle=_TEMPORAL_SPLIT_ORACLE, tags=("pipeline", "ml"))
+def pipeline_temporal_split(spark, sf_dir):
+    """PURGED TEMPORAL train/test split: train = the first 80% of the
+    date range, then a 7-day PURGE GAP that belongs to neither side,
+    then test — the leakage control for time-series models (an
+    instance whose features are computed over a trailing window must
+    not straddle the boundary; the purge absorbs that window). The
+    group-keyed variant is pipeline_leakage_safe_split; this is the
+    time-keyed one, and cdc_point_in_time_join is the row-level
+    companion.
+
+    Cutoffs are exact integer day arithmetic off the broadcast
+    min/max — no quantile sort; the labeling is one map-side CASE.
+    Output: per-split counts, day ranges (the purge's emptiness of
+    overlap is visible), exact cents totals."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    d = orders.select(
+        "o_orderkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day"),
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("cents"),
+    )
+    b = d.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    cut = b.select(
+        F.expr("d0 + (d1 - d0) * 8 DIV 10").alias("train_end")
+    )
+    lab = d.crossJoin(F.broadcast(cut)).select(
+        "day",
+        "cents",
+        F.when(F.col("day") <= F.col("train_end"), "train")
+        .when(F.col("day") <= F.col("train_end") + 7, "purged")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.sum("cents").alias("cents_total"),
     )
