@@ -263,6 +263,8 @@ _ROUND7_NEW: list = [
     "agg_tail_index_hill",
     "agg_winsorized_mean",
     "pipeline_temporal_split",
+    "tw_time_to_conversion",
+    "agg_mutual_information",
 ]
 
 

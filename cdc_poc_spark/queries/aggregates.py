@@ -1891,3 +1891,80 @@ def agg_winsorized_mean(spark, sf_dir):
             "winsorized_cents_total", "winsorized_cents_mean",
         )
     )
+
+
+_MI_ORACLE = """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON c_custkey = o_custkey
+), cell AS (
+  SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS n_xy FROM j GROUP BY seg, pri
+), mx AS (
+  SELECT seg, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cell GROUP BY seg
+), my AS (
+  SELECT pri, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cell GROUP BY pri
+), n AS (
+  SELECT CAST(SUM(n_xy) AS BIGINT) AS total FROM cell
+), q AS (
+  SELECT cell.seg, cell.pri, cell.n_xy,
+         cell.n_xy * CAST(round(ln(CAST(cell.n_xy AS DOUBLE) * n.total
+                                   / (CAST(mx.n_x AS DOUBLE) * my.n_y))
+                                * 1000000) AS BIGINT) AS mi_contrib_micro
+  FROM cell JOIN mx ON mx.seg = cell.seg JOIN my ON my.pri = cell.pri, n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(mi_contrib_micro) AS BIGINT) AS mi_weighted_micro,
+       round(CAST(SUM(mi_contrib_micro) AS DOUBLE)
+             / (SELECT total FROM n) / 1000000, 6) AS mi_nats
+FROM q
+"""
+
+
+@register("agg_mutual_information", oracle=_MI_ORACLE, tags=("agg", "stats"))
+def agg_mutual_information(spark, sf_dir):
+    """MUTUAL INFORMATION between customer segment and order priority —
+    the information-theoretic dependence measure completing the
+    categorical pair alongside chi-square (which tests significance;
+    MI quantifies the dependence in nats and is what feature-selection
+    ranks by). MI = sum over cells of p(x,y) ln(p(x,y)/(p(x)p(y))),
+    computed from ONE contingency count with the marginals derived
+    from it (no second scan), per-cell ln quantized to micro-nats
+    before the weighted sum — the unigram-LM discipline. Empty cells
+    contribute 0 by the x*ln(x) limit and simply don't appear in the
+    count relation."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+    cell = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("n_xy"))
+    mx = cell.groupBy("seg").agg(F.sum("n_xy").alias("n_x"))
+    my = cell.groupBy("pri").agg(F.sum("n_xy").alias("n_y"))
+    n = cell.agg(F.sum("n_xy").alias("total"))
+    q = (
+        cell.join(F.broadcast(mx), "seg")
+        .join(F.broadcast(my), "pri")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_xy",
+            "total",
+            (
+                F.col("n_xy")
+                * F.round(
+                    F.log(
+                        F.col("n_xy").cast("double")
+                        * F.col("total")
+                        / (F.col("n_x").cast("double") * F.col("n_y"))
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("mi_contrib_micro"),
+        )
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("mi_contrib_micro").cast("long").alias("mi_weighted_micro"),
+        F.round(
+            F.sum("mi_contrib_micro").cast("double") / F.max("total") / 1_000_000, 6
+        ).alias("mi_nats"),
+    )

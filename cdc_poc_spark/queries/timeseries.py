@@ -925,3 +925,101 @@ def win_streak_lengths(spark, sf_dir):
         F.count(F.when(F.col("streak_len") >= 3, 1)).alias("n_streaks_ge3"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: time-to-conversion horizon table (discrete survival curve).
+# ---------------------------------------------------------------------------
+
+_TTC_HORIZONS_US = [
+    3_600_000_000,        # 1h
+    21_600_000_000,       # 6h
+    86_400_000_000,       # 1d
+    259_200_000_000,      # 3d
+    604_800_000_000,      # 7d
+]
+
+_TTC_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), f AS (
+  SELECT s.user_id, s.signup_us,
+         MIN(CASE WHEN p.ts_us >= s.signup_us THEN p.ts_us END) AS first_purchase_us
+  FROM s LEFT JOIN p ON p.user_id = s.user_id
+  GROUP BY s.user_id, s.signup_us
+), h AS (
+  SELECT unnest([{", ".join(str(h) for h in _TTC_HORIZONS_US)}]) AS horizon_us
+)
+SELECT h.horizon_us,
+       CAST(COUNT(*) AS BIGINT) AS n_signups,
+       CAST(SUM(CASE WHEN f.first_purchase_us IS NOT NULL
+                      AND f.first_purchase_us - f.signup_us <= h.horizon_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(CASE WHEN f.first_purchase_us IS NOT NULL
+                      AND f.first_purchase_us - f.signup_us <= h.horizon_us
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS conversion_ppm
+FROM f, h
+GROUP BY h.horizon_us
+"""
+
+
+@register("tw_time_to_conversion", oracle=_TTC_ORACLE, tags=("timewindow", "analytics"))
+def tw_time_to_conversion(spark, sf_dir):
+    """TIME-TO-CONVERSION horizon table (the discrete empirical
+    survival/conversion curve): for each signup, the first
+    at-or-after-signup purchase, evaluated at 1h/6h/1d/3d/7d horizons —
+    per horizon: signups at risk, conversions within, exact-ppm rate.
+    Users who never purchase are the censored mass (they count in the
+    denominator at every horizon — dropping them is the classic
+    survivorship bias this table exists to avoid).
+
+    Plan: two keyed MIN aggs (signup, first qualifying purchase — the
+    conditional MIN keeps it one pass), a x5 horizon explode of the
+    small per-user relation, one keyed count. All integers; floor-ppm
+    on nonnegative operands."""
+    from .timewindows import events_with_time  # shared ts normalization
+
+    ev = events_with_time(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    f = (
+        s.join(p, "user_id", "left")
+        .groupBy("user_id", "signup_us")
+        .agg(
+            F.min(
+                F.when(F.col("p_us") >= F.col("signup_us"), F.col("p_us"))
+            ).alias("first_purchase_us")
+        )
+    )
+    h = F.explode(
+        F.array(*[F.lit(x) for x in _TTC_HORIZONS_US])
+    ).alias("horizon_us")
+    conv = F.when(
+        F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") - F.col("signup_us") <= F.col("horizon_us")),
+        1,
+    ).otherwise(0)
+    return (
+        f.select("signup_us", "first_purchase_us", h)
+        .groupBy("horizon_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.sum(conv).cast("long").alias("n_converted"),
+            F.expr(
+                "CAST(SUM(CASE WHEN first_purchase_us IS NOT NULL"
+                " AND first_purchase_us - signup_us <= horizon_us"
+                " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("conversion_ppm"),
+        )
+    )
