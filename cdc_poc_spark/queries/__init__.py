@@ -265,6 +265,8 @@ _ROUND7_NEW: list = [
     "pipeline_temporal_split",
     "tw_time_to_conversion",
     "agg_mutual_information",
+    "scalar_base64_functions",
+    "graph_hits_step",
 ]
 
 

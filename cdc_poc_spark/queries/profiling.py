@@ -1482,3 +1482,82 @@ def graph_boruvka_round(spark, sf_dir):
         .groupBy("part_a", "part_b")
         .agg(F.max("w").alias("weight"), F.count(F.lit(1)).alias("picked_by"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: one HITS iteration (hubs & authorities) on the customer-part
+# purchase bipartite graph.
+# ---------------------------------------------------------------------------
+
+_HITS_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), a1 AS (
+  -- authority(part) = number of purchasing customers (h0 = 1)
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS auth FROM b GROUP BY p
+), h1 AS (
+  -- hub(customer) = sum of its parts' authorities
+  SELECT b.c, CAST(SUM(a1.auth) AS BIGINT) AS hub
+  FROM b JOIN a1 ON a1.p = b.p GROUP BY b.c
+), a2 AS (
+  -- authority refresh from updated hubs
+  SELECT b.p, CAST(SUM(h1.hub) AS BIGINT) AS auth2
+  FROM b JOIN h1 ON h1.c = b.c GROUP BY b.p
+), mx AS (
+  SELECT CAST(MAX(auth2) AS BIGINT) AS m FROM a2
+)
+SELECT a2.p AS part, a1.auth AS degree_auth, a2.auth2 AS hits_auth_raw,
+       CAST(a2.auth2 * 1000000 // mx.m AS BIGINT) AS hits_auth_ppm
+FROM a2 JOIN a1 ON a1.p = a2.p, mx
+ORDER BY hits_auth_raw DESC, part
+LIMIT 20
+"""
+
+
+@register("graph_hits_step", oracle=_HITS_ORACLE, tags=("graph", "analytics"))
+def graph_hits_step(spark, sf_dir):
+    """One HITS iteration (Kleinberg '99) on the customer-part
+    purchase bipartite graph: authority(part) and hub(customer) update
+    each other through the edge set — top-20 parts by the refreshed
+    authority, with the degree baseline alongside so the output SHOWS
+    what the iteration adds (a part bought by high-hub customers
+    outranks an equal-degree part bought by low-hub ones — the
+    difference between popularity and endorsement). All-integer mass
+    (h0 = 1), ppm-normalized by the max, TakeOrdered top-20.
+
+    Plan: three edge-keyed SUM aggregations (auth -> hub -> auth) over
+    the distinct bipartite edges + one broadcast max — each step
+    map-side combinable, the same constant-depth shape as the unrolled
+    TextRank."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a1 = b.groupBy("p").agg(F.count(F.lit(1)).alias("auth"))
+    h1 = (
+        b.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("auth").alias("hub"))
+    )
+    a2 = (
+        b.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("hub").alias("auth2"))
+    )
+    mx = a2.agg(F.max("auth2").alias("m"))
+    return (
+        a2.join(a1, "p")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p").alias("part"),
+            F.col("auth").alias("degree_auth"),
+            F.col("auth2").alias("hits_auth_raw"),
+            F.expr("CAST(auth2 * 1000000 DIV m AS BIGINT)").alias("hits_auth_ppm"),
+        )
+        .orderBy(F.desc("hits_auth_raw"), "part")
+        .limit(20)
+    )

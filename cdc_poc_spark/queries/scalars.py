@@ -867,3 +867,30 @@ def scalar_generator_functions(spark, sf_dir):
             "n_nationkey", "n_extra_tokens", "first_extra_pos", "name_len", "n_tokens"
         )
     )
+
+
+_B64_ORACLE = """
+SELECT n_name,
+       base64(CAST(n_name AS BLOB)) AS b64,
+       CAST(length(base64(CAST(n_name AS BLOB))) AS BIGINT) AS b64_len,
+       CAST(CAST(from_base64(base64(CAST(n_name AS BLOB))) AS VARCHAR)
+            = n_name AS BOOLEAN) AS roundtrip_ok
+FROM nation
+"""
+
+
+@register("scalar_base64_functions", oracle=_B64_ORACLE, tags=("scalar",))
+def scalar_base64_functions(spark, sf_dir):
+    """Base64 encode/decode scalar surface (RFC 4648 standard alphabet
+    in both engines): encode, padded length ((n+2) DIV 3 * 4 — visible
+    in b64_len), and an in-engine decode roundtrip flag. The binary-
+    payload transport codec the multimodal columns use at the
+    boundary."""
+    nat = load_table(spark, sf_dir, "nation").select("n_name")
+    b64 = F.base64(F.col("n_name").cast("binary"))
+    return nat.select(
+        "n_name",
+        b64.alias("b64"),
+        F.length(b64).cast("long").alias("b64_len"),
+        (F.unbase64(b64).cast("string") == F.col("n_name")).alias("roundtrip_ok"),
+    )
