@@ -267,6 +267,8 @@ _ROUND7_NEW: list = [
     "agg_mutual_information",
     "scalar_base64_functions",
     "graph_hits_step",
+    "pipeline_dataset_fingerprint",
+    "sql_filtered_aggregates",
 ]
 
 

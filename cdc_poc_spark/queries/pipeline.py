@@ -1009,3 +1009,76 @@ def pipeline_temporal_split(spark, sf_dir):
         F.max("day").alias("max_day"),
         F.sum("cents").alias("cents_total"),
     )
+
+
+_FINGERPRINT_ORACLE = """
+WITH o AS (
+  SELECT CAST(SUM(CAST(('0x' || substring(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+           || '|' || o_orderstatus || '|'
+           || CAST(CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100)
+                        AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT))
+         AS HUGEINT) % 9223372036854775783 AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM orders
+), l AS (
+  SELECT CAST(SUM(CAST(('0x' || substring(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)
+           || '|' || CAST(l_linenumber AS VARCHAR) || '|'
+           || CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)) * 100)
+                        AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT))
+         AS HUGEINT) % 9223372036854775783 AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem
+)
+SELECT 'orders' AS table_name, n_rows, CAST(fp AS BIGINT) AS fingerprint FROM o
+UNION ALL
+SELECT 'lineitem', n_rows, CAST(fp AS BIGINT) FROM l
+"""
+
+
+@register("pipeline_dataset_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("pipeline",))
+def pipeline_dataset_fingerprint(spark, sf_dir):
+    """ORDER-INVARIANT dataset fingerprint — the data-versioning
+    primitive: each row hashes its key columns to a 60-bit integer
+    (md5 prefix) and the table fingerprint is the SUM of row hashes
+    mod the largest 63-bit prime. Commutative-associative, so it is
+    row-order-proof, partition-layout-proof, and MERGEABLE (shard
+    fingerprints add; an incremental pipeline updates it by adding new
+    rows' hashes and subtracting deleted ones' — no rescan). Two
+    snapshots with equal fingerprints and counts are content-identical
+    with overwhelming probability; this is the cheap invariant a
+    pipeline pins BEFORE and AFTER a migration/compaction that must
+    not change data.
+
+    Plan: pure map-side hash + one 1-row SUM per table (modulo applied
+    after — DuckDB promotes the SUM to HUGEINT, Spark stays in long
+    with natural wraparound... which would DIVERGE, so the Spark side
+    sums into DECIMAL(38) before the shared mod; stated because it is
+    the one place the engines' integer-overflow semantics differ)."""
+    mod = 9223372036854775783  # largest prime < 2^63
+
+    def fp_of(df, cols, name):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"CAST(SUM(CAST(conv(substring(md5(concat_ws('|', {', '.join(cols)})), 1, 15), 16, 10) AS DECIMAL(38,0))) % {mod} AS BIGINT)"
+            ).alias("fingerprint"),
+        )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.col("o_custkey").cast("string").alias("k2"),
+        F.col("o_orderstatus").alias("k3"),
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").cast("string").alias("k4"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k1"),
+        F.col("l_partkey").cast("string").alias("k2"),
+        F.col("l_linenumber").cast("string").alias("k3"),
+        F.round(dec("l_extendedprice", MONEY) * 100).cast("long").cast("string").alias("k4"),
+    )
+    a = fp_of(orders, ["k1", "k2", "k3", "k4"], "orders")
+    b = fp_of(li, ["k1", "k2", "k3", "k4"], "lineitem")
+    return a.unionByName(b)

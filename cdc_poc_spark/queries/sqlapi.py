@@ -251,3 +251,23 @@ FROM nation n, LATERAL (
 """,
     tags=("sql", "join", "lateral", "topk"),
 )
+
+
+# ANSI FILTER (WHERE ...) aggregate modifier — conditional aggregation
+# without CASE expressions; one shared text in both engines.
+_sql_query(
+    "sql_filtered_aggregates",
+    """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_final,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+       CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS final_cents,
+       CAST(MIN(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS first_final_day
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("sql", "agg", "filter"),
+)
