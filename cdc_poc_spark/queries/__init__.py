@@ -222,8 +222,8 @@ _ROUND6_NEW: list = [
 
 # Queries registered AFTER the round-6 window filled (21 + 28 = 49 of 50
 # slots). Per the standing policy these take round-7 window slots: next
-# round, promote this list to the front (32 entries — 18 slots remain
-# for round-7 additions). Until then the full sweep value-checks them
+# round, promote this list to the front (43 entries — 7 slots remain
+# for round-7 additions; overflow starts _ROUND8_NEW per the policy). Until then the full sweep value-checks them
 # like everything else.
 _ROUND7_NEW: list = [
     "sql_recursive_hierarchy",
