@@ -269,6 +269,7 @@ _ROUND7_NEW: list = [
     "graph_hits_step",
     "pipeline_dataset_fingerprint",
     "sql_filtered_aggregates",
+    "ml_classifier_metrics",
 ]
 
 

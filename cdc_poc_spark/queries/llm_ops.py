@@ -2644,3 +2644,86 @@ def pipeline_negative_sampling(spark, sf_dir):
         .select("query_id", "anchor_label", "negative_id", "negative_label",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+_NB_METRICS_ORACLE = _NB_APPLY_ORACLE.replace(
+    """SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang""",
+    """, conf AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred WHERE rn = 1 GROUP BY true_lang, pred_lang
+), tp AS (
+  SELECT true_lang AS cls, n_docs AS tp FROM conf WHERE true_lang = pred_lang
+), act AS (
+  SELECT true_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+  FROM conf GROUP BY true_lang
+), prd AS (
+  SELECT pred_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS n_predicted
+  FROM conf GROUP BY pred_lang
+)
+SELECT act.cls, act.n_actual,
+       CAST(COALESCE(prd.n_predicted, 0) AS BIGINT) AS n_predicted,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       CAST(CASE WHEN COALESCE(prd.n_predicted, 0) = 0 THEN 0
+                 ELSE COALESCE(tp.tp, 0) * 1000000 // prd.n_predicted END
+            AS BIGINT) AS precision_ppm,
+       CAST(COALESCE(tp.tp, 0) * 1000000 // act.n_actual AS BIGINT)
+         AS recall_ppm,
+       CAST(CASE WHEN COALESCE(prd.n_predicted, 0) + act.n_actual = 0 THEN 0
+                 ELSE 2 * COALESCE(tp.tp, 0) * 1000000
+                      // (COALESCE(prd.n_predicted, 0) + act.n_actual) END
+            AS BIGINT) AS f1_ppm
+FROM act
+LEFT JOIN prd ON prd.cls = act.cls
+LEFT JOIN tp ON tp.cls = act.cls""",
+)
+
+
+@register("ml_classifier_metrics", oracle=_NB_METRICS_ORACLE, tags=("llm", "ml"))
+def ml_classifier_metrics(spark, sf_dir):
+    """Per-class PRECISION / RECALL / F1 over the NB confusion matrix —
+    completing train -> apply -> EVALUATE in-engine. Every metric is an
+    exact-ppm integer: precision = tp/predicted, recall = tp/actual,
+    and F1 via the division-free identity 2*tp / (predicted + actual)
+    (algebraically equal to the harmonic mean — one floor division
+    instead of nested ones, so no compounded rounding). Classes the
+    model never predicts get precision 0 by the explicit zero-guard,
+    not a division error.
+
+    Plan: the confusion matrix is |classes|^2 rows — everything after
+    the apply pass is broadcast-sized."""
+    conf = ml_naive_bayes_apply(spark, sf_dir)
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("cls"), F.col("n_docs").alias("tp")
+    )
+    act = conf.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n_docs").alias("n_actual")
+    )
+    prd = conf.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n_docs").alias("n_predicted")
+    )
+    j = (
+        act.join(prd, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            "n_actual",
+            F.coalesce(F.col("n_predicted"), F.lit(0)).alias("n_predicted"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    return j.select(
+        "cls",
+        "n_actual",
+        F.col("n_predicted").cast("long").alias("n_predicted"),
+        F.col("tp").cast("long").alias("tp"),
+        F.expr(
+            "CAST(CASE WHEN n_predicted = 0 THEN 0"
+            " ELSE tp * 1000000 DIV n_predicted END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 DIV n_actual AS BIGINT)").alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_predicted + n_actual = 0 THEN 0"
+            " ELSE 2 * tp * 1000000 DIV (n_predicted + n_actual) END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
