@@ -270,6 +270,7 @@ _ROUND7_NEW: list = [
     "pipeline_dataset_fingerprint",
     "sql_filtered_aggregates",
     "ml_classifier_metrics",
+    "agg_simpson_diversity",
 ]
 
 

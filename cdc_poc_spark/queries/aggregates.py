@@ -1968,3 +1968,50 @@ def agg_mutual_information(spark, sf_dir):
             F.sum("mi_contrib_micro").cast("double") / F.max("total") / 1_000_000, 6
         ).alias("mi_nats"),
     )
+
+
+_SIMPSON_ORACLE = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_i
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+         CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS pairs_same
+  FROM c
+)
+SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_sources, t.n AS n_docs,
+       CAST(1000000 - pairs_same * 1000000 // (n * (n - 1)) AS BIGINT)
+         AS simpson_diversity_ppm,
+       CAST(n * (n - 1) * 1000000 // ((SELECT COUNT(*) FROM c)
+            * pairs_same) AS BIGINT) AS evenness_hill2_ppm_of_max
+FROM t
+"""
+
+
+@register("agg_simpson_diversity", oracle=_SIMPSON_ORACLE, tags=("agg", "stats"))
+def agg_simpson_diversity(spark, sf_dir):
+    """SIMPSON DIVERSITY of corpus sources — P(two random docs come
+    from different sources), the concentration-robust diversity number
+    a mixture pipeline monitors next to entropy (Simpson weights
+    dominant sources harder, so a creeping monoculture moves it
+    faster). Exact rational arithmetic throughout: 1 - sum n_i(n_i-1)
+    / (N(N-1)) in floor ppm, plus the Hill-2 evenness (inverse-Simpson
+    / richness) as ppm of its maximum — both integer
+    cross-multiplications, no floats at all."""
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_i"))
+    t = c.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).alias("pairs_same"),
+    )
+    return t.select(
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(1000000 - pairs_same * 1000000 DIV (n * (n - 1)) AS BIGINT)"
+        ).alias("simpson_diversity_ppm"),
+        F.expr(
+            "CAST(n * (n - 1) * 1000000 DIV (n_sources * pairs_same) AS BIGINT)"
+        ).alias("evenness_hill2_ppm_of_max"),
+    )

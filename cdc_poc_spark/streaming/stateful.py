@@ -540,3 +540,56 @@ def streaming_point_in_time_enrich(keyed: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence-gap detection — the online twin of the batch
+# queries/cdc_queries.py:cdc_sequence_gap_detect (production form:
+# per-key monotonic seq, fixed threshold).
+# ---------------------------------------------------------------------------
+
+GAP_OUTPUT_SCHEMA = (
+    "user_id long, gap_after long, resume_at long, n_missing long"
+)
+GAP_STATE_SCHEMA = "last_id long"
+
+
+def _gap_group(key: Tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (uid,) = key
+    last = state.get[0] if state.exists else None
+    out = []
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if len(rows):
+        for v in sorted(int(x) for x in rows["event_id"]):
+            if last is not None and v - last > 1:
+                out.append((int(uid), last, v, v - last - 1))
+            if last is None or v > last:
+                last = v
+    if last is not None:
+        state.update((last,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "gap_after", "resume_at", "n_missing"]
+    )
+
+
+def streaming_sequence_gap_detect(keyed: DataFrame) -> DataFrame:
+    """Online per-key sequence-gap alarm: carry each key's high-water
+    id in state; any arriving id that jumps the threshold (> 1 — the
+    per-key monotonic-seq production contract) emits the gap in the
+    SAME micro-batch, with ids sorted within the batch so intra-batch
+    reordering never fakes a gap. A replayed or stale id (<= the
+    high-water mark) advances nothing and emits nothing — replay-
+    idempotent by the same rule as the CDC current-state operator.
+
+    Input: streaming (user_id LONG, event_id LONG). Append mode.
+    The batch query (cdc_sequence_gap_detect) is the reprocessing /
+    adaptive-threshold form; this is the alert path — the gap is known
+    the moment the far side of it arrives, not at the next batch
+    audit."""
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _gap_group,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1503,3 +1503,48 @@ def test_streaming_point_in_time_matches_batch(spark, tmp_path):
         _time.sleep(0.05)  # distinct mtimes: listing order == time order
     got = drain(str(d_split), "pit_epochs", maxFilesPerTrigger="1")
     assert got == want
+
+
+def test_streaming_sequence_gap_detect_known_gaps(spark, tmp_path):
+    """Synthetic known-gap stream: per-key id sequences with planted
+    holes, split across two micro-batches INCLUDING a gap that spans
+    the epoch boundary; the operator must emit exactly the planted
+    gaps, once each, and ignore a replayed stale id."""
+    from cdc_poc_spark.streaming.stateful import streaming_sequence_gap_detect
+
+    epoch1 = [(1, 1), (1, 2), (1, 5), (2, 10), (2, 11), (3, 7)]
+    #            gap 2->5 (2 missing)            ;  user 3 starts at 7
+    epoch2 = [(1, 6), (1, 9), (2, 14), (2, 11), (3, 8)]
+    #          gap 6->9        gap 11->14 SPANS epochs; (2,11) replay no-op
+    expected = sorted(
+        [(1, 2, 5, 2), (1, 6, 9, 2), (2, 11, 14, 2)]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["user_id", "event_id"]
+    for i, rows in enumerate((epoch1, epoch2)):
+        pdir = tmp_path / f"e{i}"
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(pdir))
+        f = next(p for p in pdir.iterdir() if p.suffix == ".parquet")
+        f.rename(src / f"epoch_{i}.parquet")
+    schema = spark.createDataFrame([(1, 1)], cols).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_sequence_gap_detect(stream)
+        .writeStream.format("memory")
+        .queryName("gaps")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.gap_after, r.resume_at, r.n_missing)
+        for r in spark.sql("SELECT * FROM gaps").collect()
+    )
+    assert got == expected
