@@ -1425,12 +1425,16 @@ _BORUVKA_ORACLE = _COORDER_EDGES_CTE + f"""
   UNION ALL
   SELECT v AS u, u AS v, w FROM e
 ), pick AS (
-  SELECT u AS node, MAX(w * {_BORUVKA_PACK} - v) AS key
+  -- pack with (v + 1): neighbor ids CAN be 0 (part keys start at 0);
+  -- an unoffset pack makes key = w * 2^40 decode as (w + 1, 2^40) —
+  -- caught by the pure-Python reference test, invisible to the
+  -- cross-engine oracle (both engines shared the packing).
+  SELECT u AS node, MAX(w * {_BORUVKA_PACK} - (v + 1)) AS key
   FROM wsym GROUP BY u
 ), sel AS (
   SELECT node,
          CAST(key // {_BORUVKA_PACK} + 1 AS BIGINT) AS w,
-         CAST((key // {_BORUVKA_PACK} + 1) * {_BORUVKA_PACK} - key AS BIGINT)
+         CAST((key // {_BORUVKA_PACK} + 1) * {_BORUVKA_PACK} - key - 1 AS BIGINT)
            AS nbr
   FROM pick
 ), und AS (
@@ -1454,24 +1458,27 @@ def graph_boruvka_round(spark, sf_dir):
     O(log n)-round distributed MST; the round-1 edge set is already
     the standard large-scale agglomerative-clustering seed.
 
-    The argmax is ONE keyed MAX of the packed key w * 2^40 - neighbor
-    (equal weights -> smaller neighbor wins; neighbor ids >= 1 so
-    w = key DIV 2^40 + 1 and nbr = w * 2^40 - key recover both fields
-    exactly) — no window, no join, map-side combinable; the undirected
-    dedup is a second tiny keyed agg. Engine-portable integers
-    end-to-end."""
+    The argmax is ONE keyed MAX of the packed key w * 2^40 - (nbr + 1)
+    (equal weights -> smaller neighbor wins; the +1 offset keeps the
+    subtrahend >= 1 even for id 0, so w = key DIV 2^40 + 1 and
+    nbr = w * 2^40 - key - 1 recover both fields exactly — the
+    unoffset form silently mis-decoded picks of part 0: caught by the
+    pure-Python reference test, INVISIBLE to the cross-engine oracle
+    because both engines shared the packing) — no window, no join,
+    map-side combinable; the undirected dedup is a second tiny keyed
+    agg. Engine-portable integers end-to-end."""
     e = _coorder_part_edges(spark, sf_dir).select("u", "v", "w")
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     p = _BORUVKA_PACK
     pick = sym.groupBy(F.col("u").alias("node")).agg(
-        F.max(F.col("w") * p - F.col("v")).alias("key")
+        F.max(F.col("w") * p - (F.col("v") + 1)).alias("key")
     )
     sel = pick.select(
         "node",
         F.expr(f"CAST(key DIV {p} + 1 AS BIGINT)").alias("w"),
-        F.expr(f"CAST((key DIV {p} + 1) * {p} - key AS BIGINT)").alias("nbr"),
+        F.expr(f"CAST((key DIV {p} + 1) * {p} - key - 1 AS BIGINT)").alias("nbr"),
     )
     return (
         sel.select(
