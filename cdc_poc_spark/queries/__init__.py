@@ -222,7 +222,7 @@ _ROUND6_NEW: list = [
 
 # Queries registered AFTER the round-6 window filled (21 + 28 = 49 of 50
 # slots). Per the standing policy these take round-7 window slots: next
-# round, promote this list to the front (43 entries — 7 slots remain
+# round, promote this list to the front (47 entries — 3 slots remain
 # for round-7 additions; overflow starts _ROUND8_NEW per the policy). Until then the full sweep value-checks them
 # like everything else.
 _ROUND7_NEW: list = [
@@ -271,6 +271,8 @@ _ROUND7_NEW: list = [
     "sql_filtered_aggregates",
     "ml_classifier_metrics",
     "agg_simpson_diversity",
+    "win_rolling_slope",
+    "pipeline_temperature_mixture",
 ]
 
 

@@ -1082,3 +1082,89 @@ def pipeline_dataset_fingerprint(spark, sf_dir):
     a = fp_of(orders, ["k1", "k2", "k3", "k4"], "orders")
     b = fp_of(li, ["k1", "k2", "k3", "k4"], "lineitem")
     return a.unionByName(b)
+
+
+_TEMP_MIX_T = 0.7
+_TEMP_MIX_BUDGET = 1000
+
+_TEMP_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), wgt AS (
+  SELECT source, n_docs,
+         CAST(round(pow(CAST(n_docs AS DOUBLE), {_TEMP_MIX_T}) * 1000000)
+              AS BIGINT) AS w_micro
+  FROM c
+), tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM wgt
+), base AS (
+  SELECT wgt.source, wgt.n_docs, wgt.w_micro,
+         CAST(wgt.w_micro * {_TEMP_MIX_BUDGET} // tot.w_total AS BIGINT) AS q0,
+         CAST(wgt.w_micro * {_TEMP_MIX_BUDGET} % tot.w_total AS BIGINT) AS rem
+  FROM wgt, tot
+), short AS (
+  SELECT CAST({_TEMP_MIX_BUDGET} - SUM(q0) AS BIGINT) AS missing FROM base
+), ranked AS (
+  SELECT base.*, row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM base
+)
+SELECT r.source, r.n_docs, r.w_micro,
+       CAST(r.q0 + CASE WHEN r.rk <= s.missing THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked r, short s
+"""
+
+
+@register("pipeline_temperature_mixture", oracle=_TEMP_MIX_ORACLE, tags=("pipeline", "llm"))
+def pipeline_temperature_mixture(spark, sf_dir):
+    """TEMPERATURE-SCALED mixture quotas (the multilingual/multi-source
+    sampling rule of mBERT/XLM-R: sample source i proportionally to
+    n_i^alpha, alpha = 0.7): big sources are down-weighted, small ones
+    boosted, without the starvation of uniform or the domination of
+    proportional sampling. Quotas for a 1000-doc budget via
+    LARGEST-REMAINDER apportionment — floor quotas plus one extra for
+    the largest remainders (tie -> source name), so quotas sum EXACTLY
+    to the budget (naive rounding can miss it by |sources|).
+
+    Determinism: the one float (pow) is computed once per source on
+    identical integers and rounded to micro-units; the apportionment
+    is pure integer DIV/MOD plus a |sources|-row ranking."""
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wgt = c.select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs").cast("double"), _TEMP_MIX_T) * 1_000_000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = wgt.agg(F.sum("w_micro").alias("w_total"))
+    base = wgt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        F.expr(f"CAST(w_micro * {_TEMP_MIX_BUDGET} DIV w_total AS BIGINT)").alias(
+            "q0"
+        ),
+        F.expr(f"CAST(w_micro * {_TEMP_MIX_BUDGET} % w_total AS BIGINT)").alias(
+            "rem"
+        ),
+    )
+    short = base.agg(
+        (F.lit(_TEMP_MIX_BUDGET) - F.sum("q0")).cast("long").alias("missing")
+    )
+    wk = W.orderBy(F.desc("rem"), "source")
+    ranked = base.withColumn("rk", F.row_number().over(wk))
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        (
+            F.col("q0")
+            + F.when(F.col("rk") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )

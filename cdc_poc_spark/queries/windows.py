@@ -216,3 +216,73 @@ def win_distribution_ranks(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+_ROLLING_SLOPE_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS y
+  FROM orders
+), s AS (
+  SELECT o_custkey, o_orderkey, x, y,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY x
+               RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+)
+SELECT o_custkey, o_orderkey, CAST(n AS BIGINT) AS n_win,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx), 4) AS slope_cents_per_day
+FROM s
+WHERE n * sxx - sx * sx > 0
+"""
+
+
+@register("win_rolling_slope", oracle=_ROLLING_SLOPE_ORACLE, tags=("window", "frame", "stats"))
+def win_rolling_slope(spark, sf_dir):
+    """ROLLING REGRESSION: per customer, the OLS slope of spend vs day
+    over a trailing 90-day RANGE frame — the per-entity trend feature
+    (spend accelerating or decaying?) that static agg_corr_regression
+    cannot express. All five sufficient statistics (n, Sx, Sy, Sxy,
+    Sxx) accumulate as EXACT integer window sums; the slope is the one
+    closed-form float per row, on identical integers in both engines.
+    Windows whose x-variance is zero (all orders on one day — always
+    true for n_win = 1) are excluded by the exact integer predicate
+    n*Sxx - Sx^2 > 0 rather than emitting an engine-specific
+    NULL/NaN.
+
+    Plan: ONE key shuffle; all five window sums share the same frame,
+    so Catalyst evaluates them in a single Window operator pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("x"),
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("y"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("x").rangeBetween(-90, 0)
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(denom > 0).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("n").cast("long").alias("n_win"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / denom,
+            4,
+        ).alias("slope_cents_per_day"),
+    )
