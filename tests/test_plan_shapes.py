@@ -501,3 +501,33 @@ def test_gap_detect_single_key_shuffle(spark):
     plan = _plan(spark, "cdc_sequence_gap_detect")
     assert "BroadcastExchange" in plan
     assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_rolling_slope_single_window_pass(spark):
+    """All five sufficient statistics share one frame — exactly one
+    Window operator and one customer shuffle."""
+    plan = _plan(spark, "win_rolling_slope")
+    assert plan.count("hashpartitioning(o_custkey") == 1
+
+
+def test_temperature_mixture_broadcasts_totals(spark):
+    """Totals and the shortfall are 1-row broadcasts; the only window
+    is the |sources|-row remainder ranking."""
+    plan = _plan(spark, "pipeline_temperature_mixture")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_is_three_keyed_aggs_no_window(spark):
+    plan = _plan(spark, "graph_hits_step")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fingerprint_is_map_side_only(spark):
+    """pipeline_dataset_fingerprint: hash rides the scan projection —
+    no joins, no windows, just two 1-row aggregates unioned."""
+    plan = _plan(spark, "pipeline_dataset_fingerprint")
+    assert "Window" not in plan
+    assert "Join" not in plan
