@@ -220,13 +220,13 @@ _ROUND6_NEW: list = [
 ]
 
 
-# Queries registered AFTER the round-6 window filled (21 + 28 = 49 of 50
-# slots). Per the standing policy these take round-7 window slots: next
-# round, promote this list to the front (47 entries — 3 slots remain
-# for round-7 additions; overflow starts _ROUND8_NEW per the policy). Until then the full sweep value-checks them
-# like everything else.
+# ROUND-7 WINDOW (promoted to the front of all_specs() at the start of
+# round 7 per the standing policy): the 46 queries registered after the
+# round-6 window froze, all sweep-green in PARITY_SWEEP.json but never
+# driver hash-checked. ``sql_recursive_hierarchy`` took r6's 50th slot
+# (driver-green) so it moved OUT of this list to the back. 50 - 46 = 4
+# slots remain for round-7 additions (_ROUND7B_NEW below).
 _ROUND7_NEW: list = [
-    "sql_recursive_hierarchy",
     "sql_recursive_subtree_rollup",
     "scalar_variant_functions",
     "cdc_snapshot_diff",
@@ -274,6 +274,13 @@ _ROUND7_NEW: list = [
     "win_rolling_slope",
     "pipeline_temperature_mixture",
 ]
+
+
+# Queries registered for the first time DURING round 7 — they fill the
+# remaining 50 - 46 = 4 round-7 window slots. Overflow (and any query whose
+# oracle changes after its last driver row) starts _ROUND8_NEW per the
+# standing policy.
+_ROUND7B_NEW: list = []
 
 
 # Queries registered for the first time DURING round 6 — appended to the
@@ -339,13 +346,15 @@ def all_specs() -> dict[str, QuerySpec]:
         profiling,
     )
 
-    # ROUND-6 WINDOW: _ROUND6_NEW (21 pending: 18 registered after the r5
-    # window froze + 3 re-oracled formerly-empty queries) comes FIRST so the
-    # r6 driver window hash-checks them; _ROUND6B_NEW (queries added during
-    # round 6) fills the remaining 29 slots. Everything after position 50
-    # is already driver-green.
+    # ROUND-7 WINDOW: _ROUND7_NEW (46 sweep-green queries registered after
+    # the r6 window froze, never driver hash-checked) comes FIRST so the r7
+    # driver window fronts them; _ROUND7B_NEW (queries added during round 7)
+    # fills the remaining 4 slots. Everything after position 50 is already
+    # driver-green (r6's window — _ROUND6_NEW/_ROUND6B_NEW — went green in
+    # CORRECTNESS_r06.json and rotates behind).
     order = (
-        _ROUND6_NEW + _ROUND6B_NEW + _ROUND7_NEW
+        _ROUND7_NEW + _ROUND7B_NEW
+        + _ROUND6_NEW + _ROUND6B_NEW
         + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
     )
     front = {n: _REGISTRY[n] for n in order if n in _REGISTRY}
