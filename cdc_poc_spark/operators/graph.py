@@ -44,6 +44,7 @@ __all__ = [
     "min_label_propagation",
     "kcore_peel",
     "local_clustering",
+    "common_neighbor_linkpred",
 ]
 
 #: Below this many symmetric edges the component map is resolved on the
@@ -608,4 +609,69 @@ def local_clustering(
         )
         .otherwise(F.lit(0.0))
         .alias("local_cc"),
+    )
+
+
+def common_neighbor_linkpred(edges: DataFrame, hub_cap: int) -> DataFrame:
+    """Common-neighbor link prediction over an undirected u<v edge list:
+    NON-adjacent pairs (a, b) with >= 2 shared neighbors, scored by
+    neighborhood Jaccard. Returns (a, b, n_common, neighbor_jaccard)
+    with a < b.
+
+    HUB CAP (mandatory, part of the semantics): nodes whose symmetric
+    degree exceeds ``hub_cap`` are excluded as WEDGE CENTERS — they can
+    still appear as a/b, but never as the shared neighbor. Without the
+    cap the wedge self-join on the shared neighbor fans out deg² per
+    key: one degree-10⁶ staple node emits 10¹² candidate pairs of ~zero
+    predictive signal. With it, per-key fanout is <= hub_cap², so the
+    shuffle stays bounded on arbitrarily skewed degree distributions
+    (the same df-cap rule graph_copurchase_projection and the winnowing
+    overlap use). Both Jaccard degrees come from the SAME hub-filtered
+    neighborhood N'(x) = {non-hub neighbors of x}, so
+    |N'(a) ∪ N'(b)| = deg'(a) + deg'(b) - n_common stays an exact set
+    identity.
+
+    Plan: one keyed degree agg, a broadcast anti-join of the (tiny) hub
+    list onto the symmetric edges, the wedge equi-join on the shared
+    neighbor, a left-anti join against the input edges (drop already-
+    adjacent pairs), two broadcast degree joins. Exact integers until
+    the single final division."""
+    raw = edges.select(
+        F.col(edges.columns[0]).alias("u"), F.col(edges.columns[1]).alias("v")
+    )
+    # normalize to u < v so the adjacency anti-join below matches the
+    # a < b candidate orientation regardless of input edge orientation
+    e = raw.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).filter("u <> v").distinct()
+    sym = _symmetric(e)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    hubs = deg.filter(F.col("deg") > hub_cap).select(F.col("node").alias("v"))
+    symf = sym.join(F.broadcast(hubs), "v", "left_anti")
+    degn = symf.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    s1 = symf.select(F.col("u").alias("a"), F.col("v").alias("n"))
+    s2 = symf.select(F.col("u").alias("b"), F.col("v").alias("n"))
+    cn = (
+        s1.join(s2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    cand = cn.join(e, (e.u == cn.a) & (e.v == cn.b), "left_anti")
+    da = degn.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = degn.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("neighbor_jaccard"),
+        )
     )

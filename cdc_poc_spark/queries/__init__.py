@@ -280,7 +280,12 @@ _ROUND7_NEW: list = [
 # remaining 50 - 46 = 4 round-7 window slots. Overflow (and any query whose
 # oracle changes after its last driver row) starts _ROUND8_NEW per the
 # standing policy.
-_ROUND7B_NEW: list = []
+_ROUND7B_NEW: list = [
+    # oracle changed in r7 (hub cap became part of the operator's
+    # semantics — VERDICT r6 "What's wrong" #2), so it re-enters the
+    # window per the standing policy:
+    "graph_linkpred_common_neighbors",
+]
 
 
 # Queries registered for the first time DURING round 6 — appended to the

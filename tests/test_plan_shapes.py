@@ -324,6 +324,17 @@ def test_round6_graph_queries_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_linkpred_hub_cap_is_broadcast_anti_join(spark):
+    """The r7 hub cap (VERDICT r6 #2) must reach the plan as a
+    BROADCAST left-anti join of the tiny hub list onto the symmetric
+    edges — a shuffled anti-join would add a full-relation exchange,
+    and losing the anti-join entirely would mean the cap fell out of
+    the plan (the deg² wedge blowup comes back)."""
+    plan = _plan(spark, "graph_linkpred_common_neighbors")
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pmi_pairing_is_position_equi_join(spark):
     """text_collocations_pmi's co-occurrence pairing must be an
     equi-join on (doc, position) — a doc-keyed band filter would fan
