@@ -21,38 +21,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cdc_poc_spark.queries import all_specs  # noqa: E402
 from cdc_poc_spark.session import get_spark  # noqa: E402
 
-# Diverse heavy-operator coverage: TPC-H scan/agg/join, CDC window dedup,
-# analytic windows, set ops, dedup + similarity + text from the LLM surface.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+# Headline rotation (VERDICT r6 "Next round" #3: the flat list hit 69
+# entries / 81 s and grew linearly with the registry). Split:
+#
+#   CORE — a FIXED 15-query set, one per heavy operator family, timed
+#   EVERY round. Its total is the round-over-round comparable number;
+#   names here must never change without a PLANS.md note (a changed
+#   core breaks the longitudinal record).
+#
+#   ROTATING — everything else worth a number. Each round times ONE of
+#   two deterministic cohorts (list index parity vs the round number
+#   derived from committed BENCH_r*.json files, overridable via
+#   $SPARK_GRAFT_BENCH_ROUND / $SPARK_GRAFT_BENCH_COHORT), so every
+#   rotating query gets a fresh number every 2 rounds and the wall
+#   stays bounded as the registry grows. New additions append to
+#   ROTATING (never CORE).
+CORE = [
+    "q1_pricing_summary",          # TPC-H scan-heavy agg
+    "q3_shipping_priority",        # 3-way join + top-k
+    "q13_customer_distribution",   # outer join + distribution
+    "cdc_current_state_by_segment",  # CDC upsert state
+    "win_top3_orders_per_customer",  # ranking window
+    "tw_session_30min_by_user",    # event-time sessionization
+    "agg_rollup_segment_nation",   # multi-level rollup
+    "join_asof_purchase_to_view",  # as-of join
+    "dedup_minhash_lsh_pairs",     # MinHash-LSH near-dup
+    "dedup_cc_clusters",           # pair graph -> clusters
+    "sim_cosine_topk",             # brute-force ANN baseline
+    "text_bm25_topk",              # inverted-index retrieval
+    "pipeline_corpus_curation",    # multi-stage curation
+    "pipeline_pack_sequences",     # sequence packing
+    "graph_pagerank_5iter",        # iterative graph
+]
+
+ROTATING = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_volume_shipping",
     "q10_returned_items",
-    "q13_customer_distribution",
     "subq_in_big_quantity_orders",
-    "cdc_current_state_by_segment",
     "win_trailing_30d_spend",
-    "win_top3_orders_per_customer",
-    "agg_rollup_segment_nation",
-    "join_asof_purchase_to_view",
     "tw_tumbling_5min_by_type",
-    "tw_session_30min_by_user",
     "tw_interval_join_attribution",
     "dedup_exact_groups",
-    "dedup_minhash_lsh_pairs",
     "dedup_minhash_tiered_pairs",
     "dedup_embedding_cosine_pairs",
-    "dedup_cc_clusters",
-    "sim_cosine_topk",
     "udf_pandas_grouped_agg",
     "text_stats_per_doc",
     "pipeline_split_train_val",
-    "pipeline_corpus_curation",
     "pipeline_decontaminate_ngram",
-    "pipeline_pack_sequences",
-    "text_bm25_topk",
     "tw_gap_fill_interpolate",
     "sql_revenue_by_nation_year",
     # round 3 additions (queries/analytics.py)
@@ -71,7 +88,6 @@ HEADLINE = [
     "tw_m4_downsample",
     "pipeline_bpe_merge_step",
     "join_nearest_event",
-    "graph_pagerank_5iter",
     "sim_knn_graph_ivf",
     # round 5 (cont.) additions — one per new operator family
     "tw_ohlc_bars",
@@ -102,7 +118,31 @@ HEADLINE = [
     "text_textrank_keywords",
     "ml_decision_stump",
     "sim_ann_ivfpq_topk",
+    # round 7 additions
+    "graph_linkpred_common_neighbors",
 ]
+
+
+def _bench_round() -> int:
+    """Current round number: 1 + the count of committed BENCH_r*.json
+    records (the driver writes one per completed round), overridable
+    with $SPARK_GRAFT_BENCH_ROUND. Deterministic — no clock."""
+    env = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if env:
+        return int(env)
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return 1 + len(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+
+
+def _headline_split() -> tuple[list[str], list[str]]:
+    """(core, this round's rotating cohort). Cohort = list-index parity
+    vs the round number, so consecutive rounds cover the whole pool."""
+    cohort = os.environ.get("SPARK_GRAFT_BENCH_COHORT")
+    parity = int(cohort) % 2 if cohort else _bench_round() % 2
+    rotating = [n for i, n in enumerate(ROTATING) if i % 2 == parity]
+    return CORE, rotating
 
 
 def _force(df) -> None:
@@ -170,6 +210,8 @@ def main() -> None:
         sf = -1.0  # non-standard dir name (e.g. a scale probe)
     spark = get_spark(app_name="cdc-poc-bench")
     specs = all_specs()
+    core, rotating = _headline_split()
+    headline = core + rotating
 
     # Warmup: run every headline plan once at the smallest scale factor so
     # whole-stage-codegen compilation and JVM JIT are not billed to the
@@ -178,7 +220,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         _force(specs[name].fn(spark, warm_dir))
         spark.catalog.clearCache()
 
@@ -200,7 +242,7 @@ def main() -> None:
     n_slow = max(n_base, int(os.environ.get("SPARK_GRAFT_BENCH_SLOW_RUNS", "5")))
     slow_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0"))
     jvm_gc = spark.sparkContext._jvm.System.gc  # type: ignore[attr-defined]
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     slow: set[str] = set()
 
     def timed(name: str) -> None:
@@ -213,12 +255,12 @@ def main() -> None:
         # not hold blocks into the next measurement — isolate each run.
         spark.catalog.clearCache()
 
-    for name in HEADLINE:  # round 1 doubles as the slow-set probe
+    for name in headline:  # round 1 doubles as the slow-set probe
         timed(name)
     slow = {n for n, ts in samples.items() if ts[0] >= slow_sec}
     for r in range(1, n_slow):
-        rot = r * 7 % len(HEADLINE)
-        for name in HEADLINE[rot:] + HEADLINE[:rot]:
+        rot = r * 7 % len(headline)
+        for name in headline[rot:] + headline[:rot]:
             if len(samples[name]) < (n_slow if name in slow else n_base):
                 timed(name)
 
@@ -244,11 +286,21 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"),
     )
+    # The comparable longitudinal number is the CORE total (fixed set,
+    # timed every round); the rotating cohort's total covers a different
+    # half of the pool each round and is reported separately.
+    core_total = round(sum(timings[n] for n in core), 3)
+    core_total_min = round(sum(mins[n] for n in core), 3)
+    rot_total = round(sum(timings[n] for n in rotating), 3)
     detail = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
-        "value_min": round(sum(mins.values()), 3),
+        "metric": "core_queries_total_wall",
+        "value": core_total,
+        "value_min": core_total_min,
         "unit": "sec",
+        "core": core,
+        "rotating": rotating,
+        "rotating_total": rot_total,
+        "rotating_total_min": round(sum(mins[n] for n in rotating), 3),
         "queries": timings,
         "queries_min": mins,
         "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
@@ -261,11 +313,13 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1)
     compact = {
-        "metric": "headline_queries_total_wall",
-        "value": detail["value"],
-        "value_min": detail["value_min"],
+        "metric": "core_queries_total_wall",
+        "value": core_total,
+        "value_min": core_total_min,
         "unit": "sec",
-        "n_queries": len(timings),
+        "n_core": len(core),
+        "rotating_total": rot_total,
+        "n_rotating": len(rotating),
         "sf": sf,
         "detail": os.path.basename(detail_path),
     }

@@ -38,12 +38,15 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-def test_round6_front_names_all_registered():
+def test_round7_front_names_all_registered():
     """Every name in the window lists must exist in the registry (the
     window builder silently drops unknown names — a typo would shrink
-    the driver's 50-query window), the round-6 window (_ROUND6_NEW then
-    _ROUND6B_NEW) must lead the iteration order, and it must fit inside
-    the 50-wide driver window."""
+    the driver's 50-query window), the round-7 window (_ROUND7_NEW then
+    _ROUND7B_NEW) must lead the iteration order, and it must fit inside
+    the 50-wide driver window. _ROUND7B_NEW may legitimately re-front a
+    name from an earlier list (oracle changed after its last driver
+    row), so order-dedup keeps FIRST occurrence — the semantics of the
+    front-dict builder."""
     from cdc_poc_spark.queries import (
         _ROUND4_FRONT,
         _ROUND5_FRONT,
@@ -51,21 +54,22 @@ def test_round6_front_names_all_registered():
         _ROUND6_NEW,
         _ROUND6B_NEW,
         _ROUND7_NEW,
+        _ROUND7B_NEW,
         all_specs,
     )
 
     specs = all_specs()
     order = (
-        _ROUND6_NEW + _ROUND6B_NEW + _ROUND7_NEW
+        _ROUND7_NEW + _ROUND7B_NEW
+        + _ROUND6_NEW + _ROUND6B_NEW
         + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
     )
     missing = [n for n in order if n not in specs]
     assert not missing, f"front names not registered: {missing}"
-    assert len(set(order)) == len(order), "duplicate names across front lists"
-    assert list(specs)[: len(order)] == order
-    assert len(_ROUND6_NEW) + len(_ROUND6B_NEW) <= 50, (
-        "round-6 window overflows the driver's 50-query check"
-    )
-    assert len(_ROUND5_FRONT) + len(_ROUND5_NEW) <= 50, (
-        "pending + new queries exceed the driver's 50-query window"
+    deduped = list(dict.fromkeys(order))
+    assert list(specs)[: len(deduped)] == deduped
+    window = _ROUND7_NEW + _ROUND7B_NEW
+    assert len(set(window)) == len(window), "duplicates inside the r7 window"
+    assert len(window) <= 50, (
+        "round-7 window overflows the driver's 50-query check"
     )

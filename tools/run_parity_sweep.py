@@ -32,47 +32,72 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-#: Sweep-only smaller fixture for the four queries that each pay a full
-#: PPJoin/LSH+CC decomposition (>=30 s apiece at sf0.01 — VERDICT r4
-#: "What's wrong #5"). The DRIVER still runs them at full sf0.01 (its
-#: window fronts them in r5); here both Spark AND DuckDB read the same
-#: half-slice (documents with even doc_id), so the parity check itself
-#: is unchanged — only the fixture is smaller. Recorded per-row as
-#: "fixture": "slice" in PARITY_SWEEP.json.
-SLICE_QUERIES = {
-    "dedup_cc_clusters_lsh",
-    "pipeline_curation_near_dup_safe",
-    "pipeline_leakage_safe_split",
-    "graph_triangle_stats",
-    # round-6 extension (VERDICT r5 "What's wrong #3": sweep crept to
-    # 319.7 s as the registry grew) — the next-slowest tier, all
-    # documents-only (verified: each loads only the documents table).
-    "dedup_canonical_docs",
-    "dedup_cc_clusters",
-    "dedup_simhash_near_pairs",
-    "dedup_minhash_lsh_recall",
-    "pipeline_dup_rate_by_source",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_token_containment",
-    # round-6 (cont.): same PPJoin decomposition + 32-perm signatures,
-    # documents-only (verified) — slice with the rest of the tier.
-    "dedup_minhash_estimate_accuracy",
+#: Sweep-only smaller fixtures (VERDICT r4 #5, r5 #3, r6 #4: the sweep
+#: wall grows with the registry; the budget is re-stated in PLANS.md as
+#: a per-query figure with this per-tier breakdown). The DRIVER still
+#: runs every query at full sf0.01; here both Spark AND DuckDB read the
+#: SAME half-slice of ONE table (even primary ids; all other tables
+#: full via symlink), so the parity check itself is unchanged — only
+#: the fixture is smaller. Recorded per-row as "fixture": "slice:<t>".
+#:
+#: Eligibility rule: a query joins the sliced table only with tables
+#: that stay full, and its result stays NON-EMPTY on the slice (checked
+#: by the sweep itself — a zero-row slice row is a failure per the r5
+#: gate-honesty rule, enforced below).
+SLICE_TABLES = {
+    "documents": ("doc_id", 1),  # (id column, bitmask for % 2)
+    "lineitem": ("l_orderkey", 1),
+    "orders": ("o_orderkey", 1),
 }
-SLICE_FILTER = "doc_id % 2 = 0"
+SLICE_QUERIES = {
+    # -- documents half-slice: the PPJoin/LSH+CC decomposition tier
+    #    (each pays >=4 s at full sf0.01; all documents-only, verified).
+    "dedup_cc_clusters_lsh": "documents",
+    "pipeline_curation_near_dup_safe": "documents",
+    "pipeline_leakage_safe_split": "documents",
+    "graph_triangle_stats": "documents",
+    "dedup_canonical_docs": "documents",
+    "dedup_cc_clusters": "documents",
+    "dedup_simhash_near_pairs": "documents",
+    "dedup_minhash_lsh_recall": "documents",
+    "pipeline_dup_rate_by_source": "documents",
+    "dedup_ngram_jaccard_pairs": "documents",
+    "dedup_token_containment": "documents",
+    "dedup_minhash_estimate_accuracy": "documents",
+    # -- round-7 extension: next tier down (3-4 s apiece), documents-only
+    "dedup_incremental_vs_index": "documents",
+    "dedup_minhash_tiered_recall": "documents",
+    # -- lineitem half-slice (even l_orderkey drops whole orders, so the
+    #    co-order graph stays well-formed): the r6 graph-analytics tier.
+    "graph_kcore_profile": "lineitem",
+    "graph_bfs_distances": "lineitem",
+    "graph_pagerank_5iter": "lineitem",
+    "graph_local_clustering": "lineitem",
+    "pipeline_zorder_layout": "lineitem",
+    # -- orders half-slice
+    "agg_benford_profile": "orders",
+}
 
 
-def make_slice_dir(sf: str) -> str:
-    """Materialize the documents half-slice (schema-preserving pyarrow
-    filter) under a temp dir; the slice queries read only documents."""
+def make_slice_dir(sf: str, table: str) -> str:
+    """Half-slice ``table`` (even ids, schema-preserving pyarrow filter)
+    under a temp dir; every OTHER table is symlinked in full so
+    multi-table queries read an internally consistent fixture."""
     import tempfile
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    d = tempfile.mkdtemp(prefix="parity_slice_")
-    t = pq.read_table(os.path.join(sf, "documents.parquet"))
-    mask = pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
-    pq.write_table(t.filter(mask), os.path.join(d, "documents.parquet"))
+    idcol, mask_bit = SLICE_TABLES[table]
+    d = tempfile.mkdtemp(prefix=f"parity_slice_{table}_")
+    t = pq.read_table(os.path.join(sf, f"{table}.parquet"))
+    mask = pc.equal(pc.bit_wise_and(t.column(idcol), mask_bit), 0)
+    pq.write_table(t.filter(mask), os.path.join(d, f"{table}.parquet"))
+    for other in TABLES:
+        if other != table:
+            src = os.path.join(sf, f"{other}.parquet")
+            if os.path.exists(src):
+                os.symlink(src, os.path.join(d, f"{other}.parquet"))
     return d
 
 
@@ -111,21 +136,25 @@ def main() -> None:
     qs, oracles = e.queries(), e.oracle_sql()
     if only is not None:
         qs = {n: f for n, f in qs.items() if n in only}
-    slice_dir = (
-        make_slice_dir(sf) if any(n in SLICE_QUERIES for n in qs) else None
-    )
-    slice_con = None
-    if slice_dir is not None:
-        slice_con = duckdb.connect()
-        slice_con.execute(
-            "CREATE VIEW documents AS SELECT * FROM "
-            f"read_parquet('{slice_dir}/documents.parquet')"
-        )
+    needed_slices = {SLICE_QUERIES[n] for n in qs if n in SLICE_QUERIES}
+    slice_dirs: dict[str, str] = {}
+    slice_cons: dict[str, duckdb.DuckDBPyConnection] = {}
+    for table in needed_slices:
+        d = make_slice_dir(sf, table)
+        c = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(d, f"{t}.parquet")
+            if os.path.exists(p):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        slice_dirs[table], slice_cons[table] = d, c
     results: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
-        sliced = name in SLICE_QUERIES
-        q_sf, q_con = (slice_dir, slice_con) if sliced else (sf, con)
+        group = SLICE_QUERIES.get(name)
+        q_sf = slice_dirs[group] if group else sf
+        q_con = slice_cons[group] if group else con
         t0 = time.time()
         try:
             sdf = fn(spark, q_sf).toPandas()
@@ -136,6 +165,10 @@ def main() -> None:
                 odf = q_con.execute(oracles[name]).fetchdf()
                 status = compare(sdf, odf)
                 nrows = len(sdf)
+            # r5 gate-honesty rule: a sliced fixture that empties the
+            # result makes the parity check non-discriminating.
+            if group and status == "green" and nrows == 0:
+                status = "error: slice emptied result (non-discriminating)"
         except Exception as exc:  # noqa: BLE001 - report, don't abort sweep
             status, nrows = f"error: {type(exc).__name__}: {exc}", None
         results[name] = {
@@ -143,9 +176,9 @@ def main() -> None:
             "rows": nrows,
             "sec": round(time.time() - t0, 2),
         }
-        if sliced:
-            results[name]["fixture"] = "slice"
-        print(f"{name}: {status}" + (" [slice]" if sliced else ""))
+        if group:
+            results[name]["fixture"] = f"slice:{group}"
+        print(f"{name}: {status}" + (f" [slice:{group}]" if group else ""))
         spark.catalog.clearCache()
 
     commit = subprocess.run(
@@ -154,8 +187,8 @@ def main() -> None:
     ).stdout.strip()
     summary = {
         "sf_dir": sf,
-        "slice_queries": sorted(SLICE_QUERIES),
-        "slice_filter": SLICE_FILTER,
+        "slice_queries": {n: SLICE_QUERIES[n] for n in sorted(SLICE_QUERIES)},
+        "slice_filter": "even primary id (id & 1 = 0) on the named table",
         "git_commit": commit,
         "n_queries": len(results),
         "n_green": sum(1 for r in results.values() if r["status"] == "green"),
