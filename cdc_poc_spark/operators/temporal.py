@@ -262,3 +262,21 @@ def cusum_changepoints(buckets: DataFrame) -> DataFrame:
             "changepoint_bucket_us",
         )
     )
+
+
+def ooo_profile_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared final projection of the out-of-order arrival profile:
+    (event_type, n_events, n_out_of_order) -> + ooo_share. Used
+    verbatim by the batch query (queries/profiling.py:
+    cdc_out_of_order_profile) and the streaming derivation
+    (streaming/windows.py:derive_out_of_order_profile), so both paths
+    compute the share with the SAME expression by construction — the
+    ewma_trailing / lateness_percentile_rollup sharing rule."""
+    return counts.select(
+        "event_type",
+        "n_events",
+        "n_out_of_order",
+        F.round(
+            F.col("n_out_of_order").cast("double") / F.col("n_events"), 6
+        ).alias("ooo_share"),
+    )

@@ -118,30 +118,27 @@ def cdc_out_of_order_profile(spark, sf_dir):
     changelog sequence (see _JITTER_SQL above: the fixture is perfectly
     time-ordered, which would make an unperturbed profile an
     indiscriminate all-zero oracle). One lag window per user (short
-    per-key sequences, no skew) + a tiny keyed rollup of exact
-    counts."""
+    per-key sequences, no skew) + a tiny keyed rollup of exact counts;
+    the final share projection is operators/temporal.py:
+    ooo_profile_from_counts, shared verbatim with the streaming twin
+    (streaming/windows.py:streaming_out_of_order_profile)."""
+    from ..operators.temporal import ooo_profile_from_counts
+
     ev = load_table(spark, sf_dir, "events")
     seq = W.partitionBy("user_id").orderBy(F.expr(_JITTER_SPARK), F.col("event_id"))
     late = (
         F.when(F.expr("ts DIV 1000") < F.lag(F.expr("ts DIV 1000")).over(seq), 1)
         .otherwise(0)
     )
-    return (
+    counts = (
         ev.select("event_type", late.alias("late"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("late").alias("n_out_of_order"),
         )
-        .select(
-            "event_type",
-            "n_events",
-            "n_out_of_order",
-            F.round(
-                F.col("n_out_of_order").cast("double") / F.col("n_events"), 6
-            ).alias("ooo_share"),
-        )
     )
+    return ooo_profile_from_counts(counts)
 
 
 # ---------------------------------------------------------------------------

@@ -390,3 +390,118 @@ def derive_bucket_cusum(spark, inc_dir: str) -> DataFrame:
     from ..operators.temporal import cusum_changepoints
 
     return cusum_changepoints(_derived_buckets(spark, inc_dir))
+
+
+def streaming_out_of_order_profile(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming twin of queries/profiling.py:cdc_out_of_order_profile
+    (VERDICT r6 task 6): incrementally maintain per-series
+    (n_events, n_out_of_order) counters against per-user LAST-ARRIVAL
+    state, epoch by epoch — the watermark-recommendation epoch pattern
+    applied to the regression-flag profile.
+
+    Per micro-batch the handler (a) computes each event's arrival key
+    (the SAME deterministic md5 jitter the batch query and its oracle
+    use — operators/temporal.py:JITTER_SPARK), (b) flags within-batch
+    event-time regressions with the same per-user lag the batch query
+    runs, (c) flags the batch's FIRST event per user against the
+    user's last event-time from PRIOR epochs only (``__epoch <
+    epoch_id`` — a replayed epoch never sees its own first attempt),
+    and (d) lands the per-series counter increments AND the per-user
+    last-arrival rows under ``__epoch=N`` with dynamic-partition
+    overwrite (exactly-once under replay, like land_log_batch).
+
+    Input contract: arrival order — files must reach the stream in
+    arrival-key order (same contract as
+    streaming_watermark_recommendation; the test splits the fixture
+    into per-arrival-bucket files). Derivation:
+    derive_out_of_order_profile, asserted row-equal to the batch query
+    after an availableNow drain."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators.temporal import JITTER_SPARK
+
+    inc_dir = os.path.join(state_dir, "inc")
+    last_dir = os.path.join(state_dir, "last")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        e = batch_df.select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.expr("ts DIV 1000").alias("ts_us"),
+            F.expr(f"({JITTER_SPARK})").alias("arr"),
+        )
+        seq = W.partitionBy("user_id").orderBy("arr", "event_id")
+        lagged = e.withColumn("prev_ts", F.lag("ts_us").over(seq))
+        if os.path.isdir(last_dir):
+            prior = (
+                spark.read.parquet(last_dir)
+                .filter(F.col("__epoch") < int(epoch_id))
+                .groupBy("user_id")
+                .agg(F.max(F.struct("arr", "event_id", "ts_us")).alias("s"))
+                .select("user_id", F.col("s.ts_us").alias("prior_ts"))
+            )
+            lagged = lagged.join(prior, "user_id", "left").withColumn(
+                "prev_ts", F.coalesce("prev_ts", "prior_ts")
+            )
+        late = F.when(F.col("ts_us") < F.col("prev_ts"), 1).otherwise(0)
+        inc = (
+            lagged.select("event_type", late.alias("late"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_inc"),
+                F.sum("late").alias("late_inc"),
+            )
+        )
+        (
+            inc.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(inc_dir)
+        )
+        last = (
+            e.groupBy("user_id")
+            .agg(F.max(F.struct("arr", "event_id", "ts_us")).alias("s"))
+            .select("user_id", "s.arr", "s.event_id", "s.ts_us")
+        )
+        (
+            last.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(last_dir)
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def derive_out_of_order_profile(spark, state_dir: str) -> DataFrame:
+    """Read side of streaming_out_of_order_profile: sum the maintained
+    per-epoch counter increments and run the SHARED final projection
+    (operators/temporal.py:ooo_profile_from_counts — same code as the
+    batch query, so equal counts give equal shares by construction).
+    Cost is |series x epochs| rows, never the event history."""
+    import os
+
+    from ..operators.temporal import ooo_profile_from_counts
+
+    counts = (
+        spark.read.parquet(os.path.join(state_dir, "inc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_inc").cast("long").alias("n_events"),
+            F.sum("late_inc").cast("long").alias("n_out_of_order"),
+        )
+    )
+    return ooo_profile_from_counts(counts)

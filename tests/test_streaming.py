@@ -1548,3 +1548,130 @@ def test_streaming_sequence_gap_detect_known_gaps(spark, tmp_path):
         for r in spark.sql("SELECT * FROM gaps").collect()
     )
     assert got == expected
+
+
+def test_streaming_out_of_order_profile_matches_batch(spark, tmp_path):
+    """The incrementally-maintained out-of-order counters, drained with
+    availableNow, must derive EXACTLY the batch cdc_out_of_order_profile
+    rows — in BOTH epoch shapes: (a) one epoch holding the whole arrival
+    sequence (within-batch lag path) and (b) one file per arrival bucket
+    with maxFilesPerTrigger=1 (the cross-epoch per-user last-arrival
+    state path) — plus replay idempotence of the last epoch."""
+    import glob
+    import os
+
+    from cdc_poc_spark.operators.temporal import JITTER_SPARK, WM_BATCH
+    from cdc_poc_spark.queries import all_specs
+    from cdc_poc_spark.queries.profiling import _JITTER_SPARK as BATCH_JITTER
+
+    # the twin shares the batch query's arrival key VERBATIM
+    assert JITTER_SPARK == BATCH_JITTER
+
+    src = load_table(spark, SF_DIR, "events")
+    schema = src.schema
+    want = sorted(
+        tuple(r)
+        for r in all_specs()["cdc_out_of_order_profile"].fn(spark, SF_DIR).collect()
+    )
+    assert want and any(r[2] > 0 for r in want), (
+        "fixture must contain out-of-order events to be discriminating"
+    )
+
+    # (a) single epoch
+    d_all = tmp_path / "all"
+    src.coalesce(1).write.parquet(str(d_all / "data"))
+    stream = spark.readStream.schema(schema).parquet(str(d_all / "data"))
+    q = swin.streaming_out_of_order_profile(
+        stream, str(d_all / "state"), str(d_all / "ckpt")
+    )
+    q.awaitTermination(180)
+    got_a = sorted(
+        tuple(r)
+        for r in swin.derive_out_of_order_profile(
+            spark, str(d_all / "state")
+        ).collect()
+    )
+    assert got_a == want
+
+    # (b) one file per arrival bucket, processed in arrival order
+    d_split = tmp_path / "split"
+    data_dir = d_split / "data"
+    data_dir.mkdir(parents=True)
+    bkts = sorted(
+        r.bkt
+        for r in src.select(
+            F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}").alias("bkt")
+        )
+        .distinct()
+        .collect()
+    )
+    assert len(bkts) >= 2
+    for i, b in enumerate(bkts):
+        part = src.filter(F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}") == b)
+        tmp_out = str(tmp_path / f"ooo_tmp_b{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        (pf,) = glob.glob(os.path.join(tmp_out, "part-*.parquet"))
+        dest = str(data_dir / f"b{i:03d}.parquet")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+    state = str(d_split / "state")
+    q = swin.streaming_out_of_order_profile(stream, state, str(d_split / "ckpt"))
+    q.awaitTermination(180)
+    epochs = {
+        d for d in os.listdir(os.path.join(state, "inc")) if d.startswith("__epoch=")
+    }
+    assert len(epochs) >= 2, f"expected multi-epoch drain, got {epochs}"
+    got_b = sorted(
+        tuple(r)
+        for r in swin.derive_out_of_order_profile(spark, state).collect()
+    )
+    assert got_b == want
+
+    # replay idempotence: recompute and re-land the LAST epoch's
+    # increments exactly as the handler's crash-recovery would (prior
+    # state = earlier epochs only) and re-derive — unchanged
+    last_epoch = max(int(d.split("=")[1]) for d in epochs)
+    batch = src.filter(F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}") == bkts[-1])
+    e = batch.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr(f"({JITTER_SPARK})").alias("arr"),
+    )
+    prior = (
+        spark.read.parquet(os.path.join(state, "last"))
+        .filter(F.col("__epoch") < last_epoch)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("arr", "event_id", "ts_us")).alias("s"))
+        .select("user_id", F.col("s.ts_us").alias("prior_ts"))
+    )
+    seq = W.partitionBy("user_id").orderBy("arr", "event_id")
+    lagged = (
+        e.withColumn("prev_ts", F.lag("ts_us").over(seq))
+        .join(prior, "user_id", "left")
+        .withColumn("prev_ts", F.coalesce("prev_ts", "prior_ts"))
+    )
+    late = F.when(F.col("ts_us") < F.col("prev_ts"), 1).otherwise(0)
+    inc = (
+        lagged.select("event_type", late.alias("late"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_inc"), F.sum("late").alias("late_inc"))
+    )
+    (
+        inc.withColumn("__epoch", F.lit(last_epoch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch")
+        .parquet(os.path.join(state, "inc"))
+    )
+    got_replay = sorted(
+        tuple(r)
+        for r in swin.derive_out_of_order_profile(spark, state).collect()
+    )
+    assert got_replay == got_b
