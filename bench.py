@@ -120,6 +120,9 @@ ROTATING = [
     "sim_ann_ivfpq_topk",
     # round 7 additions
     "graph_linkpred_common_neighbors",
+    "ml_ols_normal_equation",
+    "ml_nearest_centroid_classifier",
+    "pipeline_proportional_sample",
 ]
 
 

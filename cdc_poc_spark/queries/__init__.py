@@ -285,6 +285,10 @@ _ROUND7B_NEW: list = [
     # semantics — VERDICT r6 "What's wrong" #2), so it re-enters the
     # window per the standing policy:
     "graph_linkpred_common_neighbors",
+    # registered for the first time in round 7:
+    "ml_ols_normal_equation",
+    "ml_nearest_centroid_classifier",
+    "pipeline_proportional_sample",
 ]
 
 

@@ -1661,3 +1661,141 @@ def ml_decision_stump(spark, sf_dir):
         .orderBy("gini_num_micro", "feature", "threshold")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: closed-form multivariate OLS via the normal equations —
+# the in-engine "fit a small linear model over 100 TB in one agg" op.
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)) * 100) AS BIGINT) AS y,
+         CAST(round(CAST(l_quantity AS DECIMAL(8,1)) * 100) AS BIGINT) AS x1,
+         CAST(round(CAST(l_discount AS DECIMAL(12,2)) * 100) AS BIGINT) AS x2
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x1) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x2) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS DOUBLE) AS s1y,
+         CAST(CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS DOUBLE) AS s2y,
+         CAST(CAST(SUM(y * y) AS DECIMAL(38,0)) AS DOUBLE) AS syy
+  FROM b
+), d AS (
+  SELECT *,
+         n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det,
+         sy * (s11 * s22 - s12 * s12)
+           - s1 * (s1y * s22 - s12 * s2y)
+           + s2 * (s1y * s12 - s11 * s2y) AS det0,
+         n * (s1y * s22 - s12 * s2y)
+           - sy * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s2y - s1y * s2) AS det1,
+         n * (s11 * s2y - s1y * s12)
+           - s1 * (s1 * s2y - s1y * s2)
+           + sy * (s1 * s12 - s11 * s2) AS det2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(det0 / det, 6) AS intercept_cents,
+       round(det1 / det, 6) AS coef_qty_centi,
+       round(det2 / det, 6) AS coef_disc_pct,
+       round(1.0 - (syy - ((det0 / det) * sy + (det1 / det) * s1y
+                           + (det2 / det) * s2y))
+                   / (syy - sy * sy / n), 6) AS r2
+FROM d
+"""
+
+
+@register("ml_ols_normal_equation", oracle=_OLS_ORACLE, tags=("ml", "analytics"))
+def ml_ols_normal_equation(spark, sf_dir):
+    """Closed-form multivariate OLS — fit
+    price_cents ~ b0 + b1*quantity + b2*discount over every lineitem by
+    the NORMAL EQUATIONS: one full scan collapses the corpus to nine
+    EXACT integer moments (DECIMAL(38,0) sums of integer cents/centi-
+    units — order-invariant, engine-portable), then the 3x3 system is
+    solved by Cramer's rule in a single-row double expression with
+    IDENTICAL operation order in both engines (the assortativity/Zipf
+    float rule: exact integer moments first, one deterministic IEEE
+    expression at the end). R^2 from the same moments. This is the
+    100 TB regression shape: the data-sized work is one map-side-
+    combinable aggregation; everything after is a 1-row computation —
+    no iteration, no driver-side numerics, no collect of anything
+    bigger than one row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(dec("l_extendedprice", MONEY) * 100).cast("long").alias("y"),
+        F.round(dec("l_quantity", QTY) * 100).cast("long").alias("x1"),
+        F.round(dec("l_discount", "decimal(12,2)") * 100).cast("long").alias("x2"),
+    )
+    # second-moment operands are cast to DECIMAL(38,0) BEFORE the SUM:
+    # sum(y*y) over ~6M rows of 1e7-cent prices overflows LONG at sf0.1
+    # (ANSI mode raises loudly — caught by the 10x probe); DuckDB's
+    # BIGINT sum widens to HUGEINT on its own.
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(d38("x1")).cast("double").alias("s1"),
+        F.sum(d38("x2")).cast("double").alias("s2"),
+        F.sum(d38("y")).cast("double").alias("sy"),
+        F.sum(d38("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(d38("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(d38("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(d38("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(d38("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(d38("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    d = m.select(
+        "*",
+        det.alias("det"),
+        det0.alias("det0"),
+        det1.alias("det1"),
+        det2.alias("det2"),
+    )
+    return d.select(
+        n.cast("long").alias("n_rows"),
+        F.round(F.col("det0") / F.col("det"), 6).alias("intercept_cents"),
+        F.round(F.col("det1") / F.col("det"), 6).alias("coef_qty_centi"),
+        F.round(F.col("det2") / F.col("det"), 6).alias("coef_disc_pct"),
+        F.round(
+            1.0
+            - (
+                syy
+                - (
+                    (F.col("det0") / F.col("det")) * sy
+                    + (F.col("det1") / F.col("det")) * s1y
+                    + (F.col("det2") / F.col("det")) * s2y
+                )
+            )
+            / (syy - sy * sy / n),
+            6,
+        ).alias("r2"),
+    )

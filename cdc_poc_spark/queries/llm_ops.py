@@ -2727,3 +2727,100 @@ def ml_classifier_metrics(spark, sf_dir):
             " ELSE 2 * tp * 1000000 DIV (n_predicted + n_actual) END AS BIGINT)"
         ).alias("f1_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: nearest-centroid (Rocchio) classifier over the embedding
+# corpus — train + apply + confusion in one relational pass.
+# ---------------------------------------------------------------------------
+
+_NCC_LBL_PACK = 16  # packed-min multiplier; labels are 0..9 < 16
+
+_NCC_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+         len(embedding) AS d
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, label, j.i - 1 AS j, qv[j.i] AS qx
+  FROM q, LATERAL unnest(generate_series(1, d)) AS j(i)
+), cent AS (
+  SELECT label AS clabel, j,
+         CASE WHEN SUM(qx) >= 0 THEN SUM(qx) // COUNT(*)
+              ELSE -((-SUM(qx)) // COUNT(*)) END AS c
+  FROM dims GROUP BY label, j
+), d2 AS (
+  SELECT dims.vec_id, dims.label, cent.clabel,
+         CAST(SUM((dims.qx - cent.c) * (dims.qx - cent.c)) AS BIGINT) AS dist2
+  FROM dims JOIN cent ON cent.j = dims.j
+  GROUP BY dims.vec_id, dims.label, cent.clabel
+), best AS (
+  SELECT vec_id, label AS true_label,
+         CAST(MIN(dist2 * {_NCC_LBL_PACK} + clabel) % {_NCC_LBL_PACK} AS INT)
+           AS pred_label
+  FROM d2 GROUP BY vec_id, label
+)
+SELECT CAST(true_label AS INT) AS true_label, pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM best GROUP BY true_label, pred_label
+"""
+
+
+@register("ml_nearest_centroid_classifier", oracle=_NCC_ORACLE, tags=("ml", "llm", "similarity"))
+def ml_nearest_centroid_classifier(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification of the embedding
+    corpus: per-label centroids from the labeled vectors, every vector
+    re-assigned to its L2-nearest centroid, reported as the confusion
+    matrix (true_label, pred_label, n_vecs) — the classic embedding-
+    space sanity check (labels whose centroids attract each other's
+    members are the confusable classes; complements the Naive-Bayes
+    train/apply pair on the text side).
+
+    INTEGER-exact end-to-end (the IVF-PQ rulebook): micro-quantized
+    components, TRUNCATING integer centroid means (sign-split //, the
+    same semantics as Spark's DIV — components can be negative), exact
+    integer squared distances, packed-MIN argmin (dist2 * 16 + label —
+    deterministic ties toward the smaller label, no arg_min engine
+    semantics). Plan: one dim-explode, a keyed centroid agg (|labels x
+    dims| = 640 rows), one BROADCAST join of the centroid cells back
+    onto the dim cells, two keyed aggs — per-vector fanout is a
+    constant |labels|, no per-query scan, no cartesian; at 100 TB the
+    centroid relation stays broadcast-sized no matter the corpus."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "j",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("qx"),
+    )
+    cent = (
+        dims.groupBy(F.col("label").alias("clabel"), "j")
+        .agg(F.expr("SUM(qx) DIV COUNT(*)").alias("c"))
+    )
+    d2 = (
+        dims.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias(
+                "dist2"
+            )
+        )
+    )
+    best = (
+        d2.groupBy("vec_id", F.col("label").alias("true_label"))
+        .agg(
+            F.min(F.col("dist2") * _NCC_LBL_PACK + F.col("clabel")).alias("key")
+        )
+        .select(
+            "vec_id",
+            "true_label",
+            (F.col("key") % _NCC_LBL_PACK).cast("int").alias("pred_label"),
+        )
+    )
+    return best.groupBy(
+        F.col("true_label").cast("int").alias("true_label"), "pred_label"
+    ).agg(F.count(F.lit(1)).alias("n_vecs"))

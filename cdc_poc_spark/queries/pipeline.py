@@ -1168,3 +1168,87 @@ def pipeline_temperature_mixture(spark, sf_dir):
         .cast("long")
         .alias("quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: exact stratified sampling with integer largest-remainder
+# quotas — the "10% eval slice, same language mix" curation op.
+# ---------------------------------------------------------------------------
+
+_STRAT_PCT = 10  # sample 10% with the stratum mix preserved exactly
+
+_STRAT_ORACLE = f"""
+WITH n AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM n
+), quota AS (
+  SELECT lang, n_s,
+         n_s // {100 // _STRAT_PCT}
+           + CASE WHEN row_number() OVER (ORDER BY n_s % {100 // _STRAT_PCT} DESC,
+                                          lang)
+                  <= (SELECT n // {100 // _STRAT_PCT} FROM tot)
+                     - (SELECT SUM(n_s // {100 // _STRAT_PCT}) FROM n)
+                  THEN 1 ELSE 0 END AS q
+  FROM n
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS r
+  FROM documents
+)
+SELECT ranked.doc_id, ranked.lang
+FROM ranked JOIN quota ON quota.lang = ranked.lang
+WHERE ranked.r <= quota.q
+"""
+
+
+@register("pipeline_proportional_sample", oracle=_STRAT_ORACLE, tags=("llm", "pipeline", "curation"))
+def pipeline_proportional_sample(spark, sf_dir):
+    """EXACT stratified 10% sample of the corpus preserving the
+    language mix: per-stratum quotas are integer largest-remainder
+    (base = n_s DIV 10; the global shortfall vs N DIV 10 goes to the
+    largest n_s % 10, ties to the smaller lang) — the same exact-BIGINT
+    quota rule as pipeline_token_budget_fill, so the sampled set's size
+    is exactly N DIV 10 and each stratum is within 1 of proportional.
+    Membership is deterministic: rank within stratum by
+    (md5(doc_id), doc_id) — a content-independent uniform order both
+    engines compute identically; re-running on the same corpus yields
+    the same sample (reproducible eval slices).
+
+    Plan: one keyed count (|strata| rows, broadcast back), quota
+    arithmetic on the tiny stratum relation, and the per-stratum rank
+    via a partitionBy(lang) row_number — bounded-cardinality strata
+    (languages), so no single stratum serializes the corpus; for
+    unbounded or heavily skewed strata the two-pass global_index DIV
+    per-stratum-offset form (pipeline_epoch_shuffle) is the drop-in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    step = 100 // _STRAT_PCT
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = n.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.sum(F.expr(f"n_s DIV {step}")).cast("long").alias("base_sum"),
+    )
+    wq = W.orderBy(F.expr(f"n_s % {step}").desc(), F.col("lang"))
+    quota = (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            (
+                F.expr(f"n_s DIV {step}")
+                + F.when(
+                    F.row_number().over(wq)
+                    <= F.expr(f"n DIV {step}") - F.col("base_sum"),
+                    1,
+                ).otherwise(0)
+            ).alias("q"),
+        )
+    )
+    wr = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(wr).alias("r"))
+    return ranked.join(F.broadcast(quota), "lang").filter(
+        F.col("r") <= F.col("q")
+    ).select("doc_id", "lang")

@@ -335,6 +335,35 @@ def test_linkpred_hub_cap_is_broadcast_anti_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ols_normal_equation_single_agg_no_join(spark):
+    """The OLS fit must collapse to ONE aggregation over one scan —
+    any join/window in this plan means the moments stopped being
+    map-side-combinable."""
+    plan = _plan(spark, "ml_ols_normal_equation")
+    assert "HashAggregate" in plan
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in plan, bad
+
+
+def test_nearest_centroid_broadcasts_centroids(spark):
+    """The |labels x dims| centroid relation must broadcast back onto
+    the dim cells; a shuffled join or a cartesian would scale with the
+    corpus instead of the label count."""
+    plan = _plan(spark, "ml_nearest_centroid_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_proportional_sample_quota_is_broadcast(spark):
+    """The per-stratum quota relation (|strata| rows) must broadcast
+    onto the ranked corpus; the only unpartitioned window allowed is
+    the |strata|-row quota ranking."""
+    plan = _plan(spark, "pipeline_proportional_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pmi_pairing_is_position_equi_join(spark):
     """text_collocations_pmi's co-occurrence pairing must be an
     equi-join on (doc, position) — a doc-keyed band filter would fan
