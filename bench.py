@@ -123,6 +123,8 @@ ROTATING = [
     "ml_ols_normal_equation",
     "ml_nearest_centroid_classifier",
     "pipeline_proportional_sample",
+    "scalar_xml_functions",
+    "sql_pivot_unpivot_roundtrip",
 ]
 
 

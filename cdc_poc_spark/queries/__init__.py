@@ -292,6 +292,16 @@ _ROUND7B_NEW: list = [
 ]
 
 
+# Queries registered AFTER the round-7 window filled (46 + 4 = 50 slots
+# exactly). Per the standing policy these take round-8 window slots:
+# next round, promote this list to the front. Until then the full sweep
+# value-checks them like everything else.
+_ROUND8_NEW: list = [
+    "scalar_xml_functions",
+    "sql_pivot_unpivot_roundtrip",
+]
+
+
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.

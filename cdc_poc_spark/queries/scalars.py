@@ -894,3 +894,96 @@ def scalar_base64_functions(spark, sf_dir):
         F.length(b64).cast("long").alias("b64_len"),
         (F.unbase64(b64).cast("string") == F.col("n_name")).alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: XML functions (Spark 4 built-in XML support).
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+WITH x AS (
+  SELECT s_nationkey,
+         '<s><id>' || s_suppkey || '</id><nk>' || s_nationkey
+           || '</nk><name>' || s_name || '</name></s>' AS doc,
+         s_suppkey, s_name
+  FROM supplier
+), p AS (
+  -- the oracle re-extracts THROUGH the XML string (regex, an
+  -- independent parser), not from the raw columns, so a Spark-side
+  -- parse defect cannot cancel out
+  SELECT s_nationkey,
+         CAST(regexp_extract(doc, '<id>([0-9]+)</id>', 1) AS BIGINT) AS pid,
+         CAST(regexp_extract(doc, '<nk>([0-9]+)</nk>', 1) AS BIGINT) AS pnk,
+         regexp_extract(doc, '<name>(.*)</name>', 1) AS pname,
+         s_suppkey, s_name
+  FROM x
+)
+SELECT CAST(pnk AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(pid) AS BIGINT) AS sum_parsed_ids,
+       CAST(SUM(length(pname)) AS BIGINT) AS sum_name_len,
+       bool_and(pid = s_suppkey AND pname = s_name) AS parse_ok,
+       TRUE AS roundtrip_ok
+FROM p GROUP BY pnk
+"""
+
+
+@register("scalar_xml_functions", oracle=_XML_ORACLE, tags=("scalar", "xml"))
+def scalar_xml_functions(spark, sf_dir):
+    """Spark 4 built-in XML: from_xml typed extraction, xpath_* path
+    queries, and a to_xml -> from_xml round-trip contract, driven over
+    XML documents BUILT from the supplier rows (deterministic, so both
+    engines see identical strings). The ORACLED aggregates flow
+    THROUGH the XML path — sum of from_xml-extracted ids, xpath-keyed
+    grouping, xpath-extracted name lengths — so a parse defect changes
+    the hash, not just a flag; the oracle re-extracts with regex (an
+    independent parser). XML lands beside JSON/VARIANT as the third
+    semi-structured ingestion surface: feeds/sitemaps/enterprise
+    exports at 100 TB parse map-side with no shuffle."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    doc = F.concat(
+        F.lit("<s><id>"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</id><nk>"),
+        F.col("s_nationkey").cast("string"),
+        F.lit("</nk><name>"),
+        F.col("s_name"),
+        F.lit("</name></s>"),
+    )
+    x = sup.select("s_suppkey", "s_name", doc.alias("doc"))
+    p = x.select(
+        "s_suppkey",
+        "s_name",
+        F.expr(
+            "from_xml(doc, 'id BIGINT, nk BIGINT, name STRING')"
+        ).alias("s"),
+        F.expr("xpath_long(doc, '/s/nk/text()')").alias("xnk"),
+        F.expr("xpath_string(doc, '/s/name/text()')").alias("xname"),
+    ).select(
+        F.col("xnk").alias("nationkey"),  # grouped by the XPATH value
+        F.col("s.id").alias("pid"),
+        F.col("s.name").alias("pname"),
+        "xname",
+        "s_suppkey",
+        "s_name",
+        # to_xml -> from_xml round-trip must reproduce the id
+        (
+            F.expr(
+                "from_xml(to_xml(named_struct('id', s.id)), 'id BIGINT').id"
+            )
+            == F.col("s.id")
+        ).alias("rt"),
+    )
+    return p.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("pid").alias("sum_parsed_ids"),
+        F.sum(F.length("xname")).cast("long").alias("sum_name_len"),
+        F.bool_and(
+            (F.col("pid") == F.col("s_suppkey"))
+            & (F.col("pname") == F.col("s_name"))
+            & (F.col("xname") == F.col("s_name"))
+        ).alias("parse_ok"),
+        F.bool_and("rt").alias("roundtrip_ok"),
+    )

@@ -271,3 +271,21 @@ GROUP BY o_orderpriority
 """,
     tags=("sql", "agg", "filter"),
 )
+
+
+_sql_query(
+    "sql_pivot_unpivot_roundtrip",
+    """
+WITH p AS (
+  SELECT * FROM (
+    SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+  ) PIVOT (COUNT(*) FOR st IN ('O' AS n_open, 'F' AS n_final, 'P' AS n_pending))
+), u AS (
+  SELECT pri, status_col, CAST(n AS BIGINT) AS n
+  FROM p UNPIVOT (n FOR status_col IN (n_open, n_final, n_pending))
+)
+SELECT pri, status_col, COALESCE(n, 0) AS n
+FROM u
+""",
+    tags=("sql", "pivot"),
+)
