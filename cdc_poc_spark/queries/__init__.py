@@ -299,6 +299,7 @@ _ROUND7B_NEW: list = [
 _ROUND8_NEW: list = [
     "scalar_xml_functions",
     "sql_pivot_unpivot_roundtrip",
+    "cdc_materialized_join_view",
 ]
 
 

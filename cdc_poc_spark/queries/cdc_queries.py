@@ -630,3 +630,89 @@ def cdc_sequence_gap_detect(spark, sf_dir):
             (F.col("gap") - 1).cast("long").alias("n_missing"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: incrementally-maintained JOIN view (streaming/ivm_join.py),
+# driven end-to-end as a driver-checkable query.
+# ---------------------------------------------------------------------------
+
+_MJOIN_ORACLE = """
+WITH live_orders AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS price_cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+), live_cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT o.o_orderkey, o.o_custkey, o.price_cents, c.seg
+FROM live_orders o JOIN live_cust c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("cdc_materialized_join_view", oracle=_MJOIN_ORACLE, tags=("cdc", "ivm", "streaming"))
+def cdc_materialized_join_view(spark, sf_dir):
+    """Incrementally-maintained JOIN VIEW (streaming/ivm_join.py:
+    MaterializedJoin — delta-key maintenance over a hash-bucket
+    manifest with atomic CURRENT-pointer commits), driven through a
+    deterministic five-epoch CDC history and hash-compared against the
+    plain-SQL join of the final snapshots:
+
+      e0-e2  orders arrive in thirds (o_orderkey % 3), customers at e0
+      e2     customers with c_custkey % 5 = 0 re-segment to 'MOVED'
+      e3     orders with o_orderkey % 7 = 0 are deleted
+
+    The oracle never sees the epochs — it joins the end states — so a
+    defect anywhere in the incremental algebra (merge rule, affected-
+    bucket recompute, manifest composition) breaks the hash. Per-epoch
+    cost is O(delta + affected buckets), never O(state); crash
+    atomicity, replay idempotence, and bucket locality are pytest-
+    asserted in tests/test_ivm_join.py."""
+    import tempfile
+
+    from ..streaming.ivm_join import MaterializedJoin
+
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_id"),
+        F.col("o_custkey").alias("jk"),
+        cents.alias("price_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("jk"), F.col("c_mktsegment").alias("seg")
+    )
+    mj = MaterializedJoin(
+        spark,
+        tempfile.mkdtemp(prefix="mjoin_query_"),
+        left_id="l_id",
+        join_key="jk",
+        n_buckets=16,
+    )
+    up = lambda df, seq: df.withColumn("__op", F.lit("u")).withColumn(  # noqa: E731
+        "__seq", F.lit(seq).cast("long")
+    )
+    mj.apply_batch(
+        up(orders.filter("l_id % 3 = 0"), 0), up(cust, 0), epoch_id=0
+    )
+    mj.apply_batch(up(orders.filter("l_id % 3 = 1"), 1), None, epoch_id=1)
+    mj.apply_batch(
+        up(orders.filter("l_id % 3 = 2"), 2),
+        up(cust.filter("jk % 5 = 0").withColumn("seg", F.lit("MOVED")), 2),
+        epoch_id=2,
+    )
+    deletes = (
+        orders.filter("l_id % 7 = 0")
+        .select("l_id", "jk", F.lit(None).cast("long").alias("price_cents"))
+        .withColumn("__op", F.lit("d"))
+        .withColumn("__seq", F.lit(3).cast("long"))
+    )
+    mj.apply_batch(deletes, None, epoch_id=3)
+    return mj.view().select(
+        F.col("l_id").alias("o_orderkey"),
+        F.col("jk").alias("o_custkey"),
+        "price_cents",
+        "seg",
+    )

@@ -1,0 +1,296 @@
+"""Incremental view maintenance for JOINS: keep ``left JOIN right ON
+join_key`` current under CDC deltas to BOTH sides, without ever
+re-joining the full tables.
+
+ContinuousAggregate (ivm.py) maintains an aggregate; this maintains a
+JOIN VIEW — the other half of what a "materialized view" engine offers.
+The reference has neither (its Iceberg consumers re-join per query);
+this is engine surface added per the brief.
+
+Delta-key maintenance: an equi-join row can only change when its join
+key's slice of either side changes, so per micro-batch the view is
+recomputed ONLY for the join keys the batch touches:
+
+    affected = jk(delta_left) ∪ jk(delta_right)
+    V_new[affected]   = L_new[affected] ⋈ R_new[affected]
+    V_new[~affected]  = V_old[~affected]        (no I/O — see manifest)
+
+Bucket manifest (the scale design): state and view are hash-bucketed by
+join key (``__bkt = pmod(xxhash64(jk), n_buckets)``). Each committed
+VERSION directory holds parquet for the buckets that batch touched;
+``meta.json`` maps every bucket to the version that last wrote it
+(an Iceberg-snapshot-style manifest, reimplemented from the published
+idea on plain parquet — no table-format jar needed). Readers compose
+each side as the union of per-bucket current locations; untouched
+buckets are never copied forward, so per-batch I/O is
+O(delta + affected buckets), not O(state).
+
+Exactly-once: the manifest (bucket pointers + applied-epoch set) and
+the bucket data COMMIT ATOMICALLY via the same CURRENT-pointer
+``os.replace`` protocol as ContinuousAggregate. A crash before the
+pointer swap leaves every bucket pointing at its old version and the
+epoch unrecorded — replay recomputes from consistent state.
+
+Contract (documented constraint, the same one Kafka Streams KTable
+joins and most MV engines impose): the JOIN KEY is part of a row's
+identity — a "key move" must be expressed as delete(old jk) +
+insert(new jk). Without it, finding a moved row's old bucket would be
+an O(state) scan per batch. Delta rows carry ``__op`` ('u' upsert /
+'d' delete) and a ``__seq`` long; last writer (max __seq, ties to 'd')
+wins per key, matching the CDC mirror's semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+class MaterializedJoin:
+    """Maintains ``left ⋈ right ON left[join_key] = right[join_key]``
+    (inner equi-join) under two-sided CDC deltas.
+
+    ``left_id``: the left row identity column (e.g. order key).
+    ``join_key``: the equi-join column, present on both sides and on
+    every delta row (deletes included — it addresses the bucket).
+    Right rows are identified BY the join key (the dimension shape);
+    a many-to-many right side would carry its own ``right_id`` — the
+    maintenance algebra is unchanged, only the merge key differs."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        left_id: str,
+        join_key: str,
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.left_id = left_id
+        self.join_key = join_key
+        self.n_buckets = n_buckets
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- manifest / versioned state (atomic commit via CURRENT) --------
+
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self.state_dir, "CURRENT")
+
+    def _current_version(self) -> int | None:
+        if not os.path.exists(self._pointer_path):
+            return None
+        return int(open(self._pointer_path).read().strip())
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.state_dir, f"v{version}")
+
+    def _manifest(self, version: int | None) -> dict:
+        if version is None:
+            return {"epochs": [], "buckets": {}, "schemas": {}}
+        m = json.load(open(os.path.join(self._vdir(version), "meta.json")))
+        m.setdefault("schemas", {})
+        return m
+
+    def _publish(self, version: int, manifest: dict) -> None:
+        json.dump(
+            manifest, open(os.path.join(self._vdir(version), "meta.json"), "w")
+        )
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path)
+
+    def _gc(self, manifest: dict, new_version: int) -> None:
+        """Remove version dirs no bucket references anymore."""
+        live = set(manifest["buckets"].values()) | {new_version}
+        for entry in os.listdir(self.state_dir):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) not in live:
+                    shutil.rmtree(
+                        os.path.join(self.state_dir, entry), ignore_errors=True
+                    )
+
+    def _bucket_paths(
+        self, manifest: dict, side: str, buckets: set[int] | None = None
+    ) -> list[str]:
+        out = []
+        for b, ver in manifest["buckets"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            p = os.path.join(self._vdir(ver), side, f"__bkt={b}")
+            if os.path.exists(p):
+                out.append(p)
+        return out
+
+    def _read_side(
+        self, manifest: dict, side: str, buckets: set[int] | None = None
+    ) -> DataFrame | None:
+        """Compose a side as the union of its buckets' CURRENT locations
+        (each possibly in a different version dir — the manifest is what
+        makes untouched buckets free). When no bucket has data, returns
+        an EMPTY frame in the side's recorded schema (a fully-deleted
+        view is a legitimate state, not an error) — or None before the
+        side has ever been written."""
+        paths = self._bucket_paths(manifest, side, buckets)
+        if not paths:
+            schema_json = manifest["schemas"].get(side)
+            if schema_json is None:
+                return None
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            return self.spark.createDataFrame([], schema).withColumn(
+                "__bkt", F.lit(None).cast("int")
+            )
+        dfs = None
+        for p in paths:
+            b = int(p.rsplit("__bkt=", 1)[1])
+            df = self.spark.read.parquet(p).withColumn("__bkt", F.lit(b))
+            dfs = df if dfs is None else dfs.unionByName(df)
+        return dfs
+
+    def _bkt(self, col: str):
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
+
+    @staticmethod
+    def _merge(old: DataFrame | None, delta: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Last-writer-wins merge of a CDC delta into the side state:
+        max __seq per key wins (ties break toward the delete — the
+        conservative CDC convention); surviving deletes evict the row."""
+        rows = delta if old is None else old.unionByName(delta)
+        w = W.partitionBy(*key_cols).orderBy(
+            F.col("__seq").desc(), F.col("__op").asc()  # 'd' < 'u'
+        )
+        return (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .filter(F.col("__op") == "u")
+            .drop("__rn")
+        )
+
+    # -- the per-batch update -------------------------------------------
+
+    def apply_batch(
+        self,
+        delta_left: DataFrame | None,
+        delta_right: DataFrame | None,
+        epoch_id: int,
+    ) -> None:
+        """Advance both side states and the join view by one micro-batch
+        of deltas (either side may be None = no changes)."""
+        cur = self._current_version()
+        manifest = self._manifest(cur)
+        if epoch_id in manifest["epochs"]:
+            return  # replay after crash: committed state reflects this epoch
+        new_v = (cur if cur is not None else 0) + 1
+        vdir = self._vdir(new_v)
+        shutil.rmtree(vdir, ignore_errors=True)  # stale uncommitted attempt
+        os.makedirs(vdir)
+
+        jk = self.join_key
+        dl = (
+            delta_left.withColumn("__bkt", self._bkt(jk))
+            if delta_left is not None
+            else None
+        )
+        dr = (
+            delta_right.withColumn("__bkt", self._bkt(jk))
+            if delta_right is not None
+            else None
+        )
+        bkts = None
+        for d in (dl, dr):
+            if d is not None:
+                bkts = d.select("__bkt") if bkts is None else bkts.union(d.select("__bkt"))
+        affected = (
+            {r["__bkt"] for r in bkts.distinct().collect()} if bkts is not None else set()
+        )
+        if not affected:
+            self._publish_passthrough(cur, manifest, new_v, epoch_id)
+            return
+
+        # only the affected buckets' old state is ever read
+        old_left = self._read_side(manifest, "left", affected)
+        old_right = self._read_side(manifest, "right", affected)
+        left_new = old_left if dl is None else self._merge(old_left, dl, [self.left_id])
+        right_new = old_right if dr is None else self._merge(old_right, dr, [jk])
+        if left_new is None or right_new is None:
+            view_new = None
+        else:
+            lpay = [c for c in left_new.columns if c not in ("__op", "__seq", "__bkt")]
+            rpay = [
+                c
+                for c in right_new.columns
+                if c not in ("__op", "__seq", "__bkt", jk)
+            ]
+            view_new = left_new.select(*lpay, "__bkt").join(
+                right_new.select(jk, *rpay), jk
+            )
+
+        schemas = dict(manifest["schemas"])
+
+        def _write(df: DataFrame | None, side: str, key_cols: list[str]) -> None:
+            if df is None:
+                return
+            schemas[side] = json.dumps(df.drop("__bkt").schema.jsonValue())
+            (
+                df.repartition(len(affected), "__bkt")
+                .sortWithinPartitions(*key_cols)
+                .write.mode("overwrite")
+                .partitionBy("__bkt")
+                .parquet(os.path.join(vdir, side))
+            )
+
+        _write(left_new, "left", [self.left_id])
+        _write(right_new, "right", [jk])
+        _write(view_new, "view", [self.left_id])
+
+        buckets = dict(manifest["buckets"])
+        for b in affected:
+            buckets[str(b)] = new_v
+        new_manifest = {
+            "epochs": manifest["epochs"] + [epoch_id],
+            "buckets": buckets,
+            "schemas": schemas,
+        }
+        self._publish(new_v, new_manifest)
+        self._gc(new_manifest, new_v)
+
+    def _publish_passthrough(
+        self, cur: int | None, manifest: dict, new_v: int, epoch_id: int
+    ) -> None:
+        """Empty batch: record the epoch, keep every bucket pointer."""
+        new_manifest = {
+            "epochs": manifest["epochs"] + [epoch_id],
+            "buckets": dict(manifest["buckets"]),
+            "schemas": dict(manifest["schemas"]),
+        }
+        self._publish(new_v, new_manifest)
+        self._gc(new_manifest, new_v)
+
+    # -- readers ----------------------------------------------------------
+
+    def view(self) -> DataFrame:
+        cur = self._current_version()
+        assert cur is not None, "no committed state yet"
+        df = self._read_side(self._manifest(cur), "view")
+        assert df is not None, "view was never written (no joined epochs yet)"
+        return df.drop("__bkt")
+
+    def left_state(self) -> DataFrame:
+        df = self._read_side(self._manifest(self._current_version()), "left")
+        assert df is not None
+        return df.drop("__bkt", "__op", "__seq")
+
+    def right_state(self) -> DataFrame:
+        df = self._read_side(self._manifest(self._current_version()), "right")
+        assert df is not None
+        return df.drop("__bkt", "__op", "__seq")

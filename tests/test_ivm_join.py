@@ -1,0 +1,182 @@
+"""MaterializedJoin (streaming/ivm_join.py): the maintained-join-view
+engine surface. Four angles:
+
+1. Equality with a full recompute after every epoch of a mixed
+   upsert/delete two-sided delta sequence (the IVM identity).
+2. Replay idempotence (crash-recovery epoch re-applied → unchanged).
+3. Crash atomicity: an unpublished version dir is invisible.
+4. Bucket locality: an epoch touching one join key writes ONLY that
+   key's bucket into the new version dir — the manifest is what makes
+   untouched buckets free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from cdc_poc_spark.streaming.ivm_join import MaterializedJoin
+
+
+def _delta(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+L_SCHEMA = "l_id long, jk long, amount long, __op string, __seq long"
+R_SCHEMA = "jk long, seg string, __op string, __seq long"
+
+
+def _reference_join(left_rows, right_rows):
+    """Pure-Python recompute: replay all deltas (last __seq wins, ties
+    to delete), then inner-join the survivors."""
+    def survivors(rows, key):
+        state = {}
+        for r in rows:
+            k = r[key]
+            prev = state.get(k)
+            # order of arrival is the list order; resolve by (__seq, op)
+            # engine rule: max __seq wins, ties break toward the delete
+            if prev is None or (r["__seq"], r["__op"] == "d") >= (
+                prev["__seq"],
+                prev["__op"] == "d",
+            ):
+                state[k] = r
+        return [r for r in state.values() if r["__op"] == "u"]
+
+    lefts = survivors([dict(zip(("l_id", "jk", "amount", "__op", "__seq"), r)) for r in left_rows], "l_id")
+    rights = survivors([dict(zip(("jk", "seg", "__op", "__seq"), r)) for r in right_rows], "jk")
+    rmap = {r["jk"]: r["seg"] for r in rights}
+    return sorted(
+        (r["l_id"], r["jk"], r["amount"], rmap[r["jk"]])
+        for r in lefts
+        if r["jk"] in rmap
+    )
+
+
+def _view_rows(mj):
+    return sorted(
+        (r.l_id, r.jk, r.amount, r.seg)
+        for r in mj.view().select("l_id", "jk", "amount", "seg").collect()
+    )
+
+
+def test_materialized_join_matches_recompute(spark, tmp_path):
+    mj = MaterializedJoin(spark, str(tmp_path / "mj"), left_id="l_id", join_key="jk", n_buckets=8)
+    all_l, all_r = [], []
+
+    def apply(epoch, lrows, rrows):
+        all_l.extend(lrows)
+        all_r.extend(rrows)
+        dl = _delta(spark, lrows, L_SCHEMA) if lrows else None
+        dr = _delta(spark, rrows, R_SCHEMA) if rrows else None
+        mj.apply_batch(dl, dr, epoch)
+        assert _view_rows(mj) == _reference_join(all_l, all_r), f"epoch {epoch}"
+
+    # epoch 0: initial load, both sides
+    apply(
+        0,
+        [(1, 10, 100, "u", 0), (2, 10, 200, "u", 0), (3, 20, 300, "u", 0)],
+        [(10, "A", "u", 0), (20, "B", "u", 0), (30, "C", "u", 0)],
+    )
+    # epoch 1: left upsert (amount change) + new left row on an
+    # unmatched key (must NOT appear in the inner view)
+    apply(1, [(1, 10, 111, "u", 1), (4, 99, 400, "u", 1)], [])
+    # epoch 2: right update (segment change) + right delete of jk=20
+    # (drops left row 3 from the view)
+    apply(2, [], [(10, "A2", "u", 2), (20, None, "d", 2)])
+    # epoch 3: left delete + key move expressed as delete+insert (the
+    # documented contract; the insert takes a LATER __seq — a same-seq
+    # tie resolves to the delete by the conservative CDC rule)
+    apply(
+        3,
+        [(2, 10, None, "d", 3), (1, 10, None, "d", 3), (1, 30, 111, "u", 4)],
+        [],
+    )
+    # epoch 3b: same-seq delete+upsert tie on one key resolves to the
+    # delete — the fully-deleted bucket must read back as EMPTY, not
+    # error (schema survives via the manifest)
+    apply(5, [(4, 99, None, "d", 5), (4, 99, 444, "u", 5)], [])
+    # epoch 6: right re-insert of jk=20 (row 3 resurfaces)
+    apply(6, [], [(20, "B2", "u", 6)])
+    # epoch 7: empty batch (both None) — must commit the epoch and
+    # change nothing
+    mj.apply_batch(None, None, 7)
+    assert _view_rows(mj) == _reference_join(all_l, all_r)
+    assert 7 in mj._manifest(mj._current_version())["epochs"]
+
+
+def test_materialized_join_replay_is_idempotent(spark, tmp_path):
+    mj = MaterializedJoin(spark, str(tmp_path / "mj"), left_id="l_id", join_key="jk", n_buckets=4)
+    mj.apply_batch(
+        _delta(spark, [(1, 10, 100, "u", 0)], L_SCHEMA),
+        _delta(spark, [(10, "A", "u", 0)], R_SCHEMA),
+        0,
+    )
+    d1 = _delta(spark, [(1, 10, 999, "u", 1)], L_SCHEMA)
+    mj.apply_batch(d1, None, 1)
+    before = _view_rows(mj)
+    mj.apply_batch(d1, None, 1)  # foreachBatch replay after crash
+    assert _view_rows(mj) == before
+
+
+def test_materialized_join_crash_is_atomic(spark, tmp_path):
+    state = str(tmp_path / "mj")
+    mj = MaterializedJoin(spark, state, left_id="l_id", join_key="jk", n_buckets=4)
+    mj.apply_batch(
+        _delta(spark, [(1, 10, 100, "u", 0)], L_SCHEMA),
+        _delta(spark, [(10, "A", "u", 0)], R_SCHEMA),
+        0,
+    )
+    before = _view_rows(mj)
+    committed = mj._current_version()
+    # simulate a crash mid-batch: a later version dir exists with data
+    # but CURRENT was never flipped
+    fake = os.path.join(state, f"v{committed + 7}")
+    os.makedirs(os.path.join(fake, "view", "__bkt=0"))
+    assert mj._current_version() == committed
+    assert _view_rows(mj) == before  # reader never sees the torn dir
+    # and the next apply_batch clobbers any stale attempt at ITS version
+    mj.apply_batch(_delta(spark, [(2, 10, 200, "u", 1)], L_SCHEMA), None, 1)
+    assert (1, 10, 100, "A") in _view_rows(mj) and (2, 10, 200, "A") in _view_rows(mj)
+
+
+def test_materialized_join_bucket_locality(spark, tmp_path):
+    """An epoch touching ONE join key must write only that key's bucket
+    into its version dir; every other bucket keeps its old pointer."""
+    state = str(tmp_path / "mj")
+    nb = 8
+    mj = MaterializedJoin(spark, state, left_id="l_id", join_key="jk", n_buckets=nb)
+    # spread initial data over many buckets
+    lrows = [(i, i * 10, i * 100, "u", 0) for i in range(1, 13)]
+    rrows = [(i * 10, f"s{i}", "u", 0) for i in range(1, 13)]
+    mj.apply_batch(_delta(spark, lrows, L_SCHEMA), _delta(spark, rrows, R_SCHEMA), 0)
+    man0 = mj._manifest(mj._current_version())
+    n_buckets_live = len(man0["buckets"])
+    assert n_buckets_live >= 4  # 12 keys over 8 buckets
+
+    # single-key epoch
+    mj.apply_batch(_delta(spark, [(1, 10, 999, "u", 1)], L_SCHEMA), None, 1)
+    v1 = mj._current_version()
+    man1 = mj._manifest(v1)
+    moved = [b for b in man1["buckets"] if man1["buckets"][b] != man0["buckets"].get(b)]
+    assert len(moved) == 1, f"exactly one bucket pointer should move, got {moved}"
+    # the new version dir contains ONLY that bucket
+    vdir = os.path.join(state, f"v{v1}")
+    written = {
+        d
+        for side in ("left", "right", "view")
+        if os.path.isdir(os.path.join(vdir, side))
+        for d in os.listdir(os.path.join(vdir, side))
+        if d.startswith("__bkt=")
+    }
+    assert written == {f"__bkt={moved[0]}"}
+    # untouched buckets still point at the OLD version dir (no copies)
+    for b, ver in man1["buckets"].items():
+        if b != moved[0]:
+            assert ver == man0["buckets"][b]
+    # and the view still reads correctly across mixed-version buckets
+    rows = _view_rows(mj)
+    assert (1, 10, 999, "s1") in rows and (12, 120, 1200, "s12") in rows
+    assert len(rows) == 12
