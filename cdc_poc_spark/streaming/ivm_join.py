@@ -294,3 +294,50 @@ class MaterializedJoin:
         df = self._read_side(self._manifest(self._current_version()), "right")
         assert df is not None
         return df.drop("__bkt", "__op", "__seq")
+
+
+def materialized_join_stream(
+    tagged_stream: DataFrame,
+    mj: MaterializedJoin,
+    checkpoint_dir: str,
+    left_cols: list[str],
+    right_cols: list[str],
+):
+    """Wire a MaterializedJoin into Structured Streaming: ONE stream of
+    side-tagged delta rows (column ``__side`` in {'l', 'r'}; the union
+    schema carries both sides' columns, the other side's as nulls)
+    drives both sides of the view through foreachBatch. ``left_cols``/
+    ``right_cols`` name each side's real columns (join key included);
+    ``__op``/``__seq`` ride along.
+
+    One tagged stream, not two queries: two independent streaming
+    queries cannot share the CURRENT pointer without cross-query
+    ordering (each would race the other's versions); a single
+    micro-batch delivering both sides' deltas gives the view a total
+    epoch order for free — the same reason CDC buses multiplex tables
+    onto one changelog. Exactly-once composes: the epoch guard inside
+    apply_batch makes replayed foreachBatch invocations no-ops."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            dl = batch_df.filter(F.col("__side") == "l").select(
+                *left_cols, "__op", "__seq"
+            )
+            dr = batch_df.filter(F.col("__side") == "r").select(
+                *right_cols, "__op", "__seq"
+            )
+            mj.apply_batch(
+                dl if dl.limit(1).count() else None,
+                dr if dr.limit(1).count() else None,
+                epoch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        tagged_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

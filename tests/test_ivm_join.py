@@ -180,3 +180,90 @@ def test_materialized_join_bucket_locality(spark, tmp_path):
     rows = _view_rows(mj)
     assert (1, 10, 999, "s1") in rows and (12, 120, 1200, "s12") in rows
     assert len(rows) == 12
+
+
+def test_materialized_join_streaming_drain(spark, tmp_path):
+    """End-to-end Structured Streaming drive: a file stream of
+    side-tagged delta files (one file per epoch, maxFilesPerTrigger=1)
+    drained with availableNow must leave the view equal to the pure-
+    Python recompute, across a history that exercises both sides,
+    deletes, and an update — and a second drain over the same
+    checkpoint must be a no-op."""
+    import glob
+    import shutil as sh
+
+    from cdc_poc_spark.streaming.ivm_join import materialized_join_stream
+
+    U = (
+        "__side string, l_id long, jk long, amount long, seg string,"
+        " __op string, __seq long"
+    )
+    epochs = [
+        # epoch file 0: left + right initial
+        [
+            ("l", 1, 10, 100, None, "u", 0),
+            ("l", 2, 20, 200, None, "u", 0),
+            ("r", None, 10, None, "A", "u", 0),
+            ("r", None, 20, None, "B", "u", 0),
+        ],
+        # epoch file 1: left update + right delete of jk=20
+        [
+            ("l", 1, 10, 111, None, "u", 1),
+            ("r", None, 20, None, None, "d", 1),
+        ],
+        # epoch file 2: new left row on jk=20 (no right match yet),
+        # right re-insert of jk=20
+        [
+            ("l", 3, 20, 300, None, "u", 2),
+            ("r", None, 20, None, "B2", "u", 2),
+        ],
+    ]
+    all_l = [
+        (r[1], r[2], r[3], r[5], r[6]) for ep in epochs for r in ep if r[0] == "l"
+    ]
+    all_r = [(r[2], r[4], r[5], r[6]) for ep in epochs for r in ep if r[0] == "r"]
+
+    data_dir = tmp_path / "stream"
+    data_dir.mkdir()
+    for i, rows in enumerate(epochs):
+        out = str(tmp_path / f"ep{i}")
+        spark.createDataFrame(rows, U).coalesce(1).write.parquet(out)
+        (pf,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        dest = str(data_dir / f"e{i:03d}.parquet")
+        sh.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    mj = MaterializedJoin(
+        spark, str(tmp_path / "mjs"), left_id="l_id", join_key="jk", n_buckets=4
+    )
+    stream = (
+        spark.readStream.schema(U)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+    q = materialized_join_stream(
+        stream,
+        mj,
+        str(tmp_path / "ckpt"),
+        left_cols=["l_id", "jk", "amount"],
+        right_cols=["jk", "seg"],
+    )
+    q.awaitTermination(180)
+    want = _reference_join(all_l, all_r)
+    assert _view_rows(mj) == want and want
+    n_epochs = len(mj._manifest(mj._current_version())["epochs"])
+    assert n_epochs >= 3  # one file per trigger
+
+    # restart over the same checkpoint: nothing new to process, view
+    # unchanged (exactly-once composes with the epoch guard)
+    q2 = materialized_join_stream(
+        spark.readStream.schema(U)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir)),
+        mj,
+        str(tmp_path / "ckpt"),
+        left_cols=["l_id", "jk", "amount"],
+        right_cols=["jk", "seg"],
+    )
+    q2.awaitTermination(180)
+    assert _view_rows(mj) == want
