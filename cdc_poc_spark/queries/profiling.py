@@ -1334,7 +1334,7 @@ def pipeline_schema_profile(spark, sf_dir):
 # Round-6: Adamic-Adar link prediction (hub-discounted common neighbors).
 # ---------------------------------------------------------------------------
 
-_AA_ORACLE = _COORDER_EDGES_CTE + """
+_AA_ORACLE = _COORDER_EDGES_CTE + f"""
 , wn AS (
   -- deg-1 neighbors can never be SHARED (a wedge needs two edges at n)
   -- and ln(1) = 0 would make the weight a division hazard: filtered
@@ -1342,7 +1342,7 @@ _AA_ORACLE = _COORDER_EDGES_CTE + """
   SELECT sym.u, sym.v AS n,
          CAST(round(1000000.0 / ln(deg.deg)) AS BIGINT) AS w_n
   FROM sym JOIN deg ON deg.node = sym.v
-  WHERE deg.deg >= 2
+  WHERE deg.deg >= 2 AND deg.deg <= {_LINKPRED_HUB_CAP}
 ), cn AS (
   SELECT s1.u AS a, s2.u AS b,
          CAST(COUNT(*) AS BIGINT) AS n_common,
@@ -1368,7 +1368,13 @@ def graph_linkpred_adamic_adar(spark, sf_dir):
     filtered BEFORE the weight expression evaluates (ANSI mode turns
     the eager 1/ln(1) into a query-killing divide-by-zero even though
     those rows could never survive the wedge join; the 10x probe
-    caught this — no deg-1 node exists at sf0.01).
+    caught this — no deg-1 node exists at sf0.01). HUB CAP (round 7,
+    the common_neighbors rule applied to the sibling): nodes with
+    degree > 32 are excluded as wedge centers in BOTH engines — AA
+    already DOWNWEIGHTS hubs toward zero, but the weight does nothing
+    about the deg² wedge FANOUT; the cap is what bounds the shuffle,
+    and the near-zero evidence it drops is exactly the evidence AA
+    says to ignore.
 
     Exactness: the per-neighbor weight is quantized ONCE to an integer
     (round(1e6/ln(deg)) — identical IEEE ops on identical integers in
@@ -1381,7 +1387,12 @@ def graph_linkpred_adamic_adar(spark, sf_dir):
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     wn = sym.join(
-        F.broadcast(deg.filter(F.col("deg") >= 2)), sym.v == deg.node
+        F.broadcast(
+            deg.filter(
+                (F.col("deg") >= 2) & (F.col("deg") <= _LINKPRED_HUB_CAP)
+            )
+        ),
+        sym.v == deg.node,
     ).select(
         "u",
         F.col("v").alias("n"),

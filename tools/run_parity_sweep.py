@@ -76,6 +76,9 @@ SLICE_QUERIES = {
     "pipeline_zorder_layout": "lineitem",
     # -- orders half-slice
     "agg_benford_profile": "orders",
+    # round-7: the 4-epoch IVM-join drive pays per-epoch write overhead
+    # linear in rows; half the orders halves it (customer stays full)
+    "cdc_materialized_join_view": "orders",
 }
 
 
