@@ -285,6 +285,53 @@ class MaterializedJoin:
         assert df is not None, "view was never written (no joined epochs yet)"
         return df.drop("__bkt")
 
+    def compact(self) -> None:
+        """Rewrite every bucket's current data into ONE fresh version
+        and drop the rest — the maintenance pass that bounds manifest
+        fan-out. After many small epochs the manifest references many
+        version dirs (one open file per bucket per side at read time);
+        compaction restores the single-dir layout without changing any
+        visible row. Runs as its own atomic commit (same CURRENT
+        protocol), so a crash mid-compaction leaves the old manifest
+        intact. The analog of the parquet small-file compaction pass in
+        operators/scale.py, applied to the view's own state."""
+        cur = self._current_version()
+        if cur is None:
+            return
+        manifest = self._manifest(cur)
+        new_v = cur + 1
+        vdir = self._vdir(new_v)
+        shutil.rmtree(vdir, ignore_errors=True)
+        os.makedirs(vdir)
+        schemas = dict(manifest["schemas"])
+        live_buckets: set[str] = set()
+        for side, key_cols in (
+            ("left", [self.left_id]),
+            ("right", [self.join_key]),
+            ("view", [self.left_id]),
+        ):
+            df = self._read_side(manifest, side)
+            if df is None or not df.columns:
+                continue
+            schemas[side] = json.dumps(df.drop("__bkt").schema.jsonValue())
+            (
+                df.repartition(self.n_buckets, "__bkt")
+                .sortWithinPartitions(*key_cols)
+                .write.mode("overwrite")
+                .partitionBy("__bkt")
+                .parquet(os.path.join(vdir, side))
+            )
+            for d in os.listdir(os.path.join(vdir, side)):
+                if d.startswith("__bkt="):
+                    live_buckets.add(d.split("=", 1)[1])
+        new_manifest = {
+            "epochs": manifest["epochs"],
+            "buckets": {b: new_v for b in sorted(live_buckets, key=int)},
+            "schemas": schemas,
+        }
+        self._publish(new_v, new_manifest)
+        self._gc(new_manifest, new_v)
+
     def left_state(self) -> DataFrame:
         df = self._read_side(self._manifest(self._current_version()), "left")
         assert df is not None

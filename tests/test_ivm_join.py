@@ -267,3 +267,32 @@ def test_materialized_join_streaming_drain(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert _view_rows(mj) == want
+
+
+def test_materialized_join_compaction(spark, tmp_path):
+    """compact() must collapse the manifest to ONE version dir without
+    changing a single visible row, and survive being interleaved with
+    further epochs."""
+    mj = MaterializedJoin(
+        spark, str(tmp_path / "mj"), left_id="l_id", join_key="jk", n_buckets=4
+    )
+    for ep in range(4):  # many small epochs -> many version dirs
+        mj.apply_batch(
+            _delta(spark, [(ep + 1, (ep + 1) * 10, ep * 100, "u", ep)], L_SCHEMA),
+            _delta(spark, [((ep + 1) * 10, f"s{ep}", "u", ep)], R_SCHEMA),
+            ep,
+        )
+    man = mj._manifest(mj._current_version())
+    assert len(set(man["buckets"].values())) >= 2  # scattered versions
+    before = _view_rows(mj)
+    mj.compact()
+    man2 = mj._manifest(mj._current_version())
+    assert len(set(man2["buckets"].values())) == 1  # one version dir
+    assert man2["epochs"] == man["epochs"]  # applied-epoch set preserved
+    assert _view_rows(mj) == before
+    # state dir holds exactly the compacted version
+    vdirs = [d for d in os.listdir(str(tmp_path / "mj")) if d.startswith("v")]
+    assert len(vdirs) == 1
+    # epochs continue cleanly after compaction
+    mj.apply_batch(_delta(spark, [(1, 10, 999, "u", 9)], L_SCHEMA), None, 9)
+    assert (1, 10, 999, "s0") in _view_rows(mj)
