@@ -125,6 +125,7 @@ ROTATING = [
     "pipeline_proportional_sample",
     "scalar_xml_functions",
     "sql_pivot_unpivot_roundtrip",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -300,6 +300,7 @@ _ROUND8_NEW: list = [
     "scalar_xml_functions",
     "sql_pivot_unpivot_roundtrip",
     "cdc_materialized_join_view",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -2824,3 +2824,83 @@ def ml_nearest_centroid_classifier(spark, sf_dir):
     return best.groupBy(
         F.col("true_label").cast("int").alias("true_label"), "pred_label"
     ).agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7: dedup threshold calibration — the "which cosine cutoff"
+# curve, from ONE pairwise pass.
+# ---------------------------------------------------------------------------
+
+_THRESH_SWEEP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(range(1, len(a.vec) + 1),
+                        i -> a.vec[i] * b.vec[i])) / (a.vnorm * b.vnorm), 5)
+           AS cosine
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+), t AS (
+  SELECT unnest(generate_series(35, 95, 10)) AS threshold_pct
+), b AS (
+  SELECT t.threshold_pct, p.id_a, p.id_b, p.cosine
+  FROM t LEFT JOIN pairs p ON p.cosine * 100 >= t.threshold_pct
+), np AS (
+  SELECT threshold_pct, CAST(COUNT(cosine) AS BIGINT) AS n_pairs
+  FROM b GROUP BY threshold_pct
+), nd AS (
+  SELECT threshold_pct, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+  FROM (SELECT threshold_pct, unnest([id_a, id_b]) AS d FROM b)
+  WHERE d IS NOT NULL GROUP BY threshold_pct
+)
+SELECT np.threshold_pct, np.n_pairs, COALESCE(nd.n_docs, 0) AS n_docs
+FROM np LEFT JOIN nd USING (threshold_pct)
+"""
+
+
+@register("dedup_threshold_sweep", oracle=_THRESH_SWEEP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup THRESHOLD CALIBRATION: for cosine cutoffs 0.35..0.95, the
+    number of near-dup pairs and the number of distinct documents
+    involved — the curve a data curator reads before committing to a
+    dedup threshold (too low merges topical neighbors, too high leaves
+    templated clones; the knee is data-dependent and must be MEASURED).
+    All bands come from ONE label-blocked clone-collapsed pairwise pass
+    at the loosest threshold (operators/similarity.py:
+    embedding_cosine_pairs) — the 7-row threshold relation then
+    broadcast-theta-joins onto the pair list, so the sweep costs one
+    scan more than a single-threshold run, not 7x. Counts are exact
+    integers; the oracle recomputes the naive within-label all-pairs
+    join per band."""
+    pairs = similarity.embedding_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("id_a", "id_b", "cosine")
+    t = spark.range(1).select(
+        F.explode(F.sequence(F.lit(35), F.lit(95), F.lit(10))).alias(
+            "threshold_pct"
+        )
+    )
+    banded = F.broadcast(t).join(
+        pairs, pairs.cosine * 100 >= F.col("threshold_pct"), "left"
+    )
+    n_docs = (
+        banded.select(
+            "threshold_pct", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .filter(F.col("d").isNotNull())
+        .groupBy("threshold_pct")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    n_pairs = banded.groupBy("threshold_pct").agg(
+        F.count(F.col("cosine")).alias("n_pairs")
+    )
+    return n_pairs.join(n_docs, "threshold_pct", "left").select(
+        "threshold_pct",
+        "n_pairs",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+    )

@@ -169,9 +169,9 @@ def test_materialized_join_bucket_locality(spark, tmp_path):
         for side in ("left", "right", "view")
         if os.path.isdir(os.path.join(vdir, side))
         for d in os.listdir(os.path.join(vdir, side))
-        if d.startswith("__bkt=")
+        if d.startswith("__bktp=")
     }
-    assert written == {f"__bkt={moved[0]}"}
+    assert written == {f"__bktp={moved[0]}"}
     # untouched buckets still point at the OLD version dir (no copies)
     for b, ver in man1["buckets"].items():
         if b != moved[0]:
