@@ -97,7 +97,10 @@ def udf_pandas_grouped_agg(spark, sf_dir):
 @udtf(
     returnType=T.StructType(
         [T.StructField("pos", T.IntegerType()), T.StructField("token", T.StringType())]
-    )
+    ),
+    useArrow=True,  # ArrowEvalPythonUDTF, not row-at-a-time BatchEvalPython
+    # (found by tools/plan_audit.py: this was the registry's ONE
+    # remaining per-row Python evaluation site)
 )
 class _Tokenize:
     def eval(self, doc_id: int, text: str):  # noqa: D401
