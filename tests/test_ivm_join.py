@@ -296,3 +296,144 @@ def test_materialized_join_compaction(spark, tmp_path):
     # epochs continue cleanly after compaction
     mj.apply_batch(_delta(spark, [(1, 10, 999, "u", 9)], L_SCHEMA), None, 9)
     assert (1, 10, 999, "s0") in _view_rows(mj)
+
+
+def test_materialized_join_from_cdc_envelopes(spark, tmp_path):
+    """The reference's CDC shape, upgraded from mirror tables to a
+    maintained JOIN view: two Debezium-style topics (account, plan)
+    multiplexed on one changelog stream, parsed with
+    cdc.envelope.parse_envelope_typed, mapped to tagged deltas
+    (I/U -> 'u', D -> 'd', offset -> __seq), and drained through
+    materialized_join_stream. The final view must equal the hand-
+    computed current-state join."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql import types as T
+
+    from cdc_poc_spark.cdc import envelope as env
+    from cdc_poc_spark.streaming.ivm_join import (
+        MaterializedJoin,
+        materialized_join_stream,
+    )
+
+    ACC = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("plan_id", T.LongType()),
+        ]
+    )
+    PLAN = T.StructType(
+        [
+            T.StructField("plan_id", T.LongType()),
+            T.StructField("plan_name", T.StringType()),
+        ]
+    )
+
+    def rec(op, table, before, after, ts_ms, offset):
+        return (
+            json.dumps(
+                {
+                    "schema": {"type": "struct"},
+                    "payload": {
+                        "before": before,
+                        "after": after,
+                        "op": op,
+                        "ts_ms": ts_ms,
+                        "source": {"db": "cdc", "schema": "commerce", "table": table},
+                    },
+                }
+            ),
+            f"cdc.commerce.{table}",
+            offset,
+        )
+
+    epochs = [
+        [  # snapshot: two plans, two accounts
+            rec("r", "plan", None, {"plan_id": 1, "plan_name": "free"}, 1000, 0),
+            rec("r", "plan", None, {"plan_id": 2, "plan_name": "pro"}, 1000, 1),
+            rec("r", "account", None, {"user_id": 10, "email": "a@x", "plan_id": 1}, 1000, 2),
+            rec("r", "account", None, {"user_id": 11, "email": "b@x", "plan_id": 2}, 1000, 3),
+        ],
+        [  # account 10 upgrades plan (delete+insert per the jk contract),
+           # plan 2 renamed, account 12 appears on plan 2
+            rec("d", "account", {"user_id": 10, "email": "a@x", "plan_id": 1}, None, 2000, 4),
+            rec("c", "account", None, {"user_id": 10, "email": "a@x", "plan_id": 2}, 2000, 5),
+            rec("u", "plan", {"plan_id": 2, "plan_name": "pro"}, {"plan_id": 2, "plan_name": "pro+"}, 2000, 6),
+            rec("c", "account", None, {"user_id": 12, "email": "c@x", "plan_id": 2}, 2000, 7),
+        ],
+        [  # account 11 deleted
+            rec("d", "account", {"user_id": 11, "email": "b@x", "plan_id": 2}, None, 3000, 8),
+        ],
+    ]
+    data_dir = tmp_path / "cdc_stream"
+    data_dir.mkdir()
+    for i, rows in enumerate(epochs):
+        out = str(tmp_path / f"cdc_ep{i}")
+        spark.createDataFrame(
+            rows, "value string, topic string, offset long"
+        ).coalesce(1).write.parquet(out)
+        (pf,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        dest = str(data_dir / f"e{i:03d}.parquet")
+        sh.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    raw = (
+        spark.readStream.schema("value string, topic string, offset long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir))
+    )
+
+    def tagged(side, table, schema, cols):
+        t = env.parse_envelope_typed(
+            raw.filter(F.col("topic").endswith("." + table)), schema
+        )
+        return t.select(
+            F.lit(side).alias("__side"),
+            *cols,
+            F.when(F.col("_cdc.op") == "D", "d").otherwise("u").alias("__op"),
+            F.col("_cdc.offset").alias("__seq"),
+        )
+
+    acc = tagged(
+        "l",
+        "account",
+        ACC,
+        [
+            F.col("user_id"),
+            F.col("plan_id"),
+            F.col("email"),
+            F.lit(None).cast("string").alias("plan_name"),
+        ],
+    )
+    pln = tagged(
+        "r",
+        "plan",
+        PLAN,
+        [
+            F.lit(None).cast("long").alias("user_id"),
+            F.col("plan_id"),
+            F.lit(None).cast("string").alias("email"),
+            F.col("plan_name"),
+        ],
+    )
+    mj = MaterializedJoin(
+        spark, str(tmp_path / "cdcmj"), left_id="user_id", join_key="plan_id", n_buckets=4
+    )
+    q = materialized_join_stream(
+        acc.unionByName(pln),
+        mj,
+        str(tmp_path / "cdc_ckpt"),
+        left_cols=["user_id", "plan_id", "email"],
+        right_cols=["plan_id", "plan_name"],
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.plan_id, r.email, r.plan_name)
+        for r in mj.view().select("user_id", "plan_id", "email", "plan_name").collect()
+    )
+    assert got == [
+        (10, 2, "a@x", "pro+"),
+        (12, 2, "c@x", "pro+"),
+    ]
