@@ -1142,6 +1142,7 @@ def ivfpq_topk(
     m: int = 8,
     pq_k: int = 16,
     q: int = 1_000_000,
+    return_candidates: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate L2 top-k (Jégou et al. TPAMI 2011) — the
     PRODUCTION ANN composition at 100 TB: a coarse inverted-file
@@ -1260,12 +1261,21 @@ def ivfpq_topk(
     )
 
     # --- candidates on probed lists, scored via the broadcast tables
-    w = W.partitionBy("query_id").orderBy("adc_dist2", F.asc("neighbor_id"))
-    return (
+    candidates = (
         F.broadcast(probes)
         .join(assigned, "cell_id")
         .filter(F.col("query_id") != F.col("id"))
         .select("query_id", F.col("id").alias("neighbor_id"))
+    )
+    if return_candidates:
+        # pre-ADC candidate set: the quantity whose recall is MONOTONE
+        # in n_probe (end-to-end top-k recall under approximate
+        # distances is NOT — a closer-by-ADC non-neighbor can displace
+        # a true neighbor; measured, see sim_ann_ivfpq_probe_sweep)
+        return candidates
+    w = W.partitionBy("query_id").orderBy("adc_dist2", F.asc("neighbor_id"))
+    return (
+        candidates
         .join(
             codes.select(F.col("id").alias("neighbor_id"), "sub", "code"),
             "neighbor_id",

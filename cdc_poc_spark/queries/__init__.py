@@ -301,6 +301,7 @@ _ROUND8_NEW: list = [
     "sql_pivot_unpivot_roundtrip",
     "cdc_materialized_join_view",
     "dedup_threshold_sweep",
+    "sim_ann_ivfpq_probe_sweep",
 ]
 
 

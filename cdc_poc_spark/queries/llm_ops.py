@@ -2904,3 +2904,93 @@ def dedup_threshold_sweep(spark, sf_dir):
         "n_pairs",
         F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: IVF-PQ recall-vs-probe curve — pricing the probe budget.
+# ---------------------------------------------------------------------------
+
+_PROBE_SWEEP_ORACLE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(sqrt(list_sum(list_transform(
+           list_zip(a.v, b.v), p -> (p[1] - p[2]) * (p[1] - p[2])))), 5) AS l2
+  FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rk
+  FROM d
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs
+  FROM r WHERE rk <= 5
+)
+SELECT p.n_probe, ex.n_exact_pairs,
+       TRUE AS recall_monotone_ok, TRUE AS full_probe_is_cell_ceiling
+FROM (SELECT unnest([1, 2, 4, 8, 16]) AS n_probe) p, ex
+"""
+
+
+@register("sim_ann_ivfpq_probe_sweep", oracle=_PROBE_SWEEP_ORACLE, tags=("llm", "similarity", "ivf"))
+def sim_ann_ivfpq_probe_sweep(spark, sf_dir):
+    """IVF-PQ recall as a FUNCTION of the probe budget (n_probe in
+    {1, 2, 4, 8, 16} of 16 cells) — the curve that prices the
+    latency/recall dial every IVF deployment tunes (Jegou et al.
+    TPAMI'11 fig. 8 shape, measured on this engine's own index).
+    Driver-checked contracts per row: (a) CANDIDATE-SET recall (true
+    neighbors inside the probed cells, before ADC ranking) is MONOTONE
+    non-decreasing in n_probe — probing more cells can only add
+    candidates. End-to-end TOP-K recall is deliberately NOT contracted
+    monotone: building this query found it is not (a candidate with a
+    SMALLER approximate ADC distance but outside the true top-k can
+    displace a true neighbor once its cell is probed — measured
+    hits(2) < hits(1) on the fixture), which is exactly the
+    PQ-distortion tradeoff the curve exists to expose. (b) At
+    n_probe = 16 = n_cells the candidate set is every vector, so the
+    approx result is a full top-k per query — the cell ceiling. The
+    oracle pins the exact top-k pair count; recall values themselves
+    are index-specific (same contract pattern as the other ANN
+    rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    exact = similarity.euclidean_topk(emb).select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    rows = []
+    for p in (1, 2, 4, 8, 16):
+        cand = similarity.ivfpq_topk(emb, n_probe=p, return_candidates=True)
+        approx = similarity.ivfpq_topk(emb, n_probe=p).select(
+            "query_id", "neighbor_id"
+        )
+        cand_hits = exact.join(cand, ["query_id", "neighbor_id"], "left_semi")
+        rows.append(
+            cand_hits.agg(F.count(F.lit(1)).alias("n_cand_hits"))
+            .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+            .select(F.lit(p).alias("n_probe"), "n_cand_hits", "n_approx")
+        )
+    curve = rows[0]
+    for r in rows[1:]:
+        curve = curve.unionByName(r)
+    w = Window.orderBy("n_probe")
+    return (
+        curve.crossJoin(F.broadcast(n_exact))
+        .withColumn("prev_hits", F.lag("n_cand_hits").over(w))
+        .select(
+            "n_probe",
+            "n_exact_pairs",
+            (
+                F.col("prev_hits").isNull()
+                | (F.col("n_cand_hits") >= F.col("prev_hits"))
+            ).alias("recall_monotone_ok"),
+            # at n_probe = 16 = n_cells every vector is a candidate, so
+            # the approx result must be a FULL top-k per query (the
+            # cell ceiling); smaller probes may return fewer rows when
+            # their probed cells hold < k candidates
+            (
+                (F.col("n_probe") < 16)
+                | (F.col("n_approx") == F.col("n_exact_pairs"))
+            ).alias("full_probe_is_cell_ceiling"),
+        )
+    )
