@@ -302,6 +302,8 @@ _ROUND8_NEW: list = [
     "cdc_materialized_join_view",
     "dedup_threshold_sweep",
     "sim_ann_ivfpq_probe_sweep",
+    "sql_pipe_syntax_query",
+    "sql_session_variables",
 ]
 
 

@@ -289,3 +289,88 @@ FROM u
 """,
     tags=("sql", "pivot"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: Spark 4 SQL entry points DuckDB does not share — registered
+# with equivalent-CLASSIC-SQL oracles instead of shared text (the only
+# two non-shared-text entries in this module; everything above runs
+# verbatim in both engines).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n, total FROM (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+  FROM orders WHERE o_orderstatus = 'O'
+  GROUP BY o_orderpriority
+) WHERE n > 10
+"""
+
+
+def _register_pipe():
+    @register("sql_pipe_syntax_query", oracle=_PIPE_ORACLE, tags=("sql", "pipe"))
+    def sql_pipe_syntax_query(spark: SparkSession, sf_dir: str):
+        """Spark 4 SQL PIPE syntax (`|>` — the linear FROM-first dialect
+        from Google's 'SQL Has Problems...' VLDB'24 paper, shipped in
+        Spark 4.0): scan |> filter |> aggregate |> having-style filter
+        |> project, hash-compared against the equivalent classic
+        GROUP-BY/HAVING SQL in DuckDB (DuckDB has no pipe dialect, so
+        this pair is oracle-by-equivalence, not shared text). Catalyst
+        compiles both to the same logical plan shape — the dialect is
+        surface syntax, which is exactly what the oracle proves."""
+        register_views(spark, sf_dir)
+        return spark.sql(
+            """
+            FROM orders
+            |> WHERE o_orderstatus = 'O'
+            |> AGGREGATE COUNT(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS total_dec
+               GROUP BY o_orderpriority
+            |> WHERE n > 10
+            |> SELECT o_orderpriority, n, CAST(total_dec AS DOUBLE) AS total
+            """
+        )
+
+
+_register_pipe()
+
+
+_VARS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_small_orders,
+       CAST(SUM(CASE WHEN o_orderkey < 500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tiny
+FROM orders WHERE o_orderkey < 5000
+GROUP BY o_orderpriority
+"""
+
+
+def _register_vars():
+    @register("sql_session_variables", oracle=_VARS_ORACLE, tags=("sql", "variables"))
+    def sql_session_variables(spark: SparkSession, sf_dir: str):
+        """Spark 4 SQL session variables (DECLARE / SET VARIABLE — the
+        parameterized-script surface): two variables drive a predicate
+        and a conditional count; the oracle inlines the same constants.
+        Variables are session-scoped state, so the query declares OR
+        REPLACE to stay re-runnable in one session (the driver calls
+        every query twice: rows, then hash)."""
+        register_views(spark, sf_dir)
+        spark.sql("DECLARE OR REPLACE VARIABLE key_cap BIGINT DEFAULT 5000")
+        spark.sql("DECLARE OR REPLACE VARIABLE tiny_cap BIGINT DEFAULT 500")
+        return spark.sql(
+            """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_small_orders,
+                   SUM(CASE WHEN o_orderkey < tiny_cap THEN 1 ELSE 0 END)
+                     AS n_tiny
+            FROM orders WHERE o_orderkey < key_cap
+            GROUP BY o_orderpriority
+            """
+        )
+
+
+_register_vars()
