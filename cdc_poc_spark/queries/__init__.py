@@ -304,6 +304,7 @@ _ROUND8_NEW: list = [
     "sim_ann_ivfpq_probe_sweep",
     "sql_pipe_syntax_query",
     "sql_session_variables",
+    "sql_group_by_all",
 ]
 
 

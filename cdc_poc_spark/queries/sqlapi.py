@@ -291,6 +291,19 @@ FROM u
 )
 
 
+_sql_query(
+    "sql_group_by_all",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ALL
+""",
+    tags=("sql", "agg"),
+)
+
+
 # ---------------------------------------------------------------------------
 # Round-7: Spark 4 SQL entry points DuckDB does not share — registered
 # with equivalent-CLASSIC-SQL oracles instead of shared text (the only
