@@ -305,6 +305,8 @@ _ROUND8_NEW: list = [
     "sql_pipe_syntax_query",
     "sql_session_variables",
     "sql_group_by_all",
+    "scalar_try_functions",
+    "tw_session_gap_sweep",
 ]
 
 

@@ -987,3 +987,52 @@ def scalar_xml_functions(spark, sf_dir):
         ).alias("parse_ok"),
         F.bool_and("rt").alias("roundtrip_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: try_* safety valves — ANSI mode's error paths, exercised.
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey = 0 THEN NULL
+            ELSE CAST(n_nationkey AS BIGINT) / n_regionkey END AS safe_div,
+       TRY_CAST(n_name AS BIGINT) AS name_as_number,
+       TRY_CAST(substring(n_name, 1, 1) AS INTEGER) AS head_digit,
+       CASE WHEN n_nationkey > 18
+            THEN NULL
+            ELSE CAST(power(10, n_nationkey) AS BIGINT) END AS pow_guard
+FROM nation
+"""
+
+
+@register("scalar_try_functions", oracle=_TRY_ORACLE, tags=("scalar", "ansi"))
+def scalar_try_functions(spark, sf_dir):
+    """ANSI-mode SAFETY VALVES: this engine runs with ANSI semantics
+    (overflow/cast/divide errors RAISE — the loud-failure discipline
+    every exactness rule here depends on), so the try_* family is the
+    sanctioned per-expression opt-out: try_divide(x, 0) -> NULL,
+    try_cast('HELLO' AS BIGINT) -> NULL, try_multiply overflow ->
+    NULL — each exercised over nation rows where the unguarded form
+    WOULD raise (regionkey 0 divisors exist, names are non-numeric).
+    The oracle expresses the same semantics with CASE/TRY_CAST (DuckDB
+    never raises on these, so its plain forms + guards are the
+    equivalent). The division result stays exact: both engines compute
+    BIGINT/BIGINT as double only after the NULL guard."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.expr(
+            "try_divide(CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT))"
+        ).alias("safe_div"),
+        F.expr("try_cast(n_name AS BIGINT)").alias("name_as_number"),
+        F.expr("try_cast(substring(n_name, 1, 1) AS INT)").alias("head_digit"),
+        # overflow -> NULL via try_cast (10^k exceeds BIGINT past k=18;
+        # the unguarded CAST raises under ANSI — that raise is what this
+        # column demonstrates the valve for). The oracle's explicit
+        # CASE > 18 is the equivalent: 10^18 is an exactly-representable
+        # double, so the in-range casts are exact in both engines.
+        F.expr(
+            "try_cast(power(10, CAST(n_nationkey AS DOUBLE)) AS BIGINT)"
+        ).alias("pow_guard"),
+    )

@@ -1023,3 +1023,88 @@ def tw_time_to_conversion(spark, sf_dir):
             ).alias("conversion_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: session-gap calibration — n_sessions as a function of the
+# inactivity gap, from ONE lag pass (the threshold/probe curve pattern
+# applied to sessionization).
+# ---------------------------------------------------------------------------
+
+_GAP_SWEEP_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), d AS (
+  SELECT user_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+           AS delta_us
+  FROM e
+), u AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM e
+), g AS (
+  SELECT unnest([5, 15, 30, 60]) AS gap_min
+)
+SELECT g.gap_min,
+       u.n_users + CAST(
+         (SELECT COUNT(*) FROM d
+          WHERE d.delta_us > CAST(g.gap_min AS BIGINT) * 60000000) AS BIGINT) AS n_sessions,
+       CAST(CAST(u.n_events AS HUGEINT) * 1000000
+            // (u.n_users + (SELECT COUNT(*) FROM d
+                WHERE d.delta_us > CAST(g.gap_min AS BIGINT) * 60000000))
+            AS BIGINT) AS events_per_session_micro
+FROM g, u
+"""
+
+
+@register("tw_session_gap_sweep", oracle=_GAP_SWEEP_ORACLE, tags=("timewindow", "session"))
+def tw_session_gap_sweep(spark, sf_dir):
+    """SESSION-GAP calibration: total session count (and mean events
+    per session, exact micro-units) as a function of the inactivity
+    gap (5/15/30/60 min) — the curve that picks the sessionization
+    parameter every funnel/retention metric downstream depends on.
+
+    The identity that makes this ONE pass instead of four
+    sessionizations: a session boundary exists exactly where a
+    per-user inter-arrival delta exceeds the gap, so
+    n_sessions(g) = n_users + #{deltas > g}. One per-user lag window
+    computes every delta once; the 4-row gap relation then
+    broadcast-theta-joins onto the delta relation and each gap is a
+    conditional count — map-side combinable, no re-shuffle per
+    candidate gap. Exact integers end-to-end (micros, HUGEINT/DECIMAL
+    floor division for the mean)."""
+    from ..tables import events_with_time
+
+    e = events_with_time(spark, sf_dir).select("user_id", "ts_us")
+    w = W.partitionBy("user_id").orderBy("ts_us")
+    d = e.select(
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("delta_us")
+    ).filter(F.col("delta_us").isNotNull())
+    u = e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(15), F.lit(30), F.lit(60))).alias(
+            "gap_min"
+        )
+    )
+    boundaries = (
+        F.broadcast(g)
+        .join(
+            d,
+            d.delta_us > F.col("gap_min").cast("long") * F.lit(60000000).cast("long"),
+            "left",
+        )
+        .groupBy("gap_min")
+        .agg(F.count(F.col("delta_us")).alias("n_boundaries"))
+    )
+    return boundaries.crossJoin(F.broadcast(u)).select(
+        "gap_min",
+        (F.col("n_users") + F.col("n_boundaries")).alias("n_sessions"),
+        F.expr(
+            "CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000"
+            " DIV (n_users + n_boundaries) AS BIGINT)"
+        ).alias("events_per_session_micro"),
+    )
