@@ -79,6 +79,8 @@ SINGLE_PARTITION_WINDOW_OK = {
     "ml_kmeans_step_assign",
     "ml_kmeans_step_update",
     "sim_centroid_distances",
+    # 5-row calibration-curve relations (threshold/probe/gap sweeps):
+    "sim_ann_ivfpq_probe_sweep",
 }
 
 
