@@ -437,3 +437,66 @@ def test_materialized_join_from_cdc_envelopes(spark, tmp_path):
         (10, 2, "a@x", "pro+"),
         (12, 2, "c@x", "pro+"),
     ]
+
+
+def test_materialized_join_random_histories(spark, tmp_path):
+    """Three seeded random delta histories (mixed upserts/deletes on
+    both sides, duplicate keys within epochs, interleaved empty sides)
+    must each end row-equal to the pure-Python recompute — the
+    randomized sibling of the hand-built scenario test."""
+    import random
+
+    for seed in (7, 23, 61):
+        rng = random.Random(seed)
+        mj = MaterializedJoin(
+            spark,
+            str(tmp_path / f"mj{seed}"),
+            left_id="l_id",
+            join_key="jk",
+            n_buckets=4,
+        )
+        all_l, all_r = [], []
+        seq = 0
+        cur_jk: dict[int, int] = {}  # the key-move CONTRACT: an l_id's
+        # jk may only change via delete + insert, so the generator
+        # tracks each live row's jk and emits moves as two deltas
+        for epoch in range(4):
+            lrows, rrows = [], []
+            for _ in range(rng.randint(0, 6)):
+                seq += 1
+                lid = rng.randint(1, 8)
+                jk = cur_jk.get(lid, rng.choice([10, 20, 30]))
+                r = rng.random()
+                if r < 0.25 and lid in cur_jk:
+                    lrows.append((lid, jk, None, "d", seq))
+                    del cur_jk[lid]
+                elif r < 0.40 and lid in cur_jk:
+                    # key move: delete at the old jk, insert at a new one
+                    lrows.append((lid, jk, None, "d", seq))
+                    seq += 1
+                    new_jk = rng.choice([k for k in (10, 20, 30) if k != jk])
+                    lrows.append((lid, new_jk, rng.randint(1, 999), "u", seq))
+                    cur_jk[lid] = new_jk
+                else:
+                    lrows.append((lid, jk, rng.randint(1, 999), "u", seq))
+                    cur_jk[lid] = jk
+            for _ in range(rng.randint(0, 3)):
+                seq += 1
+                jk = rng.choice([10, 20, 30])
+                if rng.random() < 0.25:
+                    rrows.append((jk, None, "d", seq))
+                else:
+                    rrows.append((jk, f"s{rng.randint(1, 5)}", "u", seq))
+            all_l.extend(lrows)
+            all_r.extend(rrows)
+            mj.apply_batch(
+                _delta(spark, lrows, L_SCHEMA) if lrows else None,
+                _delta(spark, rrows, R_SCHEMA) if rrows else None,
+                epoch,
+            )
+        want = _reference_join(all_l, all_r)
+        try:
+            got = _view_rows(mj)
+        except AssertionError:
+            got = []  # view never written or fully empty
+        assert got == want, f"seed {seed}"
