@@ -307,6 +307,7 @@ _ROUND8_NEW: list = [
     "sql_group_by_all",
     "scalar_try_functions",
     "tw_session_gap_sweep",
+    "mm_payload_near_dedup",
 ]
 
 
