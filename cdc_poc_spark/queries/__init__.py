@@ -292,10 +292,11 @@ _ROUND7B_NEW: list = [
 ]
 
 
-# Queries registered AFTER the round-7 window filled (46 + 4 = 50 slots
-# exactly). Per the standing policy these take round-8 window slots:
-# next round, promote this list to the front. Until then the full sweep
-# value-checks them like everything else.
+# ROUND-8 WINDOW (promoted to the front of all_specs() at the start of
+# round 8 per the standing policy): the 11 queries registered after the
+# round-7 window filled, all sweep-green in PARITY_SWEEP.json but never
+# driver hash-checked. 50 - 11 = 39 slots remain for round-8 additions
+# (_ROUND8B_NEW below).
 _ROUND8_NEW: list = [
     "scalar_xml_functions",
     "sql_pivot_unpivot_roundtrip",
@@ -309,6 +310,13 @@ _ROUND8_NEW: list = [
     "tw_session_gap_sweep",
     "mm_payload_near_dedup",
 ]
+
+
+# Queries registered for the first time DURING round 8 — appended after
+# _ROUND8_NEW so they get driver rows in the same round they land.
+# Capacity: 50 - 11 = 39 slots; overflow starts _ROUND9_NEW per the
+# standing policy.
+_ROUND8B_NEW: list = []
 
 
 # Queries registered for the first time DURING round 6 — appended to the
@@ -346,11 +354,69 @@ _ROUND6B_NEW: list = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# WINDOW_HISTORY — the full driver-window rotation record (VERDICT r7
+# "What's wrong #3": the promote-on-round-N policy used to be a hand-edited
+# concatenation inside all_specs(); one typo away from wasting a 50-query
+# window). Newest round FIRST: all_specs() orders the registry by walking
+# this table top-down, so the current round's pending queries occupy the
+# driver's 50-slot window and every prior round's (already driver-green)
+# window rotates behind in reverse-chronological order. Rounds 1-3 rotated
+# ad-hoc lists that predate this file's bookkeeping; their queries simply
+# fall through to registration order at the back.
+WINDOW_HISTORY: list[tuple[int, list]] = [
+    (8, _ROUND8_NEW + _ROUND8B_NEW),
+    (7, _ROUND7_NEW + _ROUND7B_NEW),
+    (6, _ROUND6_NEW + _ROUND6B_NEW),
+    (5, _ROUND5_FRONT + _ROUND5_NEW),
+    (4, _ROUND4_FRONT),
+]
+
+# Intentional window re-entries: a query whose ORACLE changed after its
+# last driver row re-enters the next round's window per the standing
+# policy (its old driver row hashed semantics that no longer exist).
+# Everything else must appear in exactly ONE window — enforced below.
+_REWINDOWED: dict[str, str] = {
+    # r6 window (first registration) AND r7 window (the hub cap became
+    # part of the operator's semantics in r7 — VERDICT r6 weak item):
+    "graph_linkpred_common_neighbors": "re-oracled r7 (hub cap)",
+}
+
+
+def _window_order() -> list[str]:
+    """Flatten WINDOW_HISTORY (newest round first) into the registry
+    ordering, asserting the windows are pairwise disjoint except for
+    explicitly whitelisted re-oracled entries."""
+    order: list[str] = []
+    seen: dict[str, int] = {}
+    for rnd, names in WINDOW_HISTORY:
+        assert len(names) <= 50, (
+            f"round-{rnd} window lists {len(names)} queries but the driver "
+            f"checks only the first 50 — the overflow would silently never "
+            f"get a driver row; start _ROUND{rnd + 1}_NEW instead"
+        )
+        assert len(set(names)) == len(names), (
+            f"round-{rnd} window has internal duplicates: "
+            f"{[n for n in names if names.count(n) > 1]}"
+        )
+        for n in names:
+            if n in seen:
+                assert n in _REWINDOWED, (
+                    f"{n!r} appears in both the round-{seen[n]} and "
+                    f"round-{rnd} windows without a _REWINDOWED entry — "
+                    f"either a paste error (wasting a window slot) or an "
+                    f"undocumented re-oracle"
+                )
+                continue  # ordering keeps the newest round's position
+            seen[n] = rnd
+            order.append(n)
+    return order
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Import all query modules (side effect: registration) and return the
-    full registry, ordered so the round-6 window (``_ROUND6_NEW`` then
-    ``_ROUND6B_NEW``) comes first (see the comment above ``_ROUND5_FRONT``
-    for the rotation policy)."""
+    full registry, ordered by ``WINDOW_HISTORY`` (current round's pending
+    queries first — the driver hash-checks the first 50 entries)."""
     from . import (  # noqa: F401
         tpch,
         tpch2,
@@ -374,17 +440,12 @@ def all_specs() -> dict[str, QuerySpec]:
         profiling,
     )
 
-    # ROUND-7 WINDOW: _ROUND7_NEW (46 sweep-green queries registered after
-    # the r6 window froze, never driver hash-checked) comes FIRST so the r7
-    # driver window fronts them; _ROUND7B_NEW (queries added during round 7)
-    # fills the remaining 4 slots. Everything after position 50 is already
-    # driver-green (r6's window — _ROUND6_NEW/_ROUND6B_NEW — went green in
-    # CORRECTNESS_r06.json and rotates behind).
-    order = (
-        _ROUND7_NEW + _ROUND7B_NEW
-        + _ROUND6_NEW + _ROUND6B_NEW
-        + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    order = _window_order()
+    missing = [n for n in order if n not in _REGISTRY]
+    assert not missing, (
+        f"WINDOW_HISTORY names queries that are not registered: {missing} "
+        f"— a typo here would waste driver-window slots"
     )
-    front = {n: _REGISTRY[n] for n in order if n in _REGISTRY}
+    front = {n: _REGISTRY[n] for n in order}
     rest = {n: s for n, s in _REGISTRY.items() if n not in front}
     return {**front, **rest}

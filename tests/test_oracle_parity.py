@@ -38,38 +38,38 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
-def test_round7_front_names_all_registered():
-    """Every name in the window lists must exist in the registry (the
-    window builder silently drops unknown names — a typo would shrink
-    the driver's 50-query window), the round-7 window (_ROUND7_NEW then
-    _ROUND7B_NEW) must lead the iteration order, and it must fit inside
-    the 50-wide driver window. _ROUND7B_NEW may legitimately re-front a
-    name from an earlier list (oracle changed after its last driver
-    row), so order-dedup keeps FIRST occurrence — the semantics of the
-    front-dict builder."""
+def test_window_history_invariants():
+    """WINDOW_HISTORY (VERDICT r7 'What's wrong #3': the hand-edited
+    concatenation is now a table with machine-checked invariants) must:
+    lead the registry iteration order with the CURRENT round's window;
+    name only registered queries (the old builder silently dropped
+    unknown names — a typo would shrink the driver's 50-query window);
+    keep every window <= 50 and internally duplicate-free; and keep
+    windows pairwise disjoint except whitelisted re-oracled entries.
+    The structural asserts live inside _window_order() itself — this
+    test exercises them plus the ordering contract."""
     from cdc_poc_spark.queries import (
-        _ROUND4_FRONT,
-        _ROUND5_FRONT,
-        _ROUND5_NEW,
-        _ROUND6_NEW,
-        _ROUND6B_NEW,
-        _ROUND7_NEW,
-        _ROUND7B_NEW,
+        _REWINDOWED,
+        WINDOW_HISTORY,
+        _window_order,
         all_specs,
     )
 
     specs = all_specs()
-    order = (
-        _ROUND7_NEW + _ROUND7B_NEW
-        + _ROUND6_NEW + _ROUND6B_NEW
-        + _ROUND5_FRONT + _ROUND5_NEW + _ROUND4_FRONT
+    order = _window_order()  # raises on any invariant breach
+    assert list(specs)[: len(order)] == order
+    # rounds strictly descending (newest first — the promotion policy)
+    rounds = [r for r, _ in WINDOW_HISTORY]
+    assert rounds == sorted(rounds, reverse=True)
+    # the whitelist contains no stale entries (names that never dup)
+    from collections import Counter
+
+    counts = Counter(n for _, names in WINDOW_HISTORY for n in names)
+    dups = {n for n, c in counts.items() if c > 1}
+    assert dups == set(_REWINDOWED), (
+        f"_REWINDOWED out of sync with WINDOW_HISTORY: dups={dups}, "
+        f"whitelist={set(_REWINDOWED)}"
     )
-    missing = [n for n in order if n not in specs]
-    assert not missing, f"front names not registered: {missing}"
-    deduped = list(dict.fromkeys(order))
-    assert list(specs)[: len(deduped)] == deduped
-    window = _ROUND7_NEW + _ROUND7B_NEW
-    assert len(set(window)) == len(window), "duplicates inside the r7 window"
-    assert len(window) <= 50, (
-        "round-7 window overflows the driver's 50-query check"
-    )
+    # current round's window fits the driver check with room noted
+    cur_round, cur = WINDOW_HISTORY[0]
+    assert len(cur) <= 50
