@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 from ..tables import VAL, dec, events_with_time, load_table
 from . import register
 
+
+def _ephemeral_state_dir(prefix: str) -> str:
+    """mkdtemp reaped at interpreter exit. The IVM queries return a
+    DataFrame that reads this dir lazily, so it must outlive the query
+    function — but repeated invocations (the driver runs each query
+    twice; the sweep/audit/bench rebuild it) must not leak bucketed
+    parquet state trees under /tmp for the life of the machine
+    (ADVICE r7)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 # ---------------------------------------------------------------------------
 # Current-state materialization (the flagship)
 # ---------------------------------------------------------------------------
@@ -361,8 +377,6 @@ def cdc_continuous_aggregate(spark, sf_dir):
     incrementally-maintained view is bit-exact with recomputation
     after multiple batch applications, which is the IVM correctness
     property."""
-    import tempfile
-
     from ..streaming.ivm import ContinuousAggregate
 
     ev = load_table(spark, sf_dir, "events")
@@ -374,11 +388,10 @@ def cdc_continuous_aggregate(spark, sf_dir):
         ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
         ev.filter(F.col("ts") > cut2),
     ]
-    # State lives in a caller-scoped dir that OUTLIVES this function, so
-    # the returned DataFrame reads it lazily and distributed — no
-    # driver-side collect round-trip. Footprint is |groups| rows; the OS
-    # tmp reaper owns cleanup.
-    d = tempfile.mkdtemp(prefix="cdc_poc_ivm_")
+    # State lives in a dir that OUTLIVES this function (the returned
+    # DataFrame reads it lazily and distributed — no driver-side collect
+    # round-trip) and is reaped at interpreter exit.
+    d = _ephemeral_state_dir("cdc_poc_ivm_")
     agg = ContinuousAggregate(spark, d, cust)
     for i, chunk in enumerate(chunks):
         agg.apply_batch(chunk, epoch_id=i)
@@ -671,8 +684,6 @@ def cdc_materialized_join_view(spark, sf_dir):
     cost is O(delta + affected buckets), never O(state); crash
     atomicity, replay idempotence, and bucket locality are pytest-
     asserted in tests/test_ivm_join.py."""
-    import tempfile
-
     from ..streaming.ivm_join import MaterializedJoin
 
     cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
@@ -686,7 +697,7 @@ def cdc_materialized_join_view(spark, sf_dir):
     )
     mj = MaterializedJoin(
         spark,
-        tempfile.mkdtemp(prefix="mjoin_query_"),
+        _ephemeral_state_dir("mjoin_query_"),
         left_id="l_id",
         join_key="jk",
         n_buckets=16,

@@ -3087,6 +3087,12 @@ def mm_payload_near_dedup(spark, sf_dir):
         media.select(F.hex(F.col("payload")).alias("hx"), "media_id")
         .groupBy("hx")
         .agg(F.min("media_id").alias("rep"))
+        # payloads under 4 bytes have no byte-4-gram; without this guard
+        # F.sequence(1, len/2-3) would infer step -1 (start > stop) and
+        # emit bogus negative offsets while the oracle's generate_series
+        # is empty (ADVICE r7). Fixtures are >=47 bytes, but the guard
+        # makes the contract total.
+        .filter(F.length("hx") >= 8)
     )
     g0 = (
         reps.select(

@@ -98,9 +98,14 @@ class MaterializedJoin:
         return m
 
     def _publish(self, version: int, manifest: dict) -> None:
-        json.dump(
-            manifest, open(os.path.join(self._vdir(version), "meta.json"), "w")
-        )
+        # The manifest must be durable BEFORE the CURRENT pointer swap —
+        # otherwise a crash after the swap can publish a version with a
+        # torn meta.json (ADVICE r7): explicit close + fsync, no reliance
+        # on CPython refcount close ordering.
+        with open(os.path.join(self._vdir(version), "meta.json"), "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         tmp = self._pointer_path + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(version))

@@ -94,14 +94,20 @@ def audit(spark, specs, sf_dir: str) -> dict:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
-            row["cartesian"] = plan.count("(") and plan.count("CartesianProduct") // 2
-            row["batch_eval_python"] = plan.count("BatchEvalPython") // 2
+            # Violation detection uses the RAW occurrence count (> 0):
+            # the //2 normalization (each node prints ~twice in formatted
+            # explain) is informational only — an odd count must not
+            # floor to 0 and mask a violation (ADVICE r7).
+            cartesian_raw = plan.count("CartesianProduct")
+            batch_eval_raw = plan.count("BatchEvalPython")
+            row["cartesian"] = cartesian_raw // 2
+            row["batch_eval_python"] = batch_eval_raw // 2
             row["single_partition"] = "Exchange SinglePartition" in plan
             row["window"] = "Window" in plan
             violations = []
-            if row["cartesian"] and name not in CARTESIAN_OK:
+            if cartesian_raw and name not in CARTESIAN_OK:
                 violations.append("cartesian")
-            if row["batch_eval_python"]:
+            if batch_eval_raw:
                 violations.append("per_row_python_udf")
             if (
                 row["single_partition"]
