@@ -156,6 +156,64 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# ---------------------------------------------------------------------------
+# Load covariate (VERDICT r7 "What's wrong #1": a 1.5x min-time drift with
+# code unchanged traced to outside CPU contention, and the committed record
+# had no way to PROVE it). Every timed sample now carries the fraction of
+# machine CPU time consumed by processes OUTSIDE this bench's process tree
+# during the measurement — on a quiesced machine it is ~0; a contaminated
+# sample is flagged by the number itself, not by after-the-fact forensics.
+# ---------------------------------------------------------------------------
+
+def _descendant_pids() -> list[int]:
+    """This process and all live descendants (the local-mode JVM and any
+    Python workers), via one /proc scan of ppid chains."""
+    ppid_of: dict[int, int] = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            ppid_of[int(entry)] = int(parts[1])  # field 4 = ppid
+        except OSError:
+            continue
+    mine = {os.getpid()}
+    changed = True
+    while changed:
+        changed = False
+        for pid, ppid in ppid_of.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                changed = True
+    return sorted(mine)
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(machine busy jiffies, this-process-tree jiffies). Busy = total
+    minus idle+iowait from /proc/stat line 1; tree = sum of utime+stime
+    over descendant /proc/<pid>/stat (dead children's time is lost, but
+    the JVM does ~all the work here and lives the whole run)."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()[1:]
+    vals = [int(x) for x in f]
+    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    tree = 0
+    for pid in _descendant_pids():
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            tree += int(parts[11]) + int(parts[12])  # utime, stime
+        except OSError:
+            continue
+    return busy, tree
+
+
+def _loadavg() -> list[float]:
+    with open("/proc/loadavg") as fh:
+        return [float(x) for x in fh.read().split()[:3]]
+
+
 def _index_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     """Timed persisted-Jaccard-index lifecycle (VERDICT r4 #6): the
     standing-index claim — per-batch dedup cost is bucket-local, not
@@ -249,14 +307,23 @@ def main() -> None:
     slow_sec = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_SEC", "2.0"))
     jvm_gc = spark.sparkContext._jvm.System.gc  # type: ignore[attr-defined]
     samples: dict[str, list[float]] = {name: [] for name in headline}
+    external: dict[str, list[float]] = {name: [] for name in headline}
+    load_start = _loadavg()
+
     slow: set[str] = set()
 
     def timed(name: str) -> None:
         if name in slow:
             jvm_gc()
+        busy0, tree0 = _cpu_jiffies()
         t0 = time.perf_counter()
         _force(specs[name].fn(spark, sf_dir))
         samples[name].append(time.perf_counter() - t0)
+        busy1, tree1 = _cpu_jiffies()
+        # Fraction of machine busy-CPU during this sample that was NOT
+        # this bench: ~0 quiesced, >0 flags a contaminated sample.
+        d_busy = max(busy1 - busy0, 1)
+        external[name].append(round(max(d_busy - (tree1 - tree0), 0) / d_busy, 3))
         # Queries that persist intermediates (similarity join, CC) must
         # not hold blocks into the next measurement — isolate each run.
         spark.catalog.clearCache()
@@ -310,6 +377,16 @@ def main() -> None:
         "queries": timings,
         "queries_min": mins,
         "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
+        # Load covariate: per-sample fraction of machine busy-CPU spent
+        # OUTSIDE this bench's process tree (~0 on a quiesced machine;
+        # a contaminated run is detectable from the record itself).
+        "external_cpu_frac": external,
+        "external_cpu_frac_max": round(
+            max((x for xs in external.values() for x in xs), default=0.0), 3
+        ),
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
+        "n_cpus": os.cpu_count(),
         "index_lifecycle_min3": lifecycle,
         "sf": sf,
         "runs_per_query": n_base,
@@ -326,6 +403,8 @@ def main() -> None:
         "n_core": len(core),
         "rotating_total": rot_total,
         "n_rotating": len(rotating),
+        "external_cpu_frac_max": detail["external_cpu_frac_max"],
+        "loadavg_start": load_start,
         "sf": sf,
         "detail": os.path.basename(detail_path),
     }
