@@ -126,6 +126,9 @@ ROTATING = [
     "scalar_xml_functions",
     "sql_pivot_unpivot_roundtrip",
     "dedup_threshold_sweep",
+    # round 8 additions
+    "sim_ann_ivfpq_rerank_topk",
+    "cdc_materialized_join_agg",
 ]
 
 

@@ -1245,6 +1245,10 @@ def build_ivfpq_index(
         "assigned": assigned,
         "codes": codes,
         "dtable": dtable,
+        # raw quantized dim cells — the refine stage (ivfpq_rerank_topk)
+        # rescores candidates against these EXACT coordinates; in a
+        # deployment this is the stored-vector read the +R step pays
+        "dims": dims,
         "n_queries": n_queries,
     }
     if pin:
@@ -1323,4 +1327,84 @@ def ivfpq_topk(
         .agg(F.sum("dt").alias("adc_dist2"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    q: int = 1_000_000,
+    index: dict | None = None,
+    refine: int | None = None,
+) -> DataFrame:
+    """IVFADC+R (Jégou et al. TPAMI'11 §V.B, "re-ranking"): take the
+    IVF-PQ candidate set and RE-SCORE it with exact (integer-quantized)
+    L2 distances before the final top-k — the production fix for the
+    measured fact that end-to-end top-k recall under approximate ADC
+    distances is NOT monotone in n_probe (see sim_ann_ivfpq_probe_sweep,
+    VERDICT r7 "What's wrong #2").
+
+    With ``refine=None`` (default) the WHOLE candidate set is rescored,
+    which makes end-to-end recall provably monotone in n_probe: a true
+    global top-k neighbor has global exact-distance rank <= k, so it
+    ranks <= k inside ANY candidate set that contains it — growing the
+    probed set can only add hits, never displace one. ``refine=R``
+    instead reranks only the R*k best-by-ADC candidates per query (the
+    paper's bounded-R variant — the scale path when inverted lists are
+    long: the exact-coordinate read is then O(R*k*d) per query instead
+    of O(candidates*d)); bounding trades the monotonicity proof away.
+
+    Scale: the rerank join reads exact dim cells ONLY for candidates
+    (|candidates| x d rows, an equi-join on the vector id); queries'
+    dim cells are a broadcast (n_queries * d rows). Distances are exact
+    integers in micro^2 units — same determinism discipline as the rest
+    of the index (no float ordering, ties broken by neighbor_id)."""
+    idx = index if index is not None else build_ivfpq_index(
+        emb, id_col, vec_col, n_queries, n_cells, m, pq_k, q
+    )
+    cand = ivfpq_topk(
+        emb, id_col, vec_col, n_queries, k, n_cells, n_probe, m, pq_k, q,
+        return_candidates=True, index=idx,
+    ).drop("prank")
+    if refine is not None:
+        w_adc = W.partitionBy("query_id").orderBy("adc_dist2", F.asc("neighbor_id"))
+        cand = (
+            cand.join(
+                idx["codes"].select(F.col("id").alias("neighbor_id"), "sub", "code"),
+                "neighbor_id",
+            )
+            .join(F.broadcast(idx["dtable"]), ["query_id", "sub", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("dt").alias("adc_dist2"))
+            .withColumn("arank", F.row_number().over(w_adc))
+            .filter(F.col("arank") <= refine * k)
+            .select("query_id", "neighbor_id")
+        )
+    dims = idx["dims"]
+    qd = dims.filter(F.col("id") < idx["n_queries"]).select(
+        F.col("id").alias("query_id"), "j", F.col("qx").alias("qq")
+    )
+    exact = (
+        cand.join(
+            dims.select(F.col("id").alias("neighbor_id"), "j", "qx"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qd), ["query_id", "j"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                (F.col("qx") - F.col("qq")) * (F.col("qx") - F.col("qq"))
+            ).alias("exact_d2")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("exact_d2", F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -316,7 +316,11 @@ _ROUND8_NEW: list = [
 # _ROUND8_NEW so they get driver rows in the same round they land.
 # Capacity: 50 - 11 = 39 slots; overflow starts _ROUND9_NEW per the
 # standing policy.
-_ROUND8B_NEW: list = []
+_ROUND8B_NEW: list = [
+    "sim_ann_ivfpq_rerank_topk",
+    "sim_ann_ivfpq_rerank_full_probe",
+    "cdc_materialized_join_agg",
+]
 
 
 # Queries registered for the first time DURING round 6 — appended to the

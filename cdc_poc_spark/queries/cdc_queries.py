@@ -727,3 +727,97 @@ def cdc_materialized_join_view(spark, sf_dir):
         "price_cents",
         "seg",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: incrementally-maintained AGGREGATE-ON-JOIN view — the rollup a
+# CDC consumer's BI layer reads (VERDICT r7 "Next round" #4).
+# ---------------------------------------------------------------------------
+
+_MJOIN_AGG_ORACLE = """
+WITH live_orders AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS price_cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+), live_cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT c.seg, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.price_cents) AS BIGINT) AS total_cents,
+       CAST(MAX(o.price_cents) AS BIGINT) AS max_cents
+FROM live_orders o JOIN live_cust c ON c.c_custkey = o.o_custkey
+GROUP BY c.seg
+"""
+
+
+@register("cdc_materialized_join_agg", oracle=_MJOIN_AGG_ORACLE, tags=("cdc", "ivm", "streaming", "agg"))
+def cdc_materialized_join_agg(spark, sf_dir):
+    """Incrementally-maintained AGGREGATE over the maintained JOIN
+    (streaming/ivm_join.py: MaterializedJoinAggregate) — the
+    upsert-mirror -> BI-rollup composition the reference's Iceberg
+    consumers exist to feed (connect-iceberg-sink.json:29-30), driven
+    through the SAME deterministic five-epoch CDC history as
+    cdc_materialized_join_view (orders in thirds; customer re-segment
+    at e2; o_orderkey % 7 deletes at e3) and hash-compared against the
+    plain-SQL GROUP BY over the final snapshots' join.
+
+    The measures include MAX — deliberately NOT self-maintainable
+    under the e3 deletes (the classic IVM counterexample: a deleted
+    row may hold the max): the per-bucket partials are recomputed from
+    each affected bucket's full new slice, so deletes are exact without
+    any auxiliary structure. The oracle never sees the epochs; any
+    defect in partial upkeep, re-combination, or the delete path
+    breaks the hash. Per-epoch cost is O(delta + affected buckets) +
+    one |groups|-per-bucket partial rewrite — never O(view)."""
+    from ..streaming.ivm_join import MaterializedJoinAggregate
+
+    cents = (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_id"),
+        F.col("o_custkey").alias("jk"),
+        cents.alias("price_cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("jk"), F.col("c_mktsegment").alias("seg")
+    )
+    mj = MaterializedJoinAggregate(
+        spark,
+        _ephemeral_state_dir("mjoinagg_query_"),
+        left_id="l_id",
+        join_key="jk",
+        group_cols=["seg"],
+        measures={
+            "n_orders": ("1", "count"),
+            "total_cents": ("price_cents", "sum"),
+            "max_cents": ("price_cents", "max"),
+        },
+        n_buckets=16,
+    )
+    up = lambda df, seq: df.withColumn("__op", F.lit("u")).withColumn(  # noqa: E731
+        "__seq", F.lit(seq).cast("long")
+    )
+    mj.apply_batch(
+        up(orders.filter("l_id % 3 = 0"), 0), up(cust, 0), epoch_id=0
+    )
+    mj.apply_batch(up(orders.filter("l_id % 3 = 1"), 1), None, epoch_id=1)
+    mj.apply_batch(
+        up(orders.filter("l_id % 3 = 2"), 2),
+        up(cust.filter("jk % 5 = 0").withColumn("seg", F.lit("MOVED")), 2),
+        epoch_id=2,
+    )
+    deletes = (
+        orders.filter("l_id % 7 = 0")
+        .select("l_id", "jk", F.lit(None).cast("long").alias("price_cents"))
+        .withColumn("__op", F.lit("d"))
+        .withColumn("__seq", F.lit(3).cast("long"))
+    )
+    mj.apply_batch(deletes, None, epoch_id=3)
+    return mj.aggregate().select(
+        "seg",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("max_cents").cast("long").alias("max_cents"),
+    )

@@ -500,3 +500,178 @@ def test_materialized_join_random_histories(spark, tmp_path):
         except AssertionError:
             got = []  # view never written or fully empty
         assert got == want, f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# Round-8: MaterializedJoinAggregate — maintained rollup over the
+# maintained join (sum/count and the non-self-maintainable max).
+# ---------------------------------------------------------------------------
+
+
+def _reference_agg(left_rows, right_rows):
+    """Pure-Python recompute: rollup of the reference join by seg."""
+    out = {}
+    for _, _, amount, seg in _reference_join(left_rows, right_rows):
+        n, s, mx = out.get(seg, (0, 0, None))
+        out[seg] = (n + 1, s + amount, amount if mx is None else max(mx, amount))
+    return {k: v for k, v in out.items()}
+
+
+def _make_agg(spark, path, nb=8):
+    from cdc_poc_spark.streaming.ivm_join import MaterializedJoinAggregate
+
+    return MaterializedJoinAggregate(
+        spark,
+        str(path),
+        left_id="l_id",
+        join_key="jk",
+        group_cols=["seg"],
+        measures={
+            "n_rows": ("1", "count"),
+            "total": ("amount", "sum"),
+            "max_amount": ("amount", "max"),
+        },
+        n_buckets=nb,
+    )
+
+
+def _agg_rows(mj):
+    return {
+        r.seg: (r.n_rows, r.total, r.max_amount) for r in mj.aggregate().collect()
+    }
+
+
+def test_materialized_join_agg_matches_recompute(spark, tmp_path):
+    """Epoch-by-epoch equality with the pure-Python rollup across a
+    history whose deletes REMOVE the current max of a group — the
+    classic case self-maintaining aggregates get wrong; the per-bucket
+    recompute must not."""
+    mj = _make_agg(spark, tmp_path / "mja")
+    all_l, all_r = [], []
+
+    def apply(epoch, lrows, rrows):
+        all_l.extend(lrows)
+        all_r.extend(rrows)
+        dl = _delta(spark, lrows, L_SCHEMA) if lrows else None
+        dr = _delta(spark, rrows, R_SCHEMA) if rrows else None
+        mj.apply_batch(dl, dr, epoch)
+        assert _agg_rows(mj) == _reference_agg(all_l, all_r), f"epoch {epoch}"
+
+    apply(
+        0,
+        [(1, 10, 100, "u", 0), (2, 10, 900, "u", 0), (3, 20, 300, "u", 0)],
+        [(10, "A", "u", 0), (20, "B", "u", 0)],
+    )
+    # delete the max of group A (l_id=2, amount=900): max must FALL to 100
+    apply(1, [(2, 10, None, "d", 1)], [])
+    assert _agg_rows(mj)["A"] == (1, 100, 100)
+    # right re-segment: group A's rows move to segment A2 wholesale
+    apply(2, [], [(10, "A2", "u", 2)])
+    assert "A" not in _agg_rows(mj) and _agg_rows(mj)["A2"] == (1, 100, 100)
+    # new max arrives, then an unmatched left row (invisible to rollup)
+    apply(3, [(4, 10, 5000, "u", 3), (9, 99, 7, "u", 3)], [])
+    assert _agg_rows(mj)["A2"] == (2, 5100, 5000)
+    # delete the whole of group B: the group must VANISH, not zero out
+    apply(4, [(3, 20, None, "d", 4)], [])
+    assert "B" not in _agg_rows(mj)
+
+
+def test_materialized_join_agg_streaming_drain(spark, tmp_path):
+    """The streaming wiring is inherited: drain side-tagged delta files
+    through materialized_join_stream into a MaterializedJoinAggregate
+    and the rollup must equal the recompute."""
+    import glob
+    import shutil as sh
+
+    from cdc_poc_spark.streaming.ivm_join import materialized_join_stream
+
+    U = (
+        "__side string, l_id long, jk long, amount long, seg string,"
+        " __op string, __seq long"
+    )
+    epochs = [
+        [
+            ("l", 1, 10, 100, None, "u", 0),
+            ("l", 2, 20, 9000, None, "u", 0),
+            ("r", None, 10, None, "A", "u", 0),
+            ("r", None, 20, None, "A", "u", 0),
+        ],
+        # delete the group max via the LEFT side
+        [("l", 2, 20, None, None, "d", 1)],
+        # move jk=10 to a new segment
+        [("r", None, 10, None, "B", "u", 2)],
+    ]
+    all_l = [
+        (r[1], r[2], r[3], r[5], r[6]) for ep in epochs for r in ep if r[0] == "l"
+    ]
+    all_r = [(r[2], r[4], r[5], r[6]) for ep in epochs for r in ep if r[0] == "r"]
+
+    data_dir = tmp_path / "stream"
+    data_dir.mkdir()
+    for i, rows in enumerate(epochs):
+        out = str(tmp_path / f"ep{i}")
+        spark.createDataFrame(rows, U).coalesce(1).write.parquet(out)
+        (pf,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        dest = str(data_dir / f"e{i:03d}.parquet")
+        sh.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    mj = _make_agg(spark, tmp_path / "mjas", nb=4)
+    q = materialized_join_stream(
+        spark.readStream.schema(U)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir)),
+        mj,
+        str(tmp_path / "ckpt"),
+        left_cols=["l_id", "jk", "amount"],
+        right_cols=["jk", "seg"],
+    )
+    q.awaitTermination(180)
+    want = _reference_agg(all_l, all_r)
+    assert _agg_rows(mj) == want and want == {"B": (1, 100, 100)}
+
+
+def test_materialized_join_agg_partial_locality(spark, tmp_path):
+    """A single-key epoch rewrites ONLY the touched bucket's aggregate
+    partial; every other bucket's partial keeps its old version pointer
+    — per-batch rollup upkeep is bounded by delta keys, not view size."""
+    mj = _make_agg(spark, tmp_path / "mjl")
+    lrows = [(i, i * 10, i * 100, "u", 0) for i in range(1, 13)]
+    rrows = [(i * 10, f"s{i}", "u", 0) for i in range(1, 13)]
+    mj.apply_batch(_delta(spark, lrows, L_SCHEMA), _delta(spark, rrows, R_SCHEMA), 0)
+    man0 = mj._manifest(mj._current_version())
+
+    mj.apply_batch(_delta(spark, [(1, 10, 999, "u", 1)], L_SCHEMA), None, 1)
+    v1 = mj._current_version()
+    man1 = mj._manifest(v1)
+    moved = [b for b in man1["buckets"] if man1["buckets"][b] != man0["buckets"].get(b)]
+    assert len(moved) == 1
+    agg_dir = os.path.join(str(tmp_path / "mjl"), f"v{v1}", "agg")
+    written = {d for d in os.listdir(agg_dir) if d.startswith("__bktp=")}
+    assert written == {f"__bktp={moved[0]}"}
+    # and the combined rollup is still exact across mixed-version partials
+    got = _agg_rows(mj)
+    assert got["s1"] == (1, 999, 999)
+    assert got["s12"] == (1, 1200, 1200)
+    assert len(got) == 12
+
+
+def test_materialized_join_agg_survives_compaction(spark, tmp_path):
+    mj = _make_agg(spark, tmp_path / "mjc", nb=4)
+    all_l, all_r = [], []
+    for e in range(6):
+        lrows = [(e * 10 + 1, (e % 3) * 10, 100 + e, "u", e)]
+        all_l.extend(lrows)
+        if e == 0:
+            rrows = [(0, "X", "u", 0), (10, "Y", "u", 0), (20, "X", "u", 0)]
+            all_r.extend(rrows)
+            mj.apply_batch(
+                _delta(spark, lrows, L_SCHEMA), _delta(spark, rrows, R_SCHEMA), e
+            )
+        else:
+            mj.apply_batch(_delta(spark, lrows, L_SCHEMA), None, e)
+    before = _agg_rows(mj)
+    mj.compact()
+    assert _agg_rows(mj) == before == _reference_agg(all_l, all_r)
+    vers = {int(v) for v in mj._manifest(mj._current_version())["buckets"].values()}
+    assert len(vers) == 1  # every bucket (agg included) in ONE version dir
