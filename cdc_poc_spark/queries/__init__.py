@@ -320,6 +320,7 @@ _ROUND8B_NEW: list = [
     "sim_ann_ivfpq_rerank_topk",
     "sim_ann_ivfpq_rerank_full_probe",
     "cdc_materialized_join_agg",
+    "cdc_ooo_profile_stream_state",
 ]
 
 

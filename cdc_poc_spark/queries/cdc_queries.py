@@ -821,3 +821,83 @@ def cdc_materialized_join_agg(spark, sf_dir):
         F.col("total_cents").cast("long").alias("total_cents"),
         F.col("max_cents").cast("long").alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the OOO streaming twin's MAINTAINED STATE, driver-hashed
+# (VERDICT r7 "Next round" #5).
+# ---------------------------------------------------------------------------
+
+
+def _ooo_oracle() -> str:
+    """The batch cdc_out_of_order_profile's oracle, shared VERBATIM
+    (lazy import: profiling registers its own queries on import, and
+    module import order belongs to queries/__init__)."""
+    from .profiling import _OOO_ORACLE
+
+    return _OOO_ORACLE
+
+
+@register(
+    "cdc_ooo_profile_stream_state",
+    oracle=_ooo_oracle(),
+    tags=("cdc", "streaming", "quality"),
+)
+def cdc_ooo_profile_stream_state(spark, sf_dir):
+    """The out-of-order profile read FROM THE STREAMING TWIN'S MAINTAINED
+    STATE — not from the raw events. The r7 twins were pytest-equal to
+    driver-green batch queries; this puts the streaming state itself
+    under the DuckDB hash (the cdc_materialized_join_view pattern
+    applied to stateful counters): the fixture is split into one file
+    per arrival bucket, drained through
+    streaming/windows.py:streaming_out_of_order_profile with
+    maxFilesPerTrigger=1 (so the cross-epoch per-user last-arrival
+    state path is exercised, ~11 micro-batches at sf0.01), and the
+    returned rows are derive_out_of_order_profile over the landed
+    per-epoch counter increments. The oracle is the SAME SQL as the
+    batch cdc_out_of_order_profile — it recomputes from raw events and
+    never sees an epoch, so a defect in the epoch guard, the prior-state
+    lookup, or the increment algebra breaks the hash. Per-epoch state
+    I/O is |series| + |users-in-batch| rows, never history."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.temporal import JITTER_SPARK, WM_BATCH
+    from ..streaming import windows as swin
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _ephemeral_state_dir("cdc_ooo_stream_")
+    staged = os.path.join(work, "staged")
+    # ONE pass stages every arrival bucket as its own file (partitioned
+    # write), then mtimes order the stream's file listing = arrival order
+    # (the twin's documented input contract).
+    (
+        ev.withColumn("__bkt", F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}"))
+        .repartition(1)
+        .write.partitionBy("__bkt")
+        .parquet(staged)
+    )
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    bkts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staged)
+        if d.startswith("__bkt=")
+    )
+    for i, b in enumerate(bkts):
+        (pf,) = glob.glob(os.path.join(staged, f"__bkt={b}", "part-*.parquet"))
+        dest = os.path.join(data_dir, f"e{i:05d}.parquet")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = swin.streaming_out_of_order_profile(
+        stream, os.path.join(work, "state"), os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(600)
+    return swin.derive_out_of_order_profile(spark, os.path.join(work, "state"))
+
