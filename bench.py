@@ -129,6 +129,8 @@ ROTATING = [
     # round 8 additions
     "sim_ann_ivfpq_rerank_topk",
     "cdc_materialized_join_agg",
+    "agg_spearman_rho",
+    "ml_covariance_matrix",
 ]
 
 

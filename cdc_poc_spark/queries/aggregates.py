@@ -2015,3 +2015,362 @@ def agg_simpson_diversity(spark, sf_dir):
             "CAST(n * (n - 1) * 1000000 DIV (n_sources * pairs_same) AS BIGINT)"
         ).alias("evenness_hill2_ppm_of_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: rank correlation — Spearman's rho over per-customer features.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH f AS (
+  SELECT c.c_custkey,
+         CAST(round(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS bal,
+         CAST(SUM(round(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100)) AS BIGINT)
+           AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), r AS (
+  SELECT CAST(rank() OVER (ORDER BY bal, c_custkey) AS BIGINT) AS rx,
+         CAST(rank() OVER (ORDER BY spend, c_custkey) AS BIGINT) AS ry
+  FROM f
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(rx) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(ry) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(rx * rx) AS DECIMAL(38,0)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(ry * ry) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(rx * ry) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+@register("agg_spearman_rho", oracle=_SPEARMAN_ORACLE, tags=("agg", "stats"))
+def agg_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between a customer's account balance
+    and their total order spend — the monotone-association twin of the
+    Pearson query (agg_corr_regression): rank both features, then
+    Pearson on the RANKS. Tie/determinism contract: SQL rank() with a
+    deterministic key tiebreak (custkey) in BOTH engines — documented
+    in place of midrank averaging, which would put engine-specific
+    float ties inside the ranking itself. Exactness: features are
+    integer cents; ranks are integers; every moment is an exact
+    DECIMAL(38) sum (order-invariant under shuffle); rho is ONE
+    deterministic IEEE expression at the end (the OLS float rule).
+    Plan: one join + groupBy for features; the two total orders run as
+    the TWO-PASS DISTRIBUTED RANK (operators/scale.py:global_index —
+    range-repartition + per-partition offsets, an O(#partitions)
+    driver collect), never `rank() OVER ()`'s single-partition window
+    (the unique custkey tiebreak makes rank == row_number == global
+    index + 1, so the SQL rank() oracle is exactly equivalent); one
+    1-row reduce at the end."""
+    from ..operators.scale import global_index
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    f = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", dec("c_acctbal", BAL).alias("balq"))
+        .agg(
+            F.sum(F.round(dec("o_totalprice", MONEY) * 100).cast("long")).alias(
+                "spend"
+            )
+        )
+        .select(
+            "c_custkey",
+            F.round(F.col("balq") * 100).cast("long").alias("bal"),
+            "spend",
+        )
+    )
+    ranked = global_index(
+        global_index(f, "rx0", ["bal", "c_custkey"]), "ry0",
+        ["spend", "c_custkey"],
+    )
+    r = ranked.select(
+        (F.col("rx0") + 1).cast("long").alias("rx"),
+        (F.col("ry0") + 1).cast("long").alias("ry"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rx").cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum("ry").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").cast("double").alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: Kendall's tau-a over a bounded distinct-value relation.
+# ---------------------------------------------------------------------------
+
+_KENDALL_ORACLE = """
+WITH f AS (
+  SELECT n.n_name,
+         CAST(SUM(round(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100)) AS BIGINT)
+           AS bal,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+), p AS (
+  SELECT CASE WHEN (a.bal - b.bal) * (a.n_cust - b.n_cust) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.bal - b.bal) * (a.n_cust - b.n_cust) < 0 THEN 1 ELSE 0 END AS disc
+  FROM f a JOIN f b ON a.n_name < b.n_name
+), s AS (
+  SELECT CAST(SUM(conc) AS BIGINT) AS c, CAST(SUM(disc) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM p
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM f) AS n_groups,
+       c AS concordant, d AS discordant,
+       round(CAST(c - d AS DOUBLE) / n_pairs, 6) AS kendall_tau_a
+FROM s
+"""
+
+
+@register("agg_kendall_tau", oracle=_KENDALL_ORACLE, tags=("agg", "stats"))
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall's tau-a between per-nation total balance and customer
+    count — the O(n^2)-pairs rank statistic made scale-safe by the
+    collapse-first rule: the pairwise join runs over the GROUPED
+    relation (25 nations -> 300 pairs at every SF), never over raw
+    rows; the raw scan collapses to exact integer group features in
+    one map-side-combinable pass. Concordant/discordant are exact
+    integer sign tests (cross-multiplied, no division); tau-a divides
+    once at the end (ties count against association — documented
+    tau-a, not tau-b, keeping the arithmetic integer-exact)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    f = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(dec("c_acctbal", BAL) * 100).cast("long")).alias("bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+    a = f.select(
+        F.col("n_name").alias("na"), F.col("bal").alias("ba"), F.col("n_cust").alias("ca")
+    )
+    b = f.select(
+        F.col("n_name").alias("nb"), F.col("bal").alias("bb"), F.col("n_cust").alias("cb")
+    )
+    p = a.join(b, F.col("na") < F.col("nb")).select(
+        F.when((F.col("ba") - F.col("bb")) * (F.col("ca") - F.col("cb")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("ba") - F.col("bb")) * (F.col("ca") - F.col("cb")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+    )
+    s = p.agg(
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("d"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return s.crossJoin(f.agg(F.count(F.lit(1)).alias("n_groups"))).select(
+        "n_groups",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round((F.col("c") - F.col("d")).cast("double") / F.col("n_pairs"), 6).alias(
+            "kendall_tau_a"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: Cramér's V — effect size for the chi-square contingency.
+# ---------------------------------------------------------------------------
+
+_CRAMERS_ORACLE = """
+WITH cell AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), rt AS (
+  SELECT seg, CAST(SUM(observed) AS BIGINT) AS row_total FROM cell GROUP BY 1
+), ct AS (
+  SELECT pri, CAST(SUM(observed) AS BIGINT) AS col_total FROM cell GROUP BY 1
+), tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cell),
+chi AS (
+  SELECT SUM(
+           (CAST(tot.n AS DOUBLE) * cell.observed
+              - CAST(rt.row_total AS DOUBLE) * ct.col_total)
+           * (CAST(tot.n AS DOUBLE) * cell.observed
+              - CAST(rt.row_total AS DOUBLE) * ct.col_total)
+           / (CAST(tot.n AS DOUBLE) * rt.row_total * ct.col_total)
+         ) AS chi2,
+         CAST(MAX(tot.n) AS BIGINT) AS n
+  FROM cell JOIN rt USING (seg) JOIN ct USING (pri), tot
+), dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS c
+)
+SELECT chi.n AS n_rows, dims.r AS n_segments, dims.c AS n_priorities,
+       round(chi.chi2, 6) AS chi2,
+       round(sqrt(chi.chi2 / (chi.n * (CASE WHEN dims.r < dims.c
+                                            THEN dims.r ELSE dims.c END - 1))), 6)
+         AS cramers_v
+FROM chi, dims
+"""
+
+
+@register("agg_cramers_v", oracle=_CRAMERS_ORACLE, tags=("agg", "stats"))
+def agg_cramers_v(spark, sf_dir):
+    """Cramér's V — the [0,1] EFFECT SIZE the chi-square statistic
+    (agg_chi_square_cells) lacks: chi2 grows with n, V normalizes by
+    n*(min(r,c)-1) so "is segment associated with order priority"
+    answers the same at every SF. Same determinism discipline as the
+    chi-square cells: exact integer cell/margin counts, the chi2 sum
+    as one double expression with identical operation order per cell
+    (sum order is immaterial here because each cell contribution is
+    identically computed and the final round(6) absorbs the ~1e-12
+    association order-noise of a 25-term sum — verified stable across
+    both engines), one sqrt at the end. Plan: one join + three
+    map-side-combinable rollups of a 25-cell relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cell = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cell.groupBy("seg").agg(F.sum("observed").alias("row_total"))
+    ct = cell.groupBy("pri").agg(F.sum("observed").alias("col_total"))
+    tot = cell.agg(F.sum("observed").alias("n"))
+    joined = (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        F.col("n").cast("double") * F.col("observed")
+        - F.col("row_total").cast("double") * F.col("col_total")
+    )
+    chi = joined.agg(
+        F.sum(
+            term * term
+            / (F.col("n").cast("double") * F.col("row_total") * F.col("col_total"))
+        ).alias("chi2"),
+        F.max("n").alias("n"),
+    )
+    dims = rt.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("c"))
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("n_segments"),
+        F.col("c").alias("n_priorities"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("r", "c") - F.lit(1)))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: one-way ANOVA F — does the group mean differ across segments?
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM customer
+), g AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy
+  FROM b GROUP BY 1
+), t AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(y * y) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS k
+  FROM b
+), s AS (
+  SELECT t.n, t.k, t.syy - t.sy * t.sy / t.n AS sst,
+         (SELECT SUM(g.sy * g.sy / g.n_g) FROM g) - t.sy * t.sy / t.n AS ssb
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_rows, k AS n_groups,
+       round(ssb, 4) AS ss_between,
+       round(sst - ssb, 4) AS ss_within,
+       round((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 6) AS f_stat
+FROM s
+"""
+
+
+@register("agg_anova_f", oracle=_ANOVA_ORACLE, tags=("agg", "stats"))
+def agg_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic for account balance across market
+    segments — the k-group generalization of agg_welch_t_test (which
+    compares two). Decomposition SST = SSB + SSW from exact integer
+    moments only: per-group (n, sum) and global (n, sum, sum-of-
+    squares) as DECIMAL(38) sums of integer cents — the data-sized
+    work is two map-side-combinable aggregations; the F ratio is a
+    1-row double expression with identical operation order in both
+    engines. The per-group relation re-aggregates to ONE row
+    (sum of sy^2/n_g over k=5 groups: summed in group order via an
+    ordered collect in neither engine — instead the sum is over a
+    5-row relation where each term is identically computed and
+    round(4)/round(6) absorb ~1e-12 order noise; verified stable)."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("y"),
+    )
+    g = b.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+    )
+    t = b.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").cast("double").alias("syy"),
+    )
+    gsum = g.agg(
+        F.sum(F.col("sy") * F.col("sy") / F.col("n_g")).alias("sum_gy2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    s = t.crossJoin(F.broadcast(gsum)).select(
+        "n",
+        "k",
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("sst"),
+        (F.col("sum_gy2") - F.col("sy") * F.col("sy") / F.col("n")).alias("ssb"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("k").alias("n_groups"),
+        F.round("ssb", 4).alias("ss_between"),
+        F.round(F.col("sst") - F.col("ssb"), 4).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / ((F.col("sst") - F.col("ssb")) / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

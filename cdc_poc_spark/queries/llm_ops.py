@@ -3351,3 +3351,160 @@ def mm_payload_near_dedup(spark, sf_dir):
             ).alias("recall_ge_07"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: exact covariance matrix of the embedding corpus — the GEMM-
+# shaped moment computation PCA/whitening starts from.
+# ---------------------------------------------------------------------------
+
+_COV_ORACLE = """
+WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, j.i - 1 AS j, v[j.i] AS qx
+  FROM q, LATERAL unnest(generate_series(1, len(v))) AS j(i)
+), mu AS (
+  SELECT j, CAST(CAST(SUM(qx) AS DECIMAL(38,0)) AS DOUBLE) AS s
+  FROM dims GROUP BY 1
+), xx AS (
+  SELECT a.j AS j1, b.j AS j2,
+         CAST(CAST(SUM(a.qx * b.qx) AS DECIMAL(38,0)) AS DOUBLE) AS sxy
+  FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.j <= b.j
+  GROUP BY 1, 2
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM q)
+SELECT xx.j1, xx.j2,
+       round((xx.sxy - ma.s * mb.s / n.n) / (n.n - 1), 2) AS cov_micro2
+FROM xx JOIN mu ma ON ma.j = xx.j1 JOIN mu mb ON mb.j = xx.j2, n
+"""
+
+
+@register("ml_covariance_matrix", oracle=_COV_ORACLE, tags=("llm", "ml", "similarity"))
+def ml_covariance_matrix(spark, sf_dir):
+    """EXACT sample covariance matrix of the embedding corpus (upper
+    triangle, d*(d+1)/2 = 2080 rows at d=64) — the moment matrix PCA,
+    whitening, and Mahalanobis gating start from (ml_power_iteration_step
+    is the eigen-step that consumes exactly this shape). Exactness: the
+    data-sized work is TWO map-side-combinable aggregations over
+    integer-quantized cells — per-dim sums and per-(j1,j2) cross-
+    product sums as DECIMAL(38) (order-invariant under shuffle); the
+    centering/normalization is one double expression per output cell.
+    Plan/scale: the dim-exploded self-join on vec_id fans each vector
+    to d^2/2 cells BEFORE the combine — the relational exact form; at
+    100 TB the drop-in is the numpy-GEMM mapInPandas twin
+    (knn_graph_cells_gemm pattern) computing per-partition partial
+    X^T X blocks, same two-phase combine. Deliberately kept relational
+    here: the oracle must be independently recomputable and the exact
+    DECIMAL path is what makes the hash bit-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = 1_000_000
+    dims = emb.select(
+        "vec_id", F.posexplode(similarity.as_double("embedding")).alias("j", "x")
+    ).select(
+        "vec_id", "j", F.round(F.col("x") * q).cast("long").alias("qx")
+    )
+    mu = dims.groupBy("j").agg(
+        F.sum("qx").cast("decimal(38,0)").cast("double").alias("s")
+    )
+    a = dims.select("vec_id", F.col("j").alias("j1"), F.col("qx").alias("qa"))
+    b = dims.select("vec_id", F.col("j").alias("j2"), F.col("qx").alias("qb"))
+    xx = (
+        a.join(b, "vec_id")
+        .filter(F.col("j1") <= F.col("j2"))
+        .groupBy("j1", "j2")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb"))
+            .cast("decimal(38,0)")
+            .cast("double")
+            .alias("sxy")
+        )
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ma = mu.select(F.col("j").alias("j1"), F.col("s").alias("sa"))
+    mb = mu.select(F.col("j").alias("j2"), F.col("s").alias("sb"))
+    return (
+        xx.join(F.broadcast(ma), "j1")
+        .join(F.broadcast(mb), "j2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j1",
+            "j2",
+            F.round(
+                (F.col("sxy") - F.col("sa") * F.col("sb") / F.col("n"))
+                / (F.col("n") - 1),
+                2,
+            ).alias("cov_micro2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: residual-encoded IVFADC vs raw-vector PQ — same bit budget,
+# less distortion.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_RESIDUAL_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS residual_ge_raw_pq, TRUE AS recall_gt_random_floor
+FROM (
+  WITH q AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  ), d AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(sqrt(list_sum(list_transform(
+             list_zip(a.v, b.v), p -> (p[1] - p[2]) * (p[1] - p[2])))), 5)
+             AS l2_dist
+    FROM q a JOIN q b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+  ), r AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY l2_dist, neighbor_id) AS rank
+    FROM d
+  )
+  SELECT query_id, neighbor_id FROM r WHERE rank <= 5
+)
+"""
+
+
+@register("sim_ann_ivfpq_residual_topk", oracle=_IVFPQ_RESIDUAL_ORACLE, tags=("llm", "similarity", "ivf"))
+def sim_ann_ivfpq_residual_topk(spark, sf_dir):
+    """RESIDUAL-encoded IVFADC (Jégou et al. TPAMI'11 §III.C eq. 14 —
+    the construction the paper actually specifies): PQ quantizes
+    r(x) = x - c(x) instead of the raw vector, and the per-query ADC
+    tables are built per probed cell from the query's own residual.
+    Raw-vector PQ re-describes the coarse structure the IVF already
+    captured; residual PQ spends the same M x K bit budget on what's
+    left. Driver contracts: (a) residual ADC hits >= raw ADC hits on
+    the SAME index, candidates, and probe budget (measured 20 vs 17 of
+    50 at both fixture SFs — the codebook needs two Lloyd steps to get
+    there, see operators/similarity.py:ivfpq_residual_topk for the
+    measured 1/2/3-step curve); (b) recall above the 0.25 random-scan
+    floor. Oracle pins the exact brute-force pair count. The candidate
+    sets are identical by construction (same IVF), so any difference
+    is pure encoding distortion — the quantity this query isolates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = similarity.build_ivfpq_index(emb, pin=True)
+    exact = similarity.euclidean_topk(emb).select("query_id", "neighbor_id")
+    raw = similarity.ivfpq_topk(emb, index=index).select(
+        "query_id", "neighbor_id"
+    )
+    res = similarity.ivfpq_residual_topk(emb, index=index).select(
+        "query_id", "neighbor_id"
+    )
+    r_hits = exact.join(res, ["query_id", "neighbor_id"], "left_semi")
+    a_hits = exact.join(raw, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+        .crossJoin(r_hits.agg(F.count(F.lit(1)).alias("n_r")))
+        .crossJoin(a_hits.agg(F.count(F.lit(1)).alias("n_a")))
+        .select(
+            "n_exact_pairs",
+            (F.col("n_r") >= F.col("n_a")).alias("residual_ge_raw_pq"),
+            (F.col("n_r") / F.col("n_exact_pairs") > 0.25).alias(
+                "recall_gt_random_floor"
+            ),
+        )
+    )

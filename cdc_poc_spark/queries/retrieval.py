@@ -224,3 +224,190 @@ def text_keyword_in_context(spark, sf_dir):
         ).alias("left_ctx"),
         F.expr(f"array_join(slice(ws, pos + 1, {c}), ' ')").alias("right_ctx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: hybrid retrieval — reciprocal rank fusion of the lexical
+# (BM25) and dense (embedding-cosine) rankings.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. SIGIR'09)
+_RRF_LIST = 20  # fuse the top-20 of each ranking
+_RRF_OUT = 10
+
+_RRF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{i}" for i, t in enumerate(_QUERY_TERMS))}
+  FROM d
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+         {", ".join(f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}" for i in range(len(_QUERY_TERMS)))}
+  FROM base
+),
+bm AS (
+  SELECT doc_id,
+         round(
+           {" + ".join(
+               f"ln(1 + (s.n - s.df_{i} + 0.5) / (s.df_{i} + 0.5))"
+               f" * b.tf_{i} * ({_K1} + 1)"
+               f" / (b.tf_{i} + {_K1} * (1 - {_B} + {_B} * b.dl / s.avgdl))"
+               for i in range(len(_QUERY_TERMS))
+           )}, 5) AS bm25
+  FROM base b CROSS JOIN stats s
+),
+bmr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+  FROM bm WHERE bm25 > 0
+  ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LIST}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+),
+cosd AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+           AS cosine
+  FROM n q, n c
+  WHERE q.vec_id = 0 AND c.vec_id <> 0
+),
+cor AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS r
+  FROM cosd ORDER BY cosine DESC, doc_id LIMIT {_RRF_LIST}
+),
+fused AS (
+  SELECT COALESCE(bmr.doc_id, cor.doc_id) AS doc_id,
+         round(COALESCE(1.0 / ({_RRF_K} + bmr.r), 0)
+               + COALESCE(1.0 / ({_RRF_K} + cor.r), 0), 6) AS rrf_score,
+         bmr.r AS bm25_rank, cor.r AS cosine_rank
+  FROM bmr FULL OUTER JOIN cor ON bmr.doc_id = cor.doc_id
+)
+SELECT doc_id, rrf_score, bm25_rank, cosine_rank,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_OUT}
+"""
+
+
+@register("text_hybrid_rrf_fusion", oracle=_RRF_ORACLE, tags=("llm", "text", "retrieval", "similarity"))
+def text_hybrid_rrf_fusion(spark, sf_dir):
+    """HYBRID retrieval via reciprocal rank fusion (Cormack, Clarke &
+    Buettcher SIGIR'09): fuse the lexical BM25 top-20 (the fixed term
+    query) with the dense embedding-cosine top-20 (query anchor =
+    vec_id 0's embedding — the fixtures align doc_id and vec_id) as
+    score(d) = sum over lists of 1/(60 + rank_list(d)), absent lists
+    contributing 0 — the fusion every hybrid search deployment runs
+    because it needs NO score calibration between BM25's unbounded
+    scale and cosine's [-1, 1]. Determinism: both input rankings are
+    rounded-then-tiebroken (the engine convention), RRF works on RANKS
+    only, the fused score is a sum of two exact reciprocals rounded at
+    6. Plan/scale: each ranking is its established sub-linear shape
+    (BM25: two scans + TakeOrderedAndProject; cosine: broadcast query
+    x one corpus scan); the fusion itself joins two 20-row relations —
+    free at any corpus size."""
+    from ..operators import similarity
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = spread(docs).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("double").alias("dl"),
+        *[
+            F.size(F.expr(f"filter(split(text, ' '), x -> x = '{t}')"))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(_QUERY_TERMS))
+        ],
+    )
+    contrib = [
+        F.log(
+            1
+            + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        * F.col(f"tf_{i}")
+        * (_K1 + 1)
+        / (F.col(f"tf_{i}") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        for i in range(len(_QUERY_TERMS))
+    ]
+    score = F.round(sum(contrib[1:], contrib[0]), 5)
+    bmr = (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .cast("long")
+            .alias("bm25_rank"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", similarity.as_double("embedding").alias("vec")
+    ).withColumn("vnorm", similarity.norm("vec"))
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("vnorm").alias("qnorm")
+    )
+    cos = F.round(
+        similarity.dot("qvec", "vec") / (F.col("qnorm") * F.col("vnorm")), 5
+    ).alias("cosine")
+    cor = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos)
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cosine"), F.asc("doc_id")))
+            .cast("long")
+            .alias("cosine_rank"),
+        )
+    )
+    fused = bmr.join(cor, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("cosine_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        "bm25_rank",
+        "cosine_rank",
+    )
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+        .select(
+            "doc_id",
+            "rrf_score",
+            "bm25_rank",
+            "cosine_rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+        )
+    )
