@@ -131,6 +131,9 @@ ROTATING = [
     "cdc_materialized_join_agg",
     "agg_spearman_rho",
     "ml_covariance_matrix",
+    "pipeline_bloom_decontaminate",
+    "mm_content_defined_chunks",
+    "text_hybrid_rrf_fusion",
 ]
 
 

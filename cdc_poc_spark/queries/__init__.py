@@ -328,6 +328,13 @@ _ROUND8B_NEW: list = [
     "ml_covariance_matrix",
     "sim_ann_ivfpq_residual_topk",
     "text_hybrid_rrf_fusion",
+    "ml_knn_classifier_accuracy",
+    "pipeline_bloom_decontaminate",
+    "tw_lateness_histogram",
+    "mm_content_defined_chunks",
+    "agg_wilson_interval",
+    "mm_payload_byte_entropy",
+    "sql_identifier_templating",
 ]
 
 

@@ -2374,3 +2374,68 @@ def agg_anova_f(spark, sf_dir):
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: Wilson score interval — the binomial CI ops dashboards size
+# alarms with.
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.96  # 95% two-sided
+
+
+_WILSON_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN CAST(value AS DECIMAL(12,2)) >= 50 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS p_hat,
+       round((CAST(k AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              - {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_low,
+       round((CAST(k AS DOUBLE) / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              + {_WILSON_Z} * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_high
+FROM b
+"""
+
+
+@register("agg_wilson_interval", oracle=_WILSON_ORACLE, tags=("agg", "stats"))
+def agg_wilson_interval(spark, sf_dir):
+    """Wilson score 95% confidence interval for a per-group binomial
+    rate (share of events with value >= 50, per event type) — the
+    interval production dashboards SHOULD use instead of the normal
+    approximation, because it stays inside [0,1] and behaves at small
+    n and extreme p (Wilson 1927; the default in every competent A/B
+    stack). Inputs are exact integers (n, k) from one map-side-
+    combinable rollup; the interval is a per-row closed-form double
+    expression with IDENTICAL operation order in both engines, rounded
+    at 6 (the OLS float rule). Complements agg_bayes_ab_posterior
+    (Bayesian) and agg_welch_t_test (means) with the frequentist
+    proportion CI."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(dec("value", VAL) >= 50, 1).otherwise(0)).alias("k"),
+    )
+    z = _WILSON_Z
+    p = F.col("k").cast("double") / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    margin = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    return b.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    )

@@ -414,3 +414,145 @@ def pipeline_embedding_quantize_int8(spark, sf_dir):
             " <= max_abs / 127.0 * 0.5000001"
         ).alias("err_within_half_step"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: Bloom-filter decontamination — the fixed-memory scale path of
+# the n-gram leakage check.
+# ---------------------------------------------------------------------------
+
+_BDC_M = 1 << 18  # bloom bits
+_BDC_K = 4        # hash functions
+_BDC_N = 8        # word n-gram width
+
+_BLOOM_DECON_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{_BDC_N - 1}], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(toks) - {_BDC_N - 1})) AS t(i)
+  WHERE len(toks) >= {_BDC_N}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('bdc' || CAST(j AS VARCHAR) || ':' || gram),
+                                 1, 8)) AS BIGINT) % {_BDC_M} AS pos
+  FROM bench, js
+),
+cand AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+gp AS (
+  SELECT doc_id, gram, j,
+         CAST(('0x' || substring(md5('bdc' || CAST(j AS VARCHAR) || ':' || gram),
+                                 1, 8)) AS BIGINT) % {_BDC_M} AS pos
+  FROM cand, js
+),
+gpass AS (
+  SELECT doc_id, gram FROM gp JOIN bits USING (pos)
+  GROUP BY doc_id, gram HAVING COUNT(*) = {_BDC_K}
+),
+flagged AS (SELECT DISTINCT doc_id FROM gpass),
+exact AS (
+  SELECT DISTINCT c.doc_id FROM cand c JOIN bench b ON b.gram = c.gram
+),
+docs AS (SELECT DISTINCT doc_id FROM cand)
+SELECT CAST((SELECT COUNT(*) FROM docs) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_flagged,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       (SELECT COUNT(*) FROM exact e LEFT JOIN flagged f ON f.doc_id = e.doc_id
+        WHERE f.doc_id IS NULL) = 0 AS no_false_negatives,
+       CAST((SELECT COUNT(*) FROM flagged) -
+            (SELECT COUNT(*) FROM exact) AS BIGINT) AS false_positive_docs
+"""
+
+
+@register("pipeline_bloom_decontaminate", oracle=_BLOOM_DECON_ORACLE, tags=("llm", "pipeline", "sketch"))
+def pipeline_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter DECONTAMINATION — the fixed-memory scale path of
+    pipeline_decontaminate_ngram: the benchmark's word 8-grams compress
+    into a k={_BDC_K}/m={_BDC_M} bit-set (engine-portable md5-prefix
+    hashes, the agg_bloom_filter_semijoin construction) that BROADCASTS
+    to the corpus scan, so a 100 TB corpus is screened without
+    shuffling a single gram — the exact-join decontaminator shuffles
+    corpus-sized gram relations; this ships benchmark-sized bits. The
+    price is one-sided error, and that is the CONTRACT: the oracle
+    independently rebuilds the bloom and pins (a) no false negatives —
+    every exactly-contaminated doc is flagged (the soundness property
+    that makes bloom screening admissible as a PRE-filter; flagged docs
+    then pay the exact check) — and (b) the exact flagged/exact/FP doc
+    counts, value-hashed. Bloom sizing rule at scale: m ~ 1.44 * k *
+    |bench grams| keeps the gram-level FPR near 2^-k; the fixed m here
+    is sized for the fixture SFs (the sizing is an input, not a
+    semantic)."""
+    from ..operators.curation import word_ngrams
+    from ..operators.scale import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        spread(docs)
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            (F.col("source") == "src0").alias("__is_bench"),
+            F.explode(word_ngrams("toks", _BDC_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("__is_bench")).select("gram").distinct()
+    cand = grams.filter(~F.col("__is_bench")).select("doc_id", "gram")
+
+    def pos():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bdc"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("gram"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BDC_M
+        )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BDC_K)])).alias("j")
+    bits = bench.select("gram", js).select(pos().alias("pos")).distinct()
+    gp = cand.select("doc_id", "gram", js).select("doc_id", "gram", pos().alias("pos"))
+    gpass = (
+        gp.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BDC_K)
+    )
+    flagged = gpass.select("doc_id").distinct()
+    exact = (
+        cand.join(bench, "gram", "left_semi").select("doc_id").distinct()
+    )
+    # one lazy plan, no driver-side counts: four 1-row aggregates cross
+    return (
+        cand.agg(F.countDistinct("doc_id").alias("n_docs"))
+        .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_flagged")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(
+            exact.join(flagged, "doc_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("missed")
+            )
+        )
+        .select(
+            "n_docs",
+            "n_flagged",
+            "n_exact",
+            (F.col("missed") == 0).alias("no_false_negatives"),
+            (F.col("n_flagged") - F.col("n_exact")).alias(
+                "false_positive_docs"
+            ),
+        )
+    )

@@ -3508,3 +3508,296 @@ def sim_ann_ivfpq_residual_topk(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: kNN majority-vote classification — the label-propagation
+# consumer of the similarity stack.
+# ---------------------------------------------------------------------------
+
+_KNN_CLS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+           AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, nl,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+), votes AS (
+  SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+), pred AS (
+  SELECT query_id, nl AS predicted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, nl) AS vr
+  FROM votes
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(SUM(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred p JOIN e ON e.vec_id = p.query_id
+WHERE p.vr = 1
+"""
+
+
+@register("ml_knn_classifier_accuracy", oracle=_KNN_CLS_ORACLE, tags=("llm", "ml", "similarity"))
+def ml_knn_classifier_accuracy(spark, sf_dir):
+    """Leave-one-out kNN CLASSIFICATION over the embedding corpus: for
+    each of the first 50 vectors, the 5 nearest cosine neighbors
+    (self excluded) vote on its label — majority wins, ties break to
+    the lexicographically smaller label — and the value-exact output is
+    (n_queries, n_correct, accuracy) vs the vectors' own labels. This
+    is the end-consumer the kNN-graph / ANN stack exists for (weak
+    labeling, quality triage, seed expansion); the query is the EXACT
+    baseline the ANN variants' recall contracts protect.
+
+    Determinism: the engine cosine convention (round 5, neighbor_id
+    tiebreak) makes the neighbor set reproducible; votes are exact
+    integers; the argmax is a rank with a total tiebreak. Plan: 50
+    broadcast queries x one corpus scan (the cosine_topk shape), a
+    |queries x labels| vote rollup, one 1-row reduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    topk = similarity.cosine_topk(emb, n_queries=50, k=5)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vr = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nl")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(vr))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nl").alias("predicted"))
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("truth")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("truth"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: content-defined chunking over binary payloads — the storage-
+# dedup tier below whole-payload digests and byte-gram near-dup.
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 32  # boundary when gram-hash % 32 == 0 -> ~32-byte expected chunks
+
+_CDC_CHUNK_ORACLE = f"""
+WITH m AS (
+  SELECT MIN(doc_id) AS rep, hex(encode(text)) AS hx
+  FROM documents GROUP BY encode(text)
+  HAVING length(hex(encode(text))) >= 8
+), pos AS (
+  SELECT rep, hx, i.i AS pos
+  FROM m, LATERAL unnest(generate_series(4, length(hx) // 2)) AS i(i)
+  WHERE CAST(('0x' || substring(md5(substring(hx, 2 * i.i - 7, 8)), 1, 8))
+             AS BIGINT) % {_CDC_MOD} = 0
+  UNION
+  SELECT rep, hx, length(hx) // 2 AS pos FROM m
+), c AS (
+  SELECT rep, pos,
+         COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0) AS prev,
+         substring(hx, 2 * COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0) + 1,
+                   2 * (pos - COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0)))
+           AS chunk
+  FROM pos
+)
+SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_payloads,
+       CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(COUNT(DISTINCT chunk) AS BIGINT) AS distinct_chunks,
+       CAST(MAX(pos - prev) AS BIGINT) AS max_chunk_bytes,
+       CAST(COUNT(DISTINCT chunk) * 1000000 // COUNT(*) AS BIGINT)
+         AS distinct_ratio_ppm
+FROM c
+"""
+
+
+@register("mm_content_defined_chunks", oracle=_CDC_CHUNK_ORACLE, tags=("llm", "multimodal", "dedup"))
+def mm_content_defined_chunks(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING over binary payloads (the rsync /
+    LBFS-style rolling-boundary construction, Muthitacharoen et al.
+    SOSP'01): a chunk boundary falls after byte i whenever the hash of
+    the 4-byte gram ending at i is ≡ 0 (mod {_CDC_MOD}) — so ~32-byte
+    expected chunks whose CUT POINTS move with the content, not the
+    offset. That is the property that makes it the storage-dedup tier:
+    insert one byte and only the chunk containing the edit changes,
+    where fixed-size blocks would shift every subsequent block.
+    Output: corpus-level chunk dedup accounting (payloads, total vs
+    distinct chunks, the distinct ratio in exact ppm, max chunk size —
+    the degenerate-case guard: a payload with no boundary is ONE chunk,
+    capped by the payload length).
+
+    Engine shape: boundary detection is one scan exploded per byte
+    position (gram hash = the portable md5-prefix bigint), chunk
+    extraction is ONE per-payload lag window over boundary rows
+    (bounded by |boundaries|, ~len/32 per payload), dedup accounting is
+    a distinct-count. Exact-dup payloads collapse FIRST (the standing
+    rule), so chunking runs once per distinct payload."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    m = (
+        media.select(F.hex(F.col("payload")).alias("hx"), "media_id")
+        .groupBy("hx")
+        .agg(F.min("media_id").alias("rep"))
+        .filter(F.length("hx") >= 8)
+    )
+    gram = F.expr("substring(hx, 2 * i - 7, 8)")
+    ghash = (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % _CDC_MOD
+    )
+    bnd = (
+        m.select(
+            "rep",
+            "hx",
+            F.explode(
+                F.sequence(F.lit(4), F.expr("CAST(length(hx) / 2 AS INT)"))
+            ).alias("i"),
+        )
+        .filter(ghash == 0)
+        .select("rep", "hx", F.col("i").alias("pos"))
+    )
+    last = m.select(
+        "rep", "hx", F.expr("CAST(length(hx) / 2 AS INT)").alias("pos")
+    )
+    pos = bnd.unionByName(last).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rep").orderBy("pos")
+    prev = F.coalesce(F.lag("pos").over(w), F.lit(0))
+    c = pos.select(
+        "rep",
+        "pos",
+        prev.alias("prev"),
+        F.expr(
+            "substring(hx, 2 * COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0) + 1,"
+            " 2 * (pos - COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0)))"
+        ).alias("chunk"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.countDistinct("chunk").alias("distinct_chunks"),
+        F.max(F.col("pos") - F.col("prev")).cast("long").alias("max_chunk_bytes"),
+    ).crossJoin(m.agg(F.count(F.lit(1)).alias("n_payloads"))).select(
+        "n_payloads",
+        "total_chunks",
+        "distinct_chunks",
+        "max_chunk_bytes",
+        F.expr(
+            "CAST(distinct_chunks * 1000000 DIV total_chunks AS BIGINT)"
+        ).alias("distinct_ratio_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: per-payload byte entropy — the compressibility / already-
+# compressed detector for binary media.
+# ---------------------------------------------------------------------------
+
+_BYTE_ENTROPY_ORACLE = """
+WITH m AS (
+  SELECT MIN(doc_id) AS rep, hex(encode(text)) AS hx
+  FROM documents GROUP BY encode(text)
+), bytes AS (
+  SELECT rep, substring(hx, 2 * i.i - 1, 2) AS b
+  FROM m, LATERAL unnest(generate_series(1, length(hx) // 2)) AS i(i)
+), c AS (
+  SELECT rep, b, CAST(COUNT(*) AS BIGINT) AS n FROM bytes GROUP BY 1, 2
+)
+SELECT rep,
+       CAST(SUM(n) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+       round(ln(CAST(SUM(n) AS DOUBLE))
+             - SUM(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+               / SUM(n), 6) AS entropy_nats
+FROM c GROUP BY rep
+"""
+
+
+@register("mm_payload_byte_entropy", oracle=_BYTE_ENTROPY_ORACLE, tags=("llm", "multimodal", "quality"))
+def mm_payload_byte_entropy(spark, sf_dir):
+    """Shannon BYTE ENTROPY per distinct binary payload — the
+    no-decoder media triage signal: near-8-nats/byte ≈ already
+    compressed or encrypted (re-compression wastes CPU; encrypted
+    blobs are often junk), low entropy ≈ padding/truncated/degenerate
+    payloads. Text corpora sit in between, making the fixture
+    discriminating. Computed on the hex form's 2-char grams (= exact
+    byte histogram, the shared engine-portable byte access — DuckDB
+    has no BLOB substring), entropy via the grouped-entropy identity
+    ln(N) - Σ n ln n / N over exact BIGINT counts (the
+    agg_entropy_per_group float discipline: one <=256-term sum of
+    identically-computed doubles, round 6 absorbs summation-order
+    noise). Exact-dup payloads collapse first. Plan: one scan exploded
+    per byte -> two keyed map-side-combinable rollups; output is one
+    row per distinct payload."""
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    m = (
+        media.select(F.hex(F.col("payload")).alias("hx"), "media_id")
+        .groupBy("hx")
+        .agg(F.min("media_id").alias("rep"))
+    )
+    bytes_ = m.select(
+        "rep",
+        F.explode(
+            F.sequence(F.lit(1), F.expr("CAST(length(hx) / 2 AS INT)"))
+        ).alias("i"),
+        "hx",
+    ).select("rep", F.expr("substring(hx, 2 * i - 1, 2)").alias("b"))
+    c = bytes_.groupBy("rep", "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("rep")
+        .agg(
+            F.sum("n").alias("n_bytes"),
+            F.count(F.lit(1)).alias("n_distinct_bytes"),
+            F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double"))).alias(
+                "snln"
+            ),
+        )
+        .select(
+            "rep",
+            "n_bytes",
+            "n_distinct_bytes",
+            F.round(
+                F.log(F.col("n_bytes").cast("double"))
+                - F.col("snln") / F.col("n_bytes"),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )

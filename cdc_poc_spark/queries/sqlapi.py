@@ -387,3 +387,56 @@ def _register_vars():
 
 
 _register_vars()
+
+
+# ---------------------------------------------------------------------------
+# Round-8: IDENTIFIER() templating + SELECT * EXCEPT — the dynamic-SQL
+# surface a multi-table CDC consumer scripts with.
+# ---------------------------------------------------------------------------
+
+_IDENTIFIER_ORACLE = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def _register_identifier():
+    @register("sql_identifier_templating", oracle=_IDENTIFIER_ORACLE, tags=("sql",))
+    def sql_identifier_templating(spark: SparkSession, sf_dir: str):
+        """Spark 4 IDENTIFIER() clause — SQL-injection-safe templating
+        of table/column names from string parameters (the surface a
+        multi-topic CDC consumer uses to script per-table rollups
+        instead of f-string SQL, which is both unsafe and uncacheable).
+        Table name, group column, and measure column all arrive through
+        IDENTIFIER(variable); the projection exercises SELECT * EXCEPT
+        on top. DuckDB has neither IDENTIFIER nor Spark's EXCEPT-star,
+        so the oracle is the equivalent classic SQL — the pair proves
+        the templated plan resolves to exactly the static one."""
+        register_views(spark, sf_dir)
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE tbl STRING DEFAULT 'orders'"
+        )
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE grp STRING DEFAULT 'o_orderstatus'"
+        )
+        spark.sql(
+            "DECLARE OR REPLACE VARIABLE msr STRING DEFAULT 'o_totalprice'"
+        )
+        return spark.sql(
+            """
+            SELECT * EXCEPT (__hide)
+            FROM (
+              SELECT IDENTIFIER(grp) AS o_orderstatus,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(IDENTIFIER(msr) AS DECIMAL(15,2)))
+                          AS DOUBLE) AS total,
+                     MAX(0) AS __hide
+              FROM IDENTIFIER(tbl)
+              GROUP BY IDENTIFIER(grp)
+            )
+            """
+        )
+
+
+_register_identifier()

@@ -1108,3 +1108,84 @@ def tw_session_gap_sweep(spark, sf_dir):
             " DIV (n_users + n_boundaries) AS BIGINT)"
         ).alias("events_per_session_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: event-time LATENESS histogram — the empirical distribution a
+# watermark delay is read off of.
+# ---------------------------------------------------------------------------
+
+_LATENESS_ORACLE = """
+WITH s AS (
+  SELECT epoch_us(ts) - MAX(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY event_id + CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 64, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS late_us
+  FROM events
+), b AS (
+  SELECT CASE
+           WHEN late_us IS NULL OR late_us >= 0 THEN 'on_time'
+           WHEN -late_us < 60000000 THEN 'lt_1m'
+           WHEN -late_us < 300000000 THEN 'lt_5m'
+           WHEN -late_us < 900000000 THEN 'lt_15m'
+           WHEN -late_us < 3600000000 THEN 'lt_1h'
+           ELSE 'ge_1h'
+         END AS bucket,
+         CASE WHEN late_us < 0 THEN -late_us ELSE 0 END AS lateness_us
+  FROM s
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+FROM b GROUP BY bucket
+"""
+
+
+@register("tw_lateness_histogram", oracle=_LATENESS_ORACLE, tags=("timewindow", "cdc", "streaming"))
+def tw_lateness_histogram(spark, sf_dir):
+    """Event-time LATENESS distribution: per event, how far its event
+    time falls BEHIND the per-key running maximum seen so far in
+    arrival order (the md5-jittered arrival key shared with the OOO
+    profile — see queries/profiling.py for why the raw fixture order
+    is non-discriminating), bucketed into the on-time/1m/5m/15m/1h
+    bands a watermark delay is chosen from. This is the empirical
+    histogram behind cdc_watermark_recommendation's single recommended
+    number: the recommendation says WHERE to cut; this shows what the
+    cut drops. Exact integers end-to-end (micros; per-band max). Plan:
+    one per-key running-max window (the key shuffle only) + a tiny
+    keyed rollup."""
+    from .profiling import _JITTER_SPARK
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.expr(_JITTER_SPARK), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        (
+            F.expr("ts DIV 1000") - F.max(F.expr("ts DIV 1000")).over(w)
+        ).alias("late_us")
+    )
+    lateness = F.when(F.col("late_us") < 0, -F.col("late_us")).otherwise(
+        F.lit(0)
+    )
+    bucket = (
+        F.when(
+            F.col("late_us").isNull() | (F.col("late_us") >= 0), "on_time"
+        )
+        .when(-F.col("late_us") < 60_000_000, "lt_1m")
+        .when(-F.col("late_us") < 300_000_000, "lt_5m")
+        .when(-F.col("late_us") < 900_000_000, "lt_15m")
+        .when(-F.col("late_us") < 3_600_000_000, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        s.select(bucket.alias("bucket"), lateness.alias("lateness_us"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        )
+    )
