@@ -1549,3 +1549,48 @@ def ivfpq_residual_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def append_to_ivf_index(
+    emb_new: DataFrame,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+) -> None:
+    """Grow a persisted IVF index with an ingest batch WITHOUT
+    retraining: assign the new vectors against the FROZEN stored
+    centroids (the same max_by cosine rule the build used) and APPEND
+    them to the bucketed inverted lists — the maintenance half of the
+    ANN daily loop (the embedding-space twin of
+    dedup.append_to_jaccard_index). The coarse quantizer is a pruning
+    structure, so centroid staleness can only cost RECALL (a drifted
+    vector lands in a suboptimal cell and is probed less often), never
+    correctness — probed candidates are always scored exactly. The
+    operational contract (tested + driver-checked): completeness —
+    every appended vector is in exactly one list — and bounded recall
+    degradation vs a full rebuild on the grown corpus. When drift
+    accumulates past the contract, rebuild (build_ivf_index's
+    documented caveat); this operator is what makes that a DAILY
+    rebuild instead of a per-batch one."""
+    from .scale import write_bucketed
+
+    spark = emb_new.sparkSession
+    cents = spark.table(f"{name}_centroids")
+    e = spread(emb_new).select(
+        F.col(id_col), as_double(vec_col).alias("vec")
+    ).withColumn("vnorm", norm("vec"))
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "vec",
+        "vnorm",
+        "cell_id",
+        (dot("vec", "cvec") / (F.col("vnorm") * F.col("cnorm"))).alias("ccos"),
+    )
+    assigned = scored.groupBy(id_col, "vec", "vnorm").agg(
+        F.max_by("cell_id", F.struct("ccos", F.col("cell_id").cast("double") * -1))
+        .alias("cell_id")
+    ).select("cell_id", F.col(id_col).alias("id"), "vec", "vnorm")
+    write_bucketed(
+        assigned, f"{name}_lists", ["cell_id"], n_buckets=n_buckets, mode="append"
+    )

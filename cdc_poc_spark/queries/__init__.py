@@ -335,6 +335,10 @@ _ROUND8B_NEW: list = [
     "agg_wilson_interval",
     "mm_payload_byte_entropy",
     "sql_identifier_templating",
+    "agg_bitmap_distinct",
+    "win_gaps_islands",
+    "text_ngram_novelty_rate",
+    "sim_ivf_index_append_recall",
 ]
 
 

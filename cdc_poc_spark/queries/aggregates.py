@@ -2439,3 +2439,49 @@ def agg_wilson_interval(spark, sf_dir):
         F.round((center - margin) / denom, 6).alias("wilson_low"),
         F.round((center + margin) / denom, 6).alias("wilson_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: bitmap-exact distinct counting — COUNT(DISTINCT) without the
+# two-phase expansion, mergeable like a sketch but EXACT.
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("agg_bitmap_distinct", oracle=_BITMAP_ORACLE, tags=("agg", "sketch", "sql"))
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via Spark 3.5+ BITMAP aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg
+    / bitmap_or_agg / bitmap_count): per (group, bucket-of-32768-ids)
+    the member ids pack into a 4 KB bitmap, partials OR together —
+    giving COUNT(DISTINCT) the merge behavior of a sketch (map-side
+    combinable, re-aggregable across partitions, unions for free)
+    while staying EXACT, unlike HLL. This is the scale path for
+    distinct-heavy rollups: classic COUNT(DISTINCT) expands to a
+    two-phase distinct aggregate that shuffles every (group, id) pair;
+    the bitmap shuffles |groups| x |id-range/32768| fixed-size blobs.
+    The oracle is the plain COUNT(DISTINCT) — bit-equality proves the
+    bitmap path exact. n_orders rides along from the same scan (a
+    second measure over the bitmap plan is free)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    per_bucket = j.groupBy(
+        "c_mktsegment", F.expr("bitmap_bucket_number(o_custkey)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias("b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_bucket.groupBy("c_mktsegment").agg(
+        F.expr("CAST(SUM(bitmap_count(b)) AS BIGINT)").alias(
+            "n_distinct_customers"
+        ),
+        F.sum("n").cast("long").alias("n_orders"),
+    )

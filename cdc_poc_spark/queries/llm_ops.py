@@ -3801,3 +3801,128 @@ def mm_payload_byte_entropy(spark, sf_dir):
             ).alias("entropy_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: persisted-IVF incremental APPEND lifecycle — grow the index
+# without retraining, with a bounded-degradation contract.
+# ---------------------------------------------------------------------------
+
+_IVF_APPEND_ORACLE = """
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS lists_complete, TRUE AS recall_ge_030,
+       TRUE AS append_within_010_of_rebuild
+FROM (
+  WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+  ), n AS (
+    SELECT vec_id, vec,
+           sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+    FROM e
+  ), pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                          i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+             AS cosine
+    FROM n q, n c
+    WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  ), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+  )
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+)
+"""
+
+
+@register("sim_ivf_index_append_recall", oracle=_IVF_APPEND_ORACLE, tags=("llm", "similarity", "ivf", "index"))
+def sim_ivf_index_append_recall(spark, sf_dir):
+    """Persisted-IVF incremental APPEND lifecycle (the maintenance half
+    of the train-once/query-many story — the embedding-space twin of
+    dedup_incremental_vs_index): build the index on 90% of the corpus
+    (vec_id % 10 != 0), APPEND the remaining 10% against the FROZEN
+    centroids (operators/similarity.py:append_to_ivf_index), query the
+    grown index, and contract three operational properties the oracle
+    pins as flags over the exact brute-force pair count:
+      (a) lists_complete — every corpus vector sits in exactly one
+          inverted list after the append (count + distinct-id check:
+          an append that drops or double-lists a vector corrupts the
+          index silently);
+      (b) recall_ge_030 — the grown index still beats the 4/16
+          random-scan floor, same bound as the from-scratch
+          sim_ann_ivf_topk;
+      (c) append_within_010_of_rebuild — recall degradation vs a FULL
+          REBUILD on the grown corpus is <= 0.10 absolute: the
+          quantitative form of 'centroid staleness costs recall, not
+          correctness', and the alarm that says when the daily rebuild
+          is due."""
+    import shutil
+    from urllib.parse import urlparse
+
+    name = "ivfq_append"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for tbl in (
+        f"{name}_centroids",
+        f"{name}_lists",
+        f"{name}_rebuild_centroids",
+        f"{name}_rebuild_lists",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # a table dir can survive from a PRIOR SESSION's catalog (the
+        # in-memory catalog forgets it, the warehouse dir does not) and
+        # saveAsTable refuses to reuse the location — clear it
+        if wh:
+            shutil.rmtree(f"{wh}/{tbl}", ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+    similarity.build_ivf_index(base, name)
+    similarity.append_to_ivf_index(batch, name)
+    similarity.build_ivf_index(emb, f"{name}_rebuild")
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb).select("query_id", "neighbor_id")
+    grown = similarity.ivf_index_topk(queries, name).select(
+        "query_id", "neighbor_id"
+    )
+    rebuilt = similarity.ivf_index_topk(queries, f"{name}_rebuild").select(
+        "query_id", "neighbor_id"
+    )
+    lists = spark.table(f"{name}_lists")
+    return (
+        emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_pairs")))
+        .crossJoin(
+            lists.agg(
+                F.count(F.lit(1)).alias("n_listed"),
+                F.countDistinct("id").alias("n_listed_ids"),
+            )
+        )
+        .crossJoin(
+            exact.join(grown, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_grown_hits"))
+        )
+        .crossJoin(
+            exact.join(rebuilt, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_rebuilt_hits"))
+        )
+        .select(
+            "n_vectors",
+            "n_exact_pairs",
+            (
+                (F.col("n_listed") == F.col("n_vectors"))
+                & (F.col("n_listed_ids") == F.col("n_vectors"))
+            ).alias("lists_complete"),
+            (F.col("n_grown_hits") / F.col("n_exact_pairs") >= 0.30).alias(
+                "recall_ge_030"
+            ),
+            (
+                (F.col("n_rebuilt_hits") - F.col("n_grown_hits"))
+                / F.col("n_exact_pairs")
+                <= 0.10
+            ).alias("append_within_010_of_rebuild"),
+        )
+    )

@@ -803,3 +803,85 @@ def text_distribution_drift_js(spark, sf_dir):
             6,
         ).alias("js_divergence_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: n-gram novelty rate — how much NEW text each document adds to
+# the corpus, in ingestion order.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 5
+
+_NOVELTY_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{_NOVELTY_N - 1}], ' ') AS gram
+  FROM d, UNNEST(generate_series(1, len(toks) - {_NOVELTY_N - 1})) AS t(i)
+  WHERE len(toks) >= {_NOVELTY_N}
+),
+first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM g JOIN first_seen f ON f.gram = g.gram
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+       CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT) AS novelty_ppm
+FROM per_doc GROUP BY source
+"""
+
+
+@register("text_ngram_novelty_rate", oracle=_NOVELTY_ORACLE, tags=("llm", "text", "quality"))
+def text_ngram_novelty_rate(spark, sf_dir):
+    """N-GRAM NOVELTY per source: the share of a document's distinct
+    word 5-grams whose FIRST corpus occurrence (min doc_id = ingestion
+    order) is that document — the marginal-value curve a crawl
+    operator reads to decide when a source is exhausted (novelty_ppm
+    falling toward 0 = the source now only re-serves text the corpus
+    already has; the dedup tiers remove copies, this prices the
+    near-copy long tail BEFORE paying for dedup). Exact integers
+    end-to-end (distinct grams, first-occurrence via MIN, ppm by
+    integer division). Plan: one scan -> distinct (doc, gram) ->
+    gram-keyed MIN (map-side combinable) -> gram-keyed equi-join back
+    -> two keyed rollups. At 100 TB the join key becomes
+    xxhash64(gram) (fixed-width shuffle), same counts to 2^-64."""
+    from ..operators.curation import word_ngrams
+    from ..operators.scale import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        spread(docs)
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_ngrams("toks", _NOVELTY_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("n_novel").cast("long").alias("novel_grams"),
+        F.expr(
+            "CAST(SUM(n_novel) * 1000000 DIV SUM(n_grams) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )

@@ -286,3 +286,52 @@ def win_rolling_slope(spark, sf_dir):
             4,
         ).alias("slope_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: gaps-and-islands — contiguous-run reconstruction, the classic
+# sequence-analytics shape.
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_id,
+         event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+           AS grp
+  FROM events
+)
+SELECT user_id,
+       CAST(MIN(event_id) AS BIGINT) AS island_start,
+       CAST(MAX(event_id) AS BIGINT) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM s GROUP BY user_id, grp
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("win_gaps_islands", oracle=_ISLANDS_ORACLE, tags=("window", "cdc"))
+def win_gaps_islands(spark, sf_dir):
+    """GAPS-AND-ISLANDS: reconstruct every maximal run of CONSECUTIVE
+    change ids per key (the id - row_number() constant-difference
+    trick) and report islands of length >= 2 — the inverse view of
+    cdc_sequence_gap_detect: that query lists what's MISSING, this one
+    lists what's intact, which is what a backfill planner consumes
+    (re-snapshot the complement of the islands). One per-key window
+    (the key shuffle only) + one keyed rollup; exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("event_id") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        s.groupBy("user_id", "grp")
+        .agg(
+            F.min("event_id").cast("long").alias("island_start"),
+            F.max("event_id").cast("long").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .filter(F.col("island_len") >= 2)
+        .drop("grp")
+    )
