@@ -339,6 +339,10 @@ _ROUND8B_NEW: list = [
     "win_gaps_islands",
     "text_ngram_novelty_rate",
     "sim_ivf_index_append_recall",
+    "cdc_watermark_rec_stream_state",
+    "pipeline_rendezvous_sharding",
+    "sql_scalar_udf_functions",
+    "agg_approx_percentile_contract",
 ]
 
 

@@ -2485,3 +2485,93 @@ def agg_bitmap_distinct(spark, sf_dir):
         ),
         F.sum("n").cast("long").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: approx_percentile rank-error contract vs the exact median.
+# ---------------------------------------------------------------------------
+
+_APCT_ACC = 1000  # GK accuracy parameter: rank error <= n / accuracy
+
+_APCT_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM events
+), r AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY y) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN y END) AS BIGINT)
+         AS exact_p50_cents,
+       TRUE AS approx_rank_ok
+FROM r GROUP BY event_type
+"""
+
+
+@register("agg_approx_percentile_contract", oracle=_APCT_ORACLE, tags=("agg", "sketch", "stats"))
+def agg_approx_percentile_contract(spark, sf_dir):
+    """approx_percentile's Greenwald-Khanna guarantee, CHECKED: per
+    event type, the sketch's p50 (accuracy={_APCT_ACC}) must sit within
+    rank n/{_APCT_ACC} (+1 slack for the discrete boundary) of the true
+    median position. The sketch value itself is partition-order-
+    dependent (measured: repartitioning moves it — which is WHY it
+    cannot be hash-compared directly), so the driver-checked columns
+    are the EXACT median (lower median, rank (n+1) DIV 2 — value-exact
+    vs the oracle's identical rank rule) plus the rank-error flag the
+    engine computes by exactly ranking its own sketch output — the
+    same sketch-contract pattern as HLL/CMS/Bloom. This is the query
+    that licenses approx_percentile in a 100 TB rollup: one pass, no
+    per-group sort, a PROVEN rank bound instead of a hoped-for one."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.round(dec("value", VAL) * 100).cast("long").alias("y"),
+    )
+    stats = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(y, 0.5, {_APCT_ACC})").alias("ap"),
+    )
+    # exact lower median via per-group rank (keyed window, bounded skew)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("y")
+    ranked = b.withColumn("rk", F.row_number().over(w))
+    med = (
+        ranked.join(
+            stats.select("event_type", "n"), "event_type"
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("y").alias("exact_p50_cents"))
+    )
+    # exact rank window of the sketch's answer
+    ranks = (
+        b.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("y") < F.col("ap"), 1).otherwise(0)).alias(
+                "r_lo"
+            ),
+            F.sum(F.when(F.col("y") <= F.col("ap"), 1).otherwise(0)).alias(
+                "r_hi"
+            ),
+        )
+    )
+    target = F.expr("(n + 1) DIV 2")
+    slack = F.expr(f"n DIV {_APCT_ACC} + 1")
+    return (
+        stats.join(med, "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_p50_cents",
+            (
+                (F.col("r_lo") <= target + slack)
+                & (F.col("r_hi") >= target - slack)
+            ).alias("approx_rank_ok"),
+        )
+    )

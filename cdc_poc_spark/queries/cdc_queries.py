@@ -901,3 +901,72 @@ def cdc_ooo_profile_stream_state(spark, sf_dir):
     q.awaitTermination(600)
     return swin.derive_out_of_order_profile(spark, os.path.join(work, "state"))
 
+
+
+def _wm_rec_oracle() -> str:
+    """The batch cdc_watermark_recommendation's oracle, shared VERBATIM
+    (lazy import, same rationale as _ooo_oracle)."""
+    from .profiling import _wm_oracle
+
+    return _wm_oracle()
+
+
+@register(
+    "cdc_watermark_rec_stream_state",
+    oracle=_wm_rec_oracle(),
+    tags=("cdc", "streaming", "quality"),
+)
+def cdc_watermark_rec_stream_state(spark, sf_dir):
+    """The watermark RECOMMENDATION derived from the streaming twin's
+    MAINTAINED lateness-histogram state (the second stateful twin put
+    under the driver hash — same pattern as
+    cdc_ooo_profile_stream_state): the fixture is staged as one file
+    per arrival bucket, drained through
+    streaming/windows.py:streaming_watermark_recommendation with
+    maxFilesPerTrigger=1, and the returned rows are
+    derive_watermark_recommendation over the landed per-epoch
+    histogram increments. The oracle is the batch query's SQL shared
+    verbatim — it recomputes from raw events, so the high-water-mark
+    carry across epochs, the prior-epoch guard, and the histogram
+    increment algebra all break the hash if wrong. Per-epoch state is
+    |series x lateness-quanta| + |buckets| rows, never history."""
+    import glob
+    import os
+    import shutil
+
+    from ..operators.temporal import JITTER_SPARK, WM_BATCH
+    from ..streaming import windows as swin
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _ephemeral_state_dir("cdc_wmrec_stream_")
+    staged = os.path.join(work, "staged")
+    (
+        ev.withColumn("__bkt", F.expr(f"({JITTER_SPARK}) DIV {WM_BATCH}"))
+        .repartition(1)
+        .write.partitionBy("__bkt")
+        .parquet(staged)
+    )
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    bkts = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(staged)
+        if d.startswith("__bkt=")
+    )
+    for i, b in enumerate(bkts):
+        (pf,) = glob.glob(os.path.join(staged, f"__bkt={b}", "part-*.parquet"))
+        dest = os.path.join(data_dir, f"e{i:05d}.parquet")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = swin.streaming_watermark_recommendation(
+        stream, os.path.join(work, "state"), os.path.join(work, "ckpt")
+    )
+    q.awaitTermination(600)
+    return swin.derive_watermark_recommendation(
+        spark, os.path.join(work, "state")
+    )

@@ -1252,3 +1252,124 @@ def pipeline_proportional_sample(spark, sf_dir):
     return ranked.join(F.broadcast(quota), "lang").filter(
         F.col("r") <= F.col("q")
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Round-8: rendezvous (HRW) sharding — stable shard assignment with the
+# provable minimal-reshuffle property, checked exactly.
+# ---------------------------------------------------------------------------
+
+_HRW_K = 8  # baseline shard count; the sweep adds one
+
+
+_HRW_ORACLE = f"""
+WITH shards8 AS (SELECT unnest(generate_series(0, {_HRW_K - 1})) AS shard),
+shards9 AS (SELECT unnest(generate_series(0, {_HRW_K})) AS shard),
+w8 AS (
+  SELECT d.doc_id, s.shard,
+         CAST(('0x' || substring(md5('hrw' || CAST(s.shard AS VARCHAR) || ':'
+                                      || CAST(d.doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS wt
+  FROM documents d, shards8 s
+), a8 AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, shard) AS r
+    FROM w8) WHERE r = 1
+), w9 AS (
+  SELECT d.doc_id, s.shard,
+         CAST(('0x' || substring(md5('hrw' || CAST(s.shard AS VARCHAR) || ':'
+                                      || CAST(d.doc_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS wt
+  FROM documents d, shards9 s
+), a9 AS (
+  SELECT doc_id, shard FROM (
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, shard) AS r
+    FROM w9) WHERE r = 1
+), moved AS (
+  SELECT a8.doc_id, a9.shard AS new_shard
+  FROM a8 JOIN a9 USING (doc_id) WHERE a8.shard <> a9.shard
+)
+SELECT CAST((SELECT COUNT(*) FROM a8) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM moved) AS BIGINT) AS n_moved,
+       (SELECT COUNT(*) FROM moved WHERE new_shard <> {_HRW_K}) = 0
+         AS moves_only_to_new_shard,
+       CAST((SELECT COUNT(*) FROM moved) * 1000000
+            // (SELECT COUNT(*) FROM a8) AS BIGINT) AS moved_ppm
+FROM (SELECT 1)
+"""
+
+
+@register("pipeline_rendezvous_sharding", oracle=_HRW_ORACLE, tags=("llm", "pipeline", "scale"))
+def pipeline_rendezvous_sharding(spark, sf_dir):
+    """RENDEZVOUS (highest-random-weight) sharding (Thaler & Ravishankar
+    '98 — the consistent-placement rule behind cache rings and shard
+    maps): each document goes to argmax over shards of
+    hash(shard, doc) — no ring, no lookup table, any worker recomputes
+    any placement independently. The query assigns the corpus to 8
+    shards and again to 9, and checks THE property the scheme is
+    chosen for, exactly: adding a shard moves documents ONLY to the
+    new shard (for a kept shard s, the argmax over a superset that
+    didn't win stays the argmax — so nothing re-shuffles between old
+    shards, unlike mod-N placement where ~everything moves). Also
+    reports the exact moved share in ppm (expectation 1/(k+1) ≈
+    111111). Engine-portable md5-prefix weights; per-doc argmax is a
+    doc-keyed window (bounded fanout k+1), never single-partition."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(k: int):
+        shards = F.explode(F.array(*[F.lit(s) for s in range(k)])).alias(
+            "shard"
+        )
+        wt = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hrw"),
+                        F.col("shard").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = Window.partitionBy("doc_id").orderBy(F.desc("wt"), F.asc("shard"))
+        return (
+            docs.select("doc_id", shards)
+            .select("doc_id", "shard", wt.alias("wt"))
+            .withColumn("r", F.row_number().over(w))
+            .filter("r = 1")
+            .select("doc_id", "shard")
+        )
+
+    a8 = assign(_HRW_K)
+    a9 = assign(_HRW_K + 1).withColumnRenamed("shard", "new_shard")
+    moved = (
+        a8.join(a9, "doc_id")
+        .filter(F.col("shard") != F.col("new_shard"))
+        .select("doc_id", "new_shard")
+    )
+    return (
+        a8.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(moved.agg(F.count(F.lit(1)).alias("n_moved")))
+        .crossJoin(
+            moved.filter(F.col("new_shard") != _HRW_K).agg(
+                F.count(F.lit(1)).alias("bad_moves")
+            )
+        )
+        .select(
+            "n_docs",
+            "n_moved",
+            (F.col("bad_moves") == 0).alias("moves_only_to_new_shard"),
+            F.expr("CAST(n_moved * 1000000 DIV n_docs AS BIGINT)").alias(
+                "moved_ppm"
+            ),
+        )
+    )

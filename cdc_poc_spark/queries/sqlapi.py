@@ -440,3 +440,61 @@ def _register_identifier():
 
 
 _register_identifier()
+
+
+# ---------------------------------------------------------------------------
+# Round-8: SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr).
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(15,2)) > 150000
+                     THEN CAST(o_totalprice AS DECIMAL(15,2)) - 150000
+                     ELSE 0 END) AS DOUBLE) AS total_excess,
+       CAST(MAX(CASE WHEN length(o_orderstatus || o_orderpriority) > 8 THEN 8
+                     ELSE length(o_orderstatus || o_orderpriority) END)
+            AS BIGINT) AS max_clamped_len
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _register_sql_udf():
+    @register("sql_scalar_udf_functions", oracle=_SQL_UDF_ORACLE, tags=("sql",))
+    def sql_scalar_udf_functions(spark: SparkSession, sf_dir: str):
+        """Spark SQL scalar UDFs (CREATE OR REPLACE TEMPORARY FUNCTION
+        ... RETURNS t RETURN expr — the catalog-resident, pure-SQL UDF
+        surface added in Spark 3.5/4.0): two functions (an excess-over-
+        threshold and a length clamp) declared once and used inside a
+        rollup. Because the body is a SQL expression, Catalyst INLINES
+        it — the plan is identical to hand-written CASE logic (no
+        BatchEvalPython, enforced by the registry-wide plan audit), so
+        unlike Python UDFs this surface costs nothing at 100 TB. The
+        oracle is the same rollup with the bodies inlined by hand,
+        proving the inlining semantics."""
+        register_views(spark, sf_dir)
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION excess_over("
+            "x DECIMAL(15,2), cap DECIMAL(15,2)) RETURNS DECIMAL(15,2) "
+            "RETURN CASE WHEN x > cap THEN x - cap ELSE 0 END"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION clamp_len(s STRING, cap INT) "
+            "RETURNS INT RETURN CASE WHEN length(s) > cap THEN cap "
+            "ELSE length(s) END"
+        )
+        return spark.sql(
+            """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(excess_over(CAST(o_totalprice AS DECIMAL(15,2)),
+                                        CAST(150000 AS DECIMAL(15,2))))
+                        AS DOUBLE) AS total_excess,
+                   CAST(MAX(clamp_len(o_orderstatus || o_orderpriority, 8))
+                        AS BIGINT) AS max_clamped_len
+            FROM orders GROUP BY o_orderpriority
+            """
+        )
+
+
+_register_sql_udf()
