@@ -3569,7 +3569,12 @@ def ml_knn_classifier_accuracy(spark, sf_dir):
     tiebreak) makes the neighbor set reproducible; votes are exact
     integers; the argmax is a rank with a total tiebreak. Plan: 50
     broadcast queries x one corpus scan (the cosine_topk shape), a
-    |queries x labels| vote rollup, one 1-row reduce."""
+    |queries x labels| vote rollup, one 1-row reduce. Honesty note:
+    the fixture's labels are geometry-free (measured: within-label
+    cosine == global mean; top-1 same-label rate ~ the 1/10 random
+    floor), so the accuracy VALUE sits at random — what the oracle
+    hash-checks is the exact vote pipeline, verified a third time
+    against pure Python in tests/test_round8_refs2.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql import Window
 
