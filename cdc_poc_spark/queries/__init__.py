@@ -343,6 +343,7 @@ _ROUND8B_NEW: list = [
     "pipeline_rendezvous_sharding",
     "sql_scalar_udf_functions",
     "agg_approx_percentile_contract",
+    "graph_greedy_matching_round",
 ]
 
 

@@ -1575,3 +1575,70 @@ def graph_hits_step(spark, sf_dir):
         .orderBy(F.desc("hits_auth_raw"), "part")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: one round of distributed greedy matching (mutual-min
+# handshake) over the co-order graph.
+# ---------------------------------------------------------------------------
+
+_MATCHING_ORACLE = _COORDER_EDGES_CTE + """
+, mn AS (
+  SELECT u AS node, MIN(v) AS pref FROM sym GROUP BY u
+), matched AS (
+  SELECT a.node AS u, a.pref AS v
+  FROM mn a JOIN mn b ON b.node = a.pref
+  WHERE b.pref = a.node AND a.node < a.pref
+)
+SELECT CAST((SELECT COUNT(*) FROM mn) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS n_matched_pairs,
+       CAST((SELECT COALESCE(MIN(u), -1) FROM matched) AS BIGINT)
+         AS first_matched_u,
+       CAST((SELECT COALESCE(MAX(v), -1) FROM matched) AS BIGINT)
+         AS last_matched_v
+FROM (SELECT 1)
+"""
+
+
+@register("graph_greedy_matching_round", oracle=_MATCHING_ORACLE, tags=("graph", "analytics"))
+def graph_greedy_matching_round(spark, sf_dir):
+    """ONE round of distributed greedy MATCHING over the co-order part
+    graph — the mutual-min handshake primitive (each node points at its
+    minimum-id neighbor; an edge is matched iff both endpoints point at
+    each other), the building block of Luby/Israeli-Itai-style
+    symmetry-breaking algorithms (maximal matching, MIS, graph
+    coarsening for multilevel partitioners). Matched pairs are vertex-
+    disjoint BY CONSTRUCTION (a node has one min-neighbor), and each
+    round is two keyed shuffles — a per-node MIN and a self equi-join
+    on the proposal — so k rounds of coarsening cost k bounded passes,
+    never a sequential scan. Deterministic (min-id proposals, no RNG);
+    exact integer outputs. The oracle recomputes the handshake
+    independently and additionally pins the count plus the extreme
+    matched ids so a wrong-but-count-preserving handshake breaks the
+    hash."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mn = sym.groupBy(F.col("u").alias("node")).agg(F.min("v").alias("pref"))
+    a = mn.select("node", "pref")
+    b = mn.select(F.col("node").alias("pref"), F.col("pref").alias("back"))
+    matched = (
+        a.join(b, "pref")
+        .filter((F.col("back") == F.col("node")) & (F.col("node") < F.col("pref")))
+        .select(F.col("node").alias("u"), F.col("pref").alias("v"))
+    )
+    return (
+        mn.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("n_matched_pairs")))
+        .crossJoin(
+            matched.agg(
+                F.coalesce(F.min("u"), F.lit(-1)).cast("long").alias(
+                    "first_matched_u"
+                ),
+                F.coalesce(F.max("v"), F.lit(-1)).cast("long").alias(
+                    "last_matched_v"
+                ),
+            )
+        )
+    )
