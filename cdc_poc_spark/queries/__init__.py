@@ -344,6 +344,7 @@ _ROUND8B_NEW: list = [
     "sql_scalar_udf_functions",
     "agg_approx_percentile_contract",
     "graph_greedy_matching_round",
+    "tw_max_drawdown",
 ]
 
 

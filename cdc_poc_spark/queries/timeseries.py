@@ -1189,3 +1189,73 @@ def tw_lateness_histogram(spark, sf_dir):
             F.max("lateness_us").cast("long").alias("max_lateness_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: maximum drawdown per series — the peak-to-trough risk metric.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH d AS (
+  SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(round(CAST(value AS DECIMAL(12,2)) * 100)) AS BIGINT)
+           AS day_cents
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, day,
+         SUM(day_cents) OVER (PARTITION BY event_type ORDER BY day) AS cum
+  FROM d
+), r AS (
+  SELECT event_type, day, cum,
+         MAX(cum) OVER (PARTITION BY event_type ORDER BY day) AS peak
+  FROM c
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(peak) AS BIGINT) AS final_peak_cents,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents
+FROM r GROUP BY event_type
+"""
+
+
+@register("tw_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("timewindow", "stats"))
+def tw_max_drawdown(spark, sf_dir):
+    """MAXIMUM DRAWDOWN per series: largest peak-to-trough fall of the
+    cumulative daily value — the classic sequential risk metric
+    (finance's worst-case-regret number), and in a data pipeline the
+    shape that monitors any cumulative KPI for regressions. Exact
+    integer cents end-to-end. Plan: one daily rollup (map-side
+    combinable), then TWO per-series prefix windows (cumsum + running
+    max) — both partitioned BY SERIES, so the window never
+    single-partitions the data; a per-series day count is bounded by
+    the calendar, not the corpus (at 100 TB the per-key relation is
+    |days| rows regardless of event volume — the rollup absorbed the
+    scale)."""
+    from ..tables import events_with_time
+
+    e = events_with_time(spark, sf_dir)
+    d = (
+        e.select(
+            "event_type",
+            F.expr("ts_us DIV 86400000000").alias("day"),
+            F.round(dec_value() * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    wc = W.partitionBy("event_type").orderBy("day")
+    c = d.withColumn("cum", F.sum("day_cents").over(wc))
+    r = c.withColumn("peak", F.max("cum").over(wc))
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("peak").cast("long").alias("final_peak_cents"),
+        F.max(F.col("peak") - F.col("cum")).cast("long").alias(
+            "max_drawdown_cents"
+        ),
+    )
+
+
+def dec_value():
+    from ..tables import VAL
+
+    return F.col("value").cast(VAL)
