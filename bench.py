@@ -329,9 +329,13 @@ def main() -> None:
         samples[name].append(time.perf_counter() - t0)
         busy1, tree1 = _cpu_jiffies()
         # Fraction of machine busy-CPU during this sample that was NOT
-        # this bench: ~0 quiesced, >0 flags a contaminated sample.
+        # this bench: ~0 quiesced, >0 flags a contaminated sample. The
+        # tree delta is clamped at 0 (a Python worker exiting mid-sample
+        # takes its accumulated jiffies out of the sum, driving the raw
+        # delta negative) and the ratio at 1 (it is a fraction).
         d_busy = max(busy1 - busy0, 1)
-        external[name].append(round(max(d_busy - (tree1 - tree0), 0) / d_busy, 3))
+        d_tree = max(tree1 - tree0, 0)
+        external[name].append(round(min(max(d_busy - d_tree, 0) / d_busy, 1.0), 3))
         # Queries that persist intermediates (similarity join, CC) must
         # not hold blocks into the next measurement — isolate each run.
         spark.catalog.clearCache()
