@@ -675,3 +675,62 @@ def test_materialized_join_agg_survives_compaction(spark, tmp_path):
     assert _agg_rows(mj) == before == _reference_agg(all_l, all_r)
     vers = {int(v) for v in mj._manifest(mj._current_version())["buckets"].values()}
     assert len(vers) == 1  # every bucket (agg included) in ONE version dir
+
+
+def test_materialized_join_agg_random_histories(spark, tmp_path):
+    """The randomized sibling for the AGGREGATE view: seeded random
+    two-sided histories (upserts/deletes/key-moves, group re-segments,
+    max-deletions) must leave the maintained rollup equal to the
+    pure-Python recompute after EVERY epoch — the per-bucket partial
+    upkeep has no drift anywhere in the lattice of cases the generator
+    reaches."""
+    import random
+
+    for seed in (11, 47):
+        rng = random.Random(seed)
+        mj = _make_agg(spark, tmp_path / f"mja{seed}", nb=4)
+        all_l, all_r = [], []
+        seq = 0
+        cur_jk: dict[int, int] = {}
+        for epoch in range(4):
+            lrows, rrows = [], []
+            for _ in range(rng.randint(0, 6)):
+                seq += 1
+                lid = rng.randint(1, 8)
+                jk = cur_jk.get(lid, rng.choice([10, 20, 30]))
+                r = rng.random()
+                if r < 0.25 and lid in cur_jk:
+                    lrows.append((lid, jk, None, "d", seq))
+                    del cur_jk[lid]
+                elif r < 0.40 and lid in cur_jk:
+                    lrows.append((lid, jk, None, "d", seq))
+                    seq += 1
+                    new_jk = rng.choice([k for k in (10, 20, 30) if k != jk])
+                    lrows.append((lid, new_jk, rng.randint(1, 999), "u", seq))
+                    cur_jk[lid] = new_jk
+                else:
+                    lrows.append((lid, jk, rng.randint(1, 999), "u", seq))
+                    cur_jk[lid] = jk
+            for _ in range(rng.randint(0, 3)):
+                seq += 1
+                jk = rng.choice([10, 20, 30])
+                if rng.random() < 0.25:
+                    rrows.append((jk, None, "d", seq))
+                else:
+                    rrows.append((jk, f"s{rng.randint(1, 5)}", "u", seq))
+            all_l.extend(lrows)
+            all_r.extend(rrows)
+            mj.apply_batch(
+                _delta(spark, lrows, L_SCHEMA) if lrows else None,
+                _delta(spark, rrows, R_SCHEMA) if rrows else None,
+                epoch,
+            )
+            want = _reference_agg(all_l, all_r)
+            try:
+                got = _agg_rows(mj)
+            except AssertionError:
+                # agg side not yet written = no joined epoch yet; the
+                # reference must agree that the rollup is empty
+                assert want == {}, f"seed {seed} epoch {epoch}"
+                continue
+            assert got == want, f"seed {seed} epoch {epoch}"
