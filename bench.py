@@ -126,9 +126,12 @@ ROTATING = [
     "scalar_xml_functions",
     "sql_pivot_unpivot_roundtrip",
     "dedup_threshold_sweep",
-    # round 8 additions
+    # round 8 additions. (cdc_materialized_join_agg is deliberately NOT
+    # here, like its r7 view sibling: both drive a 4-epoch bucketed-
+    # parquet state machine end-to-end — table-churn wall time, not a
+    # query plan; their scale records are the 10x probes + the
+    # bucket-locality tests.)
     "sim_ann_ivfpq_rerank_topk",
-    "cdc_materialized_join_agg",
     "agg_spearman_rho",
     "ml_covariance_matrix",
     "pipeline_bloom_decontaminate",
