@@ -345,6 +345,8 @@ _ROUND8B_NEW: list = [
     "agg_approx_percentile_contract",
     "graph_greedy_matching_round",
     "tw_max_drawdown",
+    "pipeline_dataset_version_diff",
+    "agg_sampled_mean_hoeffding",
 ]
 
 

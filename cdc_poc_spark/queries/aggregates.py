@@ -2575,3 +2575,75 @@ def agg_approx_percentile_contract(spark, sf_dir):
             ).alias("approx_rank_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: deterministic-sample mean with the Hoeffding error bound
+# checked against the full-scan truth.
+# ---------------------------------------------------------------------------
+
+_HOEFF_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y,
+         event_id
+  FROM events
+), full_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+         CAST(MIN(y) AS DOUBLE) AS lo, CAST(MAX(y) AS DOUBLE) AS hi
+  FROM b
+), samp_m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS s_s
+  FROM b WHERE event_id % 10 = 0
+)
+SELECT full_m.n AS n_full, samp_m.n_s AS n_sample,
+       round(full_m.s / full_m.n, 4) AS true_mean_cents,
+       round(samp_m.s_s / samp_m.n_s, 4) AS sample_mean_cents,
+       abs(samp_m.s_s / samp_m.n_s - full_m.s / full_m.n)
+         <= (full_m.hi - full_m.lo)
+            * sqrt(ln(2.0 / 0.001) / (2.0 * samp_m.n_s))
+         AS within_hoeffding_999
+FROM full_m, samp_m
+"""
+
+
+@register("agg_sampled_mean_hoeffding", oracle=_HOEFF_ORACLE, tags=("agg", "stats", "scale"))
+def agg_sampled_mean_hoeffding(spark, sf_dir):
+    """Estimation-with-guarantee — the 100 TB pattern where a 10%
+    deterministic sample (event_id % 10, reproducible in any engine)
+    answers a mean query and the HOEFFDING bound prices the error:
+    |sample mean - true mean| <= (hi - lo) * sqrt(ln(2/δ) / (2 n_s))
+    at δ = 0.001. The query computes BOTH sides exactly (full-scan
+    truth + sampled estimate, exact DECIMAL(38) sums) and the flag
+    checks the realized error against the bound — on this fixture a
+    fixed fact, and the one-in-a-thousand honesty caveat is the
+    contract's stated δ. This is the query shape that licenses
+    sample-first exploration on a corpus where the full scan costs
+    hours: the bound needs only the value range, never a distribution
+    assumption."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("y"), "event_id"
+    )
+    full_m = b.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("s"),
+        F.min("y").cast("double").alias("lo"),
+        F.max("y").cast("double").alias("hi"),
+    )
+    samp_m = b.filter(F.pmod("event_id", F.lit(10)) == 0).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("y").cast("decimal(38,0)").cast("double").alias("s_s"),
+    )
+    return full_m.crossJoin(F.broadcast(samp_m)).select(
+        F.col("n").alias("n_full"),
+        F.col("n_s").alias("n_sample"),
+        F.round(F.col("s") / F.col("n"), 4).alias("true_mean_cents"),
+        F.round(F.col("s_s") / F.col("n_s"), 4).alias("sample_mean_cents"),
+        (
+            F.abs(F.col("s_s") / F.col("n_s") - F.col("s") / F.col("n"))
+            <= (F.col("hi") - F.col("lo"))
+            * F.sqrt(F.log(F.lit(2.0) / 0.001) / (2.0 * F.col("n_s")))
+        ).alias("within_hoeffding_999"),
+    )

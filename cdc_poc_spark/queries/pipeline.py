@@ -1373,3 +1373,85 @@ def pipeline_rendezvous_sharding(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: dataset version diff — snapshot-level change accounting for a
+# document corpus.
+# ---------------------------------------------------------------------------
+
+_VDIFF_ORACLE = """
+WITH v_new AS (
+  -- the new snapshot retired the doc_id % 19 = 0 slice
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 19 <> 0
+), v_old AS (
+  -- the prior snapshot: docs with doc_id % 17 = 0 hadn't been ingested
+  -- yet, and docs with doc_id % 13 = 0 had a different (truncated) body
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN md5(substring(text, 1, 40))
+              ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 17 <> 0
+), j AS (
+  SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN n.h <> o.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM v_new n FULL OUTER JOIN v_old o ON o.doc_id = n.doc_id
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+FROM j GROUP BY status
+"""
+
+
+@register("pipeline_dataset_version_diff", oracle=_VDIFF_ORACLE, tags=("llm", "pipeline", "cdc"))
+def pipeline_dataset_version_diff(spark, sf_dir):
+    """DATASET VERSION DIFF — the snapshot-level change accounting a
+    corpus registry runs between two dataset versions (added / removed
+    / changed / unchanged, by content hash): the document-corpus
+    sibling of cdc_snapshot_diff (which diffs a keyed changelog). The
+    'old' version is derived deterministically from the fixture (a
+    1/17 slice not yet ingested; a 1/13 slice with a truncated body),
+    so the diff exercises all four statuses at every SF. Plan: content
+    hash per side (one projection each — at 100 TB the hash rides the
+    ingest write and this query never rescans text), one full outer
+    join on the id, one rollup. Exact counts + per-status min id (a
+    count-preserving misclassification breaks the hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    v_new = docs.filter(F.pmod("doc_id", F.lit(19)) != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    v_old = docs.filter(F.pmod("doc_id", F.lit(17)) != 0).select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(13)) == 0,
+            F.md5(F.substring("text", 1, 40)),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    j = v_new.withColumnRenamed("h", "hn").join(
+        v_old.withColumnRenamed("h", "ho").withColumnRenamed(
+            "doc_id", "old_id"
+        ),
+        v_new.doc_id == F.col("old_id"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("old_id").isNull(), "added")
+        .when(F.col("doc_id").isNull(), "removed")
+        .when(F.col("hn") != F.col("ho"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("doc_id"), F.col("old_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc_id"),
+        )
+    )
