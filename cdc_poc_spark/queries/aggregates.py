@@ -2304,24 +2304,33 @@ WITH b AS (
   FROM customer
 ), g AS (
   SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
-         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy
   FROM b GROUP BY 1
 ), t AS (
-  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(CAST(SUM(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
-         CAST(CAST(SUM(y * y) AS DECIMAL(38,0)) AS DOUBLE) AS syy,
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS DOUBLE) AS syy,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS k
   FROM b
-), s AS (
-  SELECT t.n, t.k, t.syy - t.sy * t.sy / t.n AS sst,
-         (SELECT SUM(g.sy * g.sy / g.n_g) FROM g) - t.sy * t.sy / t.n AS ssb
+), terms AS (
+  -- centered per-group term: d_g = sy_g * n - s * n_g is EXACT
+  -- (HUGEINT), so each SSB term is a nonnegative double with no
+  -- cancellation; the 5-term sum's order noise is then O(ulp of the
+  -- CENTERED magnitude), absorbed by round(4)
+  SELECT CAST((g.sy * t.n - t.s * g.n_g) * (g.sy * t.n - t.s * g.n_g)
+              AS DOUBLE)
+         / (CAST(g.n_g AS DOUBLE) * t.n * t.n) AS term
+  FROM g, t
+), agg AS (
+  SELECT t.n, t.k,
+         t.syy - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n AS sst,
+         (SELECT SUM(term) FROM terms) AS ssb
   FROM t
 )
-SELECT CAST(n AS BIGINT) AS n_rows, k AS n_groups,
-       round(ssb, 4) AS ss_between,
-       round(sst - ssb, 4) AS ss_within,
+SELECT n AS n_rows, k AS n_groups,
+       round(ssb / sst, 6) AS eta_squared,
        round((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 6) AS f_stat
-FROM s
+FROM agg
 """
 
 
@@ -2334,11 +2343,14 @@ def agg_anova_f(spark, sf_dir):
     squares) as DECIMAL(38) sums of integer cents — the data-sized
     work is two map-side-combinable aggregations; the F ratio is a
     1-row double expression with identical operation order in both
-    engines. The per-group relation re-aggregates to ONE row
-    (sum of sy^2/n_g over k=5 groups: summed in group order via an
-    ordered collect in neither engine — instead the sum is over a
-    5-row relation where each term is identically computed and
-    round(4)/round(6) absorb ~1e-12 order noise; verified stable)."""
+    engines. SSB uses the CENTERED form Σ d_g²/(n_g·n²) with
+    d_g = sy_g·n − s·n_g exact in DECIMAL(38): every term is a
+    nonnegative double, so the k-term sum is cancellation-free; the
+    reported statistics are the scale-free RATIOS eta² = SSB/SST and
+    F, whose order noise is relative (~1e-13, under round(6) at any
+    SF). (The naive Σ sy_g²/n_g − s²/n form and the raw SS columns
+    were both caught by the full sweep: absolute ulp noise at 1e11+
+    magnitudes crosses fixed decimal rounding.)"""
     cust = load_table(spark, sf_dir, "customer")
     b = cust.select(
         F.col("c_mktsegment").alias("seg"),
@@ -2346,28 +2358,55 @@ def agg_anova_f(spark, sf_dir):
     )
     g = b.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n_g"),
-        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
     )
     t = b.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("y").cast("decimal(38,0)").cast("double").alias("sy"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("s"),
         F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").cast("double").alias("syy"),
     )
-    gsum = g.agg(
-        F.sum(F.col("sy") * F.col("sy") / F.col("n_g")).alias("sum_gy2"),
-        F.count(F.lit(1)).alias("k"),
+    # centered per-group SSB term: d_g = sy_g * n - s * n_g is EXACT
+    # DECIMAL(38), so each term is a nonnegative double and the k-term
+    # sum carries no cancellation (the first formulation summed
+    # ~1e13-magnitude sy^2/n_g terms whose summation-ORDER noise
+    # exceeded round(4) — caught by the full sweep when the 32-thread
+    # session reordered the 5-row aggregation; see PLANS.md r8)
+    d = (
+        F.col("sy") * F.col("n").cast("decimal(38,0)")
+        - F.col("s") * F.col("n_g").cast("decimal(38,0)")
     )
-    s = t.crossJoin(F.broadcast(gsum)).select(
-        "n",
-        "k",
-        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")).alias("sst"),
-        (F.col("sum_gy2") - F.col("sy") * F.col("sy") / F.col("n")).alias("ssb"),
+    terms = g.crossJoin(F.broadcast(t)).select(
+        (
+            (d * d).cast("double")
+            / (F.col("n_g").cast("double") * F.col("n") * F.col("n"))
+        ).alias("term")
+    )
+    gsum = terms.agg(F.sum("term").alias("ssb"))
+    kcnt = g.agg(F.count(F.lit(1)).alias("k"))
+    s = (
+        t.crossJoin(F.broadcast(gsum))
+        .crossJoin(F.broadcast(kcnt))
+        .select(
+            F.col("n").cast("double").alias("n"),
+            "k",
+            (
+                F.col("syy")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n")
+            ).alias("sst"),
+            "ssb",
+        )
     )
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
         F.col("k").alias("n_groups"),
-        F.round("ssb", 4).alias("ss_between"),
-        F.round(F.col("sst") - F.col("ssb"), 4).alias("ss_within"),
+        # eta^2 and F are RATIOS: their summation-order noise is
+        # relative (~1e-13), so round(6) is safe at every SF — unlike
+        # the raw SS columns, whose ABSOLUTE ulp grows with n and
+        # crosses any fixed decimal rounding (measured: the 5-term SSB
+        # sum differed in the 4th decimal at 3e11 magnitude between
+        # the test session and the sweep session)
+        F.round(F.col("ssb") / F.col("sst"), 6).alias("eta_squared"),
         F.round(
             (F.col("ssb") / (F.col("k") - 1))
             / ((F.col("sst") - F.col("ssb")) / (F.col("n") - F.col("k"))),
