@@ -347,6 +347,7 @@ _ROUND8B_NEW: list = [
     "tw_max_drawdown",
     "pipeline_dataset_version_diff",
     "agg_sampled_mean_hoeffding",
+    "cdc_consumer_log_landing",
 ]
 
 

@@ -970,3 +970,111 @@ def cdc_watermark_rec_stream_state(spark, sf_dir):
     return swin.derive_watermark_recommendation(
         spark, os.path.join(work, "state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: the CONSUMER's landed log itself under the driver hash — the
+# reference's flagship consume-and-land path (consumer.py:41-66) driven
+# end-to-end inside a query.
+# ---------------------------------------------------------------------------
+
+_CONSUMER_LOG_ORACLE = """
+SELECT CASE WHEN user_id % 2 = 0 THEN 'public_events_even'
+            ELSE 'public_events_odd' END AS table_name,
+       CAST(event_id AS BIGINT) AS seq,
+       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+            ELSE 'u' END AS op,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(value AS DOUBLE) AS after_value
+FROM events
+"""
+
+
+@register(
+    "cdc_consumer_log_landing",
+    oracle=_CONSUMER_LOG_ORACLE,
+    tags=("cdc", "streaming"),
+)
+def cdc_consumer_log_landing(spark, sf_dir):
+    """The CDCConsumer's LANDED LOG, driver-hashed — until now the
+    reference's flagship path (Kafka envelope -> binary cast -> JSON
+    path extraction -> topic routing -> foreachBatch landing with
+    epoch-partitioned exactly-once writes, consumer.py:41-66) was
+    verified by pytest only; this query drives it end-to-end and hashes
+    the landed parquet against a DuckDB recomputation from raw events.
+    Drive: events become Debezium-shaped envelope JSON (payload.after/
+    op/ts_ms; two topics split on user parity — the multi-table routing
+    case), staged as 3 files and consumed with maxFilesPerTrigger=1
+    (3 micro-batches through the real checkpointed foreachBatch), then
+    the landed cdc_log's rows are re-projected through the SAME
+    get_json_object path a consumer of the log would use. Any defect in
+    envelope construction/parsing, topic->table routing, the epoch
+    partitioning, or a duplicate/lost row under the landing protocol
+    changes the row multiset and breaks the hash."""
+    import glob
+    import os
+    import shutil
+
+    from ..sources.files import envelope_json_stream
+    from ..streaming.consumer import CDCConsumer
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    topic = F.concat(
+        F.lit("dbserver1.public.events_"),
+        F.when(F.pmod("user_id", F.lit(2)) == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(None).cast("string").alias("before"),
+                    F.struct(
+                        F.col("user_id"),
+                        F.col("event_id"),
+                        F.col("value"),
+                    ).alias("after"),
+                    op.alias("op"),
+                    F.expr("ts DIV 1000000").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        topic.alias("topic"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.pmod("event_id", F.lit(3)).alias("__part"),
+    )
+    work = _ephemeral_state_dir("cdc_consumer_log_")
+    staged = os.path.join(work, "staged")
+    envelopes.repartition(1).write.partitionBy("__part").json(staged)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    for i, p in enumerate(range(3)):
+        files = glob.glob(os.path.join(staged, f"__part={p}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"e{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    consumer = CDCConsumer(
+        warehouse_dir=os.path.join(work, "wh"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q = consumer.start_log_query(
+        envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
+    )
+    q.awaitTermination(600)
+    landed = spark.read.parquet(os.path.join(work, "wh", "cdc_log"))
+    return landed.select(
+        "table_name",
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+        F.get_json_object("after", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("after", "$.value").cast("double").alias(
+            "after_value"
+        ),
+    )
