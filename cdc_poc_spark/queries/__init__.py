@@ -348,6 +348,7 @@ _ROUND8B_NEW: list = [
     "pipeline_dataset_version_diff",
     "agg_sampled_mean_hoeffding",
     "cdc_consumer_log_landing",
+    "cdc_consumer_mirror_state",
 ]
 
 

@@ -1078,3 +1078,113 @@ def cdc_consumer_log_landing(spark, sf_dir):
             "after_value"
         ),
     )
+
+
+_CONSUMER_MIRROR_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+           AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(value AS DOUBLE) AS value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "cdc_consumer_mirror_state",
+    oracle=_CONSUMER_MIRROR_ORACLE,
+    tags=("cdc", "streaming"),
+)
+def cdc_consumer_mirror_state(spark, sf_dir):
+    """The CDCConsumer's MIRROR TABLE (the upsert/Connect path the
+    reference defers to Iceberg MERGE — consumer.py:76,
+    connect-iceberg-sink.json:29-30) under the driver hash: the same
+    envelope drive as cdc_consumer_log_landing, but through
+    start_mirror_query's typed-parse + bucketed keyed MERGE
+    (last-writer-wins on the Kafka offset, tombstones evict). The
+    landed mirror after 3 checkpointed micro-batches must equal the
+    one-shot window-dedup of the whole changelog — the oracle never
+    sees a batch boundary, so a key that resurrects after its delete,
+    double-applies across epochs, or picks the wrong writer under the
+    offset order breaks the hash. This closes the last pytest-only
+    flagship surface: both consumer modes (log + mirror) now carry
+    driver-checked value hashes."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..sources.files import envelope_json_stream
+    from ..streaming.consumer import CDCConsumer, TableSpec
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    bounds = ev.agg(
+        F.min("event_id").alias("min_id"), F.max("event_id").alias("max_id")
+    )
+    envelopes = ev.crossJoin(F.broadcast(bounds)).select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(None).cast("string").alias("before"),
+                    F.struct(
+                        F.col("user_id"), F.col("event_id"), F.col("value")
+                    ).alias("after"),
+                    op.alias("op"),
+                    F.expr("ts DIV 1000000").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        F.lit("dbserver1.public.events").alias("topic"),
+        F.col("event_id").cast("long").alias("offset"),
+        # epochs split by OFFSET RANGE, not id modulus: the mirror merge
+        # (like any Kafka consumer) relies on per-key delivery in offset
+        # order ACROSS batches — a modulus split would deliver an older
+        # upsert after a newer tombstone and legitimately resurrect the
+        # key (found by this query's first run: 15 vs 12 rows)
+        F.expr(
+            "least(2, CAST((event_id - min_id) * 3"
+            " DIV (max_id - min_id + 1) AS INT))"
+        ).alias("__part"),
+    )
+    work = _ephemeral_state_dir("cdc_consumer_mirror_")
+    staged = os.path.join(work, "staged")
+    envelopes.repartition(1).write.partitionBy("__part").json(staged)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    for i, p in enumerate(range(3)):
+        files = glob.glob(os.path.join(staged, f"__part={p}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"e{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    consumer = CDCConsumer(
+        warehouse_dir=os.path.join(work, "wh"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        tables={"public_events": TableSpec(schema, ("user_id",))},
+    )
+    q = consumer.start_mirror_query(
+        envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
+    )
+    q.awaitTermination(600)
+    return consumer.read_mirror(spark, "public_events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
