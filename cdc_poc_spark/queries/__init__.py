@@ -349,6 +349,9 @@ _ROUND8B_NEW: list = [
     "agg_sampled_mean_hoeffding",
     "cdc_consumer_log_landing",
     "cdc_consumer_mirror_state",
+    "sql_collated_distinct",
+    "cdc_consumer_dlq_accounting",
+    "text_token_burstiness",
 ]
 
 

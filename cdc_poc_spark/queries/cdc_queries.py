@@ -1188,3 +1188,109 @@ def cdc_consumer_mirror_state(spark, sf_dir):
         F.col("event_id").cast("long").alias("event_id"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+_CONSUMER_DLQ_ORACLE = """
+WITH cls AS (
+  SELECT CASE WHEN event_id % 23 = 0 THEN 'malformed_json'
+              WHEN event_id % 29 = 0 THEN 'missing_op'
+              ELSE 'landed' END AS disposition
+  FROM events
+)
+SELECT disposition, CAST(COUNT(*) AS BIGINT) AS n_records
+FROM cls GROUP BY disposition
+"""
+
+
+@register(
+    "cdc_consumer_dlq_accounting",
+    oracle=_CONSUMER_DLQ_ORACLE,
+    tags=("cdc", "streaming", "quality"),
+)
+def cdc_consumer_dlq_accounting(spark, sf_dir):
+    """The consumer's DEAD-LETTER path under the driver hash — the
+    surface the reference lacks entirely (a malformed envelope kills
+    its consumer; at scale one bad producer must quarantine records,
+    not stall the stream). The drive poisons the envelope stream
+    deterministically (1/23 of records become truncated non-JSON,
+    1/29 lose their op field), lands through the SAME checkpointed
+    log query as cdc_consumer_log_landing but with a DLQ configured,
+    and returns the per-disposition accounting read back from BOTH
+    landed outputs (log rows + quarantined rows with their reason
+    tags). The oracle recomputes the classification from the
+    construction — a record landing in the wrong place, double-landed
+    under replay, or tagged with the wrong reason breaks the hash."""
+    import glob
+    import os
+    import shutil
+
+    from ..sources.files import envelope_json_stream
+    from ..streaming.consumer import CDCConsumer
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    good = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.struct(
+                    F.col("user_id"), F.col("event_id"), F.col("value")
+                ).alias("after"),
+                op.alias("op"),
+                F.expr("ts DIV 1000000").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    no_op = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(F.col("user_id")).alias("after"),
+                F.expr("ts DIV 1000000").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    value = (
+        F.when(F.pmod("event_id", F.lit(23)) == 0, F.substring(good, 1, 10))
+        .when(F.pmod("event_id", F.lit(29)) == 0, no_op)
+        .otherwise(good)
+    )
+    envelopes = ev.select(
+        value.alias("value"),
+        F.lit("dbserver1.public.events").alias("topic"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.pmod("event_id", F.lit(3)).alias("__part"),
+    )
+    work = _ephemeral_state_dir("cdc_consumer_dlq_")
+    staged = os.path.join(work, "staged")
+    envelopes.repartition(1).write.partitionBy("__part").json(staged)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    for i, p in enumerate(range(3)):
+        files = glob.glob(os.path.join(staged, f"__part={p}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"e{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    consumer = CDCConsumer(
+        warehouse_dir=os.path.join(work, "wh"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        dlq_dir=os.path.join(work, "dlq"),
+    )
+    q = consumer.start_log_query(
+        envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
+    )
+    q.awaitTermination(600)
+    landed = (
+        spark.read.parquet(os.path.join(work, "wh", "cdc_log"))
+        .select(F.lit("landed").alias("disposition"))
+    )
+    dlq = spark.read.parquet(os.path.join(work, "dlq")).select(
+        F.col("reason").alias("disposition")
+    )
+    return landed.unionByName(dlq).groupBy("disposition").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )

@@ -498,3 +498,58 @@ def _register_sql_udf():
 
 
 _register_sql_udf()
+
+
+# ---------------------------------------------------------------------------
+# Round-8: collation-aware comparison (Spark 4 COLLATE).
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH m AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+              ELSE lower(p_type) END AS mixed
+  FROM part
+)
+SELECT CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_binary_distinct,
+       CAST(COUNT(DISTINCT lower(mixed)) AS BIGINT) AS n_lcase_distinct,
+       COUNT(DISTINCT mixed) > COUNT(DISTINCT lower(mixed))
+         AS collation_discriminates
+FROM m
+"""
+
+
+def _register_collation():
+    @register("sql_collated_distinct", oracle=_COLLATION_ORACLE, tags=("sql",))
+    def sql_collated_distinct(spark: SparkSession, sf_dir: str):
+        """Spark 4 COLLATION surface (CAST(x AS STRING COLLATE
+        UTF8_LCASE)): case-insensitive equality as a TYPE property, so
+        every comparison, join, GROUP BY, and DISTINCT downstream
+        respects it without sprinkling lower() at each site (and
+        Catalyst can still push/prune through it). The query derives a
+        deterministically mixed-case column from p_type (fixture
+        strings are uniform-case, which would make collation
+        non-discriminating), counts distinct under UTF8_BINARY vs
+        UTF8_LCASE, and asserts they differ. The oracle is the classic
+        lower() rewrite — equality proves the collation semantics;
+        DuckDB has collations but not Spark's type syntax, so this is
+        oracle-by-equivalence like the pipe/IDENTIFIER entries."""
+        register_views(spark, sf_dir)
+        return spark.sql(
+            """
+            WITH m AS (
+              SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                          ELSE lower(p_type) END AS mixed
+              FROM part
+            )
+            SELECT COUNT(DISTINCT mixed) AS n_binary_distinct,
+                   COUNT(DISTINCT CAST(mixed AS STRING COLLATE UTF8_LCASE))
+                     AS n_lcase_distinct,
+                   COUNT(DISTINCT mixed) >
+                     COUNT(DISTINCT CAST(mixed AS STRING COLLATE UTF8_LCASE))
+                     AS collation_discriminates
+            FROM m
+            """
+        )
+
+
+_register_collation()

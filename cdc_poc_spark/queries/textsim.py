@@ -885,3 +885,70 @@ def text_ngram_novelty_rate(spark, sf_dir):
             "CAST(SUM(n_novel) * 1000000 DIV SUM(n_grams) AS BIGINT)"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: token burstiness — dispersion of a term's per-document counts.
+# ---------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t WHERE tok <> '' GROUP BY 1, 2
+), n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+s AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(n) AS BIGINT) AS cf,
+         CAST(SUM(n * n) AS BIGINT) AS cf2
+  FROM c GROUP BY tok
+), top AS (
+  SELECT tok, df, cf, cf2 FROM s ORDER BY df DESC, tok LIMIT 20
+)
+SELECT tok, df, cf,
+       round((nd * CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf)
+             / (CAST(cf AS DOUBLE) * (nd - 1)), 6) AS vmr
+FROM top, n_docs
+"""
+
+
+@register("text_token_burstiness", oracle=_BURSTINESS_ORACLE, tags=("llm", "text", "quality"))
+def text_token_burstiness(spark, sf_dir):
+    """Token BURSTINESS — the variance-to-mean ratio (index of
+    dispersion) of each top-df term's per-document count, zeros
+    included: VMR ≈ 1 is Poisson scatter (function words), VMR >> 1 is
+    a bursty content/boilerplate term that clumps into few documents —
+    the dispersion axis that df/cf alone cannot see (two terms with
+    identical df and cf can differ 10x in VMR), used by quality
+    filters to separate topical vocabulary from template junk. Exact
+    integer moments (per-doc counts, Σn, Σn²) with zeros handled in
+    closed form (absent docs contribute 0 to both sums, so the
+    all-docs VMR needs only nd); ONE double expression per output row
+    rounded at 6. Plan: one explode -> two keyed map-side-combinable
+    rollups -> TakeOrderedAndProject top-20."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    c = t.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s = c.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("n").alias("cf"),
+        F.sum(F.col("n") * F.col("n")).alias("cf2"),
+    )
+    top = s.orderBy(F.desc("df"), F.asc("tok")).limit(20)
+    nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return top.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "df",
+        F.col("cf").cast("long").alias("cf"),
+        F.round(
+            (
+                F.col("nd") * F.col("cf2").cast("double")
+                - F.col("cf").cast("double") * F.col("cf")
+            )
+            / (F.col("cf").cast("double") * (F.col("nd") - 1)),
+            6,
+        ).alias("vmr"),
+    )
