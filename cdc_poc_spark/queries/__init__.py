@@ -355,6 +355,15 @@ _ROUND8B_NEW: list = [
 ]
 
 
+# ROUND-9 WINDOW (started with round 9's FIRST commit per VERDICT r8 task
+# #1 — fronting it before any r9 query lands means the driver window stops
+# re-hashing the already-green r8 entries the moment new queries appear).
+# Queries registered for the first time DURING round 9 are appended here
+# as they land; capacity 50, overflow starts _ROUND10_NEW per the
+# standing policy.
+_ROUND9_NEW: list = []
+
+
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.
@@ -401,6 +410,7 @@ _ROUND6B_NEW: list = [
 # ad-hoc lists that predate this file's bookkeeping; their queries simply
 # fall through to registration order at the back.
 WINDOW_HISTORY: list[tuple[int, list]] = [
+    (9, _ROUND9_NEW),
     (8, _ROUND8_NEW + _ROUND8B_NEW),
     (7, _ROUND7_NEW + _ROUND7B_NEW),
     (6, _ROUND6_NEW + _ROUND6B_NEW),
