@@ -208,7 +208,14 @@ def _cpu_jiffies() -> tuple[int, int]:
     with open("/proc/stat") as fh:
         f = fh.readline().split()[1:]
     vals = [int(x) for x in f]
-    busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+    # guest/guest_nice (fields 9/10) are already included in user/nice
+    # on modern kernels — summing them double-counts guest time and
+    # inflates the external-CPU covariate on virtualized hosts
+    busy = (
+        sum(vals[:8])
+        - vals[3]
+        - (vals[4] if len(vals) > 4 else 0)
+    )
     tree = 0
     for pid in _descendant_pids():
         try:

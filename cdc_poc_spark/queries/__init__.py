@@ -328,7 +328,10 @@ _ROUND8B_NEW: list = [
     "ml_covariance_matrix",
     "sim_ann_ivfpq_residual_topk",
     "text_hybrid_rrf_fusion",
-    "ml_knn_classifier_accuracy",
+    # renamed r9 from ml_knn_classifier_accuracy (VERDICT r8 "what's
+    # wrong #3" — same query/oracle/values; its CORRECTNESS_r08 driver
+    # row is under the old name):
+    "ml_knn_vote_pipeline",
     "pipeline_bloom_decontaminate",
     "tw_lateness_histogram",
     "mm_content_defined_chunks",

@@ -2098,11 +2098,15 @@ def agg_spearman_rho(spark, sf_dir):
     )
     m = r.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("rx").cast("decimal(38,0)").cast("double").alias("sx"),
-        F.sum("ry").cast("decimal(38,0)").cast("double").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).cast("decimal(38,0)").cast("double").alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).cast("decimal(38,0)").cast("double").alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).cast("decimal(38,0)").cast("double").alias("sxy"),
+        # decimal BEFORE both the product and the sum (ADVICE r8): with
+        # rx ~ n the long product rx*rx overflows at n > 3e9 and the
+        # long partial sums sooner still; accumulating in DECIMAL(38)
+        # keeps the moments exact at any SF, matching the docstring.
+        F.sum(F.col("rx").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry").cast("decimal(38,0)") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx").cast("decimal(38,0)") * F.col("ry")).cast("double").alias("sxy"),
     )
     return m.select(
         F.col("n").cast("long").alias("n_rows"),
@@ -2356,14 +2360,17 @@ def agg_anova_f(spark, sf_dir):
         F.col("c_mktsegment").alias("seg"),
         F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("y"),
     )
+    # decimal BEFORE the product/sum (ADVICE r8): y*y ~ 1e12 makes the
+    # long partial sum overflow at ~9e6 rows; DECIMAL(38) accumulation
+    # keeps the moments exact at any SF, matching the docstring.
     g = b.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n_g"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
     )
     t = b.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("y").cast("decimal(38,0)").alias("s"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").cast("double").alias("syy"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).cast("double").alias("syy"),
     )
     # centered per-group SSB term: d_g = sy_g * n - s * n_g is EXACT
     # DECIMAL(38), so each term is a nonnegative double and the k-term

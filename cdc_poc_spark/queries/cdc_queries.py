@@ -830,9 +830,11 @@ def cdc_materialized_join_agg(spark, sf_dir):
 
 
 def _ooo_oracle() -> str:
-    """The batch cdc_out_of_order_profile's oracle, shared VERBATIM
-    (lazy import: profiling registers its own queries on import, and
-    module import order belongs to queries/__init__)."""
+    """The batch cdc_out_of_order_profile's oracle, shared VERBATIM.
+    NOTE (ADVICE r8): this is called EAGERLY at decoration time
+    (``oracle=_ooo_oracle()``), so importing cdc_queries imports
+    profiling too — the function exists only to keep the cross-module
+    dependency local and greppable, not to defer it."""
     from .profiling import _OOO_ORACLE
 
     return _OOO_ORACLE
@@ -905,7 +907,7 @@ def cdc_ooo_profile_stream_state(spark, sf_dir):
 
 def _wm_rec_oracle() -> str:
     """The batch cdc_watermark_recommendation's oracle, shared VERBATIM
-    (lazy import, same rationale as _ooo_oracle)."""
+    (evaluated eagerly at decoration time, same note as _ooo_oracle)."""
     from .profiling import _wm_oracle
 
     return _wm_oracle()

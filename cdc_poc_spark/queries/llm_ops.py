@@ -3405,8 +3405,11 @@ def ml_covariance_matrix(spark, sf_dir):
     ).select(
         "vec_id", "j", F.round(F.col("x") * q).cast("long").alias("qx")
     )
+    # decimal BEFORE the sum (ADVICE r8): qx ~ 1e6 so the long partial
+    # sum overflows at ~9e12 cells and the qa*qb product path below at
+    # ~9e6; DECIMAL(38) accumulation keeps the moments exact at any SF.
     mu = dims.groupBy("j").agg(
-        F.sum("qx").cast("decimal(38,0)").cast("double").alias("s")
+        F.sum(F.col("qx").cast("decimal(38,0)")).cast("double").alias("s")
     )
     a = dims.select("vec_id", F.col("j").alias("j1"), F.col("qx").alias("qa"))
     b = dims.select("vec_id", F.col("j").alias("j2"), F.col("qx").alias("qb"))
@@ -3415,8 +3418,7 @@ def ml_covariance_matrix(spark, sf_dir):
         .filter(F.col("j1") <= F.col("j2"))
         .groupBy("j1", "j2")
         .agg(
-            F.sum(F.col("qa") * F.col("qb"))
-            .cast("decimal(38,0)")
+            F.sum(F.col("qa").cast("decimal(38,0)") * F.col("qb"))
             .cast("double")
             .alias("sxy")
         )
@@ -3554,9 +3556,15 @@ WHERE p.vr = 1
 """
 
 
-@register("ml_knn_classifier_accuracy", oracle=_KNN_CLS_ORACLE, tags=("llm", "ml", "similarity"))
-def ml_knn_classifier_accuracy(spark, sf_dir):
-    """Leave-one-out kNN CLASSIFICATION over the embedding corpus: for
+@register("ml_knn_vote_pipeline", oracle=_KNN_CLS_ORACLE, tags=("llm", "ml", "similarity"))
+def ml_knn_vote_pipeline(spark, sf_dir):
+    """RENAMED from ml_knn_classifier_accuracy in round 9 (VERDICT r8
+    "what's wrong #3": the fixture's labels are geometry-free, so the
+    contract verifies the exact VOTE PIPELINE, not classifier quality —
+    the old name overclaimed; CORRECTNESS_r08 recorded its driver-green
+    row under the old name, values unchanged).
+
+    Leave-one-out kNN vote pipeline over the embedding corpus: for
     each of the first 50 vectors, the 5 nearest cosine neighbors
     (self excluded) vote on its label — majority wins, ties break to
     the lexicographically smaller label — and the value-exact output is

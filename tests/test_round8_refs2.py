@@ -9,7 +9,7 @@ implementation (see test_round8_refs.py for the program's rationale).
 3. mm_content_defined_chunks — the rolling-boundary chunker re-done
    with hashlib over Python strings (boundaries, chunks, dedup
    accounting).
-4. ml_knn_classifier_accuracy — leave-one-out majority vote re-done in
+4. ml_knn_vote_pipeline (né ml_knn_classifier_accuracy) — leave-one-out majority vote re-done in
    Python floats with the engine's round-then-tiebreak convention.
 """
 
@@ -262,7 +262,7 @@ def _py_knn_accuracy(sf_dir: str, n_queries=50, k=5):
 def test_knn_classifier_matches_pure_python(spark):
     from cdc_poc_spark.queries import all_specs
 
-    [row] = all_specs()["ml_knn_classifier_accuracy"].fn(spark, SF_DIR).collect()
+    [row] = all_specs()["ml_knn_vote_pipeline"].fn(spark, SF_DIR).collect()
     n_q, correct, acc = _py_knn_accuracy(SF_DIR)
     assert (row.n_queries, row.n_correct, row.accuracy) == (n_q, correct, acc)
     # The fixture's labels carry NO geometric signal (measured: mean

@@ -7,15 +7,31 @@ structurally blind to when both engines happen to pick the same order
 session reordered a 5-row double sum past round(4) while the test
 session and DuckDB agreed with each other).
 
+FRESHNESS (VERDICT r8 "what's wrong #1"): each record row carries a
+SOURCE FINGERPRINT — md5 of the query function's source text plus its
+oracle SQL — and tests/test_layout_audit.py asserts every registered
+query's current fingerprint matches the recorded one. Editing a query
+body (not just growing the registry) therefore fails the suite until
+the audit is re-run for the edited names:
+
+    python tools/layout_audit.py --changed      # re-run only stale/new
+    python tools/layout_audit.py                # full re-run
+    python tools/layout_audit.py --only a,b,c   # explicit names
+
+Incremental runs MERGE into the committed LAYOUT_AUDIT.json (rows for
+unchanged queries are kept; rows whose fingerprint went stale are
+replaced; rows for unregistered names are dropped).
+
 The comparator is the driver's: column-name-sorted, row-sorted, repr
 hashing. Writes LAYOUT_AUDIT.json at the repo root.
 
-Usage: python tools/layout_audit.py [sf_dir]
+Usage: python tools/layout_audit.py [--changed | --only n1,n2] [sf_dir]
 """
 
 from __future__ import annotations
 
 import hashlib
+import inspect
 import json
 import os
 import sys
@@ -23,6 +39,18 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+RECORD = os.path.join(REPO, "LAYOUT_AUDIT.json")
+
+
+def source_fingerprint(spec) -> str:
+    """md5 of the query function's source + oracle SQL. Docstring edits
+    count as changes (cheap false positives beat silent staleness)."""
+    try:
+        src = inspect.getsource(spec.fn)
+    except OSError:  # builtins / exec'd code — fall back to bytecode
+        src = repr(spec.fn.__code__.co_code)
+    return hashlib.md5((src + "\n" + (spec.oracle or "")).encode()).hexdigest()[:16]
 
 
 def _rows_hash(df) -> tuple[int, str]:
@@ -36,35 +64,76 @@ def main() -> None:
     from cdc_poc_spark.queries import all_specs
     from cdc_poc_spark.session import get_spark
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(app_name="layout-audit")
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    changed_only = False
+    if argv and argv[0] == "--changed":
+        changed_only = True
+        argv = argv[1:]
+    elif argv and argv[0] == "--only":
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+
     specs = all_specs()
+    fps = {n: source_fingerprint(s) for n, s in specs.items()}
+
+    prior: dict[str, dict] = {}
+    if (changed_only or only is not None) and os.path.exists(RECORD):
+        with open(RECORD) as fh:
+            rec = json.load(fh)
+        if rec.get("sf_dir") == sf:
+            prior = rec.get("queries", {})
+
+    if only is not None:
+        todo = [n for n in specs if n in only]
+        missing = only - set(todo)
+        if missing:
+            print(f"WARNING: --only names not registered: {sorted(missing)}")
+    elif changed_only:
+        todo = [
+            n
+            for n in specs
+            if n not in prior or prior[n].get("fp") != fps[n] or "error" in prior[n]
+        ]
+        print(f"{len(todo)} of {len(specs)} queries stale/new; re-running those")
+    else:
+        todo = list(specs)
+
+    spark = get_spark(app_name="layout-audit")
+    # the session's own value is layout 1 (ADVICE r8: don't assume 32);
+    # restore it in a finally so an aborted audit can't leave the
+    # session misconfigured
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    alt = "7" if orig != "7" else "5"
     t0 = time.perf_counter()
-    results: dict[str, dict] = {}
-    # two layouts: the session default (32) and a coprime small count;
-    # AQE stays on in both (the production setting) — what changes is
-    # the partitioning every shuffle-dependent order flows from
-    for name, spec in specs.items():
-        row: dict = {}
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
-            n1, h1 = _rows_hash(spec.fn(spark, sf))
-            spark.catalog.clearCache()
-            spark.conf.set("spark.sql.shuffle.partitions", "7")
-            n2, h2 = _rows_hash(spec.fn(spark, sf))
-            spark.catalog.clearCache()
-            row = {"n": n1, "match": (n1, h1) == (n2, h2)}
-            if not row["match"]:
-                row["detail"] = {"h32": (n1, h1), "h7": (n2, h2)}
-        except Exception as exc:  # noqa: BLE001 - report, don't abort
-            row = {"error": f"{type(exc).__name__}: {exc}"}
-        results[name] = row
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    results: dict[str, dict] = {n: r for n, r in prior.items() if n in specs}
+    try:
+        for name in todo:
+            spec = specs[name]
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", orig)
+                n1, h1 = _rows_hash(spec.fn(spark, sf))
+                spark.catalog.clearCache()
+                spark.conf.set("spark.sql.shuffle.partitions", alt)
+                n2, h2 = _rows_hash(spec.fn(spark, sf))
+                spark.catalog.clearCache()
+                row = {"n": n1, "match": (n1, h1) == (n2, h2)}
+                if not row["match"]:
+                    row["detail"] = {f"h{orig}": (n1, h1), f"h{alt}": (n2, h2)}
+            except Exception as exc:  # noqa: BLE001 - report, don't abort
+                row = {"error": f"{type(exc).__name__}: {exc}"}
+            row["fp"] = fps[name]
+            results[name] = row
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
     mism = sorted(n for n, r in results.items() if r.get("match") is False)
     errs = sorted(n for n, r in results.items() if "error" in r)
     out = {
         "sf_dir": sf,
+        "layouts": [orig, alt],
         "n_queries": len(results),
+        "n_rerun": len(todo),
         "n_mismatch": len(mism),
         "mismatches": mism,
         "n_error": len(errs),
@@ -72,10 +141,10 @@ def main() -> None:
         "total_sec": round(time.perf_counter() - t0, 1),
         "queries": results,
     }
-    with open(os.path.join(REPO, "LAYOUT_AUDIT.json"), "w") as fh:
+    with open(RECORD, "w") as fh:
         json.dump(out, fh, indent=1)
     print(
-        f"{len(results)} queries under 2 layouts; "
+        f"{len(results)} queries recorded ({len(todo)} re-run) under 2 layouts; "
         f"{len(mism)} mismatches; {len(errs)} errors; {out['total_sec']} s"
     )
     for n in mism:
