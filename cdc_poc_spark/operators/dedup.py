@@ -1482,3 +1482,107 @@ def exact_containment_pairs_collapsed(
         .select("p.id_a", "p.id_b", F.lit(1.0).alias("containment"))
     )
     return cross.unionByName(cliques)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: cross-document EXACT substring dedup (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" tier —
+# ExactSubstr). The reference's surface has no dedup at all
+# (consumer.py is envelope landing only); this is part of the
+# LLM-pipeline operator family the north star adds on top.
+# ---------------------------------------------------------------------------
+
+
+def common_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_span: int = 16,
+    gram_doc_cap: int = 50,
+) -> DataFrame:
+    """Pairs of documents sharing an EXACT common token run of >=
+    ``min_span`` tokens, with the length of the longest shared run —
+    the suffix-array ExactSubstr dedup of Lee et al. 2022 re-expressed
+    as keyed shuffles (no suffix array, same answer for runs built from
+    grams the cap keeps):
+
+    1. collapse md5-exact clones first (the standing rule for every
+       pairwise consumer — a 1000-copy boilerplate family must cost 1
+       doc, not 10^6 pairs);
+    2. every k-token gram with its start position (posexplode — one
+       row per gram, JVM-side slice/array_join only);
+    3. drop grams in < 2 or > ``gram_doc_cap`` distinct docs (the
+       LSH_BUCKET_CAP discipline: an ultra-common boilerplate gram
+       would otherwise fan the self-join quadratically; dropped-gram
+       spans are observable via the frequency relation, and a run of
+       L > k capped grams is only ALL-capped if every window of it is
+       — boilerplate, by construction);
+    4. equi-join gram occurrences (id_a < id_b) — never a cross join;
+    5. gaps-and-islands per (pair, diagonal): grams of the same pair
+       whose position difference pa - pb is equal AND whose pa values
+       are consecutive belong to one run; a maximal island of m grams
+       is a shared token run of m + k - 1 tokens (window partitioned
+       by (id_a, id_b, diag) — many small partitions, distributed);
+    6. keep pairs whose longest run >= min_span.
+
+    100 TB variant (documented, not needed at fixture SF): carry
+    xxhash64(gram) through the join instead of the gram string (w.h.p.
+    collision-free; the island structure re-verifies adjacency), and
+    range-partition the gram relation — the same two knobs the PPJoin
+    path uses. Output: (id_a, id_b, max_shared_span, n_shared_grams).
+    """
+    collapsed = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),  # identical within group
+        )
+        .drop("_h")
+    )
+    g = (
+        collapsed.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= gram_doc_cap))
+        .select("gram")
+    )
+    occ = g.join(shared, "gram")
+    a = occ.select(
+        F.col("gram"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = occ.select(
+        F.col("gram"), F.col(id_col).alias("id_b"), F.col("pos").alias("pb")
+    )
+    p = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        p.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("span").cast("long").alias("max_shared_span"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .filter(F.col("max_shared_span") >= min_span)
+    )

@@ -364,7 +364,9 @@ _ROUND8B_NEW: list = [
 # Queries registered for the first time DURING round 9 are appended here
 # as they land; capacity 50, overflow starts _ROUND10_NEW per the
 # standing policy.
-_ROUND9_NEW: list = []
+_ROUND9_NEW: list = [
+    "dedup_common_substring_pairs",
+]
 
 
 # Queries registered for the first time DURING round 6 — appended to the
@@ -484,6 +486,7 @@ def all_specs() -> dict[str, QuerySpec]:
         curation,
         joins,
         llm_ops,
+        llm_ops2,
         timeseries,
         textsim,
         profiling,

@@ -130,9 +130,18 @@ def main() -> None:
 
     from cdc_poc_spark.queries import all_specs
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:  # dev loop: audit named queries, don't write
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.001"
     spark = SparkSession.builder.master("local[8]").getOrCreate()
-    results = audit(spark, all_specs(), sf)
+    specs = all_specs()
+    if only is not None:
+        specs = {n: s for n, s in specs.items() if n in only}
+    results = audit(spark, specs, sf)
     hard = {
         n: r
         for n, r in results.items()
@@ -154,8 +163,9 @@ def main() -> None:
         "single_partition_window_whitelist": sorted(SINGLE_PARTITION_WINDOW_OK),
         "queries": results,
     }
-    with open(os.path.join(REPO, "PLAN_AUDIT.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+    if only is None:  # partial runs must not overwrite the committed audit
+        with open(os.path.join(REPO, "PLAN_AUDIT.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
     print(
         f"{len(results)} plans audited; {len(hard)} hard violations;"
         f" {len(advisory)} advisory single-partition windows"
