@@ -366,6 +366,8 @@ _ROUND8B_NEW: list = [
 # standing policy.
 _ROUND9_NEW: list = [
     "dedup_common_substring_pairs",
+    "sim_ann_opq_topk",
+    "cdc_consumer_scd2_intervals",
 ]
 
 

@@ -1296,3 +1296,108 @@ def cdc_consumer_dlq_accounting(spark, sf_dir):
     return landed.unionByName(dlq).groupBy("disposition").agg(
         F.count(F.lit(1)).alias("n_records")
     )
+
+
+_CONSUMER_SCD2_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id AS seq, value,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              ELSE 'u' END AS op
+  FROM events
+), v AS (
+  SELECT user_id, value, op, seq AS valid_from,
+         lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+  FROM log
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(value AS DOUBLE) AS value,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to,
+       (valid_to IS NULL) AS is_current
+FROM v WHERE op <> 'd'
+"""
+
+
+@register(
+    "cdc_consumer_scd2_intervals",
+    oracle=_CONSUMER_SCD2_ORACLE,
+    tags=("cdc", "streaming"),
+)
+def cdc_consumer_scd2_intervals(spark, sf_dir):
+    """The consumer-maintained SCD2 INTERVAL TABLE under the driver
+    hash (VERDICT r8 task #5) — the remaining consumer surface after
+    r8's log/mirror/DLQ trio: the same Debezium-shaped envelope drive
+    lands through the REAL checkpointed foreachBatch log query
+    (3 micro-batches, maxFilesPerTrigger=1), and the landed log is
+    read back through cdc/apply.py:scd2_from_log into slowly-changing
+    validity intervals — every change a [seq, next-seq-per-key) row,
+    deletes closing intervals without opening one, current rows
+    open-ended. The oracle recomputes the intervals from raw events
+    and never sees the stream, so a lost/duplicated landing under the
+    epoch protocol, a mis-parsed envelope, or a wrong lead/filter
+    order in the SCD2 derivation (deletes must participate in the
+    lead BEFORE being filtered, else the pre-delete version stays
+    open) breaks the hash."""
+    import glob
+    import os
+    import shutil
+
+    from ..cdc.apply import scd2_from_log
+    from ..sources.files import envelope_json_stream
+    from ..streaming.consumer import CDCConsumer
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(None).cast("string").alias("before"),
+                    F.struct(
+                        F.col("user_id"), F.col("event_id"), F.col("value")
+                    ).alias("after"),
+                    op.alias("op"),
+                    F.expr("ts DIV 1000000").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        F.lit("dbserver1.public.events").alias("topic"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.pmod("event_id", F.lit(3)).alias("__part"),
+    )
+    work = _ephemeral_state_dir("cdc_consumer_scd2_")
+    staged = os.path.join(work, "staged")
+    envelopes.repartition(1).write.partitionBy("__part").json(staged)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    for i, p in enumerate(range(3)):
+        files = glob.glob(os.path.join(staged, f"__part={p}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"e{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    consumer = CDCConsumer(
+        warehouse_dir=os.path.join(work, "wh"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    q = consumer.start_log_query(
+        envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
+    )
+    q.awaitTermination(600)
+    landed = spark.read.parquet(os.path.join(work, "wh", "cdc_log")).select(
+        F.get_json_object("after", "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object("after", "$.value").cast("double").alias("value"),
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+    )
+    return scd2_from_log(landed, ["user_id"], seq_col="seq").select(
+        "user_id",
+        "value",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        "is_current",
+    )
