@@ -368,6 +368,10 @@ _ROUND9_NEW: list = [
     "dedup_common_substring_pairs",
     "sim_ann_opq_topk",
     "cdc_consumer_scd2_intervals",
+    "text_mattr_sliding_ttr",
+    "text_rouge2_pairs",
+    "text_edit_distance_pairs",
+    "text_cooccurrence_window",
 ]
 
 

@@ -168,3 +168,299 @@ def sim_ann_opq_topk(spark, sf_dir):
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Text analysis — round-9 additions.
+# ---------------------------------------------------------------------------
+
+_MATTR_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), w AS (
+  SELECT doc_id, source,
+         list_transform(range(1, len(toks) - 18),
+                        i -> len(list_distinct(list_slice(toks, i, i + 19))))
+           AS wins
+  FROM t WHERE len(toks) >= 20
+)
+SELECT doc_id, source,
+       CAST(len(wins) AS BIGINT) AS n_windows,
+       round(CAST(list_sum(wins) AS DOUBLE) / (len(wins) * 20), 6) AS mattr
+FROM w
+"""
+
+
+@register("text_mattr_sliding_ttr", oracle=_MATTR_ORACLE, tags=("llm", "text", "quality"))
+def text_mattr_sliding_ttr(spark, sf_dir):
+    """MATTR — Moving-Average Type-Token Ratio (Covington & McFall,
+    JQL 2010): mean distinct-token ratio over every sliding 20-token
+    window of the document. The fixed window removes plain TTR's
+    length bias (text_lexical_diversity carries the global variant),
+    making scores comparable across docs — the repetition/diversity
+    axis LLM quality filters threshold on. All JVM higher-order array
+    ops per row (transform/sequence/slice/array_distinct — zero extra
+    shuffle, zero Python); the mean is an exact integer sum over
+    windows with ONE final division. Scale: per-row work is
+    O(len * w); nothing joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = 20
+    return (
+        docs.select(
+            "doc_id", "source", F.split("text", " ").alias("toks")
+        )
+        .filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            "source",
+            F.expr(
+                f"transform(sequence(1, size(toks) - {w} + 1),"
+                f" i -> size(array_distinct(slice(toks, i, {w}))))"
+            ).alias("wins"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.size("wins").cast("long").alias("n_windows"),
+            F.round(
+                F.expr("aggregate(wins, 0L, (a, x) -> a + x)")
+                / (F.size("wins") * w),
+                6,
+            ).alias("mattr"),
+        )
+    )
+
+
+_ROUGE2_ORACLE = """
+WITH c AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM documents GROUP BY md5(text)
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM c
+), g AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+), shared AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT g.* FROM g JOIN shared USING (gram)) a
+  JOIN (SELECT g.* FROM g JOIN shared USING (gram)) b USING (gram)
+  WHERE a.doc_id < b.doc_id
+), b2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_intersect(x.bg, y.bg)) AS BIGINT) AS n_common,
+         CAST(len(x.bg) AS BIGINT) AS n_a,
+         CAST(len(y.bg) AS BIGINT) AS n_b
+  FROM pairs p
+  JOIN b2 x ON x.doc_id = p.id_a
+  JOIN b2 y ON y.doc_id = p.id_b
+)
+SELECT id_a, id_b, n_common, n_a, n_b,
+       round(2.0 * n_common / (n_a + n_b), 6) AS rouge2_f1
+FROM scored
+WHERE 2.0 * n_common / (n_a + n_b) >= 0.2
+"""
+
+
+@register("text_rouge2_pairs", oracle=_ROUGE2_ORACLE, tags=("llm", "text", "dedup"))
+def text_rouge2_pairs(spark, sf_dir):
+    """ROUGE-2 (Lin, ACL-WS 2004) between candidate near-dup pairs:
+    distinct-bigram overlap F1 = 2|A∩B| / (|A|+|B|) — the n-gram
+    overlap EVAL metric run as a corpus operator (summary/paraphrase
+    leakage detection between train and eval sets is this exact
+    computation). Candidates come from the shared-8-gram relation
+    (clone-collapsed, frequency-capped — the common-substring
+    machinery's candidate stage), so the pair list is the capped
+    equi-join, never all pairs; the bigram sets then ride one
+    id-keyed join per side. Exact integer set sizes, one final
+    division, F1 >= 0.2 keeps the output bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, cap = 8, 50
+    collapsed = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("_h")
+    )
+    toks = collapsed.select("doc_id", F.split("text", " ").alias("toks"))
+    g = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= cap))
+        .select("gram")
+    )
+    occ = g.join(shared, "gram")
+    pairs = (
+        occ.select("gram", F.col("doc_id").alias("id_a"))
+        .join(occ.select("gram", F.col("doc_id").alias("id_b")), "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    b2 = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("bg"),
+    )
+    scored = (
+        pairs.join(
+            b2.select(F.col("doc_id").alias("id_a"), F.col("bg").alias("ba")),
+            "id_a",
+        )
+        .join(
+            b2.select(F.col("doc_id").alias("id_b"), F.col("bg").alias("bb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ba", "bb")).cast("long").alias("n_common"),
+            F.size("ba").cast("long").alias("n_a"),
+            F.size("bb").cast("long").alias("n_b"),
+        )
+    )
+    f1 = F.lit(2.0) * F.col("n_common") / (F.col("n_a") + F.col("n_b"))
+    return scored.filter(f1 >= 0.2).select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", F.round(f1, 6).alias("rouge2_f1")
+    )
+
+
+_EDITDIST_ORACLE = """
+WITH c AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM documents GROUP BY md5(text)
+), r AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY text, doc_id) AS rnk
+  FROM c
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.text[:60], b.text[:60]) AS prefix_edit_dist
+  FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+)
+SELECT id_a, id_b, CAST(prefix_edit_dist AS BIGINT) AS prefix_edit_dist
+FROM p WHERE prefix_edit_dist <= 20
+"""
+
+
+@register("text_edit_distance_pairs", oracle=_EDITDIST_ORACLE, tags=("llm", "text", "dedup"))
+def text_edit_distance_pairs(spark, sf_dir):
+    """Levenshtein near-dup pairs over a SORTED NEIGHBORHOOD: docs are
+    clone-collapsed, globally ordered by text (lexicographic sort
+    groups shared-prefix docs adjacently), and each doc is compared
+    only to its 3 successors — the Hernández-Stolfo SIGMOD'95 blocking
+    applied to EDIT distance, the one string-similarity axis the
+    token-set tiers (Jaccard/MinHash/SimHash) cannot see (they are
+    order-blind; edit distance is order-sensitive). Distance runs on
+    the 60-char prefix (the blocking key's locality), threshold 20.
+    Scale shape: the global rank is the two-pass distributed rank
+    (operators/scale.py:global_index, range repartition + offsets —
+    never one window partition); neighbor pairing is 3 map-side rank
+    shifts feeding equi-joins; levenshtein is one JVM expression per
+    candidate."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    collapsed = (
+        docs.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("_h")
+    )
+    ranked = global_index(collapsed, "rnk0", ["text", "doc_id"]).select(
+        "doc_id", "text", (F.col("rnk0") + 1).alias("rnk")
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 60).alias("ta"),
+        "rnk",
+    )
+    shifted = None
+    for dlt in (1, 2, 3):
+        s = a.select("id_a", "ta", (F.col("rnk") + dlt).alias("rnk"))
+        shifted = s if shifted is None else shifted.unionByName(s)
+    b = ranked.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 60).alias("tb"), "rnk"
+    )
+    return (
+        shifted.join(b, "rnk")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("ta", "tb").cast("long").alias("prefix_edit_dist"),
+        )
+        .filter(F.col("prefix_edit_dist") <= 20)
+    )
+
+
+_COOC_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), p AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+), co AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_cooc
+  FROM p a JOIN p b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+  WHERE a.tok <> b.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, CAST(n_cooc AS BIGINT) AS n_cooc
+FROM co WHERE n_cooc >= 100
+"""
+
+
+@register("text_cooccurrence_window", oracle=_COOC_ORACLE, tags=("llm", "text"))
+def text_cooccurrence_window(spark, sf_dir):
+    """Directed token co-occurrence within a ±3-position window — the
+    skip-gram count matrix (word2vec/GloVe's input statistic; the PMI
+    collocation query text_collocations_pmi sees only ADJACENT pairs,
+    this one the full context window). Spark-natural band join: the
+    position relation joins THREE map-side shifted copies of itself
+    (pos+1, pos+2, pos+3) — pure equi-joins on (doc_id, pos), never a
+    range predicate the optimizer would nested-loop. Output bounded by
+    the vocabulary square; count floor 100 keeps the hashed rows the
+    stable head. Counts exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    shifted = None
+    for dlt in (1, 2, 3):
+        s = p.select(
+            "doc_id", (F.col("pos") + dlt).alias("pos"), F.col("tok").alias("tok_a")
+        )
+        shifted = s if shifted is None else shifted.unionByName(s)
+    return (
+        shifted.join(
+            p.select("doc_id", "pos", F.col("tok").alias("tok_b")),
+            ["doc_id", "pos"],
+        )
+        .filter(F.col("tok_a") != F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
+        .filter(F.col("n_cooc") >= 100)
+    )
