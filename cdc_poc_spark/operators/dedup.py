@@ -1493,6 +1493,92 @@ def exact_containment_pairs_collapsed(
 # ---------------------------------------------------------------------------
 
 
+def common_substring_runs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    gram_doc_cap: int = 50,
+) -> DataFrame:
+    """Maximal shared token RUNS between document pairs — the core of
+    the ExactSubstr decomposition (see common_substring_pairs), exposed
+    with positions so derived detectors (full containment,
+    suffix-prefix shard boundaries) can reason about where a run sits:
+
+    (id_a, id_b, pa_start, pb_start, span, len_a, len_b)
+
+    with span in TOKENS (a maximal island of m consecutive k-grams is
+    m + k - 1 tokens), 1-based start positions in the clone-collapsed
+    docs, and each side's token length carried for boundary predicates.
+    Steps 1-5 of common_substring_pairs verbatim; see that docstring
+    for the 100 TB variant."""
+    collapsed = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.min(text_col).alias(text_col),  # identical within group
+        )
+        .drop("_h")
+    )
+    toks = collapsed.select(
+        id_col, F.split(F.col(text_col), " ").alias("toks")
+    )
+    lens = toks.select(
+        F.col(id_col), F.size("toks").cast("long").alias("n_toks")
+    )
+    g = (
+        toks.filter(F.size("toks") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {k} + 1),"
+                    f" i -> array_join(slice(toks, i, {k}), ' '))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= gram_doc_cap))
+        .select("gram")
+    )
+    occ = g.join(shared, "gram")
+    a = occ.select(
+        F.col("gram"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa")
+    )
+    b = occ.select(
+        F.col("gram"), F.col(id_col).alias("id_b"), F.col("pos").alias("pb")
+    )
+    p = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        p.withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("pa").cast("long").alias("pa_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "pa_start",
+            (F.col("pa_start") - F.col("diag")).cast("long").alias("pb_start"),
+            "span",
+        )
+    )
+    return (
+        runs.join(lens.select(F.col(id_col).alias("id_a"), F.col("n_toks").alias("len_a")), "id_a")
+        .join(lens.select(F.col(id_col).alias("id_b"), F.col("n_toks").alias("len_b")), "id_b")
+    )
+
+
 def common_substring_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1530,54 +1616,9 @@ def common_substring_pairs(
     xxhash64(gram) through the join instead of the gram string (w.h.p.
     collision-free; the island structure re-verifies adjacency), and
     range-partition the gram relation — the same two knobs the PPJoin
-    path uses. Output: (id_a, id_b, max_shared_span, n_shared_grams).
+    path uses. Output: (id_a, id_b, max_shared_span, n_runs).
     """
-    collapsed = (
-        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
-        .agg(
-            F.min(id_col).alias(id_col),
-            F.min(text_col).alias(text_col),  # identical within group
-        )
-        .drop("_h")
-    )
-    g = (
-        collapsed.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select(
-            F.col(id_col),
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(toks) - {k} + 1),"
-                    f" i -> array_join(slice(toks, i, {k}), ' '))"
-                )
-            ).alias("pos0", "gram"),
-        )
-        .select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
-    )
-    shared = (
-        g.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter((F.col("n_docs") >= 2) & (F.col("n_docs") <= gram_doc_cap))
-        .select("gram")
-    )
-    occ = g.join(shared, "gram")
-    a = occ.select(
-        F.col("gram"), F.col(id_col).alias("id_a"), F.col("pos").alias("pa")
-    )
-    b = occ.select(
-        F.col("gram"), F.col(id_col).alias("id_b"), F.col("pos").alias("pb")
-    )
-    p = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
-    )
-    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    runs = (
-        p.withColumn("grp", F.col("pa") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", "diag", "grp")
-        .agg((F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span"))
-    )
+    runs = common_substring_runs(df, id_col, text_col, k, gram_doc_cap)
     return (
         runs.groupBy("id_a", "id_b")
         .agg(

@@ -372,6 +372,8 @@ _ROUND9_NEW: list = [
     "text_rouge2_pairs",
     "text_edit_distance_pairs",
     "text_cooccurrence_window",
+    "dedup_substring_containment_docs",
+    "dedup_suffix_prefix_overlap",
 ]
 
 

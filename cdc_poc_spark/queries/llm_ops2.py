@@ -464,3 +464,162 @@ def text_cooccurrence_window(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_cooc"))
         .filter(F.col("n_cooc") >= 100)
     )
+
+
+_CONTAINMENT_DOCS_ORACLE = """
+WITH c AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM documents GROUP BY md5(text)
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM c
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+), shared AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+), occ AS (
+  SELECT g.* FROM g JOIN shared USING (gram)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM occ a JOIN occ b USING (gram) WHERE a.doc_id < b.doc_id
+), d AS (
+  SELECT id_a, id_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                 ORDER BY pa) AS grp
+  FROM p
+), runs AS (
+  SELECT id_a, id_b, CAST(COUNT(*) + 7 AS BIGINT) AS span
+  FROM d GROUP BY id_a, id_b, diag, grp
+), lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM c
+)
+SELECT DISTINCT
+       CASE WHEN r.span = la.n THEN r.id_a ELSE r.id_b END AS contained_id,
+       CASE WHEN r.span = la.n THEN r.id_b ELSE r.id_a END AS container_id,
+       r.span AS n_tokens
+FROM runs r
+JOIN lens la ON la.doc_id = r.id_a
+JOIN lens lb ON lb.doc_id = r.id_b
+WHERE r.span = la.n OR r.span = lb.n
+"""
+
+
+@register(
+    "dedup_substring_containment_docs",
+    oracle=_CONTAINMENT_DOCS_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_substring_containment_docs(spark, sf_dir):
+    """Whole-document CONTIGUOUS containment: documents whose entire
+    token sequence appears verbatim inside another document — the
+    quote/excerpt/re-post case ExactSubstr dedup exists to kill (Lee
+    et al. 2022 §4: a contained doc contributes zero new tokens). A
+    run from the gram-diagonal decomposition whose span equals one
+    side's full token length IS that containment (post clone-collapse
+    the equal-both-sides case cannot occur — identical texts share one
+    id). Distinct from dedup_token_containment, which is SET
+    containment (order/adjacency-blind); this is the order-exact
+    contiguous form. Emits (contained_id, container_id, n_tokens)."""
+    runs = dedup.common_substring_runs(
+        load_table(spark, sf_dir, "documents"), k=8, gram_doc_cap=50
+    )
+    hit = runs.filter(
+        (F.col("span") == F.col("len_a")) | (F.col("span") == F.col("len_b"))
+    )
+    return hit.select(
+        F.when(F.col("span") == F.col("len_a"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+        F.when(F.col("span") == F.col("len_a"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("container_id"),
+        F.col("span").alias("n_tokens"),
+    ).distinct()
+
+
+_SUFFIX_PREFIX_ORACLE = """
+WITH c AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM documents GROUP BY md5(text)
+), t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM c
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+), shared AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50
+), occ AS (
+  SELECT g.* FROM g JOIN shared USING (gram)
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+         a.pos - b.pos AS diag
+  FROM occ a JOIN occ b USING (gram) WHERE a.doc_id < b.doc_id
+), d AS (
+  SELECT id_a, id_b, diag, pa,
+         pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                 ORDER BY pa) AS grp
+  FROM p
+), runs AS (
+  SELECT id_a, id_b, MIN(pa) AS pa_start,
+         MIN(pa) - diag AS pb_start,
+         CAST(COUNT(*) + 7 AS BIGINT) AS span
+  FROM d GROUP BY id_a, id_b, diag, grp
+), lens AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM c
+), hits AS (
+  SELECT r.id_a AS head_id, r.id_b AS tail_id, r.span
+  FROM runs r JOIN lens la ON la.doc_id = r.id_a
+  WHERE r.pa_start + r.span = la.n + 1 AND r.pb_start = 1
+  UNION ALL
+  SELECT r.id_b AS head_id, r.id_a AS tail_id, r.span
+  FROM runs r JOIN lens lb ON lb.doc_id = r.id_b
+  WHERE r.pb_start + r.span = lb.n + 1 AND r.pa_start = 1
+)
+SELECT head_id, tail_id, CAST(MAX(span) AS BIGINT) AS overlap_tokens
+FROM hits WHERE span >= 12 GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_suffix_prefix_overlap",
+    oracle=_SUFFIX_PREFIX_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_suffix_prefix_overlap(spark, sf_dir):
+    """Shard-boundary detection: ordered doc pairs (head, tail) where
+    the head's SUFFIX equals the tail's PREFIX for >= 12 tokens — the
+    signature of one source document split across two crawl shards /
+    context windows (the overlap region would be double-counted by
+    token budgets and double-trained by the loader; re-splicing or
+    trimming needs exactly this pair list). A run qualifies iff it
+    touches the head's end (pa_start + span = len + 1) and the tail's
+    start (pb_start = 1) — pure predicates over the gram-diagonal RUNS
+    relation (operators/dedup.py:common_substring_runs), both
+    directions of each unordered pair checked. Emits the longest such
+    overlap per ordered pair."""
+    runs = dedup.common_substring_runs(
+        load_table(spark, sf_dir, "documents"), k=8, gram_doc_cap=50
+    )
+    ab = runs.filter(
+        (F.col("pa_start") + F.col("span") == F.col("len_a") + 1)
+        & (F.col("pb_start") == 1)
+    ).select(
+        F.col("id_a").alias("head_id"), F.col("id_b").alias("tail_id"), "span"
+    )
+    ba = runs.filter(
+        (F.col("pb_start") + F.col("span") == F.col("len_b") + 1)
+        & (F.col("pa_start") == 1)
+    ).select(
+        F.col("id_b").alias("head_id"), F.col("id_a").alias("tail_id"), "span"
+    )
+    return (
+        ab.unionByName(ba)
+        .filter(F.col("span") >= 12)
+        .groupBy("head_id", "tail_id")
+        .agg(F.max("span").cast("long").alias("overlap_tokens"))
+    )
