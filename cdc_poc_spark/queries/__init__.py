@@ -374,6 +374,9 @@ _ROUND9_NEW: list = [
     "text_cooccurrence_window",
     "dedup_substring_containment_docs",
     "dedup_suffix_prefix_overlap",
+    "ml_roc_auc_exact",
+    "ml_calibration_bins",
+    "graph_katz_centrality_2step",
 ]
 
 

@@ -623,3 +623,140 @@ def dedup_suffix_prefix_overlap(spark, sf_dir):
         .groupBy("head_id", "tail_id")
         .agg(F.max("span").cast("long").alias("overlap_tokens"))
     )
+
+# ---------------------------------------------------------------------------
+# ML evaluation — round-9 additions over the events fixture.
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT event_id,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS score,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), r AS (
+  SELECT y, row_number() OVER (ORDER BY score, event_id) AS rnk FROM s
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS BIGINT) AS rank_sum_pos,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST((rank_sum_pos - n_pos * (n_pos + 1) // 2) * 1000000
+            // (n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM agg
+"""
+
+
+@register("ml_roc_auc_exact", oracle=_AUC_ORACLE, tags=("llm", "ml"))
+def ml_roc_auc_exact(spark, sf_dir):
+    """EXACT ROC-AUC via the Mann-Whitney rank identity: AUC =
+    (Σ ranks(positives) - n₊(n₊+1)/2) / (n₊ n₋) — the metric every
+    scored-classifier evaluation reports, computed distributed with no
+    threshold sweep and no curve materialization. Labels: purchase/
+    signup events are positives; scores are the integer-cent values
+    with a deterministic event_id tiebreak INSIDE the ranking key
+    (documented in place of midrank tie handling — the agg_spearman
+    rank convention, shared by both engines, so the value is the AUC
+    of the tie-broken score order, exact). Plan: ONE two-pass
+    distributed rank (operators/scale.py:global_index — range
+    repartition + per-partition offsets, never a single-partition
+    window) and one 1-row exact-integer reduce; output in ppm, zero
+    float ops anywhere."""
+    from ..operators.scale import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    from ..tables import VAL, dec
+
+    s = ev.select(
+        "event_id",
+        F.round(dec("value", VAL) * 100).cast("long").alias("score"),
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    r = global_index(s, "rnk0", ["score", "event_id"]).select(
+        "y", (F.col("rnk0") + 1).cast("long").alias("rnk")
+    )
+    return (
+        r.agg(
+            F.sum(F.when(F.col("y") == 1, F.col("rnk")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rank_sum_pos"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            F.expr(
+                "CAST((rank_sum_pos - n_pos * (n_pos + 1) DIV 2) * 1000000"
+                " DIV (n_pos * n_neg) AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+_CALIBRATION_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), mx AS (
+  SELECT MAX(cents) AS max_c FROM b
+), binned AS (
+  SELECT LEAST(9, cents * 10 // (max_c + 1)) AS bin, cents, y FROM b, mx
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) * 10000 // (COUNT(*) * (SELECT max_c FROM mx))
+            AS BIGINT) AS mean_score_bp,
+       CAST(SUM(y) * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp
+FROM binned GROUP BY bin
+"""
+
+
+@register("ml_calibration_bins", oracle=_CALIBRATION_ORACLE, tags=("llm", "ml"))
+def ml_calibration_bins(spark, sf_dir):
+    """Calibration / reliability table: scores bucketed into 10
+    equal-width bins, each bin reporting mean normalized score vs
+    empirical positive rate (both in exact basis points) — the
+    reliability-diagram relation behind ECE and Platt/isotonic
+    recalibration, and the companion consumer of ml_roc_auc_exact
+    (AUC is rank-only; calibration is what ranking metrics cannot
+    see). Bin edges are EXACT integer arithmetic on cent scores
+    (bin = min(9, cents*10 DIV (max+1)) — no float boundaries to
+    disagree at the edge), rates are integer floor divisions. Plan:
+    one 1-row max broadcast + one groupBy; everything map-side
+    combinable."""
+    from ..tables import VAL, dec
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    mx = b.agg(F.max("cents").alias("max_c"))
+    return (
+        b.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.lit(9), F.expr("cents * 10 DIV (max_c + 1)")).alias("bin"),
+            "cents",
+            "y",
+            "max_c",
+        )
+        .groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.expr(
+                "CAST(SUM(cents) * 10000 DIV (COUNT(*) * ANY_VALUE(max_c))"
+                " AS BIGINT)"
+            ).alias("mean_score_bp"),
+            F.expr("CAST(SUM(y) * 10000 DIV COUNT(*) AS BIGINT)").alias(
+                "pos_rate_bp"
+            ),
+        )
+    )

@@ -1642,3 +1642,49 @@ def graph_greedy_matching_round(spark, sf_dir):
             )
         )
     )
+
+
+_KATZ_ORACLE = _COORDER_EDGES_CTE + """
+, w2 AS (
+  SELECT s1.u AS node, CAST(SUM(d.deg) AS BIGINT) AS walks2
+  FROM sym s1 JOIN deg d ON d.node = s1.v
+  GROUP BY s1.u
+)
+SELECT d.node AS part, CAST(d.deg AS BIGINT) AS deg, w2.walks2,
+       CAST(4 * d.deg + w2.walks2 AS BIGINT) AS katz_x16
+FROM deg d JOIN w2 ON w2.node = d.node
+"""
+
+
+@register("graph_katz_centrality_2step", oracle=_KATZ_ORACLE, tags=("graph", "analytics"))
+def graph_katz_centrality_2step(spark, sf_dir):
+    """Truncated KATZ centrality (Katz 1953) over the co-order graph:
+    c(u) = alpha * walks1(u) + alpha^2 * walks2(u) with alpha = 1/4,
+    reported as the EXACT integer 16*c = 4*deg(u) + sum_{v in N(u)}
+    deg(v) — walk COUNTING, the semantics PageRank's normalization and
+    HITS' mutual reinforcement both deliberately discard (a node
+    adjacent to busy nodes scores high even if its own degree is low).
+    Truncation at length 2 keeps every quantity an exact integer (no
+    geometric-series float) and the plan at exactly ONE degree
+    broadcast join + one keyed sum — walks of length 2 never
+    materialize as paths, only as the degree-weighted neighbor sum.
+    At 100 TB the wedge never explodes because it is never built."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    w2 = (
+        sym.join(F.broadcast(deg), sym.v == deg.node)
+        .groupBy(F.col("u").alias("node2"))
+        .agg(F.sum("deg").cast("long").alias("walks2"))
+    )
+    return (
+        deg.join(w2, deg.node == F.col("node2"))
+        .select(
+            F.col("node").alias("part"),
+            "deg",
+            "walks2",
+            (4 * F.col("deg") + F.col("walks2")).cast("long").alias("katz_x16"),
+        )
+    )
