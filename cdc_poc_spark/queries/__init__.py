@@ -377,6 +377,9 @@ _ROUND9_NEW: list = [
     "ml_roc_auc_exact",
     "ml_calibration_bins",
     "graph_katz_centrality_2step",
+    "cdc_log_compaction_report",
+    "cdc_replay_idempotence",
+    "cdc_props_stats_drift",
 ]
 
 

@@ -1401,3 +1401,189 @@ def cdc_consumer_scd2_intervals(spark, sf_dir):
         F.col("valid_to").cast("long").alias("valid_to"),
         "is_current",
     )
+
+
+_LOG_COMPACTION_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, user_id % 8 AS shard,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), per_key AS (
+  SELECT shard, user_id,
+         MAX(CASE WHEN rn = 1 AND event_type = 'error' THEN 1 ELSE 0 END)
+           AS is_tombstone,
+         COUNT(*) AS n_records
+  FROM ranked GROUP BY shard, user_id
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(SUM(n_records) AS BIGINT) AS n_records,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(1 - is_tombstone) AS BIGINT) AS n_live_keys,
+       CAST(SUM(is_tombstone) AS BIGINT) AS n_tombstone_keys,
+       CAST((SUM(n_records) - COUNT(*)) * 1000000 // SUM(n_records)
+            AS BIGINT) AS reclaim_ppm
+FROM per_key GROUP BY shard
+"""
+
+
+@register("cdc_log_compaction_report", oracle=_LOG_COMPACTION_ORACLE, tags=("cdc", "agg"))
+def cdc_log_compaction_report(spark, sf_dir):
+    """Kafka COMPACTED-TOPIC maintenance report, per partition shard:
+    compaction keeps exactly the newest record per key (tombstones
+    included, pending their retention window), so each shard's
+    reclaimable fraction is (records - keys) / records — the number an
+    operator sizing `log.cleaner` or a compacted CDC landing watches.
+    The reference's topics are delete-compacted Debezium streams
+    (one topic per table, key = PK); this is the maintenance view of
+    that contract over the events changelog. Keys shard by user_id % 8
+    (the topic-partition stand-in). Exact integers throughout; one
+    window shuffle on the key + one groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.expr("ts DIV 1000").desc(), F.col("event_id").desc()
+    )
+    per_key = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy(
+            F.pmod("user_id", F.lit(8)).cast("long").alias("shard"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("rn") == 1) & (F.col("event_type") == "error"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("is_tombstone"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )
+    return per_key.groupBy("shard").agg(
+        F.sum("n_records").cast("long").alias("n_records"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(1 - F.col("is_tombstone")).cast("long").alias("n_live_keys"),
+        F.sum("is_tombstone").cast("long").alias("n_tombstone_keys"),
+        F.expr(
+            "CAST((SUM(n_records) - COUNT(*)) * 1000000 DIV SUM(n_records)"
+            " AS BIGINT)"
+        ).alias("reclaim_ppm"),
+    )
+
+
+_REPLAY_IDEMPOTENCE_ORACLE = """
+WITH ranked AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         event_type
+  FROM events
+), state AS (
+  SELECT user_id FROM ranked WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_live_keys_single,
+       CAST(COUNT(*) AS BIGINT) AS n_live_keys_replayed,
+       TRUE AS states_identical
+FROM state
+"""
+
+
+@register("cdc_replay_idempotence", oracle=_REPLAY_IDEMPOTENCE_ORACLE, tags=("cdc", "window"))
+def cdc_replay_idempotence(spark, sf_dir):
+    """AT-LEAST-ONCE replay idempotence contract: applying the
+    changelog TWICE (the union of the log with itself — what a
+    reconnecting consumer without committed offsets delivers) must
+    yield byte-identical current state to the single pass, because the
+    apply path dedups on the unique (key, seq) identity BEFORE the
+    latest-wins window — the property that lets the landing protocol
+    promise exactly-once STATE from at-least-once DELIVERY (reference
+    consumer.py's checkpointed restart makes the same promise at file
+    granularity; this is the algebraic core). The query materializes
+    both states and proves set equality inside the plan (two
+    anti-join counts must both be zero), returning exact key counts +
+    the contract flag. A dedup keyed on anything weaker than the full
+    identity, or a tiebreak that lets replayed duplicates win, breaks
+    the hash."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+    def state(log):
+        w = W.partitionBy("user_id").orderBy(
+            F.expr("ts DIV 1000").desc(), F.col("event_id").desc()
+        )
+        dedup = log.dropDuplicates(["user_id", "event_id"])
+        return (
+            dedup.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1 AND event_type <> 'error'")
+            .select("user_id", "event_id", "value")
+        )
+
+    single = state(ev)
+    replayed = state(ev.unionAll(ev))
+    a_not_b = single.join(replayed, ["user_id", "event_id", "value"], "left_anti")
+    b_not_a = replayed.join(single, ["user_id", "event_id", "value"], "left_anti")
+    return (
+        single.agg(F.count(F.lit(1)).cast("long").alias("n_live_keys_single"))
+        .crossJoin(
+            replayed.agg(
+                F.count(F.lit(1)).cast("long").alias("n_live_keys_replayed")
+            )
+        )
+        .crossJoin(a_not_b.agg(F.count(F.lit(1)).alias("_d1")))
+        .crossJoin(b_not_a.agg(F.count(F.lit(1)).alias("_d2")))
+        .select(
+            "n_live_keys_single",
+            "n_live_keys_replayed",
+            ((F.col("_d1") == 0) & (F.col("_d2") == 0)).alias("states_identical"),
+        )
+    )
+
+
+_PROPS_DRIFT_ORACLE = """
+WITH p AS (
+  SELECT event_type,
+         date_trunc('week', ts) AS week,
+         CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, strftime(week, '%Y-%m-%d') AS week_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS k_ndv,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM p GROUP BY event_type, week
+"""
+
+
+@register("cdc_props_stats_drift", oracle=_PROPS_DRIFT_ORACLE, tags=("cdc", "agg", "quality"))
+def cdc_props_stats_drift(spark, sf_dir):
+    """Column-statistics DRIFT over the semi-structured props payload:
+    per (event_type, event-week) the count / NDV / min / max of the
+    JSON field k — the ANALYZE-TABLE profile computed ALONG the CDC
+    time axis, which is how schema-registry-adjacent monitoring
+    detects a producer starting to send a new value domain (the
+    reference's JsonConverter embeds schemas per record; drift shows
+    up as exactly this kind of domain shift before it breaks
+    consumers). Extraction is one JVM regexp per row (the
+    get_json_object twin — deliberately regex to pin the raw-bytes
+    path); weeks truncate in UTC in both engines; everything after is
+    one exact-integer groupBy."""
+    ev = events_with_time(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("week", F.col("etime")), "yyyy-MM-dd")
+            .alias("week_start"),
+            F.regexp_extract("props", '"k": *([0-9]+)', 1)
+            .cast("long")
+            .alias("k"),
+        )
+        .groupBy("event_type", "week_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("k").cast("long").alias("k_ndv"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
