@@ -380,6 +380,9 @@ _ROUND9_NEW: list = [
     "cdc_log_compaction_report",
     "cdc_replay_idempotence",
     "cdc_props_stats_drift",
+    "tw_vwap_daily",
+    "tw_bollinger_bands",
+    "tw_kaplan_meier",
 ]
 
 

@@ -1259,3 +1259,259 @@ def dec_value():
     from ..tables import VAL
 
     return F.col("value").cast(VAL)
+
+
+_VWAP_ORACLE = """
+WITH e AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) AS qty
+  FROM events
+)
+SELECT day, event_type,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(SUM(cents * qty) AS BIGINT) AS notional_cents,
+       round(CAST(SUM(cents * qty) AS DOUBLE) / SUM(qty), 6) AS vwap_cents
+FROM e GROUP BY day, event_type
+HAVING SUM(qty) > 0
+"""
+
+
+@register("tw_vwap_daily", oracle=_VWAP_ORACLE, tags=("timeseries", "agg"))
+def tw_vwap_daily(spark, sf_dir):
+    """Daily VWAP per event type — the volume-weighted mean every
+    market-data / metering rollup ships (value = price in exact cents,
+    the props k field = quantity): VWAP = Σ(price·qty) / Σqty with
+    BOTH sums exact integers and ONE final division (the weighted twin
+    of the OHLC close; a plain AVG is the qty=1 special case and gets
+    the wrong answer whenever volume varies). Zero-volume groups are
+    excluded by an exact HAVING, not a NULL-division. One hash
+    aggregation, map-side combinable."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd").alias("day"),
+        (F.col("value").cast(VAL) * 100).cast("long").alias("cents"),
+        F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("long").alias("qty"),
+    )
+    return (
+        e.groupBy("day", "event_type")
+        .agg(
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.sum(F.col("cents") * F.col("qty")).cast("long").alias("notional_cents"),
+            F.round(
+                F.sum(F.col("cents") * F.col("qty")).cast("double") / F.sum("qty"),
+                6,
+            ).alias("vwap_cents"),
+        )
+        .filter(F.col("total_qty") > 0)
+    )
+
+
+_BOLLINGER_ORACLE = """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // COUNT(*) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), r AS (
+  SELECT event_type, day, cents,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s,
+         CAST(SUM(cents * cents) OVER w AS BIGINT) AS ss
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, cents, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS sma_cents,
+       ((n * cents - s) * (n * cents - s) > 4 * (n * ss - s * s)
+        AND n * cents > s) AS breakout_hi,
+       ((n * cents - s) * (n * cents - s) > 4 * (n * ss - s * s)
+        AND n * cents < s) AS breakout_lo
+FROM r WHERE n = 7
+"""
+
+
+@register("tw_bollinger_bands", oracle=_BOLLINGER_ORACLE, tags=("timeseries", "window"))
+def tw_bollinger_bands(spark, sf_dir):
+    """Bollinger bands over the daily mean-price series (7-day rolling
+    mean ± 2 population σ), with the breakout test done as an EXACT
+    INTEGER predicate: x outside μ ± 2σ  ⟺  (n·x − S)² > 4(n·Σx² − S²)
+    — both sides exact longs, so the band comparison can never flip on
+    float ulps at the boundary (the layout-audit discipline applied to
+    a CLASSIFICATION, where rounding the reported value would not
+    help). Warm-up rows (window shorter than 7) are excluded exactly.
+    Daily closes are integer floor-mean cents; the only float is the
+    REPORTED sma. Plan: one day-rollup + one windowed pass partitioned
+    by series — both keyed shuffles."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd").alias("day"),
+            (F.col("value").cast(VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(SUM(c0) DIV COUNT(*) AS BIGINT)").alias("cents"))
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    r = d.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("long").alias("ss"),
+    ).filter(F.col("n") == 7)
+    dev = F.col("n") * F.col("cents") - F.col("s")
+    var4 = 4 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return r.select(
+        "event_type",
+        "day",
+        "cents",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("sma_cents"),
+        ((dev * dev > var4) & (dev > 0)).alias("breakout_hi"),
+        ((dev * dev > var4) & (dev < 0)).alias("breakout_lo"),
+    )
+
+
+_KM_ORACLE = """
+WITH ordered AS (
+  SELECT e.user_id, c.c_mktsegment AS segment,
+         date_trunc('day', e.ts) AS day, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id
+                            ORDER BY epoch_us(e.ts) DESC, e.event_id DESC)
+           AS rn
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+), span AS (
+  SELECT user_id, ANY_VALUE(segment) AS segment,
+         date_diff('day', MIN(day), MAX(day)) AS duration,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS last_type
+  FROM ordered GROUP BY user_id
+), d AS (
+  SELECT segment, CAST(duration AS BIGINT) AS duration,
+         CAST(SUM(CASE WHEN last_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_deaths,
+         CAST(COUNT(*) AS BIGINT) AS n_ending
+  FROM span GROUP BY segment, duration
+), r AS (
+  SELECT segment, duration, n_deaths,
+         CAST(SUM(n_ending) OVER (PARTITION BY segment ORDER BY duration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_ending
+              AS BIGINT) AS n_before
+  FROM d
+), t AS (
+  SELECT segment, CAST(SUM(n_ending) AS BIGINT) AS n_total
+  FROM d GROUP BY segment
+), f AS (
+  SELECT r.segment, r.duration, r.n_deaths,
+         t.n_total - r.n_before AS n_at_risk,
+         CAST(round(1000000 * ln(1.0 - CAST(r.n_deaths AS DOUBLE)
+                                       / (t.n_total - r.n_before)))
+              AS BIGINT) AS step_log_micro
+  FROM r JOIN t USING (segment)
+  WHERE r.n_deaths > 0 AND t.n_total - r.n_before > r.n_deaths
+)
+SELECT segment, duration, n_at_risk, n_deaths,
+       CAST(SUM(step_log_micro) OVER (PARTITION BY segment ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS km_log_micro
+FROM f
+"""
+
+
+@register("tw_kaplan_meier", oracle=_KM_ORACLE, tags=("timeseries", "agg", "stats"))
+def tw_kaplan_meier(spark, sf_dir):
+    """KAPLAN-MEIER survival curve of user lifetimes per market
+    segment (Kaplan & Meier 1958) with right censoring: a user's
+    duration is last-event day minus first-event day; users whose LAST
+    event is the tombstone died at that duration, everyone else is
+    censored (still alive when observation stopped) and leaves the
+    risk set without a death step. S(d) = Π_{d_i<=d} (1 - e_i/n_i) is
+    carried in the engine's MICRO-NAT discipline: each factor's ln is
+    quantized ONCE to an integer (identical IEEE ln on identical exact
+    integers in both engines), and the running product is then an
+    EXACT integer cumulative sum over the ordered frame — no float
+    accumulation can diverge across layouts or engines. Plateau
+    durations with zero deaths are no-ops and excluded, as is the
+    degenerate everyone-dies tail (factor 0). Plan: per-user rollup
+    (keyed), per-(segment,duration) rollup, two windowed passes
+    partitioned by segment."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    span = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("user_id", "segment")
+        .agg(
+            F.datediff(
+                F.max(F.date_trunc("day", F.col("etime"))),
+                F.min(F.date_trunc("day", F.col("etime"))),
+            ).cast("long").alias("duration"),
+            F.max_by(
+                "event_type", F.struct(F.col("ts_us"), F.col("event_id"))
+            ).alias("last_type"),
+        )
+    )
+    d = span.groupBy("segment", "duration").agg(
+        F.sum(
+            F.when(F.col("last_type") == "error", F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_deaths"),
+        F.count(F.lit(1)).cast("long").alias("n_ending"),
+    )
+    wcum = (
+        W.partitionBy("segment")
+        .orderBy("duration")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = d.select(
+        "segment",
+        "duration",
+        "n_deaths",
+        "n_ending",
+        (F.sum("n_ending").over(wcum) - F.col("n_ending"))
+        .cast("long")
+        .alias("n_before"),
+    )
+    t = d.groupBy(F.col("segment").alias("seg2")).agg(
+        F.sum("n_ending").cast("long").alias("n_total")
+    )
+    f = (
+        r.join(F.broadcast(t), r.segment == F.col("seg2"))
+        .withColumn("n_at_risk", F.col("n_total") - F.col("n_before"))
+        .filter(
+            (F.col("n_deaths") > 0)
+            & (F.col("n_at_risk") > F.col("n_deaths"))
+        )
+        .withColumn(
+            "step_log_micro",
+            F.round(
+                1_000_000
+                * F.log(
+                    F.lit(1.0)
+                    - F.col("n_deaths").cast("double") / F.col("n_at_risk")
+                )
+            ).cast("long"),
+        )
+    )
+    return f.select(
+        "segment",
+        "duration",
+        "n_at_risk",
+        "n_deaths",
+        F.sum("step_log_micro").over(wcum).cast("long").alias("km_log_micro"),
+    )
