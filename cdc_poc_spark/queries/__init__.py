@@ -383,6 +383,11 @@ _ROUND9_NEW: list = [
     "tw_vwap_daily",
     "tw_bollinger_bands",
     "tw_kaplan_meier",
+    "agg_cohens_kappa",
+    "agg_odds_ratio_ci",
+    "agg_herfindahl_index",
+    "agg_jackknife_ratio_variance",
+    "agg_brown_forsythe",
 ]
 
 

@@ -2693,3 +2693,427 @@ def agg_sampled_mean_hoeffding(spark, sf_dir):
             * F.sqrt(F.log(F.lit(2.0) / 0.001) / (2.0 * F.col("n_s")))
         ).alias("within_hoeffding_999"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9: agreement / association / concentration / resampling stats.
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) < 30000
+              THEN 'low'
+              WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) < 70000
+              THEN 'mid' ELSE 'high' END AS rater_a,
+         CASE WHEN CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) < 33
+              THEN 'low'
+              WHEN CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) < 66
+              THEN 'mid' ELSE 'high' END AS rater_b
+  FROM events
+), cells AS (
+  SELECT rater_a, rater_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM r GROUP BY 1, 2
+), base AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rater_a = rater_b THEN c ELSE 0 END) AS BIGINT)
+           AS agree
+  FROM cells
+), chance AS (
+  SELECT CAST(SUM(ra.s_a * rb.s_b) AS BIGINT) AS chance_x
+  FROM (SELECT rater_a AS cls, SUM(c) AS s_a FROM cells GROUP BY 1) ra
+  JOIN (SELECT rater_b AS cls, SUM(c) AS s_b FROM cells GROUP BY 1) rb
+    USING (cls)
+)
+SELECT n, agree,
+       CAST((n * agree - chance_x) * 1000000
+            // (n * n - chance_x) AS BIGINT) AS kappa_ppm
+FROM base, chance
+"""
+
+
+@register("agg_cohens_kappa", oracle=_KAPPA_ORACLE, tags=("agg", "stats"))
+def agg_cohens_kappa(spark, sf_dir):
+    """Cohen's κ inter-rater agreement (Cohen 1960) between two
+    independent 3-way labelings of each event — the value tercile
+    (fixed cent thresholds) vs the props-k tercile (fixed k
+    thresholds): the agreement-beyond-chance statistic every
+    labeling-quality / weak-supervision pipeline reports when two
+    annotators or heuristics label the same corpus. Exactness: with
+    integer cell counts, κ = (n·Σdiag − Σᵢ rowᵢ·colᵢ) / (n² − Σᵢ
+    rowᵢ·colᵢ) is a ratio of exact integers — emitted as an exact ppm
+    floor division, ZERO float ops (the marginal product replaces
+    p_o/p_e divisions algebraically). Fixed thresholds (not quantiles)
+    keep the labeling itself exact. Plan: one |classes|²-cell rollup,
+    then broadcast-sized algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(dec("value", VAL) * 100).cast("long")
+    kf = F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("long")
+    band = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, F.lit("low")).when(c < hi, F.lit("mid")).otherwise(F.lit("high"))
+    )
+    cells = (
+        ev.select(
+            band(cents, 30000, 70000).alias("rater_a"),
+            band(kf, 33, 66).alias("rater_b"),
+        )
+        .groupBy("rater_a", "rater_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    base = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("rater_a") == F.col("rater_b"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("agree"),
+    )
+    ra = cells.groupBy(F.col("rater_a").alias("cls")).agg(F.sum("c").alias("s_a"))
+    rb = cells.groupBy(F.col("rater_b").alias("cls")).agg(F.sum("c").alias("s_b"))
+    chance = (
+        ra.join(rb, "cls")
+        .agg(F.sum(F.col("s_a") * F.col("s_b")).cast("long").alias("chance_x"))
+    )
+    return (
+        base.crossJoin(F.broadcast(chance))
+        .select(
+            "n",
+            "agree",
+            F.expr(
+                "CAST((n * agree - chance_x) * 1000000"
+                " DIV (n * n - chance_x) AS BIGINT)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+_ODDS_RATIO_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)
+              >= 50 THEN 1 ELSE 0 END AS exposed,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS outcome
+  FROM events
+), c AS (
+  SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+         CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+         CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+         CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+  FROM t
+)
+SELECT a, b, c, d,
+       round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6) AS odds_ratio,
+       round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS or_ci_lo,
+       round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+                 + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6) AS or_ci_hi
+FROM c
+"""
+
+
+@register("agg_odds_ratio_ci", oracle=_ODDS_RATIO_ORACLE, tags=("agg", "stats"))
+def agg_odds_ratio_ci(spark, sf_dir):
+    """2x2 ODDS RATIO with the Woolf logit confidence interval
+    (exposure: props k >= 50; outcome: purchase) — the effect-size +
+    uncertainty pair every A/B readout and epidemiological table
+    reports (agg_wilson_interval covers one proportion; this is the
+    two-group comparison). The 2x2 cells are ONE exact-integer
+    map-side-combinable aggregation; OR = ad/bc and the CI
+    exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) are single deterministic
+    IEEE expressions over those four integers (the OLS float rule) —
+    no cross-row float accumulation anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    exposed = (
+        F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("long") >= 50
+    ).cast("long")
+    outcome = (F.col("event_type") == "purchase").cast("long")
+    cells = ev.select(exposed.alias("e"), outcome.alias("o")).agg(
+        F.sum(F.col("e") * F.col("o")).cast("long").alias("a"),
+        F.sum(F.col("e") * (1 - F.col("o"))).cast("long").alias("b"),
+        F.sum((1 - F.col("e")) * F.col("o")).cast("long").alias("c"),
+        F.sum((1 - F.col("e")) * (1 - F.col("o"))).cast("long").alias("d"),
+    )
+    lor = F.log(
+        F.col("a").cast("double") * F.col("d") / (F.col("b").cast("double") * F.col("c"))
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(
+            F.col("a").cast("double") * F.col("d")
+            / (F.col("b").cast("double") * F.col("c")),
+            6,
+        ).alias("odds_ratio"),
+        F.round(F.exp(lor - 1.96 * se), 6).alias("or_ci_lo"),
+        F.round(F.exp(lor + 1.96 * se), 6).alias("or_ci_hi"),
+    )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(SUM(round(CAST(o.o_totalprice AS DECIMAL(15,2)) * 100))
+              AS DECIMAL(38,0)) AS cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+         SUM(cents * cents) AS ssq,
+         SUM(cents) AS tot
+  FROM rev
+)
+SELECT n_nations,
+       round(CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 9)
+         AS hhi,
+       round((CAST(ssq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+              - 1.0 / n_nations) / (1.0 - 1.0 / n_nations), 9) AS hhi_normalized
+FROM m
+"""
+
+
+@register("agg_herfindahl_index", oracle=_HHI_ORACLE, tags=("agg", "stats"))
+def agg_herfindahl_index(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of revenue across nations —
+    THE market-concentration scalar (complementing Gini/Theil/Pareto,
+    which rank inequality of a distribution; HHI is the squared-share
+    sum regulators threshold). Exactness: HHI = Σsᵢ² = Σcᵢ² / (Σcᵢ)²
+    — both Σcᵢ² and Σcᵢ are exact DECIMAL(38) integer sums
+    (order-invariant), the division is ONE float op at the end; the
+    naive Σ(float share)² would be a 25-term order-dependent float
+    sum. Normalized variant rescales to [0,1] by the 1/n floor. Plan:
+    one dim-broadcast join tree + two 1-row reduces."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(dec("o_totalprice", MONEY) * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    m = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+        F.sum("cents").alias("tot"),
+    )
+    hhi = F.col("ssq").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot").cast("double")
+    )
+    return m.select(
+        "n_nations",
+        F.round(hhi, 9).alias("hhi"),
+        F.round(
+            (hhi - 1.0 / F.col("n_nations")) / (1.0 - 1.0 / F.col("n_nations")), 9
+        ).alias("hhi_normalized"),
+    )
+
+
+_JACKKNIFE_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(CAST(l_extendedprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS y,
+         CAST(round(CAST(l_quantity AS DECIMAL(8,1)) * 10) AS BIGINT) AS x
+  FROM lineitem
+), tot AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x) AS BIGINT) AS sx
+  FROM li GROUP BY flag
+), q AS (
+  -- exact integer quantization (ppb, floor): a float round here is
+  -- the one place the engines can disagree (Spark rounds the shortest
+  -- decimal repr, DuckDB the binary value — with thousands of
+  -- arbitrary quotients a few land on the disputed boundary)
+  SELECT li.flag, tot.n,
+         CAST((CAST(tot.sy - li.y AS HUGEINT) * 1000000000)
+              // (tot.sx - li.x) AS BIGINT) AS qi
+  FROM li JOIN tot USING (flag)
+), m AS (
+  -- HUGEINT accumulation: DECIMAL(38)*BIGINT silently promotes to
+  -- DOUBLE in DuckDB (precision would exceed 38) — HUGEINT keeps the
+  -- moments exact like Spark's decimal(38,0) sums
+  SELECT flag, ANY_VALUE(n) AS n,
+         CAST(SUM(CAST(qi AS HUGEINT)) AS DECIMAL(38,0)) AS sq,
+         CAST(SUM(CAST(qi AS HUGEINT) * qi) AS DECIMAL(38,0)) AS sqq
+  FROM q GROUP BY flag
+)
+SELECT flag, n,
+       round((CAST(sqq AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+             * (n - 1) / n / 1e18, 9) AS jk_var_ratio
+FROM m
+"""
+
+
+@register("agg_jackknife_ratio_variance", oracle=_JACKKNIFE_ORACLE, tags=("agg", "stats"))
+def agg_jackknife_ratio_variance(spark, sf_dir):
+    """JACKKNIFE variance of the RATIO estimator R = Σprice/Σquantity
+    per return flag (Quenouille/Tukey; the delete-one resampling twin
+    of agg_poisson_bootstrap's replicate weighting) — the standard
+    uncertainty estimate for a statistic that is NOT a mean, where the
+    plain s²/n formula is wrong. Leave-one-out ratios have the closed
+    form R₍₋ᵢ₎ = (Sy−yᵢ)/(Sx−xᵢ), so no resampled passes are needed:
+    one broadcast of per-group totals, one per-row expression. Each
+    R₍₋ᵢ₎ is quantized ONCE to integer ppb by EXACT integer floor
+    division ((Sy−yᵢ)·10⁹ DIV (Sx−xᵢ), all positive so floor==trunc —
+    a float round() here is where the engines can disagree on the
+    shortest-repr boundary, found by this query's first sf0.001 run),
+    so the variance moments are exact DECIMAL(38) sums and the estimate
+    (n−1)/n · Σ(qᵢ−q̄)² is ONE final float expression. Plan: two keyed
+    aggregations + one broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(dec("l_extendedprice", MONEY) * 100).cast("long").alias("y"),
+        F.round(dec("l_quantity", "decimal(8,1)") * 10).cast("long").alias("x"),
+    )
+    tot = li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    q = li.join(F.broadcast(tot), "flag").select(
+        "flag",
+        "n",
+        F.expr(
+            "CAST((CAST(sy - y AS DECIMAL(38,0)) * 1000000000)"
+            " DIV (sx - x) AS BIGINT)"
+        ).alias("qi"),
+    )
+    m = q.groupBy("flag").agg(
+        F.any_value("n").alias("n"),
+        F.sum(F.col("qi").cast("decimal(38,0)")).alias("sq"),
+        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qi")).alias("sqq"),
+    )
+    return m.select(
+        "flag",
+        "n",
+        F.round(
+            (
+                F.col("sqq").cast("double")
+                - F.col("sq").cast("double") * F.col("sq").cast("double") / F.col("n")
+            )
+            * (F.col("n") - 1)
+            / F.col("n")
+            / 1e18,
+            9,
+        ).alias("jk_var_ratio"),
+    )
+
+
+_BROWN_FORSYTHE_ORACLE = """
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM customer
+), med AS (
+  SELECT seg, CAST(round(2 * quantile_cont(y, 0.5)) AS BIGINT) AS med2
+  FROM b GROUP BY seg
+), z AS (
+  SELECT b.seg, ABS(2 * b.y - med.med2) AS z
+  FROM b JOIN med USING (seg)
+), g AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(z AS HUGEINT)) AS DECIMAL(38,0)) AS sz
+  FROM z GROUP BY seg
+), t AS (
+  -- HUGEINT products: DECIMAL(38)*BIGINT promotes to DOUBLE in DuckDB;
+  -- n*szz - s^2 stays an exact integer so sst is ONE float division
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(z AS HUGEINT)) AS DECIMAL(38,0)) AS s,
+         CAST(COUNT(*) * SUM(CAST(z AS HUGEINT) * z)
+              - SUM(CAST(z AS HUGEINT)) * SUM(CAST(z AS HUGEINT))
+              AS DECIMAL(38,0)) AS nszz_s2
+  FROM z
+), terms AS (
+  SELECT (CAST(g.sz * t.n - t.s * g.n_g AS DOUBLE)
+          * CAST(g.sz * t.n - t.s * g.n_g AS DOUBLE))
+         / (CAST(g.n_g AS DOUBLE) * t.n * t.n) AS term
+  FROM g, t
+), agg2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(term) AS ssb FROM terms
+)
+SELECT t.n, agg2.k,
+       round(CAST(t.nszz_s2 AS DOUBLE) / t.n, 4) AS sst,
+       round(agg2.ssb / (CAST(t.nszz_s2 AS DOUBLE) / t.n), 6) AS eta_sq,
+       round((agg2.ssb / (agg2.k - 1))
+             / ((CAST(t.nszz_s2 AS DOUBLE) / t.n - agg2.ssb)
+                / (t.n - agg2.k)), 6) AS bf_f_stat
+FROM t, agg2
+"""
+
+
+@register("agg_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE, tags=("agg", "stats"))
+def agg_brown_forsythe(spark, sf_dir):
+    """BROWN-FORSYTHE homogeneity-of-variance test across market
+    segments (Brown & Forsythe 1974): one-way ANOVA run on the
+    absolute deviations from each group's MEDIAN — the robust
+    pre-check every parametric group comparison (agg_anova_f,
+    agg_welch_t_test) assumes or must route around. Exactness:
+    deviations are |2y − 2·median| — doubled so the interpolated
+    median's only possible fraction (.5 between two even-count cents)
+    becomes an exact integer — then the F statistic reuses
+    agg_anova_f's cancellation-free centered SSB (each term a
+    nonnegative double from exact DECIMAL(38) moments; reported
+    quantities are the scale-free ratios). Plan: one exact-median
+    aggregation per group (Spark percentile / DuckDB quantile_cont
+    agree exactly on integer inputs), one broadcast join, two
+    map-side-combinable moment rollups."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("y"),
+    )
+    med = b.groupBy("seg").agg(
+        F.round(2 * F.expr("percentile(y, 0.5)")).cast("long").alias("med2")
+    )
+    z = b.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(2 * F.col("y") - F.col("med2")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("sz"),
+    )
+    t = z.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s"),
+        (
+            F.count(F.lit(1))
+            * F.sum(F.col("z").cast("decimal(38,0)") * F.col("z"))
+            - F.sum(F.col("z").cast("decimal(38,0)"))
+            * F.sum(F.col("z").cast("decimal(38,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("nszz_s2"),
+    )
+    d = (
+        F.col("sz") * F.col("n").cast("decimal(38,0)")
+        - F.col("s") * F.col("n_g").cast("decimal(38,0)")
+    )
+    terms = g.crossJoin(F.broadcast(t)).select(
+        (
+            (d * d).cast("double")
+            / (F.col("n_g").cast("double") * F.col("n") * F.col("n"))
+        ).alias("term")
+    )
+    agg2 = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"), F.sum("term").alias("ssb")
+    )
+    sst = F.col("nszz_s2").cast("double") / F.col("n")
+    return (
+        t.crossJoin(F.broadcast(agg2))
+        .select(
+            "n",
+            "k",
+            F.round(sst, 4).alias("sst"),
+            F.round(F.col("ssb") / sst, 6).alias("eta_sq"),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1))
+                / ((sst - F.col("ssb")) / (F.col("n") - F.col("k"))),
+                6,
+            ).alias("bf_f_stat"),
+        )
+    )
