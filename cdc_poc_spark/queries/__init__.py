@@ -388,6 +388,12 @@ _ROUND9_NEW: list = [
     "agg_herfindahl_index",
     "agg_jackknife_ratio_variance",
     "agg_brown_forsythe",
+    "win_rolling_median",
+    "win_rank_shift_leaderboard",
+    "pipeline_dedup_keep_best",
+    "pipeline_shard_size_planner",
+    "mm_magic_bytes_sniff",
+    "scalar_lambda_functions",
 ]
 
 

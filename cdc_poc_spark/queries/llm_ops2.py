@@ -760,3 +760,80 @@ def ml_calibration_bins(spark, sf_dir):
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Multimodal payload plumbing — round-9 additions.
+# ---------------------------------------------------------------------------
+
+_MAGIC_SNIFF_ORACLE = """
+WITH p AS (
+  SELECT doc_id, source,
+         (CASE doc_id % 4 WHEN 0 THEN 'PNG!' WHEN 1 THEN 'JPEG'
+                          WHEN 2 THEN 'GIF8' ELSE 'PDF-' END)::BLOB
+           || encode(text) AS payload
+  FROM documents
+), s AS (
+  SELECT source,
+         CASE left(decode(payload), 4)
+              WHEN 'PNG!' THEN 'image/png' WHEN 'JPEG' THEN 'image/jpeg'
+              WHEN 'GIF8' THEN 'image/gif' ELSE 'application/pdf' END
+           AS sniffed_mime,
+         octet_length(payload) AS n_bytes
+  FROM p
+)
+SELECT source, sniffed_mime,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+       CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+FROM s GROUP BY source, sniffed_mime
+"""
+
+
+@register("mm_magic_bytes_sniff", oracle=_MAGIC_SNIFF_ORACLE, tags=("llm", "multimodal"))
+def mm_magic_bytes_sniff(spark, sf_dir):
+    """Content-type SNIFFING from payload magic bytes: media payloads
+    (deterministic fake headers prepended to the document bytes — the
+    engine's standing stubbed-decode convention, multimodal.py) are
+    classified by their LEADING FOUR BYTES, never a metadata column —
+    the trust-the-bytes rule every ingestion firewall applies because
+    crawled MIME labels lie. Exercises the binary hot path end-to-end
+    JVM-side: blob concat, byte slicing, byte->string decode, byte
+    length — zero Python, zero payload scans beyond the prefix (at
+    100 TB the sniff reads 4 bytes per record via the columnar
+    projection; the payload column itself stays unread in the scan's
+    ReadSchema for the count/len aggregates when parquet stores
+    lengths). One rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, F.lit("PNG!"))
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit("JPEG"))
+        .when(F.pmod("doc_id", F.lit(4)) == 2, F.lit("GIF8"))
+        .otherwise(F.lit("PDF-"))
+    )
+    p = docs.select(
+        "source",
+        F.concat(F.encode(magic, "UTF-8"), F.encode("text", "UTF-8")).alias(
+            "payload"
+        ),
+    )
+    sniffed = (
+        F.when(F.decode(F.expr("substring(payload, 1, 4)"), "UTF-8") == "PNG!", F.lit("image/png"))
+        .when(F.decode(F.expr("substring(payload, 1, 4)"), "UTF-8") == "JPEG", F.lit("image/jpeg"))
+        .when(F.decode(F.expr("substring(payload, 1, 4)"), "UTF-8") == "GIF8", F.lit("image/gif"))
+        .otherwise(F.lit("application/pdf"))
+    )
+    return (
+        p.select(
+            "source",
+            sniffed.alias("sniffed_mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("source", "sniffed_mime")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("n_bytes").cast("long").alias("min_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+    )

@@ -1455,3 +1455,117 @@ def pipeline_dataset_version_diff(spark, sf_dir):
             F.min("doc_id").cast("long").alias("first_doc_id"),
         )
     )
+
+
+_KEEP_BEST_ORACLE = """
+WITH f AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+), ranked AS (
+  SELECT fp, doc_id, source, n_distinct, n_toks,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY n_distinct DESC, n_toks DESC, doc_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_members
+  FROM f
+)
+SELECT fp, doc_id AS keep_id, source AS keep_source,
+       CAST(n_distinct AS BIGINT) AS best_distinct_tokens,
+       CAST(n_toks AS BIGINT) AS best_len,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1 AND n_members >= 2
+"""
+
+
+@register("pipeline_dedup_keep_best", oracle=_KEEP_BEST_ORACLE, tags=("llm", "pipeline", "dedup"))
+def pipeline_dedup_keep_best(spark, sf_dir):
+    """QUALITY-AWARE canonical selection: within each near-dup family
+    (tier-2 token-set fingerprint), keep the member with the richest
+    content — most distinct tokens, then longest, then smallest id —
+    instead of the arbitrary min-id the plain dedup tiers use
+    (dedup_canonical_docs). This is how production curation actually
+    resolves families: near-dups differ by truncation/boilerplate, and
+    min-id happily keeps the truncated one. The argmax is a
+    row_number over the family key with a TOTAL deterministic order
+    (exact integer quality axes; no floats anywhere); singleton
+    families are excluded (nothing to resolve). One fingerprint
+    shuffle + one windowed pass over it — same partitioning, no
+    second shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    w = W.partitionBy("fp").orderBy(
+        F.desc("n_distinct"), F.desc("n_toks"), F.asc("doc_id")
+    )
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(W.partitionBy("fp")).cast("long"))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "fp",
+            F.col("doc_id").alias("keep_id"),
+            F.col("source").alias("keep_source"),
+            F.col("n_distinct").alias("best_distinct_tokens"),
+            F.col("n_toks").alias("best_len"),
+            "n_members",
+        )
+    )
+
+
+_SHARD_PLAN_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MAX(n_chars) AS BIGINT) AS max_doc_bytes
+  FROM documents GROUP BY source
+)
+SELECT source, total_bytes, n_docs,
+       CAST((total_bytes + 4095) // 4096 AS BIGINT) AS n_shards,
+       CAST(total_bytes // ((total_bytes + 4095) // 4096) AS BIGINT)
+         AS avg_shard_bytes,
+       (max_doc_bytes > 4096) AS has_oversize_doc
+FROM s
+"""
+
+
+@register("pipeline_shard_size_planner", oracle=_SHARD_PLAN_ORACLE, tags=("llm", "pipeline"))
+def pipeline_shard_size_planner(spark, sf_dir):
+    """Writer SHARD PLANNING: per source, the number of output shards
+    a 4 KiB target-shard-size implies (ceil division), the resulting
+    mean shard fill, and whether any single document exceeds the
+    target (the row a writer cannot split — it must either raise the
+    shard size or overflow one file). This is the maxRecordsPerFile /
+    target-file-size calculation every bulk writer runs BEFORE the
+    shuffle that enforces it (pipeline_zorder_layout and
+    write_bucketed consume exactly this kind of plan); at 100 TB
+    getting it wrong is the difference between 10k balanced files and
+    one 2 TB straggler. Exact integer ceil/floor arithmetic
+    throughout; one map-side-combinable rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = 4096
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("max_doc_bytes"),
+    )
+    n_shards = F.expr(f"(total_bytes + {target - 1}) DIV {target}")
+    return s.select(
+        "source",
+        "total_bytes",
+        "n_docs",
+        n_shards.cast("long").alias("n_shards"),
+        F.expr(
+            f"total_bytes DIV ((total_bytes + {target - 1}) DIV {target})"
+        ).cast("long").alias("avg_shard_bytes"),
+        (F.col("max_doc_bytes") > target).alias("has_oversize_doc"),
+    )

@@ -1036,3 +1036,58 @@ def scalar_try_functions(spark, sf_dir):
             "try_cast(power(10, CAST(n_nationkey AS DOUBLE)) AS BIGINT)"
         ).alias("pow_guard"),
     )
+
+
+_LAMBDA_ORACLE = """
+WITH q AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(round(CAST(l_quantity AS DECIMAL(8,1)) * 10)
+                             AS BIGINT))) AS qs
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qs) AS BIGINT) AS n_items,
+       CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS total_tenths,
+       CAST(len(list_filter(qs, x -> x % 20 = 0)) AS BIGINT) AS n_even_qty,
+       CAST(list_reduce(list_transform(list_zip(qs, list_reverse_sort(qs)),
+                                       p -> p[1] * p[2]), (a, b) -> a + b)
+            AS BIGINT) AS minmax_dot,
+       (len(list_filter(qs, x -> x >= 400)) > 0) AS has_bulk_item,
+       CAST(list_transform(qs, x -> x * x)[1] AS BIGINT) AS min_qty_sq
+FROM q
+"""
+
+
+@register("scalar_lambda_functions", oracle=_LAMBDA_ORACLE, tags=("scalar",))
+def scalar_lambda_functions(spark, sf_dir):
+    """Higher-order LAMBDA functions over arrays — the Catalyst
+    feature family that keeps per-row collection logic JVM-side where
+    a row-at-a-time Python UDF would otherwise creep in: aggregate
+    (fold), filter, exists, transform, zip_with, element indexing —
+    all over each order's sorted quantity vector. zip_with pairs the
+    ascending and descending sorts (the rearrangement-inequality
+    minimum dot product — a real reranking primitive). Everything is
+    exact integer tenths; the only shuffle is the one groupBy that
+    builds the vectors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_quantity").cast("decimal(8,1)") * 10)
+            .cast("long")
+            .alias("qt"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("qt")).alias("qs"))
+    )
+    return q.select(
+        "l_orderkey",
+        F.size("qs").cast("long").alias("n_items"),
+        F.expr("aggregate(qs, 0L, (a, b) -> a + b)").cast("long").alias("total_tenths"),
+        F.size(F.expr("filter(qs, x -> x % 20 = 0)")).cast("long").alias("n_even_qty"),
+        F.expr(
+            "aggregate(zip_with(qs, reverse(qs), (x, y) -> x * y), 0L, (a, b) -> a + b)"
+        ).cast("long").alias("minmax_dot"),
+        F.expr("exists(qs, x -> x >= 400)").alias("has_bulk_item"),
+        F.expr("transform(qs, x -> x * x)[0]").cast("long").alias("min_qty_sq"),
+    )

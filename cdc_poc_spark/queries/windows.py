@@ -335,3 +335,127 @@ def win_gaps_islands(spark, sf_dir):
         .filter(F.col("island_len") >= 2)
         .drop("grp")
     )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT user_id, event_id, cents,
+         row_number() OVER w AS rn,
+         list_sort(list(cents) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+           AS win
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, event_id, CAST(win[3] AS BIGINT) AS med5_cents
+FROM r WHERE rn >= 5
+"""
+
+
+@register("win_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE, tags=("window",))
+def win_rolling_median(spark, sf_dir):
+    """EXACT rolling median of the last 5 values per user — the robust
+    rolling smoother (tw_ewma_trailing and the SMA family are
+    mean-based and outlier-dragged; the median is the order statistic
+    the same dashboards switch to for spiky series). Spark has no
+    median window function, so the frame is materialized per row
+    (collect_list over ROWS 4 PRECEDING, a constant 5-element array),
+    sorted JVM-side, and indexed — exact integers, no interpolation
+    (odd frame), warm-up rows excluded by row_number. Per-row state is
+    O(frame), so this is the bounded-frame pattern that scales: the
+    window shuffles once on the key; frames never span partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts_us"), F.col("event_id"))
+    wf = w.rowsBetween(-4, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+            F.expr("ts DIV 1000").alias("ts_us"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.array_sort(F.collect_list("cents").over(wf)).alias("win"),
+        )
+        .filter(F.col("rn") >= 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.element_at("win", 3).cast("long").alias("med5_cents"),
+        )
+    )
+
+
+_RANK_SHIFT_ORACLE = """
+WITH rev AS (
+  SELECT EXTRACT(year FROM l_shipdate) AS yr, l_suppkey AS suppkey,
+         CAST(SUM(round(CAST(l_extendedprice AS DECIMAL(15,2)) * 100))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2
+), rk AS (
+  SELECT yr, suppkey, cents,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY cents DESC, suppkey) AS rnk
+  FROM rev
+), sh AS (
+  SELECT yr, suppkey, rnk,
+         lag(rnk) OVER (PARTITION BY suppkey ORDER BY yr) AS prev_rnk
+  FROM rk
+)
+SELECT CAST(yr AS BIGINT) AS yr, suppkey,
+       CAST(rnk AS BIGINT) AS rnk,
+       CAST(prev_rnk AS BIGINT) AS prev_rnk,
+       CAST(prev_rnk - rnk AS BIGINT) AS rank_gain
+FROM sh WHERE prev_rnk IS NOT NULL AND ABS(prev_rnk - rnk) >= 10
+"""
+
+
+@register("win_rank_shift_leaderboard", oracle=_RANK_SHIFT_ORACLE, tags=("window",))
+def win_rank_shift_leaderboard(spark, sf_dir):
+    """Leaderboard MOVEMENT: each supplier's revenue rank per ship
+    year, and its shift vs the previous year — the two-window
+    composition (rank within period, lag across periods for the same
+    entity) every "top movers" report is built from; emits only moves
+    of >= 10 places. Revenue is exact integer cents; rank uses
+    row_number with a total tiebreak so both engines agree on ties.
+    Plan: one keyed rollup + two window passes, each partitioned
+    (by year, then by supplier) — no single-partition window; rank
+    within a year is the classic per-period sort a cluster handles
+    per-partition after one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(F.round(dec("l_extendedprice", MONEY) * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = W.partitionBy("yr").orderBy(F.desc("cents"), F.asc("suppkey"))
+    ws = W.partitionBy("suppkey").orderBy("yr")
+    return (
+        rev.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .withColumn("prev_rnk", F.lag("rnk").over(ws).cast("long"))
+        .filter(
+            F.col("prev_rnk").isNotNull()
+            & (F.abs(F.col("prev_rnk") - F.col("rnk")) >= 10)
+        )
+        .select(
+            "yr",
+            "suppkey",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_gain"),
+        )
+    )
