@@ -394,6 +394,14 @@ _ROUND9_NEW: list = [
     "pipeline_shard_size_planner",
     "mm_magic_bytes_sniff",
     "scalar_lambda_functions",
+    "sql_named_window_reuse",
+    "sql_star_except_projection",
+    "agg_tukey_fences_outliers",
+    "graph_edge_embeddedness",
+    "text_query_likelihood_dirichlet",
+    "text_phrase_positional_search",
+    "sim_pair_distance_histogram",
+    "mm_chunk_store_savings",
 ]
 
 

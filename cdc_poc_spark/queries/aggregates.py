@@ -3117,3 +3117,75 @@ def agg_brown_forsythe(spark, sf_dir):
             ).alias("bf_f_stat"),
         )
     )
+
+
+_TUKEY_ORACLE = """
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM customer
+), q AS (
+  SELECT seg,
+         CAST(round(4 * quantile_cont(y, 0.25)) AS BIGINT) AS q1x4,
+         CAST(round(4 * quantile_cont(y, 0.75)) AS BIGINT) AS q3x4
+  FROM b GROUP BY seg
+)
+SELECT b.seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN 16 * b.y < 4 * q.q1x4 - 6 * (q.q3x4 - q.q1x4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN 16 * b.y > 4 * q.q3x4 + 6 * (q.q3x4 - q.q1x4)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       round((4.0 * q.q1x4 - 6 * (q.q3x4 - q.q1x4)) / 16, 4) AS fence_lo_cents,
+       round((4.0 * q.q3x4 + 6 * (q.q3x4 - q.q1x4)) / 16, 4) AS fence_hi_cents
+FROM b JOIN q USING (seg)
+GROUP BY b.seg, q.q1x4, q.q3x4
+"""
+
+
+@register("agg_tukey_fences_outliers", oracle=_TUKEY_ORACLE, tags=("agg", "stats"))
+def agg_tukey_fences_outliers(spark, sf_dir):
+    """Tukey IQR-fence outlier counts per segment (the boxplot rule:
+    outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR]) — the quartile-based robust
+    screen beside the MAD screen (agg_robust_outliers_mad); quartiles
+    are interpolated, so on integer cents 4·Q is an EXACT integer, and
+    the fence comparison is cleared of ALL fractions by scaling both
+    sides to sixteenths: outlier_low ⟺ 16y < 4·q1x4 − 6·iqrx4 — an
+    exact integer predicate that cannot flip on a float boundary (the
+    Bollinger-band rule applied to quartiles). The reported fence
+    positions are single float divisions of exact integers. Plan: one
+    exact-percentile rollup per group, one broadcast join back, one
+    counting aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("y"),
+    )
+    q = b.groupBy("seg").agg(
+        F.round(4 * F.expr("percentile(y, 0.25)")).cast("long").alias("q1x4"),
+        F.round(4 * F.expr("percentile(y, 0.75)")).cast("long").alias("q3x4"),
+    )
+    iqr = F.col("q3x4") - F.col("q1x4")
+    lo = 4 * F.col("q1x4") - 6 * iqr
+    hi = 4 * F.col("q3x4") + 6 * iqr
+    return (
+        b.join(F.broadcast(q), "seg")
+        .groupBy("seg", "q1x4", "q3x4")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(16 * F.col("y") < lo, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(F.when(16 * F.col("y") > hi, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_outliers"),
+        )
+        .select(
+            "seg",
+            "n",
+            "n_low_outliers",
+            "n_high_outliers",
+            F.round((4.0 * F.col("q1x4") - 6 * iqr) / 16, 4).alias("fence_lo_cents"),
+            F.round((4.0 * F.col("q3x4") + 6 * iqr) / 16, 4).alias("fence_hi_cents"),
+        )
+    )

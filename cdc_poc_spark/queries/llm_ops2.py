@@ -837,3 +837,340 @@ def mm_magic_bytes_sniff(spark, sf_dir):
             F.max("n_bytes").cast("long").alias("max_bytes"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Retrieval — round-9 additions.
+# ---------------------------------------------------------------------------
+
+_QL_DIRICHLET_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM t
+), corpus AS (
+  SELECT CAST(SUM(dlen) AS BIGINT) AS clen FROM dl
+), ctf AS (
+  SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY tok
+), q AS (
+  SELECT unnest(['scan', 'merge', 'window']) AS tok
+), terms AS (
+  SELECT dl.doc_id,
+         CAST(round(1000000 * ln(
+           (COALESCE(tf.tf, 0) * corpus.clen + 100.0 * ctf.ctf)
+           / ((dl.dlen + 100.0) * corpus.clen))) AS BIGINT) AS micro_nats
+  FROM dl
+  CROSS JOIN corpus
+  JOIN q ON TRUE
+  JOIN ctf ON ctf.tok = q.tok
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.tok = q.tok
+), scored AS (
+  SELECT doc_id, CAST(SUM(micro_nats) AS BIGINT) AS ql_micro_nats
+  FROM terms GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, ql_micro_nats,
+         row_number() OVER (ORDER BY ql_micro_nats DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, ql_micro_nats, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 20
+"""
+
+
+@register("text_query_likelihood_dirichlet", oracle=_QL_DIRICHLET_ORACLE, tags=("llm", "text", "retrieval"))
+def text_query_likelihood_dirichlet(spark, sf_dir):
+    """Dirichlet-smoothed QUERY-LIKELIHOOD retrieval (Zhai & Lafferty,
+    SIGIR 2001; μ=100) — the language-model ranking family beside the
+    tf-idf family (text_bm25_topk): score(d) = Σ_q ln((tf + μ·p(q|C))
+    / (|d| + μ)), where the collection model p(q|C) is what BM25's idf
+    only approximates. Each per-(doc, term) log is evaluated on EXACT
+    integers (tf·|C| + μ·ctf over (|d|+μ)·|C| — one double log of a
+    rational) and quantized ONCE to micro-nats; the doc score is then
+    an exact integer sum and the top-20 a total-order rank — the
+    engine's standing log-quantization discipline. Plan: one tf
+    rollup, the 3-term query BROADCAST onto the doc-length relation,
+    one keyed sum; the corpus stats are 1-row/|V|-row broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    mu = 100
+    qterms = ["scan", "merge", "window"]
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dl = t.select("doc_id", F.size("toks").cast("long").alias("dlen"))
+    corpus = dl.agg(F.sum("dlen").cast("long").alias("clen"))
+    q = spark.createDataFrame([(x,) for x in qterms], ["tok"])
+    ctf = (
+        tf.join(F.broadcast(q), "tok")
+        .groupBy("tok")
+        .agg(F.sum("tf").cast("long").alias("ctf"))
+    )
+    terms = (
+        dl.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ctf))
+        .join(tf, ["doc_id", "tok"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                1_000_000
+                * F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0)) * F.col("clen")
+                     + mu * 1.0 * F.col("ctf"))
+                    / ((F.col("dlen") + mu * 1.0) * F.col("clen"))
+                )
+            )
+            .cast("long")
+            .alias("micro_nats"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.sum("micro_nats").cast("long").alias("ql_micro_nats")
+    )
+    from ..operators.scale import global_index
+
+    ranked = global_index(
+        scored.select(
+            "doc_id", "ql_micro_nats", (-F.col("ql_micro_nats")).alias("neg")
+        ),
+        "rnk0",
+        ["neg", "doc_id"],
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "ql_micro_nats",
+            (F.col("rnk0") + 1).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+_PHRASE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), p AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+), hits AS (
+  SELECT a.doc_id, a.pos
+  FROM p a
+  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  WHERE a.tok = 'batch' AND b.tok = 'batch' AND c.tok = 'batch'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pos) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("text_phrase_positional_search", oracle=_PHRASE_ORACLE, tags=("llm", "text", "retrieval"))
+def text_phrase_positional_search(spark, sf_dir):
+    """EXACT PHRASE search through a positional index: documents
+    containing the 3-token phrase "batch batch batch" (the run-on
+    repetition junk signature), found by self-joining the (doc, pos,
+    token) posting relation at offsets +1/+2 — the positional-index
+    phrase plan every search engine runs, NOT a substring scan (at
+    100 TB the posting relation is the standing index; a LIKE scan
+    re-reads every byte of every document for every query). Postings
+    for the phrase terms are filtered BEFORE the position joins, so
+    the join inputs are term-selective. Counts and positions exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+        .filter(F.col("tok") == "batch")
+    )
+    a = p.select("doc_id", "pos")
+    b = p.select("doc_id", (F.col("pos") - 1).alias("pos"))
+    c = p.select("doc_id", (F.col("pos") - 2).alias("pos"))
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .join(c, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+_PAIR_DIST_HIST_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT a.vec_id,
+         CAST(round(1000000 * list_sum(list_transform(
+                range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                / (a.vnorm * b.vnorm)) AS BIGINT) AS mc
+  FROM n a JOIN n b ON b.vec_id = a.vec_id + 1
+  UNION ALL
+  SELECT a.vec_id,
+         CAST(round(1000000 * list_sum(list_transform(
+                range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                / (a.vnorm * b.vnorm)) AS BIGINT) AS mc
+  FROM n a JOIN n b ON b.vec_id = a.vec_id + 17
+)
+SELECT CAST((mc + 1000000) // 50000 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+@register("sim_pair_distance_histogram", oracle=_PAIR_DIST_HIST_ORACLE, tags=("llm", "similarity"))
+def sim_pair_distance_histogram(spark, sf_dir):
+    """Pairwise-cosine DISTANCE HISTOGRAM over deterministic lag pairs
+    (id -> id+1 and id -> id+17): the concentration-of-measure
+    diagnostic every ANN deployment reads before picking thresholds —
+    a histogram collapsed near one value means cosine barely
+    discriminates at this dimensionality (and LSH/IVF recall targets
+    must be set accordingly). Lag pairs are O(n) equi-joins (never a
+    sampled cross join, never RNG — deterministic and layout-stable);
+    each cosine is quantized ONCE to integer micro-units and binned by
+    exact integer division into 0.05-wide buckets, so no bin boundary
+    can flip on a float ulp. Output is the bounded histogram."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", similarity.as_double("embedding").alias("v")
+    ).withColumn("vnorm", similarity.norm("v"))
+    pairs = None
+    for lag in (1, 17):
+        a = e.select(F.col("vec_id"), F.col("v").alias("va"), F.col("vnorm").alias("na"))
+        b = e.select(
+            (F.col("vec_id") - lag).alias("vec_id"),
+            F.col("v").alias("vb"),
+            F.col("vnorm").alias("nb"),
+        )
+        p = a.join(b, "vec_id").select(
+            F.round(
+                1_000_000
+                * similarity.dot("va", "vb")
+                / (F.col("na") * F.col("nb"))
+            )
+            .cast("long")
+            .alias("mc")
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return (
+        pairs.select(F.expr("CAST((mc + 1000000) DIV 50000 AS BIGINT)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_CHUNK_STORE_ORACLE = """
+WITH m AS (
+  SELECT MIN(doc_id) AS rep, hex(encode(text)) AS hx
+  FROM documents GROUP BY encode(text)
+  HAVING length(hex(encode(text))) >= 8
+), pos AS (
+  SELECT rep, hx, i.i AS pos
+  FROM m, LATERAL unnest(generate_series(4, length(hx) // 2)) AS i(i)
+  WHERE CAST(('0x' || substring(md5(substring(hx, 2 * i.i - 7, 8)), 1, 8))
+             AS BIGINT) % 32 = 0
+  UNION
+  SELECT rep, hx, length(hx) // 2 AS pos FROM m
+), c AS (
+  SELECT rep,
+         pos - COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0)
+           AS n_bytes,
+         substring(hx,
+                   2 * COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0) + 1,
+                   2 * (pos - COALESCE(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0)))
+           AS chunk
+  FROM pos
+), per_chunk AS (
+  SELECT chunk, ANY_VALUE(n_bytes) AS n_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_payloads
+  FROM c GROUP BY chunk
+)
+SELECT CAST(SUM(n_occ) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(n_occ * n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS stored_bytes,
+       CAST(SUM(CASE WHEN n_payloads >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_payload_chunks,
+       CAST((SUM(n_occ * n_bytes) - SUM(n_bytes)) * 1000000
+            // SUM(n_occ * n_bytes) AS BIGINT) AS savings_ppm
+FROM per_chunk
+"""
+
+
+@register("mm_chunk_store_savings", oracle=_CHUNK_STORE_ORACLE, tags=("llm", "multimodal", "dedup"))
+def mm_chunk_store_savings(spark, sf_dir):
+    """Content-addressed CHUNK-STORE savings accounting — the
+    byte-weighted consumer of mm_content_defined_chunks' boundary
+    construction (same LBFS rolling rule, same md5-prefix gram hash):
+    a dedup store keeps each distinct chunk once, so the reclaim is
+    (Σ occurrences·bytes − Σ distinct bytes) / total — the borg/restic
+    /VAST-style storage estimate, byte-weighted where the chunk QUERY
+    reports chunk-count ratios (a few giant duplicate chunks matter
+    more than many tiny unique ones). Also counts chunks shared
+    ACROSS distinct payloads — the cross-file sharing a per-file
+    dedup cannot see. Exact integers end-to-end; the chunk relation is
+    the same per-payload lag window, the accounting two keyed
+    rollups."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    m = (
+        media.select(F.hex(F.col("payload")).alias("hx"), "media_id")
+        .groupBy("hx")
+        .agg(F.min("media_id").alias("rep"))
+        .filter(F.length("hx") >= 8)
+    )
+    gram = F.expr("substring(hx, 2 * i - 7, 8)")
+    ghash = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % 32
+    bnd = (
+        m.select(
+            "rep",
+            "hx",
+            F.explode(
+                F.sequence(F.lit(4), F.expr("CAST(length(hx) / 2 AS INT)"))
+            ).alias("i"),
+        )
+        .filter(ghash == 0)
+        .select("rep", "hx", F.col("i").alias("pos"))
+    )
+    last = m.select("rep", "hx", F.expr("CAST(length(hx) / 2 AS INT)").alias("pos"))
+    pos = bnd.unionByName(last).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rep").orderBy("pos")
+    prev = F.coalesce(F.lag("pos").over(w), F.lit(0))
+    c = pos.select(
+        "rep",
+        (F.col("pos") - prev).alias("n_bytes"),
+        F.expr(
+            "substring(hx, 2 * coalesce(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0) + 1,"
+            " 2 * (pos - coalesce(lag(pos) OVER (PARTITION BY rep ORDER BY pos), 0)))"
+        ).alias("chunk"),
+    )
+    per_chunk = c.groupBy("chunk").agg(
+        F.any_value("n_bytes").alias("n_bytes"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("rep").cast("long").alias("n_payloads"),
+    )
+    return per_chunk.agg(
+        F.sum("n_occ").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.col("n_occ") * F.col("n_bytes")).cast("long").alias("total_bytes"),
+        F.sum("n_bytes").cast("long").alias("stored_bytes"),
+        F.sum(F.when(F.col("n_payloads") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_payload_chunks"),
+        F.expr(
+            "CAST((SUM(n_occ * n_bytes) - SUM(n_bytes)) * 1000000"
+            " DIV SUM(n_occ * n_bytes) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

@@ -1688,3 +1688,57 @@ def graph_katz_centrality_2step(spark, sf_dir):
             (4 * F.col("deg") + F.col("walks2")).cast("long").alias("katz_x16"),
         )
     )
+
+
+_EMBEDDEDNESS_ORACLE = _COORDER_EDGES_CTE + f"""
+, hub AS (
+  SELECT node FROM deg WHERE deg > 32
+), symf AS (
+  SELECT u, v FROM sym WHERE v NOT IN (SELECT node FROM hub)
+), emb AS (
+  SELECT e.u, e.v, CAST(COUNT(s2.v) AS BIGINT) AS n_common
+  FROM e
+  LEFT JOIN symf s1 ON s1.u = e.u
+  LEFT JOIN symf s2 ON s2.u = e.v AND s2.v = s1.v
+  GROUP BY e.u, e.v
+)
+SELECT n_common AS embeddedness, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM emb GROUP BY n_common
+"""
+
+
+@register("graph_edge_embeddedness", oracle=_EMBEDDEDNESS_ORACLE, tags=("graph", "analytics"))
+def graph_edge_embeddedness(spark, sf_dir):
+    """EDGE EMBEDDEDNESS histogram over the co-order graph: for every
+    existing edge, the number of (non-hub) common neighbors of its
+    endpoints — Granovetter's weak-tie spectrum (embeddedness 0 =
+    bridge-like edges whose removal disconnects local structure;
+    high embeddedness = redundant intra-community ties). The wedge
+    enumeration is the common-neighbors machinery pointed AT the edge
+    set instead of at non-adjacent pairs (graph_linkpred_*), with the
+    same degree-32 hub cap bounding the per-key fanout in both
+    engines. LEFT join keeps zero-embeddedness edges — the bridges are
+    the interesting bucket and an inner join would silently drop them.
+    Output is the bounded histogram."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    hubs = deg.filter(F.col("deg") > 32).select("node")
+    symf = sym.join(
+        F.broadcast(hubs), sym.v == F.col("node"), "left_anti"
+    )
+    s1 = symf.select(F.col("u").alias("eu"), F.col("v").alias("n1"))
+    s2 = symf.select(F.col("u").alias("ev"), F.col("v").alias("n2"))
+    emb = (
+        e.join(s1, e.u == s1.eu, "left")
+        .join(
+            s2,
+            (e.v == s2.ev) & (F.col("n1") == F.col("n2")),
+            "left",
+        )
+        .groupBy("u", "v")
+        .agg(F.count("n2").cast("long").alias("embeddedness"))
+    )
+    return emb.groupBy("embeddedness").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )

@@ -553,3 +553,58 @@ def _register_collation():
 
 
 _register_collation()
+
+
+_sql_query(
+    "sql_named_window_reuse",
+    """
+SELECT n_name,
+       o_year,
+       rank() OVER w AS revenue_rank,
+       CAST(lag(revenue_cents) OVER w AS BIGINT) AS next_lower_cents
+FROM (
+  SELECT n_name,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100))
+              AS BIGINT) AS revenue_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_year
+)
+WINDOW w AS (PARTITION BY o_year ORDER BY revenue_cents DESC, n_name)
+""",
+    tags=("sql", "window"),
+)
+# ^ the WINDOW clause (named-window reuse across multiple functions —
+# one sort/shuffle declared once) is the same ANSI text in BOTH
+# engines; the rank and the lag provably share one window definition.
+
+
+@register(
+    "sql_star_except_projection",
+    oracle="""
+SELECT * EXCLUDE (o_orderdate, o_totalprice),
+       CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey <= 64
+""",
+    tags=("sql",),
+)
+def sql_star_except_projection(spark, sf_dir):
+    """Star-EXCEPT projection (Spark `* EXCEPT (...)` / DuckDB
+    `* EXCLUDE (...)` — same relational operation, two surface
+    spellings): drop the date and raw-double price from the star and
+    append the exact-cents derivation — the schema-curation idiom for
+    "everything but the columns being replaced". The oracle runs the
+    DuckDB spelling; bounded by a key predicate that pushes into the
+    scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT * EXCEPT (o_orderdate, o_totalprice),
+       CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+         AS price_cents
+FROM orders WHERE o_orderkey <= 64
+"""
+    )
