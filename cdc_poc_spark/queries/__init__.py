@@ -402,6 +402,12 @@ _ROUND9_NEW: list = [
     "text_phrase_positional_search",
     "sim_pair_distance_histogram",
     "mm_chunk_store_savings",
+    "agg_trimmed_mean",
+    "sql_values_inline_lookup",
+    "pipeline_tokenizer_fertility",
+    "pipeline_dataset_card_stats",
+    "win_running_distinct_users",
+    "graph_avg_neighbor_degree_curve",
 ]
 
 

@@ -3189,3 +3189,71 @@ def agg_tukey_fences_outliers(spark, sf_dir):
             F.round((4.0 * F.col("q3x4") + 6 * iqr) / 16, 4).alias("fence_hi_cents"),
         )
     )
+
+
+_TRIMMED_MEAN_ORACLE = """
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS y,
+         c_custkey
+  FROM customer
+), r AS (
+  SELECT seg, y,
+         row_number() OVER (PARTITION BY seg ORDER BY y, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM b
+)
+SELECT seg, CAST(ANY_VALUE(n) AS BIGINT) AS n,
+       CAST(ANY_VALUE(n) // 10 AS BIGINT) AS n_trimmed_each_side,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                     THEN y ELSE 0 END) AS BIGINT) AS kept_cents,
+       round(CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN y ELSE 0 END) AS DOUBLE)
+             / (ANY_VALUE(n) - 2 * (ANY_VALUE(n) // 10)), 6) AS trimmed_mean_cents
+FROM r GROUP BY seg
+"""
+
+
+@register("agg_trimmed_mean", oracle=_TRIMMED_MEAN_ORACLE, tags=("agg", "stats"))
+def agg_trimmed_mean(spark, sf_dir):
+    """10%-TRIMMED mean of account balance per segment — the
+    order-statistic robust-location estimator that DROPS each tail
+    (agg_winsorized_mean CLAMPS it; the two react differently to
+    asymmetric contamination, which is why robust pipelines report
+    both). Trim count is the exact floor(n/10) per group; membership
+    is a rank predicate with a total tiebreak (row_number over
+    (value, custkey)); the kept sum is an exact integer and the mean
+    ONE final division. Plan: one window pass partitioned by segment
+    + the same-shuffle aggregation — ranks never leave their
+    partition."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("y"),
+        "c_custkey",
+    )
+    from pyspark.sql import Window as _W
+
+    r = b.select(
+        "seg",
+        "y",
+        F.row_number()
+        .over(_W.partitionBy("seg").orderBy("y", "c_custkey"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(_W.partitionBy("seg")).alias("n"),
+    )
+    kept = F.when(
+        (F.col("rn") > F.expr("n DIV 10"))
+        & (F.col("rn") <= F.col("n") - F.expr("n DIV 10")),
+        F.col("y"),
+    ).otherwise(F.lit(0))
+    return r.groupBy("seg").agg(
+        F.any_value("n").cast("long").alias("n"),
+        F.expr("CAST(ANY_VALUE(n) DIV 10 AS BIGINT)").alias("n_trimmed_each_side"),
+        F.sum(kept).cast("long").alias("kept_cents"),
+        F.round(
+            F.sum(kept).cast("double")
+            / (F.any_value("n") - 2 * F.expr("ANY_VALUE(n) DIV 10")),
+            6,
+        ).alias("trimmed_mean_cents"),
+    )

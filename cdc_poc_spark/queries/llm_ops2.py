@@ -1174,3 +1174,119 @@ def mm_chunk_store_savings(spark, sf_dir):
             " DIV SUM(n_occ * n_bytes) AS BIGINT)"
         ).alias("savings_ppm"),
     )
+
+# ---------------------------------------------------------------------------
+# Corpus reporting — round-9 additions.
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+WITH t AS (
+  SELECT lang, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_chars) * 1000 // SUM(n_toks) AS BIGINT)
+         AS bytes_per_token_milli,
+       CAST(SUM(n_toks) * 1000000 // SUM(n_chars) AS BIGINT)
+         AS tokens_per_byte_ppm
+FROM t GROUP BY lang
+"""
+
+
+@register("pipeline_tokenizer_fertility", oracle=_FERTILITY_ORACLE, tags=("llm", "pipeline", "text"))
+def pipeline_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per language: bytes-per-token and
+    tokens-per-byte (exact milli/ppm integer ratios) — the number that
+    decides whether a tokenizer starves a language of effective
+    context (high fertility = more tokens per byte = shorter effective
+    documents), reported per-language exactly the way tokenizer
+    evaluations (e.g. multilingual compression comparisons) do. Pure
+    map-side rollup; exact integer floor ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_bytes"),
+        F.expr("CAST(SUM(n_chars) * 1000 DIV SUM(n_toks) AS BIGINT)").alias(
+            "bytes_per_token_milli"
+        ),
+        F.expr("CAST(SUM(n_toks) * 1000000 DIV SUM(n_chars) AS BIGINT)").alias(
+            "tokens_per_byte_ppm"
+        ),
+    )
+
+
+_DATASET_CARD_ORACLE = """
+WITH t AS (
+  SELECT source, lang, n_chars, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct
+  FROM documents
+), dup AS (
+  SELECT source, CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+           AS n_exact_dups
+  FROM t GROUP BY source
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       CAST(MIN(n_toks) AS BIGINT) AS min_doc_tokens,
+       CAST(MAX(n_toks) AS BIGINT) AS max_doc_tokens,
+       CAST(SUM(n_distinct) * 1000000 // SUM(n_toks) AS BIGINT)
+         AS distinct_token_ratio_ppm,
+       ANY_VALUE(dup.n_exact_dups) AS n_exact_dups
+FROM t JOIN dup ON dup.source = t.source
+GROUP BY t.source
+"""
+
+
+@register("pipeline_dataset_card_stats", oracle=_DATASET_CARD_ORACLE, tags=("llm", "pipeline"))
+def pipeline_dataset_card_stats(spark, sf_dir):
+    """DATASET CARD summary per source — the one-relation report a
+    corpus release ships (datasheet/data-card table): doc and language
+    counts, token/byte volumes, length extremes, lexical-diversity
+    mass ratio, and the exact-duplicate count — every figure an exact
+    integer or exact ppm ratio, each individually available elsewhere
+    in the registry but materialized here as the single card
+    downstream consumers read. Two keyed rollups (one per-doc pass +
+    one md5-dedup count), joined on the source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    dup = t.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias("n_exact_dups")
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.min("n_toks").cast("long").alias("min_doc_tokens"),
+            F.max("n_toks").cast("long").alias("max_doc_tokens"),
+            F.expr(
+                "CAST(SUM(n_distinct) * 1000000 DIV SUM(n_toks) AS BIGINT)"
+            ).alias("distinct_token_ratio_ppm"),
+        )
+        .join(dup, "source")
+    )

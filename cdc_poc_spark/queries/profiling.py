@@ -1742,3 +1742,59 @@ def graph_edge_embeddedness(spark, sf_dir):
     return emb.groupBy("embeddedness").agg(
         F.count(F.lit(1)).cast("long").alias("n_edges")
     )
+
+
+_KNN_DEGREE_ORACLE = _COORDER_EDGES_CTE + """
+, nd AS (
+  SELECT s.u AS node, d1.deg AS deg,
+         CAST(SUM(d2.deg) AS BIGINT) AS neighbor_deg_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_neighbors
+  FROM sym s
+  JOIN deg d1 ON d1.node = s.u
+  JOIN deg d2 ON d2.node = s.v
+  GROUP BY s.u, d1.deg
+)
+SELECT CAST(deg AS BIGINT) AS deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(neighbor_deg_sum) * 1000 // SUM(n_neighbors) AS BIGINT)
+         AS avg_neighbor_deg_milli
+FROM nd GROUP BY deg
+"""
+
+
+@register("graph_avg_neighbor_degree_curve", oracle=_KNN_DEGREE_ORACLE, tags=("graph", "analytics"))
+def graph_avg_neighbor_degree_curve(spark, sf_dir):
+    """The k_nn(k) CURVE — average neighbor degree as a function of
+    node degree (Pastor-Satorras et al. 2001): the degree-resolved
+    view of mixing structure where graph_degree_assortativity
+    compresses to one scalar (a curve can be non-monotone — rich-club
+    at the head, disassortative tail — and the scalar hides it).
+    Exact integer milli-ratios per degree class (sum of neighbor
+    degrees over neighbor count); one broadcast degree join + two
+    keyed rollups. Output bounded by the distinct-degree count."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    nd = (
+        sym.join(F.broadcast(deg.select(F.col("node"), F.col("deg"))), sym.u == F.col("node"))
+        .drop("node")
+        .join(
+            F.broadcast(
+                deg.select(F.col("node").alias("n2"), F.col("deg").alias("deg_v"))
+            ),
+            sym.v == F.col("n2"),
+        )
+        .groupBy("u", "deg")
+        .agg(
+            F.sum("deg_v").cast("long").alias("neighbor_deg_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+        )
+    )
+    return nd.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr(
+            "CAST(SUM(neighbor_deg_sum) * 1000 DIV SUM(n_neighbors) AS BIGINT)"
+        ).alias("avg_neighbor_deg_milli"),
+    )

@@ -608,3 +608,26 @@ SELECT * EXCEPT (o_orderdate, o_totalprice),
 FROM orders WHERE o_orderkey <= 64
 """
     )
+
+
+_sql_query(
+    "sql_values_inline_lookup",
+    """
+SELECT pr.label AS priority_band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+JOIN (VALUES ('1-URGENT',  'expedite'),
+             ('2-HIGH',    'expedite'),
+             ('3-MEDIUM',  'standard'),
+             ('4-NOT SPECIFIED', 'standard'),
+             ('5-LOW',     'deferred')) AS pr(code, label)
+  ON o_orderpriority = pr.code
+GROUP BY pr.label
+""",
+    tags=("sql", "join", "agg"),
+)
+# ^ inline VALUES lookup table (the decode-table idiom — the dimension
+# that lives in the query text, broadcast by construction): identical
+# ANSI text in both engines.

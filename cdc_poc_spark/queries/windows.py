@@ -459,3 +459,54 @@ def win_rank_shift_leaderboard(spark, sf_dir):
             (F.col("prev_rnk") - F.col("rnk")).cast("long").alias("rank_gain"),
         )
     )
+
+
+_RUNNING_DISTINCT_ORACLE = """
+WITH fs AS (
+  SELECT event_type, user_id,
+         MIN(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS first_day
+  FROM events GROUP BY event_type, user_id
+), daily AS (
+  SELECT event_type, first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM fs GROUP BY event_type, first_day
+)
+SELECT event_type, day, n_new,
+       CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_distinct_users
+FROM daily
+"""
+
+
+@register("win_running_distinct_users", oracle=_RUNNING_DISTINCT_ORACLE, tags=("window", "agg"))
+def win_running_distinct_users(spark, sf_dir):
+    """CUMULATIVE DISTINCT user count per event type by day — the
+    "uniques to date" growth curve. The naive formulation (distinct
+    over an unbounded window frame) carries a per-row set that grows
+    with history; the scale-correct identity used here is FIRST-TOUCH
+    DEDUP: a user counts on exactly their first day, so the curve is a
+    plain running SUM of per-day first-appearance counts — state
+    O(days), not O(users), and exact. Two keyed rollups + one
+    windowed cumulative sum partitioned by series."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    fs = ev.groupBy("event_type", "user_id").agg(
+        F.min(
+            F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd")
+        ).alias("day")
+    )
+    daily = fs.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_distinct_users"),
+    )
