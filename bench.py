@@ -135,6 +135,18 @@ ROTATING = [
     "agg_spearman_rho",
     "ml_covariance_matrix",
     "pipeline_bloom_decontaminate",
+    # round 9 additions (cdc_consumer_scd2_intervals is NOT here, like
+    # the other checkpointed consumer drives; sim_ann_opq_topk is NOT
+    # here because its wall is the 3x alternation BUILD — its scale
+    # record is the 10x probe)
+    "dedup_common_substring_pairs",
+    "text_rouge2_pairs",
+    "ml_roc_auc_exact",
+    "tw_kaplan_meier",
+    "graph_katz_centrality_2step",
+    "mm_chunk_store_savings",
+    "win_rolling_median",
+    "text_query_likelihood_dirichlet",
     "mm_content_defined_chunks",
     "text_hybrid_rrf_fusion",
 ]
