@@ -408,6 +408,13 @@ _ROUND9_NEW: list = [
     "pipeline_dataset_card_stats",
     "win_running_distinct_users",
     "graph_avg_neighbor_degree_curve",
+    "win_skyline_pareto",
+    "agg_g_test_independence",
+    "agg_morans_i",
+    "tw_autocorrelation_daily",
+    "graph_two_hop_reach",
+    "dedup_family_size_histogram",
+    "sim_triplet_margin_stats",
 ]
 
 

@@ -3257,3 +3257,199 @@ def agg_trimmed_mean(spark, sf_dir):
             6,
         ).alias("trimmed_mean_cents"),
     )
+
+
+_GTEST_ORACLE = """
+WITH r AS (
+  SELECT CASE WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) < 30000
+              THEN 'low'
+              WHEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) < 70000
+              THEN 'mid' ELSE 'high' END AS band_a,
+         CASE WHEN CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) < 33
+              THEN 'low'
+              WHEN CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT) < 66
+              THEN 'mid' ELSE 'high' END AS band_b
+  FROM events
+), cells AS (
+  SELECT band_a, band_b, CAST(COUNT(*) AS BIGINT) AS o FROM r GROUP BY 1, 2
+), marg AS (
+  SELECT c.band_a, c.band_b, c.o,
+         ra.s_a, rb.s_b, t.n
+  FROM cells c
+  JOIN (SELECT band_a, CAST(SUM(o) AS BIGINT) AS s_a FROM cells GROUP BY 1) ra
+    USING (band_a)
+  JOIN (SELECT band_b, CAST(SUM(o) AS BIGINT) AS s_b FROM cells GROUP BY 1) rb
+    USING (band_b)
+  CROSS JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells) t
+), terms AS (
+  SELECT CAST(round(1000000 * o * ln(CAST(o AS DOUBLE) * n / (s_a * CAST(s_b AS DOUBLE))))
+              AS BIGINT) AS term_micro
+  FROM marg WHERE o > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(2 * SUM(term_micro) AS BIGINT) AS g_statistic_micro
+FROM terms
+"""
+
+
+@register("agg_g_test_independence", oracle=_GTEST_ORACLE, tags=("agg", "stats"))
+def agg_g_test_independence(spark, sf_dir):
+    """G-TEST of independence (log-likelihood ratio, G = 2·Σ O·ln(O/E))
+    over the same 3x3 value-band × k-band table as agg_cohens_kappa —
+    the information-theoretic twin of agg_chi_square_cells (G is
+    additive across partitions of the table and equals 2n·MI(nats),
+    which is why contingency pipelines carry it alongside χ²). Each
+    cell's O·ln(O·n / (rowsum·colsum)) is one double log of EXACT
+    integers quantized ONCE to micro-units (transcendental — no repr-
+    boundary risk, the micro-nat rule), then G is an exact integer sum.
+    Empty cells contribute zero by the O > 0 filter, exactly as the
+    statistic defines. Plan: one |bands|²-cell rollup + broadcast
+    marginals."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(dec("value", VAL) * 100).cast("long")
+    kf = F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("long")
+    band = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, F.lit("low")).when(c < hi, F.lit("mid")).otherwise(F.lit("high"))
+    )
+    cells = (
+        ev.select(
+            band(cents, 30000, 70000).alias("band_a"),
+            band(kf, 33, 66).alias("band_b"),
+        )
+        .groupBy("band_a", "band_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    ra = cells.groupBy("band_a").agg(F.sum("o").cast("long").alias("s_a"))
+    rb = cells.groupBy("band_b").agg(F.sum("o").cast("long").alias("s_b"))
+    t = cells.agg(F.sum("o").cast("long").alias("n"))
+    terms = (
+        cells.join(F.broadcast(ra), "band_a")
+        .join(F.broadcast(rb), "band_b")
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("o") > 0)
+        .select(
+            F.round(
+                1_000_000
+                * F.col("o")
+                * F.log(
+                    F.col("o").cast("double") * F.col("n")
+                    / (F.col("s_a") * F.col("s_b").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("term_micro")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (2 * F.sum("term_micro")).cast("long").alias("g_statistic_micro"),
+    )
+
+
+_MORANS_ORACLE = """
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT a.p AS u, x.p AS v
+  FROM b a JOIN b x ON a.o = x.o AND a.p < x.p
+  GROUP BY a.p, x.p
+  HAVING COUNT(*) >= 2
+), nodes AS (
+  SELECT DISTINCT u AS node FROM e UNION SELECT DISTINCT v FROM e
+), x AS (
+  SELECT n.node,
+         CAST(round(CAST(p.p_retailprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+           AS cents
+  FROM nodes n JOIN part p ON p.p_partkey = n.node
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM x
+), z AS (
+  SELECT x.node, CAST(x.cents * m.n - m.s AS BIGINT) AS z FROM x, m
+), num AS (
+  SELECT CAST(SUM(CAST(za.z AS HUGEINT) * zb.z) AS DECIMAL(38,0)) AS cross_sum,
+         CAST(COUNT(*) AS BIGINT) AS w2
+  FROM e JOIN z za ON za.node = e.u JOIN z zb ON zb.node = e.v
+), den AS (
+  SELECT CAST(SUM(CAST(z AS HUGEINT) * z) AS DECIMAL(38,0)) AS zz FROM z
+)
+SELECT m.n AS n_nodes, num.w2 AS n_edges,
+       round(CAST(m.n AS DOUBLE) / (2 * num.w2)
+             * (2 * CAST(num.cross_sum AS DOUBLE)) / CAST(den.zz AS DOUBLE),
+             6) AS morans_i
+FROM m, num, den
+"""
+
+
+@register("agg_morans_i", oracle=_MORANS_ORACLE, tags=("agg", "stats", "graph"))
+def agg_morans_i(spark, sf_dir):
+    """MORAN'S I spatial autocorrelation (Moran 1950) of part retail
+    price over the co-order GRAPH neighborhood structure: do parts
+    that co-occur in orders have correlated prices? — the statistic
+    that turns "graph + node attribute" into one signed scalar
+    (positive: price-similar parts cluster in baskets; negative:
+    baskets mix price tiers). I = (n/ΣW)·Σ w_ij z_i z_j / Σ z_i² with
+    binary symmetric weights from the co-order edges. Exactness: the
+    centered attribute is scaled to z_i = n·x_i − S (exact integers —
+    no float mean), both quadratic forms are DECIMAL(38)/HUGEINT sums,
+    and I is ONE float expression (the n scaling cancels exactly).
+    Plan: the edge relation is the bounded co-order join; the
+    quadratic form is two broadcast attribute joins + one exact sum —
+    no materialized weight matrix anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    e = (
+        b.select("o", F.col("p").alias("u"))
+        .join(b.select("o", F.col("p").alias("v")), "o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    x = nodes.join(
+        part.select(
+            F.col("p_partkey").alias("node"),
+            F.round(dec("p_retailprice", BAL) * 100).cast("long").alias("cents"),
+        ),
+        "node",
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    z = x.crossJoin(F.broadcast(m)).select(
+        "node", (F.col("cents") * F.col("n") - F.col("s")).cast("long").alias("z")
+    )
+    num = (
+        e.join(z.select(F.col("node").alias("u"), F.col("z").alias("za")), "u")
+        .join(z.select(F.col("node").alias("v"), F.col("z").alias("zb")), "v")
+        .agg(
+            F.sum(F.col("za").cast("decimal(38,0)") * F.col("zb")).alias("cross_sum"),
+            F.count(F.lit(1)).cast("long").alias("w2"),
+        )
+    )
+    den = z.agg(F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("zz"))
+    return (
+        m.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_nodes"),
+            F.col("w2").alias("n_edges"),
+            F.round(
+                F.col("n").cast("double")
+                / (2 * F.col("w2"))
+                * (2 * F.col("cross_sum").cast("double"))
+                / F.col("zz").cast("double"),
+                6,
+            ).alias("morans_i"),
+        )
+    )

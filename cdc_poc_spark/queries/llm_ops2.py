@@ -1290,3 +1290,133 @@ def pipeline_dataset_card_stats(spark, sf_dir):
         )
         .join(dup, "source")
     )
+
+
+_FAMILY_HIST_ORACLE = """
+WITH f AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fp,
+         CAST(COUNT(*) AS BIGINT) AS family_size
+  FROM documents GROUP BY 1
+)
+SELECT family_size,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(family_size * COUNT(*) AS BIGINT) AS n_docs
+FROM f GROUP BY family_size
+"""
+
+
+@register("dedup_family_size_histogram", oracle=_FAMILY_HIST_ORACLE, tags=("llm", "dedup"))
+def dedup_family_size_histogram(spark, sf_dir):
+    """Near-dup FAMILY-SIZE distribution (tier-2 fingerprint
+    families): how many families of size 1, 2, 3... and how much doc
+    mass each size class holds — the one histogram that tells you
+    whether duplication is a long tail of pairs or a few mega-families
+    (the two need different dedup strategies: pair verification vs
+    collapse-first), and the denominator every dup-rate SLO is quoted
+    against. Two exact keyed rollups."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    f = docs.groupBy(
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("fp")
+    ).agg(F.count(F.lit(1)).cast("long").alias("family_size"))
+    return f.groupBy("family_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_families"),
+        (F.col("family_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+_TRIPLET_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id, b.label AS other_label,
+         a.label AS anchor_label,
+         CAST(round(1000000 * list_sum(list_transform(
+                range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                / (a.vnorm * b.vnorm)) AS BIGINT) AS mc
+  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+), pos AS (
+  SELECT anchor_id, other_id AS pos_id, mc AS pos_mc,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY mc DESC, other_id) AS r
+  FROM pairs WHERE other_label = anchor_label
+), neg AS (
+  SELECT anchor_id, other_id AS neg_id, mc AS neg_mc,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY mc DESC, other_id) AS r
+  FROM pairs WHERE other_label <> anchor_label
+)
+SELECT p.anchor_id, p.pos_id, n.neg_id,
+       CAST(p.pos_mc - n.neg_mc AS BIGINT) AS margin_micro,
+       (p.pos_mc > n.neg_mc) AS satisfied
+FROM pos p JOIN neg n USING (anchor_id)
+WHERE p.r = 1 AND n.r = 1
+"""
+
+
+@register("sim_triplet_margin_stats", oracle=_TRIPLET_ORACLE, tags=("llm", "similarity", "ml"))
+def sim_triplet_margin_stats(spark, sf_dir):
+    """TRIPLET MARGINS for metric-learning audits: per anchor, the
+    nearest SAME-label vector (hardest positive to beat), the nearest
+    DIFFERENT-label vector (the hard negative — sim_hard_negatives'
+    selection rule), and the signed cosine margin between them — the
+    quantity triplet/contrastive losses drive positive and whose
+    per-anchor distribution (how many anchors are 'satisfied') is the
+    geometry health check run before/after every embedding
+    fine-tune. Cosines are micro-quantized once (the standing
+    convention); argmaxes are total-order ranks. Plan: 10 broadcast
+    anchors × one corpus scan, two per-anchor rank windows, one
+    anchor-keyed join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    e = emb.select(
+        "vec_id", "label", similarity.as_double("embedding").alias("v")
+    ).withColumn("vnorm", similarity.norm("v"))
+    anchors = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("av"),
+        F.col("vnorm").alias("an"),
+    )
+    pairs = (
+        F.broadcast(anchors)
+        .join(e, e.vec_id != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("other_id"),
+            F.col("label").alias("other_label"),
+            F.round(
+                1_000_000 * similarity.dot("av", "v") / (F.col("an") * F.col("vnorm"))
+            )
+            .cast("long")
+            .alias("mc"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(F.desc("mc"), F.asc("other_id"))
+    pos = (
+        pairs.filter(F.col("other_label") == F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select("anchor_id", F.col("other_id").alias("pos_id"), F.col("mc").alias("pos_mc"))
+    )
+    neg = (
+        pairs.filter(F.col("other_label") != F.col("anchor_label"))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select("anchor_id", F.col("other_id").alias("neg_id"), F.col("mc").alias("neg_mc"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        (F.col("pos_mc") - F.col("neg_mc")).cast("long").alias("margin_micro"),
+        (F.col("pos_mc") > F.col("neg_mc")).alias("satisfied"),
+    )

@@ -1798,3 +1798,51 @@ def graph_avg_neighbor_degree_curve(spark, sf_dir):
             "CAST(SUM(neighbor_deg_sum) * 1000 DIV SUM(n_neighbors) AS BIGINT)"
         ).alias("avg_neighbor_deg_milli"),
     )
+
+
+_TWO_HOP_ORACLE = _COORDER_EDGES_CTE + """
+, hub AS (
+  SELECT node FROM deg WHERE deg > 32
+), symf AS (
+  SELECT u, v FROM sym WHERE v NOT IN (SELECT node FROM hub)
+), reach AS (
+  SELECT u, v AS w FROM symf
+  UNION
+  SELECT s1.u, s2.v AS w
+  FROM symf s1 JOIN symf s2 ON s2.u = s1.v
+  WHERE s2.v <> s1.u
+)
+SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS n_two_hop_reach
+FROM reach GROUP BY u
+"""
+
+
+@register("graph_two_hop_reach", oracle=_TWO_HOP_ORACLE, tags=("graph", "analytics"))
+def graph_two_hop_reach(spark, sf_dir):
+    """TWO-HOP REACH per node: |{w : 0 < dist(u,w) <= 2}| over the
+    co-order graph with the standing non-hub-middle cap — the
+    neighborhood-size curve behind friend-of-friend candidate
+    generation and influence estimates (graph_bfs_distances walks from
+    ONE source; this is the all-nodes bounded-radius census). The
+    2-hop set is the UNION-dedup of direct neighbors and wedge
+    endpoints (self excluded) — one capped wedge join + one distinct
+    per source key, per-key fanout bounded by cap · deg. Exact
+    counts."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    hubs = deg.filter(F.col("deg") > 32).select("node")
+    symf = sym.join(F.broadcast(hubs), sym.v == F.col("node"), "left_anti")
+    one = symf.select("u", F.col("v").alias("w"))
+    two = (
+        symf.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+        .join(symf.select(F.col("u").alias("mid"), F.col("v").alias("w")), "mid")
+        .filter(F.col("w") != F.col("a"))
+        .select(F.col("a").alias("u"), "w")
+    )
+    return (
+        one.unionByName(two)
+        .distinct()
+        .groupBy(F.col("u").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_two_hop_reach"))
+    )

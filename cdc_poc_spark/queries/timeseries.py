@@ -1515,3 +1515,103 @@ def tw_kaplan_meier(spark, sf_dir):
         "n_deaths",
         F.sum("step_log_micro").over(wcum).cast("long").alias("km_log_micro"),
     )
+
+
+_ACF_ORACLE = """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // COUNT(*) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), lags AS (
+  SELECT lag.lag AS lag, a.event_type, a.cents AS x, b.cents AS y
+  FROM (SELECT unnest([1, 2, 3]) AS lag) lag
+  JOIN r a ON TRUE
+  JOIN r b ON b.event_type = a.event_type AND b.t = a.t + lag.lag
+), m AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+  FROM lags GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS acf
+FROM m
+"""
+
+
+@register("tw_autocorrelation_daily", oracle=_ACF_ORACLE, tags=("timeseries", "stats"))
+def tw_autocorrelation_daily(spark, sf_dir):
+    """AUTOCORRELATION of each event type's daily mean-price series at
+    lags 1-3 — the seasonality/persistence fingerprint (the SELF twin
+    of tw_cross_correlation_lags, which correlates two different
+    series): Pearson between the series and its own lag-k shift over
+    the overlapping observed days (row-lag over the ordered sequence —
+    the convention for irregularly observed series, stated rather than
+    calendar-gap-filled). Exactness: daily closes are integer
+    floor-mean cents; every moment is a DECIMAL(38)/HUGEINT sum; each
+    (type, lag) correlation is one float expression (the OLS rule).
+    Plan: one day rollup, one per-series rank window, THREE shifted
+    equi-joins (one per lag — the band-join-as-equi-joins pattern),
+    one moment rollup."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd").alias("day"),
+            (F.col("value").cast(VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(SUM(c0) DIV COUNT(*) AS BIGINT)").alias("cents"))
+    )
+    r = d.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+    )
+    lagged = None
+    for k in (1, 2, 3):
+        a = r.select("event_type", F.col("cents").alias("x"), (F.col("t") + k).alias("t"))
+        b = r.select("event_type", F.col("cents").alias("y"), "t")
+        p = a.join(b, ["event_type", "t"]).select(
+            "event_type", F.lit(k).cast("long").alias("lag"), "x", "y"
+        )
+        lagged = p if lagged is None else lagged.unionByName(p)
+    m = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx").cast("double")
+                 - F.col("sx").cast("double") * F.col("sx").cast("double"))
+                * (F.col("n") * F.col("syy").cast("double")
+                   - F.col("sy").cast("double") * F.col("sy").cast("double"))
+            ),
+            6,
+        ).alias("acf"),
+    )

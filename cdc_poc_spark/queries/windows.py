@@ -510,3 +510,60 @@ def win_running_distinct_users(spark, sf_dir):
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cumulative_distinct_users"),
     )
+
+
+_SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS cents,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num
+  FROM orders
+), s AS (
+  SELECT o_orderkey, yr, cents, CAST(day_num AS BIGINT) AS day_num,
+         MAX(day_num) OVER (PARTITION BY yr
+                            ORDER BY cents DESC, day_num DESC, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_day_before
+  FROM o
+)
+SELECT o_orderkey, yr, cents, day_num
+FROM s
+WHERE best_day_before IS NULL OR day_num > best_day_before
+"""
+
+
+@register("win_skyline_pareto", oracle=_SKYLINE_ORACLE, tags=("window", "topk"))
+def win_skyline_pareto(spark, sf_dir):
+    """2-D SKYLINE (Pareto frontier; Börzsönyi et al., ICDE 2001):
+    orders not dominated in (price, recency) — no other order is both
+    more expensive AND newer. The classic multi-criteria shortlist
+    operator, computed by the sort-scan identity: ordered by price
+    descending, a point is on the frontier iff its date beats the
+    running max of every earlier (i.e. higher-priced) point — ONE
+    window pass instead of the naive O(n²) dominance join. Total
+    tiebreak (price, date, key) makes equal-price chains
+    deterministic in both engines; exact integers throughout. The
+    skyline is computed PER ORDER-YEAR (the "best of each period"
+    report), so the window partitions on a real key and distributes;
+    a single GLOBAL skyline at 100 TB would instead range-repartition
+    by price and merge the |partitions|-sized per-range frontiers (the
+    global_index two-pass shape) — documented, not needed here."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("cents"),
+        F.unix_date(F.col("o_orderdate").cast("date")).cast("long").alias("day_num"),
+    )
+    w = (
+        W.partitionBy("yr")
+        .orderBy(F.desc("cents"), F.desc("day_num"), F.asc("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s = o.withColumn("best_day_before", F.max("day_num").over(w))
+    return s.filter(
+        F.col("best_day_before").isNull()
+        | (F.col("day_num") > F.col("best_day_before"))
+    ).select("o_orderkey", "yr", "cents", "day_num")
