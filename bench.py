@@ -147,6 +147,9 @@ ROTATING = [
     "mm_chunk_store_savings",
     "win_rolling_median",
     "text_query_likelihood_dirichlet",
+    "win_skyline_pareto",
+    "agg_morans_i",
+    "graph_two_hop_reach",
     "mm_content_defined_chunks",
     "text_hybrid_rrf_fusion",
 ]

@@ -26,8 +26,13 @@ def _force(df) -> None:
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 3
+    args = sys.argv[1:]
+    n = 3
+    if "--n" in args:  # consume the flag AND its value (it used to leak
+        i = args.index("--n")  # into the name list and KeyError at the end)
+        n = int(args[i + 1])
+        del args[i : i + 2]
+    names = [a for a in args if not a.startswith("--")]
     dir_a = os.environ.get("PROBE_A", "/root/testdata/sf0.1")
     dir_b = os.environ.get("PROBE_B", "/tmp/sfprobe")
     spark = get_spark(app_name="cdc-poc-probe")
