@@ -2741,10 +2741,15 @@ def agg_cohens_kappa(spark, sf_dir):
     annotators or heuristics label the same corpus. Exactness: with
     integer cell counts, κ = (n·Σdiag − Σᵢ rowᵢ·colᵢ) / (n² − Σᵢ
     rowᵢ·colᵢ) is a ratio of exact integers — emitted as an exact ppm
-    floor division, ZERO float ops (the marginal product replaces
-    p_o/p_e divisions algebraically). Fixed thresholds (not quantiles)
-    keep the labeling itself exact. Plan: one |classes|²-cell rollup,
-    then broadcast-sized algebra."""
+    integer division, ZERO float ops (the marginal product replaces
+    p_o/p_e divisions algebraically). The fixture's two labelings are
+    INDEPENDENT by construction, so κ sits just below zero — which is
+    what makes the division semantics part of the contract: Spark DIV
+    and DuckDB // both truncate toward zero on negatives where
+    Python's // floors (pinned by tests/test_round9_refs2.py, which
+    found the off-by-one on its first run). Fixed thresholds (not
+    quantiles) keep the labeling itself exact. Plan: one
+    |classes|²-cell rollup, then broadcast-sized algebra."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(dec("value", VAL) * 100).cast("long")
     kf = F.regexp_extract("props", '"k": *([0-9]+)', 1).cast("long")
