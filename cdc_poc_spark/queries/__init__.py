@@ -418,6 +418,20 @@ _ROUND9_NEW: list = [
 ]
 
 
+# Queries registered AFTER the round-9 window froze (the 50 slots of
+# _ROUND9_NEW are exactly full). Per the standing policy these take
+# round-10 window slots: next round, add (10, _ROUND10_NEW) to
+# WINDOW_HISTORY as the first change. Until then they sit at the back
+# and are value-checked by the full sweep (PARITY_SWEEP.json).
+_ROUND10_NEW: list = [
+    "agg_wilcoxon_signed_rank",
+    "tw_theil_sen_slope",
+    "graph_rich_club_coefficient",
+    "cdc_markov_entropy_rate",
+    "ml_pr_curve_points",
+]
+
+
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.

@@ -3458,3 +3458,95 @@ def agg_morans_i(spark, sf_dir):
             ).alias("morans_i"),
         )
     )
+
+
+_WILCOXON_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_id % 2 = 0
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS even_sum,
+         CAST(SUM(CASE WHEN event_id % 2 = 1
+                       THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS odd_sum,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_even,
+         CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_odd
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT user_id, even_sum * n_odd - odd_sum * n_even AS diff
+  FROM per_user WHERE n_even > 0 AND n_odd > 0
+                  AND even_sum * n_odd <> odd_sum * n_even
+), r AS (
+  SELECT CASE WHEN diff > 0 THEN 1 ELSE 0 END AS pos,
+         row_number() OVER (ORDER BY ABS(diff), user_id) AS rnk
+  FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS BIGINT) AS w_plus,
+       CAST(SUM(CASE WHEN pos = 0 THEN rnk ELSE 0 END) AS BIGINT) AS w_minus
+FROM r
+"""
+
+
+@register("agg_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE, tags=("agg", "stats"))
+def agg_wilcoxon_signed_rank(spark, sf_dir):
+    """WILCOXON SIGNED-RANK statistic (Wilcoxon 1945) — the PAIRED
+    nonparametric test beside the unpaired agg_mann_whitney_u: each
+    user contributes one within-subject difference (mean value of
+    their even-id events minus mean of their odd-id events — an
+    arbitrary deterministic pairing, stated), differences are ranked
+    by magnitude, and W+ / W− are the signed rank sums. Exactness: the
+    mean comparison is cleared of division by cross-multiplying
+    (even_sum·n_odd vs odd_sum·n_even — exact integers), zero
+    differences are dropped exactly as the statistic prescribes, and
+    |diff| ranks come from the two-pass distributed rank with a total
+    id tiebreak (the spearman convention, stated in place of midrank
+    ties). Plan: one keyed rollup + one global_index pass + one 1-row
+    reduce."""
+    from ..operators.scale import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(dec("value", VAL) * 100).cast("long")
+    even = F.when(F.pmod("event_id", F.lit(2)) == 0, cents).otherwise(F.lit(0))
+    odd = F.when(F.pmod("event_id", F.lit(2)) == 1, cents).otherwise(F.lit(0))
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(even).cast("long").alias("even_sum"),
+        F.sum(odd).cast("long").alias("odd_sum"),
+        F.sum(F.when(F.pmod("event_id", F.lit(2)) == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+        F.sum(F.when(F.pmod("event_id", F.lit(2)) == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_odd"),
+    )
+    d = (
+        per_user.filter((F.col("n_even") > 0) & (F.col("n_odd") > 0))
+        .select(
+            "user_id",
+            (
+                F.col("even_sum") * F.col("n_odd")
+                - F.col("odd_sum") * F.col("n_even")
+            ).alias("diff"),
+        )
+        .filter(F.col("diff") != 0)
+    )
+    r = global_index(
+        d.select(
+            "user_id",
+            (F.col("diff") > 0).cast("int").alias("pos"),
+            F.abs("diff").alias("absdiff"),
+        ),
+        "rnk0",
+        ["absdiff", "user_id"],
+    ).select("pos", (F.col("rnk0") + 1).cast("long").alias("rnk"))
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("pos") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("w_plus"),
+        F.sum(F.when(F.col("pos") == 0, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("w_minus"),
+    )

@@ -1587,3 +1587,71 @@ def cdc_props_stats_drift(spark, sf_dir):
             F.max("k").cast("long").alias("k_max"),
         )
     )
+
+
+_MARKOV_ENTROPY_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS a, next_type AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), marg AS (
+  SELECT a, CAST(SUM(c) AS BIGINT) AS ca FROM trans GROUP BY a
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n FROM trans
+), terms AS (
+  SELECT t.a, t.b,
+         CAST(round(1000000 * (CAST(t.c AS DOUBLE) / tot.n)
+                    * ln(CAST(m.ca AS DOUBLE) / t.c)) AS BIGINT)
+           AS term_micro
+  FROM trans t JOIN marg m USING (a) CROSS JOIN tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_transition_cells,
+       CAST(SUM(term_micro) AS BIGINT) AS entropy_rate_micro_nats
+FROM terms
+"""
+
+
+@register("cdc_markov_entropy_rate", oracle=_MARKOV_ENTROPY_ORACLE, tags=("cdc", "agg", "stats"))
+def cdc_markov_entropy_rate(spark, sf_dir):
+    """ENTROPY RATE of the per-user event-type Markov chain:
+    H = Σ_a p(a) Σ_b p(b|a) ln(1/p(b|a)) over the empirical transition
+    counts (win_event_transitions materializes the transition matrix;
+    this is its one-scalar information summary — how predictable is
+    the next event given the current one, the sequence-compressibility
+    number session-model and anomaly baselines start from). Each
+    cell's term p(a,b)·ln(p(a)/p(a,b)) is one double expression over
+    exact integer counts quantized ONCE to micro-nats (transcendental
+    — no repr-boundary risk), then the rate is an exact integer sum.
+    Plan: one per-user lead window (keyed), one |types|²-cell rollup,
+    broadcast marginals."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.expr("ts DIV 1000"), F.col("event_id"))
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("next_type").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    marg = trans.groupBy("a").agg(F.sum("c").cast("long").alias("ca"))
+    tot = trans.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        trans.join(F.broadcast(marg), "a")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                1_000_000
+                * (F.col("c").cast("double") / F.col("n"))
+                * F.log(F.col("ca").cast("double") / F.col("c"))
+            )
+            .cast("long")
+            .alias("term_micro")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_transition_cells"),
+        F.sum("term_micro").cast("long").alias("entropy_rate_micro_nats"),
+    )

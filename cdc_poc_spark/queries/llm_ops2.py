@@ -1420,3 +1420,91 @@ def sim_triplet_margin_stats(spark, sf_dir):
         (F.col("pos_mc") - F.col("neg_mc")).cast("long").alias("margin_micro"),
         (F.col("pos_mc") > F.col("neg_mc")).alias("satisfied"),
     )
+
+
+_PR_CURVE_ORACLE = """
+WITH s AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS score,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), mx AS (
+  SELECT MAX(score) AS max_s, CAST(SUM(y) AS BIGINT) AS n_pos FROM s
+), thresholds AS (
+  SELECT CAST(d AS BIGINT) AS decile,
+         CAST(max_s * d // 10 AS BIGINT) AS thr, n_pos
+  FROM mx, unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS u(d)
+), pts AS (
+  SELECT t.decile, t.thr, t.n_pos,
+         CAST(SUM(CASE WHEN s.score >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged,
+         CAST(SUM(CASE WHEN s.score >= t.thr AND s.y = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp
+  FROM thresholds t JOIN s ON TRUE
+  GROUP BY t.decile, t.thr, t.n_pos
+)
+SELECT decile, thr, n_flagged, tp,
+       CAST(CASE WHEN n_flagged = 0 THEN 0
+                 ELSE tp * 1000000 // n_flagged END AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // n_pos AS BIGINT) AS recall_ppm
+FROM pts
+"""
+
+
+@register("ml_pr_curve_points", oracle=_PR_CURVE_ORACLE, tags=("llm", "ml"))
+def ml_pr_curve_points(spark, sf_dir):
+    """PRECISION-RECALL curve at 9 decile thresholds of the score
+    range — the threshold-dependent operating view the rank-only
+    ROC-AUC (ml_roc_auc_exact) deliberately integrates away; together
+    with ml_calibration_bins this completes the scored-classifier
+    evaluation triptych (ranking, operating points, calibration).
+    Thresholds are exact integer fractions of the max score (no float
+    edges), counts are one grouped conditional aggregation over the
+    broadcast 9-row threshold relation, precision/recall are exact ppm
+    floor divisions with the zero-flagged guard."""
+    from ..tables import VAL, dec
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("score"),
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    mx = s.agg(
+        F.max("score").alias("max_s"), F.sum("y").cast("long").alias("n_pos")
+    )
+    spark_ = ev.sparkSession
+    dec9 = spark_.createDataFrame([(d,) for d in range(1, 10)], ["decile"])
+    thresholds = F.broadcast(
+        dec9.crossJoin(F.broadcast(mx)).select(
+            F.col("decile").cast("long").alias("decile"),
+            F.expr("CAST(max_s * decile DIV 10 AS BIGINT)").alias("thr"),
+            "n_pos",
+        )
+    )
+    pts = (
+        s.crossJoin(thresholds)
+        .groupBy("decile", "thr", "n_pos")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum(
+                F.when((F.col("score") >= F.col("thr")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+        )
+    )
+    return pts.select(
+        "decile",
+        "thr",
+        "n_flagged",
+        "tp",
+        F.expr(
+            "CAST(CASE WHEN n_flagged = 0 THEN 0"
+            " ELSE tp * 1000000 DIV n_flagged END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr("CAST(tp * 1000000 DIV n_pos AS BIGINT)").alias("recall_ppm"),
+    )

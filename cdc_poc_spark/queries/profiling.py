@@ -1846,3 +1846,75 @@ def graph_two_hop_reach(spark, sf_dir):
         .groupBy(F.col("u").alias("part"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_two_hop_reach"))
     )
+
+
+_RICH_CLUB_ORACLE = _COORDER_EDGES_CTE + """
+, ks AS (
+  SELECT unnest([2, 4, 8, 16]) AS k
+), club AS (
+  SELECT ks.k, d.node FROM ks JOIN deg d ON d.deg > ks.k
+), club_edges AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS m
+  FROM ks JOIN e ON TRUE
+  JOIN deg du ON du.node = e.u AND du.deg > ks.k
+  JOIN deg dv ON dv.node = e.v AND dv.deg > ks.k
+  GROUP BY ks.k
+), club_n AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM club GROUP BY k
+)
+SELECT cn.k AS k, cn.n AS n_club_nodes,
+       COALESCE(ce.m, 0) AS n_club_edges,
+       CAST(COALESCE(ce.m, 0) * 2000000 // (cn.n * (cn.n - 1)) AS BIGINT)
+         AS phi_ppm
+FROM club_n cn LEFT JOIN club_edges ce ON ce.k = cn.k
+WHERE cn.n >= 2
+"""
+
+
+@register("graph_rich_club_coefficient", oracle=_RICH_CLUB_ORACLE, tags=("graph", "analytics"))
+def graph_rich_club_coefficient(spark, sf_dir):
+    """RICH-CLUB coefficient curve (Zhou & Mondragón 2004): for degree
+    thresholds k ∈ {2,4,8,16}, the density φ(k) = 2·E_k / (N_k(N_k−1))
+    among nodes of degree > k — do the hubs of the co-order graph form
+    their own densely wired club (φ rising with k) or merely fan out
+    to leaves? The third lens on degree mixing beside the
+    assortativity scalar and the k_nn(k) curve. Exact integer ppm
+    (2·E·10⁶ DIV possible-pairs); the club membership is ONE broadcast
+    degree join applied to both edge endpoints; thresholds are a
+    4-row broadcast. Zero float ops."""
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ks = load_table(spark, sf_dir, "region").sparkSession.createDataFrame(
+        [(2,), (4,), (8,), (16,)], ["k"]
+    )
+    club_n = (
+        F.broadcast(ks)
+        .join(deg, deg.deg > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ek = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("deg_u") > F.col("k")) & (F.col("deg_v") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    return (
+        club_n.join(ek, "k", "left")
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n").alias("n_club_nodes"),
+            F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("n_club_edges"),
+            F.expr(
+                "CAST(COALESCE(m, 0) * 2000000 DIV (n * (n - 1)) AS BIGINT)"
+            ).alias("phi_ppm"),
+        )
+    )

@@ -1615,3 +1615,72 @@ def tw_autocorrelation_daily(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+
+_THEIL_SEN_ORACLE = """
+WITH d AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS day_num,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // COUNT(*) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), slopes AS (
+  SELECT a.event_type,
+         CAST((CAST(b.cents - a.cents AS HUGEINT) * 1000000)
+              // (b.day_num - a.day_num) AS BIGINT) AS slope_micro
+  FROM d a JOIN d b
+    ON b.event_type = a.event_type AND b.day_num > a.day_num
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_slopes,
+       CAST(round(2 * quantile_cont(slope_micro, 0.5)) AS BIGINT)
+         AS theil_sen_slope_micro_x2
+FROM slopes GROUP BY event_type
+"""
+
+
+@register("tw_theil_sen_slope", oracle=_THEIL_SEN_ORACLE, tags=("timeseries", "stats"))
+def tw_theil_sen_slope(spark, sf_dir):
+    """THEIL-SEN robust trend (Theil 1950 / Sen 1968): the median of
+    all pairwise slopes of each event type's daily series — the
+    estimator that shrugs off the outlier days that drag OLS
+    (win_rolling_slope / agg_corr_regression are the L2 twins; this is
+    the 29%-breakdown-point one). Per-pair slopes are quantized by
+    EXACT integer floor division ((Δcents·10⁶) DIV Δdays — the
+    jackknife lesson: never float-round an integer quotient), and the
+    median is reported DOUBLED so the even-count interpolation stays
+    an exact integer. The pairwise relation is per-series O(days²) —
+    bounded by the calendar, not the data (documented; at 100 TB days
+    per series is still ~10³). One rollup + one per-series self-join
+    + one exact median."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.unix_date(F.to_date(F.col("etime"))).cast("long").alias("day_num"),
+            (F.col("value").cast(VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day_num")
+        .agg(F.expr("CAST(SUM(c0) DIV COUNT(*) AS BIGINT)").alias("cents"))
+    )
+    a = d.select("event_type", F.col("day_num").alias("da"), F.col("cents").alias("ca"))
+    b = d.select("event_type", F.col("day_num").alias("db"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("db") > F.col("da"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST((CAST(cb - ca AS DECIMAL(38,0)) * 1000000)"
+                " DIV (db - da) AS BIGINT)"
+            ).alias("slope_micro"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes"),
+        F.round(2 * F.expr("percentile(slope_micro, 0.5)"))
+        .cast("long")
+        .alias("theil_sen_slope_micro_x2"),
+    )
