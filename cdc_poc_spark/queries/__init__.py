@@ -429,6 +429,9 @@ _ROUND10_NEW: list = [
     "graph_rich_club_coefficient",
     "cdc_markov_entropy_rate",
     "ml_pr_curve_points",
+    "agg_kruskal_wallis",
+    "graph_modularity_labelprop",
+    "text_burrows_delta",
 ]
 
 

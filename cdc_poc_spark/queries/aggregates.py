@@ -3550,3 +3550,83 @@ def agg_wilcoxon_signed_rank(spark, sf_dir):
         .cast("long")
         .alias("w_minus"),
     )
+
+
+_KRUSKAL_ORACLE = """
+WITH b AS (
+  SELECT c_mktsegment AS seg, c_custkey,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM customer
+), r AS (
+  SELECT seg,
+         row_number() OVER (ORDER BY y, c_custkey) AS rnk
+  FROM b
+), g AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(rnk) AS BIGINT) AS r_g
+  FROM r GROUP BY seg
+), t AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM g
+), s AS (
+  SELECT CAST(SUM(CAST(r_g AS HUGEINT) * r_g // n_g) AS DECIMAL(38,0)) AS srr
+  FROM g
+)
+SELECT t.n, t.k,
+       round(12.0 * CAST(s.srr AS DOUBLE) / (CAST(t.n AS DOUBLE) * (t.n + 1))
+             - 3.0 * (t.n + 1), 6) AS h_statistic
+FROM t, s
+"""
+
+
+@register("agg_kruskal_wallis", oracle=_KRUSKAL_ORACLE, tags=("agg", "stats"))
+def agg_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H across market segments (Kruskal & Wallis 1952)
+    — the k-group rank test completing the engine's nonparametric
+    family (Mann-Whitney: two unpaired groups; Wilcoxon signed-rank:
+    paired; this: k groups), the test you reach for when agg_anova_f's
+    normality assumption is off the table. H = 12/(n(n+1))·Σ R_g²/n_g
+    − 3(n+1) with the global ranks from the two-pass distributed rank
+    under a total (value, custkey) tiebreak (the spearman convention,
+    stated in place of midranks). Σ R_g²/n_g is accumulated as exact
+    integer floor-divided terms (HUGEINT/DECIMAL(38); the fractional
+    remainders cannot move H at round(6) on integer ranks — term
+    truncation is shared by both engines by construction); H is one
+    float expression. Plan: one global_index pass + two 1-row
+    reduces."""
+    from ..operators.scale import global_index
+
+    cust = load_table(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("y"),
+    )
+    r = global_index(b, "rnk0", ["y", "c_custkey"]).select(
+        "seg", (F.col("rnk0") + 1).cast("long").alias("rnk")
+    )
+    g = r.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("rnk").cast("long").alias("r_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    s = g.agg(
+        F.sum(
+            F.expr("CAST(CAST(r_g AS DECIMAL(38,0)) * r_g DIV n_g AS DECIMAL(38,0))")
+        ).alias("srr")
+    )
+    return (
+        t.crossJoin(F.broadcast(s))
+        .select(
+            "n",
+            "k",
+            F.round(
+                12.0 * F.col("srr").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") + 1))
+                - 3.0 * (F.col("n") + 1),
+                6,
+            ).alias("h_statistic"),
+        )
+    )

@@ -1799,3 +1799,109 @@ def ml_ols_normal_equation(spark, sf_dir):
             6,
         ).alias("r2"),
     )
+
+
+_MODULARITY_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), nodes AS (
+  SELECT u AS node FROM e0 UNION SELECT v FROM e0
+), l0 AS (
+  SELECT node, node AS lbl FROM nodes
+), sym AS (
+  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+), l1 AS (
+  SELECT s.u AS node, LEAST(MIN(l.lbl), MIN(lu.lbl)) AS lbl
+  FROM sym s JOIN l0 l ON l.node = s.v JOIN l0 lu ON lu.node = s.u
+  GROUP BY s.u
+), l2 AS (
+  SELECT s.u AS node, LEAST(MIN(l.lbl), MIN(lu.lbl)) AS lbl
+  FROM sym s JOIN l1 l ON l.node = s.v JOIN l1 lu ON lu.node = s.u
+  GROUP BY s.u
+), l3 AS (
+  SELECT s.u AS node, LEAST(MIN(l.lbl), MIN(lu.lbl)) AS lbl
+  FROM sym s JOIN l2 l ON l.node = s.v JOIN l2 lu ON lu.node = s.u
+  GROUP BY s.u
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0
+), within AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_within
+  FROM e0 JOIN l3 a ON a.node = e0.u JOIN l3 b ON b.node = e0.v
+  WHERE a.lbl = b.lbl
+), degs AS (
+  SELECT l3.lbl, CAST(COUNT(*) AS BIGINT) AS d_c
+  FROM sym JOIN l3 ON l3.node = sym.u
+  GROUP BY l3.lbl
+), dsq AS (
+  SELECT CAST(SUM(CAST(d_c AS HUGEINT) * d_c) AS DECIMAL(38,0)) AS sum_d2,
+         CAST(COUNT(*) AS BIGINT) AS n_communities
+  FROM degs
+)
+SELECT m.m AS n_edges, dsq.n_communities, within.m_within,
+       round((4.0 * m.m * within.m_within - CAST(dsq.sum_d2 AS DOUBLE))
+             / (4.0 * m.m * m.m), 6) AS modularity_q
+FROM m, within, dsq
+"""
+
+
+@register("graph_modularity_labelprop", oracle=_MODULARITY_ORACLE, tags=("graph", "analytics"))
+def graph_modularity_labelprop(spark, sf_dir):
+    """NEWMAN MODULARITY Q of the 3-round min-label-propagation
+    communities over the bipartite customer-supplier graph — the
+    quality score FOR the engine's own community operator
+    (graph_label_propagation finds basins; this says whether they beat
+    chance): Q = Σ_c (m_c/m − (d_c/2m)²), evaluated in the exact
+    closed form (4m·m_within − Σd_c²) / 4m² — numerator terms are
+    exact HUGEINT/DECIMAL(38) integers (a per-community float sum
+    would be order-dependent across hundreds of communities), ONE
+    float division at the end. Labels come from the same deterministic
+    integer-min propagation (bit-exact in both engines); degrees and
+    within-edges are two keyed joins against the label relation."""
+    from ..operators.graph import min_label_propagation
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    labels = min_label_propagation(e0, n_iters=3).select("node", "lbl")
+    m = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    within = (
+        e0.join(labels.select(F.col("node").alias("u"), F.col("lbl").alias("la")), "u")
+        .join(labels.select(F.col("node").alias("v"), F.col("lbl").alias("lb")), "v")
+        .filter(F.col("la") == F.col("lb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_within"))
+    )
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    degs = (
+        sym.join(labels.select(F.col("node").alias("u"), "lbl"), "u")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    dsq = degs.agg(
+        F.sum(F.col("d_c").cast("decimal(38,0)") * F.col("d_c")).alias("sum_d2"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+    )
+    return (
+        m.crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(dsq))
+        .select(
+            F.col("m").alias("n_edges"),
+            "n_communities",
+            "m_within",
+            F.round(
+                (
+                    4.0 * F.col("m") * F.col("m_within")
+                    - F.col("sum_d2").cast("double")
+                )
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity_q"),
+        )
+    )

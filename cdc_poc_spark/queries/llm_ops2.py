@@ -1508,3 +1508,134 @@ def ml_pr_curve_points(spark, sf_dir):
         ).alias("precision_ppm"),
         F.expr("CAST(tp * 1000000 DIV n_pos AS BIGINT)").alias("recall_ppm"),
     )
+
+
+_BURROWS_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM tok GROUP BY source
+), top10 AS (
+  SELECT tok FROM tok GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 10
+), c AS (
+  SELECT tok.source, tok.tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok JOIN top10 USING (tok) GROUP BY tok.source, tok.tok
+), p AS (
+  SELECT s.source, t10.tok,
+         CAST(COALESCE(c.c, 0) * 1000000000 // s.t AS BIGINT) AS p
+  FROM totals s CROSS JOIN top10 t10
+  LEFT JOIN c ON c.source = s.source AND c.tok = t10.tok
+), mstat AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(p) AS BIGINT) AS sp,
+         CAST(SUM(CAST(p AS HUGEINT) * p) AS DECIMAL(38,0)) AS spp
+  FROM p GROUP BY tok
+), z AS (
+  SELECT p.source, p.tok,
+         CAST(round(1000000 * (m.k * p.p - m.sp)
+                    / sqrt(CAST(m.k * m.spp - CAST(m.sp AS HUGEINT) * m.sp
+                                AS DOUBLE))) AS BIGINT) AS zq
+  FROM p JOIN mstat m USING (tok)
+  WHERE m.k * m.spp - CAST(m.sp AS HUGEINT) * m.sp > 0
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(ABS(a.zq - b.zq)) AS BIGINT) AS sum_absdz,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_tokens,
+       CAST(sum_absdz // n_tokens AS BIGINT) AS burrows_delta_micro
+FROM pairs
+"""
+
+
+@register("text_burrows_delta", oracle=_BURROWS_ORACLE, tags=("llm", "text"))
+def text_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA stylometric distance between sources (Burrows
+    2002): z-score each source's relative frequency of the corpus's 10
+    most frequent tokens (function words — the author-invariant
+    signal), then Delta(a,b) = mean |z_a − z_b| — the attribution
+    metric that clusters sources by style rather than content, used in
+    corpus curation to spot a crawler mislabeling one publisher as
+    many. Exact-integer discipline at every cross-row step:
+    frequencies are ppb integers by exact floor division, per-token
+    moments are HUGEINT/DECIMAL(38), each z is ONE double expression
+    (k·p − Σp over sqrt(k·Σp² − (Σp)²) — the sqrt of an exact integer
+    is irrational except perfect squares, so the micro-quantization
+    cannot sit on a repr boundary), and Delta is an exact integer mean
+    of quantized |z| differences. Zero-variance tokens are excluded by
+    an exact integer predicate. Plan: one token rollup, a 10-row
+    broadcast of the vocabulary head, source-pair join over
+    |sources|² · 10 rows — all bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    totals = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    top10 = F.broadcast(
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(10)
+        .select("tok")
+    )
+    c = (
+        tok.join(top10, "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p = (
+        totals.crossJoin(top10)
+        .join(c, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.expr(
+                "CAST(COALESCE(c, 0) * 1000000000 DIV t AS BIGINT)"
+            ).alias("p"),
+        )
+    )
+    mstat = p.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum(F.col("p").cast("decimal(38,0)") * F.col("p")).alias("spp"),
+    )
+    varx = (
+        F.col("k") * F.col("spp").cast("double")
+        - F.col("sp").cast("double") * F.col("sp")
+    )
+    z = (
+        p.join(F.broadcast(mstat), "tok")
+        .filter(
+            F.col("k") * F.col("spp")
+            - F.col("sp").cast("decimal(38,0)") * F.col("sp")
+            > 0
+        )
+        .select(
+            "source",
+            "tok",
+            F.round(
+                1_000_000 * (F.col("k") * F.col("p") - F.col("sp")) / F.sqrt(varx)
+            )
+            .cast("long")
+            .alias("zq"),
+        )
+    )
+    a = z.select(F.col("source").alias("src_a"), "tok", F.col("zq").alias("za"))
+    b = z.select(F.col("source").alias("src_b"), "tok", F.col("zq").alias("zb"))
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("long").alias("sum_absdz"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_tokens",
+        F.expr("CAST(sum_absdz DIV n_tokens AS BIGINT)").alias(
+            "burrows_delta_micro"
+        ),
+    )
