@@ -418,11 +418,11 @@ _ROUND9_NEW: list = [
 ]
 
 
-# Queries registered AFTER the round-9 window froze (the 50 slots of
-# _ROUND9_NEW are exactly full). Per the standing policy these take
-# round-10 window slots: next round, add (10, _ROUND10_NEW) to
-# WINDOW_HISTORY as the first change. Until then they sit at the back
-# and are value-checked by the full sweep (PARITY_SWEEP.json).
+# ROUND-10 WINDOW (started with round 10's FIRST commit per VERDICT r9
+# task #1 — the 8 seeds registered after the r9 window froze get their
+# first driver rows now). Queries registered for the first time DURING
+# round 10 are appended here as they land; capacity 50, overflow starts
+# _ROUND11_NEW per the standing policy.
 _ROUND10_NEW: list = [
     "agg_wilcoxon_signed_rank",
     "tw_theil_sen_slope",
@@ -481,6 +481,7 @@ _ROUND6B_NEW: list = [
 # ad-hoc lists that predate this file's bookkeeping; their queries simply
 # fall through to registration order at the back.
 WINDOW_HISTORY: list[tuple[int, list]] = [
+    (10, _ROUND10_NEW),
     (9, _ROUND9_NEW),
     (8, _ROUND8_NEW + _ROUND8B_NEW),
     (7, _ROUND7_NEW + _ROUND7B_NEW),
