@@ -103,19 +103,34 @@ def fingerprint_clusters(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 # ---------------------------------------------------------------------------
 
 def minhash_signature(
-    df: DataFrame, shingle_col: str = "shingles", keep_hashes: bool = False
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    keep_hashes: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """32-permutation MinHash signature via universal hashing
-    h_i(s) = (a_i * xxhash64(s) + b_i) mod p.
+    h_i(s) = (a_i * H(s) + b_i) mod p.
 
     The string hashing (the expensive part) is projected ONCE into an
     intermediate column; the 32 permutations are then pure integer
-    arithmetic over that array. Inlining the xxhash64 transform into
+    arithmetic over that array. Inlining the hash transform into
     each permutation would re-hash every shingle 32 times — Catalyst
     does not common-subexpression-eliminate across higher-order lambda
-    expressions."""
+    expressions.
+
+    H(s) is xxhash64 by default (the fast JVM path for 100 TB);
+    ``portable=True`` switches to the md5-prefix hash (the Bloom
+    decontaminator's engine-portable construction), which any ANSI
+    engine can reproduce — the variant that makes the LSH pair LIST
+    itself cross-engine verifiable (VERDICT r9 task #5). Same
+    algorithm, same permutation constants, different H."""
+    hfn = (
+        f"pmod(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), {_P}L)"
+        if portable
+        else f"pmod(xxhash64(s), {_P}L)"
+    )
     hashed = df.withColumn(
-        "_sh_hash", F.expr(f"transform({shingle_col}, s -> pmod(xxhash64(s), {_P}L))")
+        "_sh_hash", F.expr(f"transform({shingle_col}, s -> {hfn})")
     )
     sig_cols = [
         F.array_min(
@@ -212,23 +227,37 @@ def jaccard(col_a: str, col_b: str) -> F.Column:
 
 
 def _lsh_banded_docs(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, portable: bool = False
 ) -> DataFrame:
     """Shared front half of the LSH pipeline: shingle -> MinHash ->
-    banded (doc{id, hs}, band_id, band_hash) rows."""
+    banded (doc{id, hs}, band_id, band_hash) rows. ``portable=True``
+    uses the md5-prefix shingle hash AND replaces the murmur band hash
+    with the band's minhash values joined as a string — the band hash
+    is only a bucketing key, so any injective-enough encoding works,
+    and the string form is reproducible in ANSI SQL (the key is wider
+    on the shuffle, which is why the xxhash64+murmur form stays the
+    default at scale)."""
     sh = with_shingles(df, text_col, n).select(id_col, "shingles")
-    hs = minhash_signature(sh, keep_hashes=True).withColumnRenamed("_sh_hash", "hs")
+    hs = minhash_signature(sh, keep_hashes=True, portable=portable).withColumnRenamed(
+        "_sh_hash", "hs"
+    )
     k = len(MINHASH_PERMS)
     bands, rows = 16, k // 16
+
+    def band_hash(b):
+        if portable:
+            return F.expr(
+                f"array_join(transform(slice(minhash, {b * rows + 1}, {rows}),"
+                f" x -> cast(x as string)), '-')"
+            ).alias("band_hash")
+        return F.hash(F.slice("minhash", b * rows + 1, rows)).alias("band_hash")
+
     return hs.select(
         F.struct(F.col(id_col).alias("id"), F.col("hs").alias("hs")).alias("doc"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.hash(F.slice("minhash", b * rows + 1, rows)).alias("band_hash"),
-                    )
+                    F.struct(F.lit(b).alias("band_id"), band_hash(b))
                     for b in range(bands)
                 ]
             )
@@ -243,6 +272,7 @@ def minhash_lsh_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     bucket_cap: int = LSH_BUCKET_CAP,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> MinHash -> LSH buckets ->
     exact-Jaccard verification of candidates, in ONE shuffle.
@@ -263,7 +293,7 @@ def minhash_lsh_dedup_pairs(
     boilerplate cannot OOM a task. Exact clones should be collapsed
     upstream anyway (minhash_tiered_pairs — the production ordering);
     use lsh_bucket_stats to see whether any bucket hit the cap."""
-    banded = _lsh_banded_docs(df, id_col, text_col, n)
+    banded = _lsh_banded_docs(df, id_col, text_col, n, portable=portable)
     pair_expr = (
         "flatten(transform(docs, (x, i) ->"
         " transform(slice(docs, i + 2, size(docs)), y -> struct("
@@ -1012,6 +1042,7 @@ def minhash_tiered_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Production-ordered near-dedup: collapse EXACT duplicates first
     (md5 of the raw text — true byte-identical clones only), then run
@@ -1050,7 +1081,9 @@ def minhash_tiered_pairs(
         .drop("__fp")
     )
     members = canon.select(F.col(id_col).alias("__cid"), "n_members")
-    pairs = minhash_lsh_dedup_pairs(canon, id_col, text_col, n, threshold)
+    pairs = minhash_lsh_dedup_pairs(
+        canon, id_col, text_col, n, threshold, portable=portable
+    )
     return (
         pairs.join(members.withColumnRenamed("__cid", "id_a"), "id_a")
         .withColumnRenamed("n_members", "n_members_a")
@@ -1068,6 +1101,7 @@ def minhash_lsh_pairs_collapsed(
     threshold: float = 0.5,
     bucket_cap: int = LSH_BUCKET_CAP,
     checkpoint_dir: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs over ALL document ids, computed with
     clone collapse: md5-exact clones are grouped first, the flat LSH
@@ -1134,7 +1168,7 @@ def minhash_lsh_pairs_collapsed(
         F.col("canon").alias(id_col), F.col("__text").alias(text_col)
     )
     cpairs = minhash_lsh_dedup_pairs(
-        canon_docs, id_col, text_col, n, threshold, bucket_cap
+        canon_docs, id_col, text_col, n, threshold, bucket_cap, portable=portable
     )
     ma = fams.select(F.col("canon").alias("id_a"), F.col("members").alias("ma"))
     mb = fams.select(F.col("canon").alias("id_b"), F.col("members").alias("mb"))

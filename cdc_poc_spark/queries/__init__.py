@@ -432,6 +432,43 @@ _ROUND10_NEW: list = [
     "agg_kruskal_wallis",
     "graph_modularity_labelprop",
     "text_burrows_delta",
+    # -- re-oracled r10 (ADVICE r9: lag -> lead so next_lower_cents is
+    #    actually the next lower revenue; the r9 driver row hashed the
+    #    inverted semantics):
+    "sql_named_window_reuse",
+    # -- mergeable-sketch aggregation family (VERDICT r9 task #2):
+    "agg_mergeable_quantile_sketch",
+    "agg_quantile_sketch_hierarchical",
+    "agg_misra_gries_topk",
+    # -- streaming twin of the ExactSubstr tier (VERDICT r9 task #3):
+    "dedup_substring_index_stream",
+    # -- in-flight Bloom decontamination drive (VERDICT r9 task #4):
+    "pipeline_bloom_decontam_stream",
+    # -- the two standing no_oracle rows, re-contracted with FULL
+    #    pipeline oracles via the portable md5-prefix hash (VERDICT r9
+    #    task #5 — 0 no_oracle rows remain):
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_tiered_pairs",
+    # -- round-10 statistics wave (stats2.py):
+    "agg_mann_kendall_trend",
+    "agg_friedman_test",
+    "agg_cochran_q",
+    "agg_mcnemar_paired",
+    "agg_cliff_delta",
+    "agg_grubbs_outlier",
+    "agg_hodges_lehmann_shift",
+    # -- round-10 timeseries wave:
+    "tw_ljung_box",
+    "tw_seasonality_strength",
+    "tw_holt_double_smoothing",
+    # -- round-10 eval/graph/text/curation wave (llm_ops3.py):
+    "ml_brier_decomposition",
+    "ml_lift_gains_deciles",
+    "graph_harmonic_2hop",
+    "text_heaps_law_fit",
+    "text_ngram_novelty_curve",
+    "text_source_keyword_tfidf",
+    "pipeline_importance_weights_ess",
 ]
 
 
@@ -498,6 +535,9 @@ _REWINDOWED: dict[str, str] = {
     # r6 window (first registration) AND r7 window (the hub cap became
     # part of the operator's semantics in r7 — VERDICT r6 weak item):
     "graph_linkpred_common_neighbors": "re-oracled r7 (hub cap)",
+    # r9 window (first registration) AND r10 window (ADVICE r9: the
+    # lag/lead inversion fix changed the hashed values):
+    "sql_named_window_reuse": "re-oracled r10 (lag -> lead fix)",
 }
 
 
@@ -557,6 +597,9 @@ def all_specs() -> dict[str, QuerySpec]:
         timeseries,
         textsim,
         profiling,
+        sketchq,
+        stats2,
+        llm_ops3,
     )
 
     order = _window_order()

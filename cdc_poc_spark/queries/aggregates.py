@@ -3568,11 +3568,13 @@ WITH b AS (
 ), t AS (
   SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k FROM g
 ), s AS (
-  SELECT CAST(SUM(CAST(r_g AS HUGEINT) * r_g // n_g) AS DECIMAL(38,0)) AS srr
+  SELECT CAST(SUM(CAST(r_g AS HUGEINT) * r_g * 1000000 // n_g)
+              AS DECIMAL(38,0)) AS srr
   FROM g
 )
 SELECT t.n, t.k,
-       round(12.0 * CAST(s.srr AS DOUBLE) / (CAST(t.n AS DOUBLE) * (t.n + 1))
+       round(12.0 * (CAST(s.srr AS DOUBLE) / 1000000.0)
+             / (CAST(t.n AS DOUBLE) * (t.n + 1))
              - 3.0 * (t.n + 1), 6) AS h_statistic
 FROM t, s
 """
@@ -3587,12 +3589,15 @@ def agg_kruskal_wallis(spark, sf_dir):
     normality assumption is off the table. H = 12/(n(n+1))·Σ R_g²/n_g
     − 3(n+1) with the global ranks from the two-pass distributed rank
     under a total (value, custkey) tiebreak (the spearman convention,
-    stated in place of midranks). Σ R_g²/n_g is accumulated as exact
-    integer floor-divided terms (HUGEINT/DECIMAL(38); the fractional
-    remainders cannot move H at round(6) on integer ranks — term
-    truncation is shared by both engines by construction); H is one
-    float expression. Plan: one global_index pass + two 1-row
-    reduces."""
+    stated in place of midranks). Σ R_g²/n_g is accumulated at a FIXED
+    integer scale: Σ (R_g²·10⁶ DIV n_g) in DECIMAL(38)/HUGEINT, so the
+    truncated remainder per term is < 10⁻⁶ ranks and the total error in
+    H is < 12k/(n(n+1)·10⁶) — invisible at round(6) (ADVICE r9: the
+    unscaled DIV dropped up to k−1 whole ranks, ~1e-3 in H at
+    sf0.001). Headroom: R_g²·10⁶ ≤ n⁴·10⁶ stays inside 38 digits
+    through n ≈ 10⁸ rows; beyond that, lower the scale constant. H is
+    one float expression at the end. Plan: one global_index pass + two
+    1-row reduces."""
     from ..operators.scale import global_index
 
     cust = load_table(spark, sf_dir, "customer")
@@ -3614,7 +3619,10 @@ def agg_kruskal_wallis(spark, sf_dir):
     )
     s = g.agg(
         F.sum(
-            F.expr("CAST(CAST(r_g AS DECIMAL(38,0)) * r_g DIV n_g AS DECIMAL(38,0))")
+            F.expr(
+                "CAST(CAST(r_g AS DECIMAL(38,0)) * r_g * 1000000 DIV n_g"
+                " AS DECIMAL(38,0))"
+            )
         ).alias("srr")
     )
     return (
@@ -3623,7 +3631,7 @@ def agg_kruskal_wallis(spark, sf_dir):
             "n",
             "k",
             F.round(
-                12.0 * F.col("srr").cast("double")
+                12.0 * (F.col("srr").cast("double") / 1000000.0)
                 / (F.col("n").cast("double") * (F.col("n") + 1))
                 - 3.0 * (F.col("n") + 1),
                 6,

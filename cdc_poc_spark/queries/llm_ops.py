@@ -105,26 +105,137 @@ def dedup_incremental_vs_index(spark, sf_dir):
     return dedup.exact_jaccard_pairs_incremental(new, idx)
 
 
-@register("dedup_minhash_lsh_pairs", tags=("llm", "dedup", "lsh"))
+# The full MinHash-LSH pipeline, reproduced in DuckDB SQL (VERDICT r9
+# task #5 — these two queries were the registry's only no_oracle rows
+# since r1). The md5-prefix shingle hash + string band keys make every
+# stage ANSI-expressible; the permutation constants are the SAME
+# committed MINHASH_PERMS both engines share, formatted into the SQL
+# below. H(s) changed from xxhash64 (not reproducible outside the JVM)
+# to the md5-prefix hash — same algorithm, same banding, an
+# equally-uniform H — which is what turned the seed-specific pair LIST
+# into a value-hashable one.
+
+_MH_HASH_SQL = (
+    "CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % 2147483647"
+)
+_MH_TERMS = ",\n      ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % 2147483647))"
+    for a, b in dedup.MINHASH_PERMS
+)
+
+# shared pipeline CTE chain over clone-collapsed canonical docs:
+# fam -> shingle-hash sets -> 32 minhashes -> 16 string band keys ->
+# capped buckets -> verified candidate pairs (id_a < id_b, exact
+# Jaccard >= 0.5, DISTINCT) — mirrors minhash_lsh_dedup_pairs stage by
+# stage, including the cap's order-by-id rank rule.
+_MH_PIPE_SQL = f"""
+fam AS (
+  SELECT MIN(doc_id) AS canon, list_sort(list(doc_id)) AS members,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         arg_min(text, doc_id) AS text
+  FROM documents GROUP BY md5(text)
+), elig AS (
+  SELECT canon, members, n_members, string_split(text, ' ') AS toks
+  FROM fam WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT canon, members, n_members,
+         list_distinct(list_transform(
+           list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' '))),
+           s -> {_MH_HASH_SQL})) AS hs
+  FROM elig
+), mh AS (
+  SELECT canon, hs,
+      [{_MH_TERMS}] AS mhv
+  FROM sh
+), banded AS (
+  SELECT canon, hs, b AS band_id,
+         CAST(mhv[2*b+1] AS VARCHAR) || '-' || CAST(mhv[2*b+2] AS VARCHAR)
+           AS band_key
+  FROM mh, unnest(range(0, 16)) AS t(b)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY band_id, band_key
+                               ORDER BY canon) AS rk
+  FROM banded
+), cp AS (
+  SELECT DISTINCT a.canon AS id_a, b.canon AS id_b,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+  FROM ranked a JOIN ranked b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.canon < b.canon AND a.rk <= 200 AND b.rk <= 200
+    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5
+)"""
+
+_LSH_PAIRS_ORACLE = f"""
+WITH {_MH_PIPE_SQL},
+cross_pairs AS (
+  SELECT least(ux.x, uy.y) AS id_a, greatest(ux.x, uy.y) AS id_b, jaccard
+  FROM cp
+  JOIN elig fa ON fa.canon = cp.id_a
+  JOIN elig fb ON fb.canon = cp.id_b,
+  UNNEST(fa.members) AS ux(x), UNNEST(fb.members) AS uy(y)
+),
+cliques AS (
+  SELECT u1.m1 AS id_a, u2.m2 AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM elig, UNNEST(members) AS u1(m1), UNNEST(members) AS u2(m2)
+  WHERE u1.m1 < u2.m2
+)
+SELECT * FROM cross_pairs UNION ALL SELECT * FROM cliques
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs", oracle=_LSH_PAIRS_ORACLE, tags=("llm", "dedup", "lsh")
+)
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup pairs (tier 3, the scale path), clone-
-    collapsed: exact clones are grouped before banding and pairs are
-    expanded back over members, so clone families never pay the
-    quadratic-per-bucket LSH cost (same rule as every similarity-join
-    consumer). Rows-only: the flat formulation is the correctness twin
-    in tests/test_llm_ops.py; the driver-checked contract is
-    `dedup_minhash_lsh_recall`."""
-    return dedup.minhash_lsh_pairs_collapsed(load_table(spark, sf_dir, "documents"))
+    collapsed: exact clones are grouped before banding, the LSH
+    pipeline runs on canonical docs only, and pairs are expanded back
+    over members (clone cliques at Jaccard 1.0 exactly) — so clone
+    families never pay the quadratic-per-bucket LSH cost. ORACLED in
+    full since r10 (VERDICT r9 task #5): the portable md5-prefix
+    shingle hash + string band keys let DuckDB reproduce the ENTIRE
+    pipeline — shingles, the 32 shared-constant permutations, banding,
+    the order-by-id bucket cap, inline exact-Jaccard verification, and
+    the member expansion — so the driver value-hashes the pair list
+    itself, not just the recall contract (`dedup_minhash_lsh_recall`
+    remains the hash-agnostic twin for the default xxhash64 path).
+    The flat formulation stays the correctness twin in
+    tests/test_llm_ops.py."""
+    return dedup.minhash_lsh_pairs_collapsed(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
-@register("dedup_minhash_tiered_pairs", tags=("llm", "dedup", "lsh"))
+_TIERED_PAIRS_ORACLE = f"""
+WITH {_MH_PIPE_SQL}
+SELECT cp.id_a, cp.id_b, cp.jaccard,
+       fa.n_members AS n_members_a, fb.n_members AS n_members_b
+FROM cp
+JOIN fam fa ON fa.canon = cp.id_a
+JOIN fam fb ON fb.canon = cp.id_b
+"""
+
+
+@register(
+    "dedup_minhash_tiered_pairs",
+    oracle=_TIERED_PAIRS_ORACLE,
+    tags=("llm", "dedup", "lsh"),
+)
 def dedup_minhash_tiered_pairs(spark, sf_dir):
     """Exact-collapse-then-MinHash (the production ordering: LSH bucket
-    cost is quadratic per bucket, so exact clones are collapsed first).
-    Rows-only: agreement with the flat pipeline on canonical ids is
-    asserted in tests/test_llm_ops.py; the driver-checked contract twin
-    is `dedup_minhash_tiered_recall`."""
-    return dedup.minhash_tiered_pairs(load_table(spark, sf_dir, "documents"))
+    cost is quadratic per bucket, so exact clones are collapsed first),
+    emitting CANONICAL pairs with family sizes for downstream cluster
+    expansion. ORACLED in full since r10 via the portable md5-prefix
+    pipeline (see dedup_minhash_lsh_pairs); agreement with the flat
+    pipeline on canonical ids stays asserted in tests/test_llm_ops.py,
+    and `dedup_minhash_tiered_recall` remains the hash-agnostic
+    contract twin."""
+    return dedup.minhash_tiered_pairs(
+        load_table(spark, sf_dir, "documents"), portable=True
+    )
 
 
 _MINHASH_RECALL_ORACLE = """

@@ -1,0 +1,687 @@
+"""Round-10 driver-contract wrappers — continuation of llm_ops2.py:
+ML-evaluation decompositions, truncated graph centrality, corpus-law
+text profiling, and curation reweighting. Same discipline as the whole
+registry: exact integer/DECIMAL(38) arithmetic with a single float
+expression (or per-term micro-quantization) at the end, every
+computed column aliased identically in Spark and the DuckDB oracle.
+The reference has no analytics surface (SURVEY §2 preamble); these
+are engine capability per the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..tables import VAL, dec, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the Brier score — the third leg of the
+# AUC / calibration-bins / PR-curve evaluation stack.
+# ---------------------------------------------------------------------------
+
+_BRIER_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), mx AS (
+  SELECT MAX(c) + 1 AS d FROM b
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(c - y * d AS HUGEINT) * (c - y * d))
+              AS DECIMAL(38,0)) AS bn
+  FROM b, mx
+), k AS (
+  SELECT LEAST(9, c * 10 // d) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(c) AS BIGINT) AS sc_k,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS scc_k,
+         CAST(SUM(y) AS BIGINT) AS s_k,
+         CAST(SUM(CAST(c AS HUGEINT) * y) AS DECIMAL(38,0)) AS scy_k
+  FROM b, mx GROUP BY LEAST(9, c * 10 // d)
+), terms AS (
+  SELECT
+    CAST(SUM(CAST(sc_k - s_k * mx.d AS HUGEINT) * (sc_k - s_k * mx.d)
+             * 10000 // n_k) AS DECIMAL(38,0)) AS rel_num,
+    CAST(SUM(CAST(s_k * t.n - n_k * t.sy AS HUGEINT)
+             * (s_k * t.n - n_k * t.sy) * 10000 // n_k)
+         AS DECIMAL(38,0)) AS res_num,
+    CAST(SUM(scc_k * 10000
+             - CAST(sc_k AS HUGEINT) * sc_k * 10000 // n_k)
+         AS DECIMAL(38,0)) AS wbv_num,
+    CAST(SUM(scy_k * 10000
+             - CAST(sc_k AS HUGEINT) * s_k * 10000 // n_k)
+         AS DECIMAL(38,0)) AS wbc_num
+  FROM k, mx, t
+)
+SELECT t.n, t.sy,
+       round(CAST(t.bn AS DOUBLE)
+             / (t.n * CAST(mx.d AS DOUBLE) * mx.d), 6) AS brier,
+       round(CAST(terms.rel_num AS DOUBLE)
+             / (1e4 * t.n * CAST(mx.d AS DOUBLE) * mx.d), 6) AS reliability,
+       round(CAST(terms.res_num AS DOUBLE)
+             / (1e4 * CAST(t.n AS DOUBLE) * t.n * t.n), 6) AS resolution,
+       round(CAST(t.sy AS DOUBLE) * (t.n - t.sy)
+             / (CAST(t.n AS DOUBLE) * t.n), 6) AS uncertainty,
+       round(CAST(terms.wbv_num AS DOUBLE)
+             / (1e4 * t.n * CAST(mx.d AS DOUBLE) * mx.d), 6)
+         AS within_bin_var,
+       round(CAST(terms.wbc_num AS DOUBLE)
+             / (1e4 * t.n * CAST(mx.d AS DOUBLE)), 6)
+         AS within_bin_cov
+FROM t, mx, terms
+"""
+
+
+@register("ml_brier_decomposition", oracle=_BRIER_ORACLE, tags=("llm", "ml", "stats"))
+def ml_brier_decomposition(spark, sf_dir):
+    """MURPHY DECOMPOSITION of the Brier score (Murphy 1973) over the
+    normalized cent-score p = c/D (D = max+1) and the purchase/signup
+    label, with the same exact-integer 10 bins as ml_calibration_bins.
+    With non-constant forecasts inside a bin the exact identity is
+    Brier = REL − RES + UNC + WBV − 2·WBC (WBV = within-bin forecast
+    scatter, WBC = within-bin forecast-label covariance — the residual
+    terms binning textbooks drop; proven to 1e-12 against the direct
+    per-row reference in tests/test_round10_refs2.py). Each component
+    comes from its OWN exact integer numerator — Σ(c−yD)², per-bin
+    (Σc − sD)²·10⁴ DIV n_k, (sN − n·Sy)²·10⁴ DIV n_k, Σc²·10⁴ −
+    (Σc)²·10⁴ DIV n_k, Σcy·10⁴ − ΣcΣy·10⁴ DIV n_k — all DECIMAL(38)
+    sums, six final float expressions. This is what the reliability
+    diagram cannot show: HOW MUCH of the score's error is
+    miscalibration (REL, fixable by recalibration) vs lack of
+    discrimination (RES) vs irreducible base-rate noise (UNC). Plan:
+    one 1-row max broadcast, one bin rollup, two 1-row reduces."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("c"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    mx = b.agg((F.max("c") + 1).cast("long").alias("d"))
+    bd = b.crossJoin(F.broadcast(mx))
+    t = bd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(
+            F.expr("CAST(c - y * d AS DECIMAL(38,0)) * (c - y * d)")
+        ).alias("bn"),
+        F.max("d").alias("d"),
+    )
+    k = bd.groupBy(
+        F.least(F.lit(9), F.expr("c * 10 DIV d")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("c").cast("long").alias("sc_k"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("scc_k"),
+        F.sum("y").cast("long").alias("s_k"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * y")).alias("scy_k"),
+    )
+    terms = k.crossJoin(F.broadcast(t.select("n", "sy", "d"))).agg(
+        F.sum(
+            F.expr(
+                "CAST(CAST(sc_k - s_k * d AS DECIMAL(38,0))"
+                " * (sc_k - s_k * d) * 10000 DIV n_k AS DECIMAL(38,0))"
+            )
+        ).alias("rel_num"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(s_k * n - n_k * sy AS DECIMAL(38,0))"
+                " * (s_k * n - n_k * sy) * 10000 DIV n_k AS DECIMAL(38,0))"
+            )
+        ).alias("res_num"),
+        F.sum(
+            F.expr(
+                "CAST(scc_k * 10000"
+                " - CAST(sc_k AS DECIMAL(38,0)) * sc_k * 10000 DIV n_k"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("wbv_num"),
+        F.sum(
+            F.expr(
+                "CAST(scy_k * 10000"
+                " - CAST(sc_k AS DECIMAL(38,0)) * s_k * 10000 DIV n_k"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("wbc_num"),
+    )
+    dd = F.col("d").cast("double")
+    nn = F.col("n").cast("double")
+    return (
+        t.crossJoin(F.broadcast(terms))
+        .select(
+            "n",
+            "sy",
+            F.round(F.col("bn").cast("double") / (F.col("n") * dd * dd), 6).alias(
+                "brier"
+            ),
+            F.round(
+                F.col("rel_num").cast("double") / (1e4 * F.col("n") * dd * dd), 6
+            ).alias("reliability"),
+            F.round(
+                F.col("res_num").cast("double") / (1e4 * nn * nn * nn), 6
+            ).alias("resolution"),
+            F.round(
+                F.col("sy").cast("double") * (F.col("n") - F.col("sy")) / (nn * nn),
+                6,
+            ).alias("uncertainty"),
+            F.round(
+                F.col("wbv_num").cast("double") / (1e4 * F.col("n") * dd * dd), 6
+            ).alias("within_bin_var"),
+            F.round(
+                F.col("wbc_num").cast("double") / (1e4 * F.col("n") * dd), 6
+            ).alias("within_bin_cov"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift table — the campaign-targeting view of a score.
+# ---------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+WITH b AS (
+  SELECT event_id,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p FROM b
+), r AS (
+  SELECT y, (row_number() OVER (ORDER BY c DESC, event_id) - 1) * 10 // t.n
+           AS decile
+  FROM b, t
+), d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_d,
+         CAST(SUM(y) AS BIGINT) AS pos_d
+  FROM r GROUP BY decile
+), cum AS (
+  SELECT decile, n_d, pos_d,
+         SUM(n_d) OVER (ORDER BY decile) AS cum_n,
+         SUM(pos_d) OVER (ORDER BY decile) AS cum_pos
+  FROM d
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_d, pos_d,
+       CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+       CAST(cum_pos * 10000 // t.p AS BIGINT) AS gain_bp,
+       CAST(cum_pos * t.n * 10000 // (cum_n * t.p) AS BIGINT) AS lift_bp
+FROM cum, t
+"""
+
+
+@register("ml_lift_gains_deciles", oracle=_LIFT_ORACLE, tags=("llm", "ml"))
+def ml_lift_gains_deciles(spark, sf_dir):
+    """CUMULATIVE GAINS / LIFT table by score decile — the
+    campaign-targeting reading of a classifier score (AUC summarizes
+    the whole ranking; this answers "mail the top 30%, capture what
+    share of buyers?"). Deciles come from the exact two-pass global
+    rank over (score DESC, event_id) — (rk−1)·10 DIV n, never ntile()
+    over a single partition — and cumulative counts from the two-pass
+    global_cumsum over the 10-row decile relation; gains and lift are
+    exact integer basis points (floor DIV). Every column exact."""
+    from ..operators.scale import global_cumsum, global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        F.round(dec("value", VAL) * 100).cast("long").alias("c"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("y"),
+    ).withColumn("neg_c", -F.col("c"))
+    t = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    r = (
+        global_index(b, "rk0", ["neg_c", "event_id"])
+        .crossJoin(F.broadcast(t))
+        .select("y", F.expr("rk0 * 10 DIV n").alias("decile"))
+    )
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("y").cast("long").alias("pos_d"),
+    )
+    cum = global_cumsum(
+        global_cumsum(d, "n_d", ["decile"], "cum_n"), "pos_d", ["decile"], "cum_pos"
+    )
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_d",
+            "pos_d",
+            F.col("cum_n").cast("long").alias("cum_n"),
+            F.col("cum_pos").cast("long").alias("cum_pos"),
+            F.expr("CAST(cum_pos * 10000 DIV p AS BIGINT)").alias("gain_bp"),
+            F.expr(
+                "CAST(cum_pos * n * 10000 DIV (cum_n * p) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality truncated at radius 2 over the co-order graph.
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_oracle():
+    from .profiling import _COORDER_EDGES_CTE
+
+    return _COORDER_EDGES_CTE + """
+, hub AS (
+  SELECT node FROM deg WHERE deg > 32
+), symf AS (
+  SELECT u, v FROM sym WHERE v NOT IN (SELECT node FROM hub)
+), one AS (
+  SELECT DISTINCT u, v AS w FROM symf
+), two AS (
+  SELECT DISTINCT s1.u, s2.v AS w
+  FROM symf s1 JOIN symf s2 ON s2.u = s1.v
+  WHERE s2.v <> s1.u
+), two_only AS (
+  SELECT u, w FROM two
+  EXCEPT
+  SELECT u, w FROM one
+)
+SELECT o.u AS part,
+       CAST(o.n1 AS BIGINT) AS n_dist1,
+       CAST(COALESCE(tw.n2, 0) AS BIGINT) AS n_dist2,
+       CAST(2 * o.n1 + COALESCE(tw.n2, 0) AS BIGINT) AS harmonic_x2
+FROM (SELECT u, COUNT(*) AS n1 FROM one GROUP BY u) o
+LEFT JOIN (SELECT u, COUNT(*) AS n2 FROM two_only GROUP BY u) tw
+  ON tw.u = o.u
+"""
+
+
+def _register_harmonic():
+    @register(
+        "graph_harmonic_2hop",
+        oracle=_harmonic_oracle(),
+        tags=("graph", "analytics"),
+    )
+    def graph_harmonic_2hop(spark, sf_dir):
+        """HARMONIC CENTRALITY truncated at radius 2 over the co-order
+        graph (Boldi & Vigna 2014, the bounded-radius form every
+        trillion-edge system actually computes): H₂(u) = Σ 1/d(u,w) =
+        |N₁| + |N₂|/2, emitted as the EXACT integer 2·|N₁| + |N₂| plus
+        both shell sizes — no float halves. Same non-hub-middle cap as
+        graph_two_hop_reach (identical in the oracle): hubs can be
+        reached but never relay, bounding the wedge fanout by cap·deg.
+        The distance-2 shell is two \\ one set difference — a node
+        reachable both directly and via a wedge counts at distance 1
+        only. Plan: one capped wedge join, two distincts, one
+        anti-join, exact counts."""
+        from .profiling import _coorder_part_edges
+
+        e = _coorder_part_edges(spark, sf_dir).select("u", "v")
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        hubs = deg.filter(F.col("deg") > 32).select("node")
+        symf = sym.join(F.broadcast(hubs), sym.v == F.col("node"), "left_anti")
+        one = symf.select("u", F.col("v").alias("w")).distinct()
+        two = (
+            symf.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+            .join(symf.select(F.col("u").alias("mid"), F.col("v").alias("w")), "mid")
+            .filter(F.col("w") != F.col("a"))
+            .select(F.col("a").alias("u"), "w")
+            .distinct()
+        )
+        two_only = two.join(one, ["u", "w"], "left_anti")
+        n1 = one.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_dist1"))
+        n2 = two_only.groupBy("u").agg(
+            F.count(F.lit(1)).cast("long").alias("n_dist2")
+        )
+        return (
+            n1.join(n2, "u", "left")
+            .select(
+                F.col("u").alias("part"),
+                "n_dist1",
+                F.coalesce("n_dist2", F.lit(0)).cast("long").alias("n_dist2"),
+                (2 * F.col("n_dist1") + F.coalesce("n_dist2", F.lit(0)))
+                .cast("long")
+                .alias("harmonic_x2"),
+            )
+        )
+
+
+_register_harmonic()
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit — vocabulary growth V(N) = K·N^beta.
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d
+), firsts AS (
+  SELECT MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  GROUP BY tok
+), new_types AS (
+  SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_doc
+), c AS (
+  SELECT p.doc_id,
+         SUM(p.n_toks) OVER (ORDER BY p.doc_id) AS cum_n,
+         SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.doc_id) AS cum_v
+  FROM per_doc p LEFT JOIN new_types nt ON nt.doc_id = p.doc_id
+), q AS (
+  SELECT CAST(round(1000000 * ln(cum_n)) AS BIGINT) AS xq,
+         CAST(round(1000000 * ln(cum_v)) AS BIGINT) AS yq,
+         cum_n, cum_v
+  FROM c
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CAST(xq AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(yq AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(xq AS HUGEINT) * yq) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DECIMAL(38,0)) AS sxx,
+         CAST(MAX(cum_n) AS BIGINT) AS total_tokens,
+         CAST(MAX(cum_v) AS BIGINT) AS vocab_size
+  FROM q
+)
+SELECT np AS n_points, total_tokens, vocab_size,
+       round((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS heaps_beta
+FROM m
+"""
+
+
+@register("text_heaps_law_fit", oracle=_HEAPS_ORACLE, tags=("llm", "text"))
+def text_heaps_law_fit(spark, sf_dir):
+    """HEAPS' LAW fit (Heaps 1978): vocabulary growth V(N) ≈ K·N^β
+    over the corpus in doc_id order — β is THE dial for "how much new
+    vocabulary will the next 10 TB bring" (β≈1: open vocabulary, dedup
+    your crawl; β≈0.5: classic English text). Growth points are built
+    distributed: each token's FIRST document is a keyed min; per-doc
+    token totals and new-type counts turn into running sums via the
+    two-pass global_cumsum (never a single-partition window over the
+    corpus); each point's (ln N, ln V) is micro-quantized immediately
+    (the Burrows-Delta rule — one irrational op per point, then exact
+    integer OLS in DECIMAL(38)); β is one float expression. Plan: one
+    explode + keyed min, two keyed rollups, two-pass cumsum, one
+    reduce."""
+    from ..operators.scale import global_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    per_doc = docs.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks")
+    )
+    firsts = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    base = per_doc.join(firsts, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    c = global_cumsum(
+        global_cumsum(base, "n_toks", ["doc_id"], "cum_n"),
+        "n_new",
+        ["doc_id"],
+        "cum_v",
+    )
+    q = c.select(
+        F.round(1000000 * F.log("cum_n")).cast("long").alias("xq"),
+        F.round(1000000 * F.log("cum_v")).cast("long").alias("yq"),
+        "cum_n",
+        "cum_v",
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yq").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("sxx"),
+        F.max("cum_n").cast("long").alias("total_tokens"),
+        F.max("cum_v").cast("long").alias("vocab_size"),
+    )
+    return m.select(
+        F.col("np").alias("n_points"),
+        "total_tokens",
+        "vocab_size",
+        F.round(
+            (
+                F.col("np") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("np") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("heaps_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty curve — the compression-ratio proxy per gram width.
+# ---------------------------------------------------------------------------
+
+_NGRAM_CURVE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT n.n AS n,
+         array_to_string(toks[i:i+n.n-1], ' ') AS gram
+  FROM d, (SELECT unnest([1, 2, 3, 4]) AS n) n,
+       UNNEST(generate_series(1, len(toks) - n.n + 1)) AS t(i)
+  WHERE len(toks) >= n.n
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+       CAST(COUNT(DISTINCT gram) * 10000 // COUNT(*) AS BIGINT)
+         AS distinct_ratio_bp
+FROM g GROUP BY n
+"""
+
+
+@register("text_ngram_novelty_curve", oracle=_NGRAM_CURVE_ORACLE, tags=("llm", "text"))
+def text_ngram_novelty_curve(spark, sf_dir):
+    """N-GRAM NOVELTY CURVE (n = 1..4): distinct-to-total gram ratio
+    per width — the cheap compressibility proxy (a corpus whose 4-gram
+    ratio stays low is template/boilerplate-heavy and will compress —
+    and train — poorly; the curve's SLOPE is the signal, which is why
+    all four widths ship in one relation). All counts exact; the ratio
+    is exact integer basis points. Distinct counting is a two-phase
+    distinct aggregate per width — at 100 TB swap in the HLL sketch
+    (agg_hll_sketch_union) for the distinct leg; the exact form here
+    IS the verification twin. Plan: one explode per width (union), one
+    grouped distinct-agg."""
+    from ..operators.curation import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    parts = None
+    for n in (1, 2, 3, 4):
+        p = docs.select(
+            F.lit(n).cast("long").alias("n"),
+            F.explode(word_ngrams("toks", n)).alias("gram"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    return parts.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("total_grams"),
+        F.countDistinct("gram").cast("long").alias("distinct_grams"),
+        F.expr(
+            "CAST(COUNT(DISTINCT gram) * 10000 DIV COUNT(*) AS BIGINT)"
+        ).alias("distinct_ratio_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source characteristic keywords — TF-IDF with micro-quantized IDF.
+# ---------------------------------------------------------------------------
+
+_SRC_TFIDF_ORACLE = """
+WITH d AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM d GROUP BY source, tok
+), df AS (
+  SELECT tok, CAST(COUNT(DISTINCT source) AS BIGINT) AS df FROM d GROUP BY tok
+), ns AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM d
+), scored AS (
+  SELECT source, tf.tok, tf,
+         tf * CAST(round(1000000 * ln(CAST(n_sources AS DOUBLE) / df))
+                   AS BIGINT) AS score
+  FROM tf JOIN df ON tf.tok = df.tok, ns
+), rk AS (
+  SELECT source, tok, tf, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, tok) AS r
+  FROM scored WHERE score > 0
+)
+SELECT source, tok, tf, score FROM rk WHERE r <= 3
+"""
+
+
+@register("text_source_keyword_tfidf", oracle=_SRC_TFIDF_ORACLE, tags=("llm", "text"))
+def text_source_keyword_tfidf(spark, sf_dir):
+    """CHARACTERISTIC KEYWORDS per source: top-3 tokens by TF·IDF
+    where the document unit is the SOURCE (20 of them) — the dataset-
+    card "what is this source about" line, and the corpus-level
+    complement of text_tfidf_cosine_topk (which ranks documents).
+    IDF = ln(N_src/df) is micro-quantized immediately (only 20
+    possible df values; the Burrows rule), the score tf·idf_micro is
+    an exact BIGINT, rank is a keyed window with the (score DESC, tok)
+    pinned tiebreak, and tokens present in every source drop out
+    exactly (idf = 0). Plan: two keyed rollups, one broadcast of the
+    20-row source count, one keyed top-k window."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = docs.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = docs.groupBy("tok").agg(
+        F.countDistinct("source").cast("long").alias("df")
+    )
+    ns = docs.agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(
+                    1000000
+                    * F.log(F.col("n_sources").cast("double") / F.col("df"))
+                ).cast("long")
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 3)
+        .select("source", "tok", "tf", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance reweighting to a uniform source mixture, with the Kish
+# effective-sample-size diagnostic.
+# ---------------------------------------------------------------------------
+
+_ESS_ORACLE = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM s
+), w AS (
+  SELECT source, n_s,
+         LEAST(CAST(n * 1000000 // (k * n_s) AS BIGINT),
+               CAST(5000000 AS BIGINT)) AS w_micro
+  FROM s, t
+), agg AS (
+  SELECT CAST(SUM(CAST(n_s AS HUGEINT) * w_micro) AS DECIMAL(38,0)) AS snw,
+         CAST(SUM(CAST(n_s AS HUGEINT) * w_micro * w_micro)
+              AS DECIMAL(38,0)) AS snww
+  FROM w
+)
+SELECT w.source, w.n_s, w.w_micro,
+       round(CAST(agg.snw AS DOUBLE) * CAST(agg.snw AS DOUBLE)
+             / CAST(agg.snww AS DOUBLE), 6) AS ess_kish,
+       t.n AS n_total
+FROM w, agg, t
+"""
+
+
+@register("pipeline_importance_weights_ess", oracle=_ESS_ORACLE, tags=("llm", "pipeline"))
+def pipeline_importance_weights_ess(spark, sf_dir):
+    """IMPORTANCE REWEIGHTING to the uniform source mixture with the
+    KISH EFFECTIVE SAMPLE SIZE diagnostic (Kish 1965): per-source
+    weight w_s = target/actual = N/(k·n_s) in exact floor micro-units,
+    clipped at 5.0 (the standard variance guard), and ESS =
+    (Σ n_s w)²/(Σ n_s w²) — the number that says what a reweighted
+    epoch is actually worth ("20 sources reweighted uniform cost me
+    30% of my effective data"). Weights and the two moment sums are
+    exact integers (DECIMAL38); ESS is one float expression replicated
+    per source row. Plan: one rollup over sources, two 1-row
+    reduces."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    t = s.agg(
+        F.sum("n_s").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_s",
+        F.least(
+            F.expr("CAST(n * 1000000 DIV (k * n_s) AS BIGINT)"),
+            F.lit(5000000).cast("long"),
+        ).alias("w_micro"),
+        "n",
+    )
+    agg = w.agg(
+        F.sum(F.col("n_s").cast("decimal(38,0)") * F.col("w_micro")).alias("snw"),
+        F.sum(
+            F.col("n_s").cast("decimal(38,0)") * F.col("w_micro") * F.col("w_micro")
+        ).alias("snww"),
+    )
+    return (
+        w.crossJoin(F.broadcast(agg))
+        .select(
+            "source",
+            "n_s",
+            "w_micro",
+            F.round(
+                F.col("snw").cast("double")
+                * F.col("snw").cast("double")
+                / F.col("snww").cast("double"),
+                6,
+            ).alias("ess_kish"),
+            F.col("n").alias("n_total"),
+        )
+    )

@@ -561,7 +561,7 @@ _sql_query(
 SELECT n_name,
        o_year,
        rank() OVER w AS revenue_rank,
-       CAST(lag(revenue_cents) OVER w AS BIGINT) AS next_lower_cents
+       CAST(lead(revenue_cents) OVER w AS BIGINT) AS next_lower_cents
 FROM (
   SELECT n_name,
          CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
@@ -578,7 +578,11 @@ WINDOW w AS (PARTITION BY o_year ORDER BY revenue_cents DESC, n_name)
 )
 # ^ the WINDOW clause (named-window reuse across multiple functions —
 # one sort/shuffle declared once) is the same ANSI text in BOTH
-# engines; the rank and the lag provably share one window definition.
+# engines; the rank and the lead provably share one window definition.
+# ADVICE r9: the window orders revenue_cents DESC, so lead() — not
+# lag() — is the NEXT LOWER revenue the column name promises (the r9
+# driver row hashed the inverted lag semantics; re-windowed in r10 per
+# the _REWINDOWED policy).
 
 
 @register(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..tables import VAL, load_table
+from ..tables import VAL, dec, load_table
 from . import register
 
 _15M_US = 15 * 60 * 1_000_000
@@ -1683,4 +1683,330 @@ def tw_theil_sen_slope(spark, sf_dir):
         F.round(2 * F.expr("percentile(slope_micro, 0.5)"))
         .cast("long")
         .alias("theil_sen_slope_micro_x2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: Ljung-Box portmanteau, day-of-week seasonality strength,
+# Holt double-exponential smoothing (exact integer recurrence).
+# ---------------------------------------------------------------------------
+
+_LB_ORACLE = """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // COUNT(*) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY event_type
+), lags AS (
+  SELECT lag.lag AS lag, a.event_type, a.cents AS x, b.cents AS y
+  FROM (SELECT unnest([1, 2, 3, 4, 5]) AS lag) lag
+  JOIN r a ON TRUE
+  JOIN r b ON b.event_type = a.event_type AND b.t = a.t + lag.lag
+), m AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+  FROM lags GROUP BY event_type, lag
+), rk AS (
+  SELECT event_type, lag,
+         CAST(round(1000000.0 *
+           (np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+           AS BIGINT) AS r_micro
+  FROM m
+), terms AS (
+  SELECT rk.event_type,
+         CAST(SUM(CAST(r_micro AS HUGEINT) * r_micro // (nn.n - lag))
+              AS DECIMAL(38,0)) AS tsum
+  FROM rk JOIN nn ON rk.event_type = nn.event_type
+  GROUP BY rk.event_type
+)
+SELECT nn.event_type, nn.n AS n_days,
+       round(nn.n * (nn.n + 2.0) * CAST(terms.tsum AS DOUBLE) / 1e12, 6)
+         AS q_ljung_box
+FROM nn JOIN terms ON nn.event_type = terms.event_type
+"""
+
+
+@register("tw_ljung_box", oracle=_LB_ORACLE, tags=("timeseries", "stats"))
+def tw_ljung_box(spark, sf_dir):
+    """LJUNG-BOX portmanteau (Ljung & Box 1978) per event type — "is
+    the daily close series white noise?", the diagnostic that reads
+    tw_autocorrelation_daily's lags jointly: Q = n(n+2) Σ_{k≤5}
+    r_k²/(n−k). Convention pinned: r_k is the Pearson ACF of the
+    row-lagged overlapped pairs (the tw_autocorrelation_daily
+    convention, stated); each r_k is ONE float expression immediately
+    micro-quantized (round(1e6·r) BIGINT — the Burrows-Delta rule), so
+    the 5-term sum is EXACT integer arithmetic (r²·10⁶-scale DIV
+    (n−k)) and no float addition order exists for layouts to reorder;
+    Q is one final float. Plan: one day rollup, one keyed rank window,
+    5 shifted equi-joins, two keyed reduces."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd").alias("day"),
+            (F.col("value").cast(VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(SUM(c0) DIV COUNT(*) AS BIGINT)").alias("cents"))
+    )
+    r = d.select(
+        "event_type",
+        "cents",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("t"),
+    )
+    nn = r.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lagged = None
+    for k in (1, 2, 3, 4, 5):
+        a = r.select("event_type", F.col("cents").alias("x"), (F.col("t") + k).alias("t"))
+        b = r.select("event_type", F.col("cents").alias("y"), "t")
+        p = a.join(b, ["event_type", "t"]).select(
+            "event_type", F.lit(k).cast("long").alias("lag"), "x", "y"
+        )
+        lagged = p if lagged is None else lagged.unionByName(p)
+    m = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    rk = m.select(
+        "event_type",
+        "lag",
+        F.round(
+            1000000.0
+            * (
+                F.col("np") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("np") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                * (
+                    F.col("np") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("r_micro"),
+    )
+    terms = (
+        rk.join(nn, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(r_micro AS DECIMAL(38,0)) * r_micro DIV (n - lag)"
+                    " AS DECIMAL(38,0))"
+                )
+            ).alias("tsum")
+        )
+    )
+    return (
+        nn.join(terms, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(
+                F.col("n") * (F.col("n") + 2.0) * F.col("tsum").cast("double") / 1e12,
+                6,
+            ).alias("q_ljung_box"),
+        )
+    )
+
+
+_SEASON_ORACLE = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), g AS (
+  SELECT event_type, dayofweek(day) AS dow, cents FROM d
+), per_g AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(cents AS HUGEINT)) AS DECIMAL(38,0)) AS s_g
+  FROM g GROUP BY event_type, dow
+), tot AS (
+  SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(s_g AS HUGEINT) * s_g * 1000000 // n_g)
+              AS DECIMAL(38,0)) AS sb_scaled
+  FROM per_g GROUP BY event_type
+), sq AS (
+  SELECT event_type,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DECIMAL(38,0)) AS sxx
+  FROM g GROUP BY event_type
+)
+SELECT tot.event_type, tot.n AS n_days,
+       round((CAST(tot.sb_scaled AS DOUBLE) / 1e6
+              - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE) / tot.n)
+             / (CAST(sq.sxx AS DOUBLE)
+                - CAST(tot.s AS DOUBLE) * CAST(tot.s AS DOUBLE) / tot.n), 6)
+         AS eta_squared
+FROM tot JOIN sq ON tot.event_type = sq.event_type
+"""
+
+
+@register("tw_seasonality_strength", oracle=_SEASON_ORACLE, tags=("timeseries", "stats"))
+def tw_seasonality_strength(spark, sf_dir):
+    """DAY-OF-WEEK seasonality strength per event type: η² = between-
+    group / total sum of squares of the daily revenue series grouped
+    by weekday — the variance-decomposition answer to "how much of the
+    daily variation is weekly seasonality?" (the one-way-ANOVA effect
+    size, completing agg_anova_f with its strength measure). Σ S_g²/n_g
+    is accumulated at the fixed 10⁶ integer scale (the Kruskal-Wallis
+    ADVICE fix pattern — truncation < 1e-6 cents²/term); all other
+    moments are DECIMAL(38)-exact; η² is one float expression."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "etime").alias("day"),
+            F.round(dec("value", VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    g = d.select("event_type", F.dayofweek("day").alias("dow"), "cents")
+    per_g = g.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+    )
+    tot = per_g.groupBy("event_type").agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(s_g AS DECIMAL(38,0)) * s_g * 1000000 DIV n_g"
+                " AS DECIMAL(38,0))"
+            )
+        ).alias("sb_scaled"),
+    )
+    sq = g.groupBy("event_type").agg(
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("sxx")
+    )
+    s2 = F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    return (
+        tot.join(sq, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(
+                (F.col("sb_scaled").cast("double") / 1e6 - s2)
+                / (F.col("sxx").cast("double") - s2),
+                6,
+            ).alias("eta_squared"),
+        )
+    )
+
+
+_HOLT_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // COUNT(*) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), s AS (
+  SELECT event_type, cents AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type
+), base AS (
+  SELECT a.event_type, 1 AS t,
+         a.x * 1000000 AS l,
+         (b.x - a.x) * 1000000 AS b
+  FROM s a JOIN s b ON b.event_type = a.event_type AND b.t = 2
+  WHERE a.t = 1
+), rec AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT rec.event_type, rec.t + 1,
+         (3 * sx.x * 1000000 + 7 * (rec.l + rec.b)) // 10,
+         (((3 * sx.x * 1000000 + 7 * (rec.l + rec.b)) // 10 - rec.l)
+          + 9 * rec.b) // 10
+  FROM rec JOIN s sx ON sx.event_type = rec.event_type AND sx.t = rec.t + 1
+)
+SELECT rec.event_type, nn.n AS n_days,
+       CAST(rec.l AS BIGINT) AS level_micro,
+       CAST(rec.b AS BIGINT) AS trend_micro,
+       CAST(rec.l + rec.b AS BIGINT) AS forecast_micro
+FROM rec JOIN nn ON rec.event_type = nn.event_type
+WHERE rec.t = nn.n
+"""
+
+
+@register("tw_holt_double_smoothing", oracle=_HOLT_ORACLE, tags=("timeseries",))
+def tw_holt_double_smoothing(spark, sf_dir):
+    """HOLT double-exponential smoothing (level+trend, α=0.3 β=0.1 as
+    the exact rationals 3/10, 1/10) over each event type's daily close
+    series — the first RECURRENT time-series operator in the registry:
+    l_t = (3·x_t·10⁶ + 7(l+b)) DIV 10, b_t = ((l_t − l) + 9b) DIV 10,
+    carried ENTIRELY in integer micro-cents (both engines share
+    truncate-toward-zero DIV — the convention the r9 kappa test
+    pinned), initialized l₁ = x₁·10⁶, b₁ = (x₂−x₁)·10⁶. Spark runs the
+    recurrence as an aggregate() lambda over the collected per-type
+    day array (bounded: 30 days — a keyed agg buffer, never a driver
+    loop); the oracle is a recursive CTE — two independent evaluation
+    strategies, one exact integer answer. Headroom: micro-cents of a
+    daily close stay < 2^53 through ~10⁹× the fixture's daily volume.
+    Emits the final level/trend and the one-step forecast, all exact
+    BIGINT."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd").alias("day"),
+            (F.col("value").cast(VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(SUM(c0) DIV COUNT(*) AS BIGINT)").alias("cents"))
+    )
+    arr = d.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, cents))), s -> s.cents)").alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    rec = F.expr(
+        """
+        aggregate(
+          slice(xs, 2, size(xs) - 1),
+          named_struct(
+            'l', element_at(xs, 1) * 1000000L,
+            'b', (element_at(xs, 2) - element_at(xs, 1)) * 1000000L),
+          (acc, x) -> named_struct(
+            'l', (3L * x * 1000000L + 7L * (acc.l + acc.b)) DIV 10L,
+            'b', (((3L * x * 1000000L + 7L * (acc.l + acc.b)) DIV 10L - acc.l)
+                  + 9L * acc.b) DIV 10L)
+        )
+        """
+    )
+    return arr.select(
+        "event_type",
+        "n_days",
+        rec.getField("l").cast("long").alias("level_micro"),
+        rec.getField("b").cast("long").alias("trend_micro"),
+        (rec.getField("l") + rec.getField("b")).cast("long").alias("forecast_micro"),
     )

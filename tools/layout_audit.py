@@ -43,14 +43,48 @@ sys.path.insert(0, REPO)
 RECORD = os.path.join(REPO, "LAYOUT_AUDIT.json")
 
 
+def _helpers_salt() -> str:
+    """md5 over every package source file OUTSIDE queries/ (operators/,
+    cdc/, streaming/, sources/, tables.py, session.py, ...). Folded
+    into every query fingerprint so that editing a shared helper
+    (global_index, common_substring_runs, the OPQ stack, load_table)
+    marks ALL queries stale under --changed — ADVICE r9: hashing only
+    the query function's own source let helper edits silently skip
+    re-audit, the same staleness class VERDICT r8 #1 flagged, one
+    level down. A helper edit therefore costs a full re-run; cheap
+    false positives beat silent staleness."""
+    pkg = os.path.join(REPO, "cdc_poc_spark")
+    h = hashlib.md5()
+    for root, dirs, files in os.walk(pkg):
+        if os.path.basename(root) == "queries" or "__pycache__" in root:
+            dirs[:] = []
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:8]
+
+
+_SALT = None
+
+
 def source_fingerprint(spec) -> str:
-    """md5 of the query function's source + oracle SQL. Docstring edits
-    count as changes (cheap false positives beat silent staleness)."""
+    """md5 of the query function's source + oracle SQL + the shared
+    helpers salt (see _helpers_salt). Docstring edits count as changes
+    (cheap false positives beat silent staleness)."""
+    global _SALT
+    if _SALT is None:
+        _SALT = _helpers_salt()
     try:
         src = inspect.getsource(spec.fn)
     except OSError:  # builtins / exec'd code — fall back to bytecode
         src = repr(spec.fn.__code__.co_code)
-    return hashlib.md5((src + "\n" + (spec.oracle or "")).encode()).hexdigest()[:16]
+    return hashlib.md5(
+        (src + "\n" + (spec.oracle or "") + "\n" + _SALT).encode()
+    ).hexdigest()[:16]
 
 
 def _rows_hash(df) -> tuple[int, str]:

@@ -81,6 +81,11 @@ SINGLE_PARTITION_WINDOW_OK = {
     "sim_centroid_distances",
     # 5-row calibration-curve relations (threshold/probe/gap sweeps):
     "sim_ann_ivfpq_probe_sweep",
+    # day-bounded relations (30 observed days -> <=30 resp. <=900 rows
+    # through the unpartitioned rank window; the raw scan is never
+    # windowed):
+    "agg_mann_kendall_trend",
+    "agg_hodges_lehmann_shift",
 }
 
 
