@@ -469,6 +469,16 @@ _ROUND10_NEW: list = [
     "text_ngram_novelty_curve",
     "text_source_keyword_tfidf",
     "pipeline_importance_weights_ess",
+    # -- round-10 wave 3: scale tests, sketch streaming twins, the
+    #    catalog consumer drive, fairness allocator, MCC, HLL algebra:
+    "agg_ansari_bradley",
+    "agg_anderson_darling_2samp",
+    "ml_matthews_mcc",
+    "agg_hll_intersection_bound",
+    "pipeline_quota_water_filling",
+    "pipeline_quantile_sketch_stream",
+    "pipeline_mg_sketch_stream",
+    "cdc_consumer_catalog_landing",
 ]
 
 

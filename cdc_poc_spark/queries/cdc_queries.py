@@ -1655,3 +1655,132 @@ def cdc_markov_entropy_rate(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_transition_cells"),
         F.sum("term_micro").cast("long").alias("entropy_rate_micro_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: the CATALOG landing path under the driver hash — the
+# reference's tableExists -> CTAS/append branch (consumer.py:75-78).
+# ---------------------------------------------------------------------------
+
+_CONSUMER_CATALOG_ORACLE = """
+WITH log AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'events_even' ELSE 'events_odd' END
+           AS table_name,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd'
+              ELSE 'u' END AS op,
+         user_id, event_id
+  FROM events
+)
+SELECT table_name, op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS sum_seq
+FROM log GROUP BY table_name, op
+"""
+
+
+@register(
+    "cdc_consumer_catalog_landing",
+    oracle=_CONSUMER_CATALOG_ORACLE,
+    tags=("cdc", "streaming"),
+)
+def cdc_consumer_catalog_landing(spark, sf_dir):
+    """The reference's DYNAMIC-TABLE CATALOG branch under the driver
+    hash (consumer.py:75-78: `spark.catalog.tableExists` probe -> CTAS
+    with accept-any-schema on first sight -> append after), driven
+    end-to-end: the same Debezium-shaped envelope stream as the log/
+    mirror/DLQ/SCD2 drives (two topics split on user parity — the
+    multi-table routing case) lands through start_catalog_query into
+    SESSION-CATALOG tables cdcdb.events_even / cdcdb.events_odd across
+    3 checkpointed micro-batches — batch 1 exercises O11 (create),
+    batches 2-3 exercise O12 (append), O10 (the probe) fires every
+    batch — and the result re-reads the LANDED TABLES via
+    read_catalog_table (reference O15, print_iceberg_tables.py:40-41),
+    re-projecting user_id from the raw `after` JSON. The oracle
+    recomputes per-(table, op) row counts, distinct users, and the
+    exact seq sum from raw events — a row landed in the wrong table,
+    a lost/duplicated batch, or a create-vs-append branch bug breaks
+    the hash."""
+    import glob
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..sources.files import envelope_json_stream
+    from ..streaming.consumer import CDCConsumer
+
+    db = "cdcdb"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    for tbl in ("public_events_even", "public_events_odd"):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
+        if wh:
+            shutil.rmtree(f"{wh}/{db}.db/{tbl}", ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    topic = F.concat(
+        F.lit("dbserver1.public.events_"),
+        F.when(F.pmod("user_id", F.lit(2)) == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit(None).cast("string").alias("before"),
+                    F.struct(F.col("user_id"), F.col("value")).alias("after"),
+                    op.alias("op"),
+                    F.expr("ts DIV 1000000").alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+        topic.alias("topic"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.pmod("event_id", F.lit(3)).alias("__part"),
+    )
+    work = _ephemeral_state_dir("cdc_consumer_catalog_")
+    staged = os.path.join(work, "staged")
+    envelopes.repartition(1).write.partitionBy("__part").json(staged)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    for i in range(3):
+        files = glob.glob(os.path.join(staged, f"__part={i}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"e{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    consumer = CDCConsumer(
+        warehouse_dir=os.path.join(work, "wh"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        catalog_db=db,
+    )
+    q = consumer.start_catalog_query(
+        envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
+    )
+    q.awaitTermination(600)
+    landed = None
+    # topic dbserver1.public.events_* routes to table public_events_*
+    # (the reference's {schema}_{table} naming, consumer.py:73-74)
+    for tbl in ("public_events_even", "public_events_odd"):
+        t = consumer.read_catalog_table(spark, tbl).withColumn(
+            "table_name", F.lit(tbl.replace("public_", ""))
+        )
+        landed = t if landed is None else landed.unionByName(t)
+    return (
+        landed.select(
+            "table_name",
+            "op",
+            F.get_json_object("after", "$.user_id").cast("long").alias("user_id"),
+            "seq",
+        )
+        .groupBy("table_name", "op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("seq").cast("long").alias("sum_seq"),
+        )
+    )

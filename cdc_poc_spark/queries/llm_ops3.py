@@ -685,3 +685,306 @@ def pipeline_importance_weights_ess(spark, sf_dir):
             F.col("n").alias("n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matthews correlation coefficient at the exact-median operating point.
+# ---------------------------------------------------------------------------
+
+_MCC_ORACLE = """
+WITH b AS (
+  SELECT event_id,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), r AS (
+  SELECT c, y, row_number() OVER (ORDER BY c, event_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM b
+), med AS (
+  SELECT c AS thr FROM r WHERE rk = (n + 1) // 2
+), cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN c >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN c >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN c <  thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(SUM(CASE WHEN c <  thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM b, med
+)
+SELECT tp, fp, tn, fn,
+       round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                    * (tn + fp) * (tn + fn)), 6) AS mcc
+FROM cells
+"""
+
+
+@register("ml_matthews_mcc", oracle=_MCC_ORACLE, tags=("llm", "ml", "stats"))
+def ml_matthews_mcc(spark, sf_dir):
+    """MATTHEWS CORRELATION COEFFICIENT (Matthews 1975) at the
+    exact-median operating point — the single-number confusion-matrix
+    summary robust to class imbalance (accuracy and F1 both mislead
+    there), completing the per-class P/R/F1 of ml_classifier_metrics:
+    threshold = the exact lower-median score (rank (N+1) DIV 2 under
+    the (score, event_id) total order — the agg_approx_percentile
+    rank rule), predict positive at score ≥ threshold, and MCC =
+    (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)). All four cells
+    are exact integers under the driver hash; MCC is one float
+    expression. Plan: two-pass rank for the median + one broadcast +
+    one 1-row reduce."""
+    from ..operators.scale import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        F.round(dec("value", VAL) * 100).cast("long").alias("c"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    n = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med = (
+        global_index(b.select("c", "event_id"), "rk0", ["c", "event_id"])
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("rk0") + 1 == F.expr("(n + 1) DIV 2"))
+        .select(F.col("c").alias("thr"))
+    )
+    cells = b.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when((F.col("c") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when((F.col("c") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when((F.col("c") < F.col("thr")) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(F.when((F.col("c") < F.col("thr")) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(
+            (
+                F.col("tp").cast("double") * F.col("tn")
+                - F.col("fp").cast("double") * F.col("fn")
+            )
+            / F.sqrt(
+                (F.col("tp") + F.col("fp")).cast("double")
+                * (F.col("tp") + F.col("fn"))
+                * (F.col("tn") + F.col("fp"))
+                * (F.col("tn") + F.col("fn"))
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch intersection via inclusion-exclusion, exactness-flagged.
+# ---------------------------------------------------------------------------
+
+_HLL_INTER_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a JOIN b USING (user_id))
+         AS exact_inter,
+       TRUE AS union_within_5pct,
+       TRUE AS inter_within_bound
+"""
+
+
+@register("agg_hll_intersection_bound", oracle=_HLL_INTER_ORACLE, tags=("agg", "sketch", "approx"))
+def agg_hll_intersection_bound(spark, sf_dir):
+    """HLL INTERSECTION via inclusion-exclusion — the sketch-algebra
+    operation HLL does NOT support natively (union is lossless; the
+    intersection estimate |A|+|B|−|A∪B| inherits BOTH sketches'
+    errors, which is why its contract bound is wider): clicker ∩
+    viewer audiences. The engine builds the two lgK=14 sketches ONCE,
+    unions the SAME sketch bytes (never re-scans raw data), estimates
+    all three cardinalities, and driver-checks (a) the union estimate
+    within 5% of exact, (b) the inclusion-exclusion intersection
+    within 5% + 10 absolute of exact (the compounded-error allowance
+    documented by the DataSketches project for set operations on HLL).
+    The oracle pins the exact cardinalities and expects both flags
+    TRUE. Plan: one grouped sketch pass + exact countDistinct twins +
+    1-row combines."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END, 14)"
+        ).alias("sk_a"),
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END, 14)"
+        ).alias("sk_b"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).cast("long").alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).cast("long").alias("exact_b"),
+    )
+    inter_exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "view").select("user_id").distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est = sk.select(
+        "exact_a",
+        "exact_b",
+        F.expr("hll_sketch_estimate(sk_a)").alias("est_a"),
+        F.expr("hll_sketch_estimate(sk_b)").alias("est_b"),
+        F.expr(
+            "hll_sketch_estimate(hll_union(sk_a, sk_b))"
+        ).alias("est_union"),
+    )
+    return (
+        est.crossJoin(F.broadcast(inter_exact))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (
+                F.abs(
+                    F.col("est_union")
+                    - (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+                )
+                <= 0.05
+                * (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            ).alias("union_within_5pct"),
+            (
+                F.abs(
+                    (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+                    - F.col("exact_inter")
+                )
+                <= 0.05 * F.col("exact_inter") + 10
+            ).alias("inter_within_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling token-budget allocation across sources.
+# ---------------------------------------------------------------------------
+
+_WATERFILL_ORACLE = """
+WITH caps AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(cap) * 6 // 10 AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM caps
+), r AS (
+  SELECT source, cap,
+         row_number() OVER (ORDER BY cap, source) AS i,
+         SUM(cap) OVER (ORDER BY cap, source) AS p_i
+  FROM caps
+), lvl AS (
+  SELECT MAX(CASE WHEN cap * (t.k - i) + p_i <= t.budget THEN i ELSE 0 END)
+           AS i_star
+  FROM r, t
+), sol AS (
+  SELECT CAST((t.budget - COALESCE(
+                 (SELECT p_i FROM r, lvl WHERE r.i = lvl.i_star), 0))
+              // (t.k - lvl.i_star) AS BIGINT) AS level
+  FROM t, lvl
+)
+SELECT r.source, r.cap,
+       CAST(LEAST(r.cap, sol.level) AS BIGINT) AS allocation,
+       sol.level, t.budget,
+       r.cap <= sol.level AS fully_funded
+FROM r, sol, t
+"""
+
+
+@register("pipeline_quota_water_filling", oracle=_WATERFILL_ORACLE, tags=("llm", "pipeline"))
+def pipeline_quota_water_filling(spark, sf_dir):
+    """WATER-FILLING token-budget allocation (the max-min fair
+    allocator): spread a 60% token budget across sources so every
+    source gets min(its capacity, a common level L) with L the largest
+    integer level that fits the budget — the principled answer to
+    "small sources keep everything, big sources are clipped equally"
+    (pipeline_token_budget_fill fills greedily by quality; this is the
+    FAIRNESS allocator). Closed form over the cap-sorted prefix sums:
+    i* = max{i : cap_i·(k−i) + P_i ≤ T}, L = (T − P_{i*}) DIV (k−i*).
+    Everything exact integers (the ≤ k−1 integer-rounding leftover is
+    budget − Σ allocations, observable). The 20-row cap relation flows
+    through the two-pass global_index/cumsum, never a raw-data sort.
+    Plan: one rollup + two-pass rank/cumsum over |sources| rows + two
+    1-row reduces."""
+    from ..operators.scale import global_cumsum, global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("cap")
+    )
+    t = caps.agg(
+        F.expr("CAST(SUM(cap) * 6 DIV 10 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    r = global_cumsum(
+        global_index(caps, "i0", ["cap", "source"]), "cap", ["cap", "source"], "p_i"
+    ).select("source", "cap", (F.col("i0") + 1).alias("i"), "p_i")
+    lvl = (
+        r.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cap") * (F.col("k") - F.col("i")) + F.col("p_i")
+                    <= F.col("budget"),
+                    F.col("i"),
+                ).otherwise(0)
+            ).alias("i_star")
+        )
+    )
+    # p_star defaults to 0 when i_star = 0 (no source fully capped) —
+    # a conditional 1-row aggregate, so the frame is never empty
+    p_star = (
+        r.crossJoin(F.broadcast(lvl))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("i") == F.col("i_star"), F.col("p_i"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("p_star")
+        )
+    )
+    sol = (
+        t.crossJoin(F.broadcast(lvl))
+        .crossJoin(F.broadcast(p_star))
+        .select(
+            F.expr(
+                "CAST((budget - p_star) DIV (k - i_star) AS BIGINT)"
+            ).alias("level")
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(sol))
+        .crossJoin(F.broadcast(t.select("budget")))
+        .select(
+            "source",
+            "cap",
+            F.least(F.col("cap"), F.col("level")).cast("long").alias("allocation"),
+            "level",
+            "budget",
+            (F.col("cap") <= F.col("level")).alias("fully_funded"),
+        )
+    )

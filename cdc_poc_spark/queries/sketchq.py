@@ -483,3 +483,415 @@ def agg_misra_gries_topk(spark, sf_dir):
             "n_heavy_missed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 4) STREAMING maintenance of the quantile summary: per-batch partial
+#    summaries appended epoch-partitioned; merge = union, so the
+#    maintained summary has an EXACT one-shot oracle.
+# ---------------------------------------------------------------------------
+
+_QSKETCH_STREAM_ORACLE = """
+WITH tt AS (
+  SELECT (MAX(event_id) + 1) // 3 AS t1 FROM events
+), b AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y,
+         event_id,
+         LEAST(2, event_id // t1) * 4 + event_id % 4 AS shard
+  FROM events, tt
+), st AS (
+  SELECT shard, COUNT(*) AS n_p, (COUNT(*) + 31) // 32 AS s_p
+  FROM b GROUP BY shard
+), rk AS (
+  SELECT shard, y, event_id,
+         row_number() OVER (PARTITION BY shard ORDER BY y, event_id) AS rk
+  FROM b
+), kept AS (
+  SELECT rk.shard, y, rk FROM rk JOIN st ON rk.shard = st.shard
+  WHERE rk % s_p = 0 OR rk = n_p
+), sw AS (
+  SELECT shard, y, rk,
+         rk - COALESCE(lag(rk) OVER (PARTITION BY shard ORDER BY rk), 0) AS w
+  FROM kept
+), mg AS (
+  SELECT y, SUM(w) OVER (ORDER BY y, shard, rk) AS cw FROM sw
+), tot AS (
+  SELECT CAST(SUM(n_p) AS BIGINT) AS n,
+         CAST(SUM(s_p - 1) + MAX(s_p) AS BIGINT) AS bound,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sw) AS n_samples
+  FROM st
+), tq AS (
+  SELECT lbl AS q_label,
+         CAST((num * n + den - 1) // den AS BIGINT) AS t_rank,
+         n, bound, n_samples
+  FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+               ('p90', 9, 10)) AS q(lbl, num, den), tot
+), ans AS (
+  SELECT q_label, t_rank, n, bound, n_samples, MIN(y) AS sketch_cents
+  FROM tq JOIN mg ON mg.cw >= tq.t_rank
+  GROUP BY ALL
+), gr AS (
+  SELECT y, row_number() OVER (ORDER BY y, event_id) AS g FROM b
+), ex AS (
+  SELECT q_label, y AS exact_cents FROM tq JOIN gr ON gr.g = tq.t_rank
+)
+SELECT ans.q_label, ans.n, ans.t_rank, ans.sketch_cents, ex.exact_cents,
+       ans.bound AS rank_bound, ans.n_samples
+FROM ans JOIN ex USING (q_label)
+"""
+
+
+@register(
+    "pipeline_quantile_sketch_stream",
+    oracle=_QSKETCH_STREAM_ORACLE,
+    tags=("agg", "sketch", "streaming"),
+)
+def pipeline_quantile_sketch_stream(spark, sf_dir):
+    """STREAMING maintenance of the mergeable quantile summary through
+    the REAL checkpointed foreachBatch consumer: events arrive as 3
+    id-ordered micro-batches; each batch builds its own 4-shard
+    rank-sample summaries (m=32) and APPENDS them epoch-partitioned
+    (idempotent dynamic overwrite — replay rewrites its epoch, no
+    ledger needed because batches are independent partials). Because
+    merging IS multiset union, the maintained summary equals the
+    one-shot construction over composite (epoch, id%4) shards EXACTLY
+    — so the oracle reproduces the full maintained state and the
+    driver hashes the final quantile answers, the exact quantiles,
+    and the exact integer rank budget recomputed FROM THE MAINTAINED
+    SUMMARY ALONE (n_p = per-shard weight sum, s_p = ceil(n_p/32) —
+    the state is self-describing, the raw data is only re-read for
+    the exact-answer verification column). This is the day->rollup
+    lifecycle of agg_mergeable_quantile_sketch run through the
+    streaming surface."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import global_cumsum, global_index
+    from ..operators.sketches import rank_sample_summary
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    t1 = (int(mx) + 1) // 3
+    b = ev.select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("y"),
+        "event_id",
+    )
+    work = tempfile.mkdtemp(prefix="qsketch_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    staged = os.path.join(work, "staged")
+    (
+        b.withColumn("__b", F.least(F.lit(2), F.expr(f"event_id DIV {t1}")))
+        .repartition(1)
+        .write.partitionBy("__b")
+        .json(staged)
+    )
+    for i in range(3):
+        files = _glob.glob(os.path.join(staged, f"__b={i}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"b{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    state_dir = os.path.join(work, "summary")
+
+    def handle(batch_df, batch_id: int) -> None:
+        sb = batch_df.withColumn("shard", F.expr("event_id % 4"))
+        (
+            rank_sample_summary(sb, "y", "shard", 32, "event_id")
+            .withColumn("epoch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .format("parquet")
+            .save(state_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("y long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(data_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    summary = (
+        spark.read.schema("shard long, y long, rk long, w long, epoch int")
+        .parquet(state_dir)
+        .select(
+            (F.col("epoch").cast("long") * 4 + F.col("shard")).alias("shard"),
+            "y",
+            "rk",
+            "w",
+        )
+    )
+    merged = global_cumsum(summary, "w", ["y", "shard", "rk"], "cw")
+    st = summary.groupBy("shard").agg(F.sum("w").cast("long").alias("n_p")).select(
+        "n_p", F.expr("CAST((n_p + 31) DIV 32 AS BIGINT)").alias("s_p")
+    )
+    stats = st.agg(
+        F.sum("n_p").cast("long").alias("n"),
+        (F.sum(F.col("s_p") - 1) + F.max("s_p")).cast("long").alias("bound"),
+    )
+    n_samples = summary.agg(F.count(F.lit(1)).cast("long").alias("n_samples"))
+    targets = spark.createDataFrame(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)],
+        "q_label string, num int, den int",
+    )
+    tq = (
+        targets.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_samples))
+        .select(
+            "q_label",
+            F.expr("CAST((num * n + den - 1) DIV den AS BIGINT)").alias("t_rank"),
+            "n",
+            "bound",
+            "n_samples",
+        )
+    )
+    ans = (
+        merged.join(F.broadcast(tq), F.col("cw") >= F.col("t_rank"))
+        .groupBy("q_label", "t_rank", "n", "bound", "n_samples")
+        .agg(F.min("y").alias("sketch_cents"))
+    )
+    exact = (
+        global_index(b.select("y", "event_id"), "g0", ["y", "event_id"])
+        .join(
+            F.broadcast(tq.select("q_label", "t_rank")),
+            F.col("g0") + 1 == F.col("t_rank"),
+        )
+        .select("q_label", F.col("y").alias("exact_cents"))
+    )
+    return ans.join(exact, "q_label").select(
+        "q_label",
+        "n",
+        "t_rank",
+        "sketch_cents",
+        "exact_cents",
+        F.col("bound").alias("rank_bound"),
+        "n_samples",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5) STREAMING maintenance of the Misra-Gries summary: sequential
+#    state merges, budget carried exactly, oracle = 3 unrolled stages.
+# ---------------------------------------------------------------------------
+
+_MG_STREAM_ORACLE = """
+WITH tt AS (
+  SELECT (MAX(o_orderkey) + 1) // 3 AS t1 FROM orders
+), b AS (
+  SELECT o_custkey AS cust, LEAST(2, o_orderkey // t1) AS e
+  FROM orders, tt
+), f0 AS (
+  SELECT cust, CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE e = 0 GROUP BY cust
+), d0 AS (
+  SELECT CASE WHEN COUNT(*) = 13 THEN CAST(MIN(c) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS d
+  FROM (SELECT c FROM f0 ORDER BY c DESC LIMIT 13)
+), s0 AS (
+  SELECT cust, c - d AS w FROM f0, d0 WHERE c > d
+), f1 AS (
+  SELECT cust, CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE e = 1 GROUP BY cust
+), d1 AS (
+  SELECT CASE WHEN COUNT(*) = 13 THEN CAST(MIN(c) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS d
+  FROM (SELECT c FROM f1 ORDER BY c DESC LIMIT 13)
+), p1 AS (
+  SELECT cust, c - d AS w FROM f1, d1 WHERE c > d
+), m1 AS (
+  SELECT cust, SUM(w) AS w FROM (
+    SELECT * FROM s0 UNION ALL SELECT * FROM p1
+  ) GROUP BY cust
+), e1 AS (
+  SELECT CASE WHEN COUNT(*) = 13 THEN CAST(MIN(w) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS d
+  FROM (SELECT w FROM m1 ORDER BY w DESC LIMIT 13)
+), s1 AS (
+  SELECT cust, CAST(w - d AS BIGINT) AS w FROM m1, e1 WHERE w > d
+), f2 AS (
+  SELECT cust, CAST(COUNT(*) AS BIGINT) AS c FROM b WHERE e = 2 GROUP BY cust
+), d2 AS (
+  SELECT CASE WHEN COUNT(*) = 13 THEN CAST(MIN(c) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS d
+  FROM (SELECT c FROM f2 ORDER BY c DESC LIMIT 13)
+), p2 AS (
+  SELECT cust, c - d AS w FROM f2, d2 WHERE c > d
+), m2 AS (
+  SELECT cust, SUM(w) AS w FROM (
+    SELECT * FROM s1 UNION ALL SELECT * FROM p2
+  ) GROUP BY cust
+), e2 AS (
+  SELECT CASE WHEN COUNT(*) = 13 THEN CAST(MIN(w) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS d
+  FROM (SELECT w FROM m2 ORDER BY w DESC LIMIT 13)
+), s2 AS (
+  SELECT cust, CAST(w - d AS BIGINT) AS est FROM m2, e2 WHERE w > d
+), bb AS (
+  SELECT (SELECT d FROM d0) + (SELECT d FROM d1) + (SELECT d FROM d2)
+         + (SELECT d FROM e1) + (SELECT d FROM e2) AS B,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS N
+), ex AS (
+  SELECT cust, CAST(COUNT(*) AS BIGINT) AS fc FROM b GROUP BY cust
+), hm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy_missed
+  FROM ex, bb
+  WHERE ex.fc > bb.B AND cust NOT IN (SELECT cust FROM s2)
+)
+SELECT s2.cust AS o_custkey, s2.est AS est_count, ex.fc AS exact_count,
+       CAST(bb.B AS BIGINT) AS err_bound,
+       s2.est <= ex.fc AS no_overcount,
+       ex.fc - s2.est <= bb.B AS within_bound,
+       13 * bb.B <= bb.N AS mg_bound_ok,
+       hm.n_heavy_missed
+FROM s2 JOIN ex USING (cust), bb, hm
+"""
+
+
+@register(
+    "pipeline_mg_sketch_stream",
+    oracle=_MG_STREAM_ORACLE,
+    tags=("agg", "sketch", "streaming"),
+)
+def pipeline_mg_sketch_stream(spark, sf_dir):
+    """STREAMING maintenance of the Misra-Gries frequent-items sketch
+    (k=12) through the checkpointed foreachBatch consumer: orders
+    arrive as 3 key-ordered micro-batches; each batch compresses its
+    exact counts to a ≤k partial, merges it into the STANDING state
+    (sum weights, subtract the (k+1)-th largest), and persists the new
+    state under its epoch — replay recomputes epoch e from the
+    PERSISTED epoch e−1 snapshot and overwrites, so recovery is
+    idempotent without a ledger. The error budget accumulates exactly
+    (B = Σ batch-d + Σ merge-d) and the Agarwal et al. Thm-1 guarantee
+    survives the SEQUENTIAL merge tree: (k+1)·B ≤ N, driver-checked,
+    with per-survivor no-overcount / within-budget flags and
+    n_heavy_missed = 0. The oracle unrolls the three maintenance
+    stages in SQL and never sees the stream — a lost batch, a wrong
+    subtraction, or state read from the wrong epoch breaks the
+    hash."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketches import mg_merge, mg_summary
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    t1 = (int(mx) + 1) // 3
+    b = o.select(F.col("o_custkey").alias("cust"), "o_orderkey")
+    work = tempfile.mkdtemp(prefix="mg_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    staged = os.path.join(work, "staged")
+    (
+        b.withColumn("__b", F.least(F.lit(2), F.expr(f"o_orderkey DIV {t1}")))
+        .repartition(1)
+        .write.partitionBy("__b")
+        .json(staged)
+    )
+    for i in range(3):
+        files = _glob.glob(os.path.join(staged, f"__b={i}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"b{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    state_dir = os.path.join(work, "state")
+    budget_dir = os.path.join(work, "budget")
+    k = 12
+
+    def handle(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        counts = (
+            batch_df.groupBy("cust")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .withColumn("shard", F.lit(0))
+        )
+        part, d1 = mg_summary(counts, "cust", "c", "shard", k)
+        part = part.select("cust", "w")
+        d1v = d1.agg(
+            F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("d")
+        )
+        if batch_id == 0:
+            new_state, d_merge = part, None
+        else:
+            prev = sp.read.schema("cust long, w long").parquet(
+                os.path.join(state_dir, f"epoch={batch_id - 1}")
+            )
+            merged_in = prev.unionByName(part).withColumn("shard", F.lit(0))
+            # mg_merge sums weights per value and subtracts the
+            # (k+1)-th largest merged weight
+            new_state, d_merge = mg_merge(
+                merged_in.select("cust", "w"), "cust", k
+            )
+            new_state = new_state.select("cust", F.col("est").alias("w"))
+        prev_budget = 0
+        if batch_id > 0:
+            prev_budget = (
+                sp.read.schema("b long")
+                .parquet(os.path.join(budget_dir, f"epoch={batch_id - 1}"))
+                .collect()[0][0]
+            )
+        d1_val = d1v.collect()[0][0]
+        d2_val = 0 if d_merge is None else d_merge.collect()[0][0]
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"epoch={batch_id}")
+        )
+        sp.createDataFrame(
+            [(int(prev_budget) + int(d1_val) + int(d2_val),)], "b long"
+        ).write.mode("overwrite").parquet(
+            os.path.join(budget_dir, f"epoch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema("cust long, o_orderkey long")
+        .option("maxFilesPerTrigger", 1)
+        .json(data_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    fin = spark.read.schema("cust long, w long").parquet(
+        os.path.join(state_dir, "epoch=2")
+    ).select("cust", F.col("w").alias("est"))
+    budget = spark.read.schema("b long").parquet(
+        os.path.join(budget_dir, "epoch=2")
+    ).select(F.col("b").alias("B"))
+    exact = b.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("fc"))
+    nn = b.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    bounds = budget.crossJoin(F.broadcast(nn))
+    heavy_missed = (
+        exact.crossJoin(F.broadcast(bounds))
+        .filter(F.col("fc") > F.col("B"))
+        .join(fin, "cust", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_heavy_missed"))
+    )
+    return (
+        fin.join(exact, "cust")
+        .crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(heavy_missed))
+        .select(
+            F.col("cust").alias("o_custkey"),
+            F.col("est").alias("est_count"),
+            F.col("fc").alias("exact_count"),
+            F.col("B").alias("err_bound"),
+            (F.col("est") <= F.col("fc")).alias("no_overcount"),
+            (F.col("fc") - F.col("est") <= F.col("B")).alias("within_bound"),
+            ((k + 1) * F.col("B") <= F.col("N")).alias("mg_bound_ok"),
+            "n_heavy_missed",
+        )
+    )

@@ -651,3 +651,188 @@ def agg_hodges_lehmann_shift(spark, sf_dir):
         .filter(F.col("rk") == F.expr("(n_pairs + 1) DIV 2"))
         .select("n_pairs", F.col("diff").cast("long").alias("hl_shift_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Ansari-Bradley — rank-based two-sample SCALE test.
+# ---------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY y, event_id) AS rk
+  FROM b
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a
+  FROM b
+)
+SELECT t.n_a, CAST(t.n - t.n_a AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN LEAST(rk, t.n + 1 - rk) ELSE 0 END)
+            AS BIGINT) AS ab_statistic,
+       CAST(CASE WHEN t.n % 2 = 0 THEN t.n_a * (t.n + 2)
+                 ELSE t.n_a * (t.n + 1) * (t.n + 1) END AS BIGINT)
+         AS expected_num,
+       CAST(CASE WHEN t.n % 2 = 0 THEN 4 ELSE 4 * t.n END AS BIGINT)
+         AS expected_den
+FROM r, t
+GROUP BY t.n_a, t.n
+"""
+
+
+@register("agg_ansari_bradley", oracle=_AB_ORACLE, tags=("agg", "stats"))
+def agg_ansari_bradley(spark, sf_dir):
+    """ANSARI-BRADLEY two-sample SCALE test (Ansari & Bradley 1960) —
+    the rank-based dispersion comparison completing the scale family
+    (Brown-Forsythe tests spread via median deviations; this one is
+    fully distribution-free): pool purchase and click prices, rank
+    under the (value, event_id) total order (pinned tiebreak in place
+    of midranks — the spearman convention), score each observation
+    min(rk, N+1−rk) (extremes score low, the middle scores high), and
+    sum the scores of group A. AB, and the null-mean as the exact
+    rational expected_num/expected_den (parity-split closed form), are
+    ALL exact integers — no float anywhere. Plan: one two-pass global
+    rank + one 1-row reduce."""
+    from ..operators.scale import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "event_type",
+        F.round(dec("value", VAL) * 100).cast("long").alias("y"),
+    )
+    t = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+    )
+    r = global_index(b, "rk0", ["y", "event_id"]).select(
+        "event_type", (F.col("rk0") + 1).alias("rk")
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy("n_a", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.least(F.col("rk"), F.col("n") + 1 - F.col("rk")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ab_statistic")
+        )
+        .select(
+            "n_a",
+            (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+            "ab_statistic",
+            F.when(
+                F.col("n") % 2 == 0, F.col("n_a") * (F.col("n") + 2)
+            )
+            .otherwise(F.col("n_a") * (F.col("n") + 1) * (F.col("n") + 1))
+            .cast("long")
+            .alias("expected_num"),
+            F.when(F.col("n") % 2 == 0, F.lit(4))
+            .otherwise(4 * F.col("n"))
+            .cast("long")
+            .alias("expected_den"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anderson-Darling two-sample — the tail-sensitive EDF test.
+# ---------------------------------------------------------------------------
+
+_AD_ORACLE = """
+WITH b AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT is_a, row_number() OVER (ORDER BY y, event_id) AS i,
+         SUM(is_a) OVER (ORDER BY y, event_id) AS m_i
+  FROM b
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot, CAST(SUM(is_a) AS BIGINT) AS n_a
+  FROM b
+), s AS (
+  SELECT CAST(SUM(CAST(m_i * t.n_tot - t.n_a * i AS HUGEINT)
+                  * (m_i * t.n_tot - t.n_a * i) * 1000000
+                  // (i * (t.n_tot - i))) AS DECIMAL(38,0)) AS terms
+  FROM r, t WHERE i < t.n_tot
+)
+SELECT t.n_a, CAST(t.n_tot - t.n_a AS BIGINT) AS n_b,
+       round(CAST(s.terms AS DOUBLE)
+             / (1e6 * CAST(t.n_a AS DOUBLE) * (t.n_tot - t.n_a) * t.n_tot), 6)
+         AS a2_statistic
+FROM t, s
+"""
+
+
+@register("agg_anderson_darling_2samp", oracle=_AD_ORACLE, tags=("agg", "stats"))
+def agg_anderson_darling_2samp(spark, sf_dir):
+    """ANDERSON-DARLING two-sample test (Pettitt 1976 rank form) —
+    the TAIL-SENSITIVE EDF comparison completing the family (KS sees
+    the max gap, CvM-style averages; AD's 1/(i(N−i)) weight makes the
+    tails count): A² = (1/(nm·N)) Σ_{i<N} (M_i·N − n·i)² / (i(N−i))
+    with M_i the count of group A among the first i pooled
+    observations under the pinned (value, event_id) total order. Every
+    per-i term is an exact integer at the fixed 10⁶ scale (truncation
+    < 1e-6/term — invisible at round(6)); M_i comes from the two-pass
+    global_cumsum, never a single-partition window; A² is one float.
+    Plan: two-pass rank + two-pass cumsum + one 1-row reduce."""
+    from ..operators.scale import global_cumsum, global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        F.round(dec("value", VAL) * 100).cast("long").alias("y"),
+    )
+    t = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("is_a").cast("long").alias("n_a"),
+    )
+    idx = global_index(b, "i0", ["y", "event_id"])
+    r = global_cumsum(idx, "is_a", ["y", "event_id"], "m_i").select(
+        (F.col("i0") + 1).alias("i"), "m_i"
+    )
+    s = (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("i") < F.col("n_tot"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(m_i * n_tot - n_a * i AS DECIMAL(38,0))"
+                    " * (m_i * n_tot - n_a * i) * 1000000"
+                    " DIV (i * (n_tot - i)) AS DECIMAL(38,0))"
+                )
+            ).alias("terms")
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(s))
+        .select(
+            "n_a",
+            (F.col("n_tot") - F.col("n_a")).cast("long").alias("n_b"),
+            F.round(
+                F.col("terms").cast("double")
+                / (
+                    1e6
+                    * F.col("n_a").cast("double")
+                    * (F.col("n_tot") - F.col("n_a"))
+                    * F.col("n_tot")
+                ),
+                6,
+            ).alias("a2_statistic"),
+        )
+    )
