@@ -152,6 +152,28 @@ ROTATING = [
     "graph_two_hop_reach",
     "mm_content_defined_chunks",
     "text_hybrid_rrf_fusion",
+    # round 10 additions — one per new operator family (mergeable
+    # sketches, nonparametric/EDF statistics, recurrent timeseries,
+    # eval decompositions, corpus laws, graph centrality, fairness
+    # allocation, LSH planning, PQ distance modes). The checkpointed
+    # consumer drives (dedup_substring_index_stream,
+    # pipeline_bloom_decontam_stream, pipeline_*_sketch_stream,
+    # cdc_consumer_catalog_landing) are deliberately NOT here, like
+    # the other foreachBatch drives — their walls are stream/table
+    # churn; their scale records are the 10x probes.
+    "agg_mergeable_quantile_sketch",
+    "agg_misra_gries_topk",
+    "agg_cliff_delta",
+    "agg_anderson_darling_2samp",
+    "tw_holt_double_smoothing",
+    "ml_brier_decomposition",
+    "ml_auc_delong_variance",
+    "text_heaps_law_fit",
+    "text_ngram_novelty_curve",
+    "graph_harmonic_2hop",
+    "pipeline_quota_water_filling",
+    "dedup_lsh_param_planner",
+    "sim_pq_sdc_vs_adc",
 ]
 
 
@@ -345,25 +367,43 @@ def main() -> None:
 
     slow: set[str] = set()
 
+    # Dirty-sample refusal (VERDICT r9 task #7: the driver's r9 bench ran
+    # under external load — covariate max 1.0 — and its numbers had to be
+    # adjudicated contaminated after the fact). A sample whose external
+    # CPU fraction exceeds the threshold is RE-TAKEN up to max_retries
+    # times; if contention persists, the last sample is kept — the
+    # covariate columns still flag it, so a dirty record is visible, it
+    # just cannot silently displace a clean one the harness could have
+    # taken by waiting out a burst.
+    max_ext = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXT", "0.3"))
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_EXT_RETRIES", "2"))
+    n_resampled = {"n": 0}
+
     def timed(name: str) -> None:
-        if name in slow:
-            jvm_gc()
-        busy0, tree0 = _cpu_jiffies()
-        t0 = time.perf_counter()
-        _force(specs[name].fn(spark, sf_dir))
-        samples[name].append(time.perf_counter() - t0)
-        busy1, tree1 = _cpu_jiffies()
-        # Fraction of machine busy-CPU during this sample that was NOT
-        # this bench: ~0 quiesced, >0 flags a contaminated sample. The
-        # tree delta is clamped at 0 (a Python worker exiting mid-sample
-        # takes its accumulated jiffies out of the sum, driving the raw
-        # delta negative) and the ratio at 1 (it is a fraction).
-        d_busy = max(busy1 - busy0, 1)
-        d_tree = max(tree1 - tree0, 0)
-        external[name].append(round(min(max(d_busy - d_tree, 0) / d_busy, 1.0), 3))
-        # Queries that persist intermediates (similarity join, CC) must
-        # not hold blocks into the next measurement — isolate each run.
-        spark.catalog.clearCache()
+        for attempt in range(max_retries + 1):
+            if name in slow:
+                jvm_gc()
+            busy0, tree0 = _cpu_jiffies()
+            t0 = time.perf_counter()
+            _force(specs[name].fn(spark, sf_dir))
+            wall = time.perf_counter() - t0
+            busy1, tree1 = _cpu_jiffies()
+            # Fraction of machine busy-CPU during this sample that was NOT
+            # this bench: ~0 quiesced, >0 flags a contaminated sample. The
+            # tree delta is clamped at 0 (a Python worker exiting mid-sample
+            # takes its accumulated jiffies out of the sum, driving the raw
+            # delta negative) and the ratio at 1 (it is a fraction).
+            d_busy = max(busy1 - busy0, 1)
+            d_tree = max(tree1 - tree0, 0)
+            ext = round(min(max(d_busy - d_tree, 0) / d_busy, 1.0), 3)
+            # Queries that persist intermediates (similarity join, CC) must
+            # not hold blocks into the next measurement — isolate each run.
+            spark.catalog.clearCache()
+            if ext <= max_ext or attempt == max_retries:
+                samples[name].append(wall)
+                external[name].append(ext)
+                return
+            n_resampled["n"] += 1
 
     for name in headline:  # round 1 doubles as the slow-set probe
         timed(name)
@@ -423,6 +463,8 @@ def main() -> None:
         ),
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "dirty_samples_retaken": n_resampled["n"],
+        "dirty_sample_threshold": max_ext,
         "n_cpus": os.cpu_count(),
         "index_lifecycle_min3": lifecycle,
         "sf": sf,

@@ -1083,22 +1083,7 @@ def pq_assign_codes(
         (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
         F.round(F.col("x").cast("double") * q).cast("long").alias("qx"),
     )
-    seed_w = W.orderBy(F.col("id"))
-    seeds = (
-        base.orderBy(F.col("id"))
-        .limit(k)
-        .select((F.row_number().over(seed_w) - 1).alias("code"), "id", "vec")
-    )
-    cdims = seeds.select(
-        "code",
-        (F.size("vec") / m).cast("int").alias("d_sub"),
-        F.posexplode("vec").alias("j", "cx"),
-    ).select(
-        "code",
-        "j",
-        (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
-        F.round(F.col("cx").cast("double") * q).cast("long").alias("qc"),
-    )
+    cdims = pq_centroid_dims(emb, id_col, vec_col, m, k, q)
     diff = qdims.join(F.broadcast(cdims.select("code", "j", "qc")), "j")
     dist = diff.groupBy("id", "sub", "code").agg(
         F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias("d2")
@@ -1114,6 +1099,39 @@ def pq_assign_codes(
         )
     )
     return best
+
+
+def pq_centroid_dims(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    q: int = 1_000_000,
+) -> DataFrame:
+    """The PQ codebook's dim-exploded quantized centroid cells
+    (code, j, sub, qc) — rank-based seeds (the K smallest ids'
+    subvectors, the same deterministic seeding as the IVF quantizer).
+    Extracted from pq_assign_codes so distance-table consumers (the
+    ADC lookup table, the SDC centroid-centroid table) share the
+    IDENTICAL codebook construction."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seed_w = W.orderBy(F.col("id"))
+    seeds = (
+        base.orderBy(F.col("id"))
+        .limit(k)
+        .select((F.row_number().over(seed_w) - 1).alias("code"), "id", "vec")
+    )
+    return seeds.select(
+        "code",
+        (F.size("vec") / m).cast("int").alias("d_sub"),
+        F.posexplode("vec").alias("j", "cx"),
+    ).select(
+        "code",
+        "j",
+        (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
+        F.round(F.col("cx").cast("double") * q).cast("long").alias("qc"),
+    )
 
 
 def _qdims(df: DataFrame, id_alias: str, m: int, q: int) -> DataFrame:

@@ -479,6 +479,16 @@ _ROUND10_NEW: list = [
     "pipeline_quantile_sketch_stream",
     "pipeline_mg_sketch_stream",
     "cdc_consumer_catalog_landing",
+    # -- round-10 wave 4: EDF trio completion, drift/variance eval,
+    #    recurrent + fractal timeseries, LSH planning, PQ modes:
+    "agg_cramer_von_mises",
+    "ml_psi_population_stability",
+    "ml_auc_delong_variance",
+    "tw_dominant_period_acf",
+    "tw_page_hinkley",
+    "tw_hurst_rescaled_range",
+    "dedup_lsh_param_planner",
+    "sim_pq_sdc_vs_adc",
 ]
 
 

@@ -1890,3 +1890,132 @@ def pipeline_bloom_decontam_stream(spark, sf_dir):
         "bloom_flagged",
         "confirmed_contaminated",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10: data-grounded LSH parameter planner.
+# ---------------------------------------------------------------------------
+
+_LSH_PLANNER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t WHERE len(toks) >= 3
+), pairs AS (
+  SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3
+), params AS (
+  SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8), (2, 16),
+                        (1, 32)) AS p(bands, rows_per_band)
+), scored AS (
+  SELECT bands, rows_per_band,
+         CAST(round(1000000 * (1 - power(1 - power(j, rows_per_band), bands)))
+              AS BIGINT) AS p_micro
+  FROM pairs, params
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS expected_recall_micro
+FROM scored GROUP BY bands, rows_per_band
+"""
+
+
+@register(
+    "dedup_lsh_param_planner", oracle=_LSH_PLANNER_ORACLE, tags=("llm", "dedup", "lsh")
+)
+def dedup_lsh_param_planner(spark, sf_dir):
+    """DATA-GROUNDED LSH parameter planner: for every (bands, rows)
+    split of the 32 minhashes, the EXPECTED candidate recall over this
+    corpus's OBSERVED near-pair population (exact-Jaccard pairs ≥ 0.3)
+    via the S-curve P(candidate) = 1 − (1 − j^r)^b evaluated at each
+    true pair's exact Jaccard — the number that answers "if I rebank
+    16×2 → 8×4, what recall do I give up HERE?" (the textbook curve
+    assumes a Jaccard distribution; this weighs it by the real one).
+    Each pair's probability is micro-quantized immediately (one pow
+    chain — the Burrows rule) so the per-parameter mean is an exact
+    integer floor-mean. COLLAPSE-FIRST like every pairwise consumer:
+    the exact PPJoin runs on canonical docs only, cross-family pairs
+    carry weight n_a*n_b and in-family clone pairs contribute m(m-1)/2
+    at j = 1.0 (p_micro = 10^6 for every parameter choice) — VALUES
+    identical to the flat enumeration (clones share shingle sets), at
+    family-pair instead of raw-pair cost (the flat form measured 14.6x
+    on the clone-replicated 10x probe; collapsed it is sub-linear).
+    Plan: one collapse rollup + one canonical PPJoin + one 6-row
+    broadcast + one weighted rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    fams = (
+        docs.groupBy(F.md5("text").alias("__fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .drop("__fp")
+    )
+    members = fams.select("doc_id", "n_members")
+    cpairs = (
+        dedup.exact_jaccard_pairs(fams.select("doc_id", "text"), threshold=0.3)
+        .join(
+            F.broadcast(
+                members.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                    "n_members", "m_a"
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                members.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                    "n_members", "m_b"
+                )
+            ),
+            "id_b",
+        )
+        .select("jaccard", (F.col("m_a") * F.col("m_b")).alias("w"))
+    )
+    cliques = fams.filter(F.col("n_members") >= 2).select(
+        F.lit(1.0).alias("jaccard"),
+        (F.col("n_members") * (F.col("n_members") - 1) / 2)
+        .cast("long")
+        .alias("w"),
+    )
+    pairs = cpairs.unionByName(cliques)
+    params = spark.createDataFrame(
+        [(32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32)],
+        "bands int, rows_per_band int",
+    )
+    scored = pairs.crossJoin(F.broadcast(params)).select(
+        "bands",
+        "rows_per_band",
+        "w",
+        F.round(
+            1000000
+            * (
+                1
+                - F.pow(
+                    1 - F.pow(F.col("jaccard"), F.col("rows_per_band")),
+                    F.col("bands"),
+                )
+            )
+        )
+        .cast("long")
+        .alias("p_micro"),
+    )
+    return scored.groupBy(
+        F.col("bands").cast("long").alias("bands"),
+        F.col("rows_per_band").cast("long").alias("rows_per_band"),
+    ).agg(
+        F.sum("w").cast("long").alias("n_true_pairs"),
+        F.expr(
+            "CAST(SUM(CAST(w AS DECIMAL(38,0)) * p_micro) DIV SUM(w) AS BIGINT)"
+        ).alias("expected_recall_micro"),
+    )

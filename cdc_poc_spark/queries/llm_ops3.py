@@ -988,3 +988,494 @@ def pipeline_quota_water_filling(spark, sf_dir):
             (F.col("cap") <= F.col("level")).alias("fully_funded"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the score-drift monitor.
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events
+), b AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END AS h1
+  FROM events, bounds
+), mx AS (
+  SELECT MAX(c) + 1 AS d FROM b
+), k AS (
+  SELECT LEAST(9, c * 10 // d) AS bin,
+         CAST(SUM(h1) + 1 AS BIGINT) AS n1,
+         CAST(SUM(1 - h1) + 1 AS BIGINT) AS n2
+  FROM b, mx GROUP BY LEAST(9, c * 10 // d)
+), t AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS tn1, CAST(SUM(n2) AS BIGINT) AS tn2 FROM k
+), terms AS (
+  SELECT bin, n1, n2,
+         CAST(n1 * t.tn2 - n2 * t.tn1 AS BIGINT) AS numer,
+         CAST(round(1000000 * ln(CAST(n1 AS DOUBLE) * t.tn2
+                                 / (CAST(n2 AS DOUBLE) * t.tn1)))
+              AS BIGINT) AS l_micro
+  FROM k, t
+)
+SELECT CAST(bin AS BIGINT) AS bin, n1 AS n_first_sm, n2 AS n_second_sm,
+       l_micro,
+       round((SELECT CAST(SUM(CAST(numer AS HUGEINT) * l_micro)
+                          AS DOUBLE) FROM terms)
+             / (1e6 * (SELECT CAST(tn1 AS DOUBLE) * tn2 FROM t)), 6) AS psi
+FROM terms
+"""
+
+
+@register("ml_psi_population_stability", oracle=_PSI_ORACLE, tags=("llm", "ml", "stats"))
+def ml_psi_population_stability(spark, sf_dir):
+    """POPULATION STABILITY INDEX between the first and second half of
+    the observed window (exact integer midpoint) — the standard
+    model-monitoring drift alarm (PSI < 0.1 stable, > 0.25 retrain):
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over the same exact 10
+    score bins as ml_calibration_bins, with add-one (Laplace)
+    smoothing pinned so empty bins stay finite. Exactness: each bin's
+    log-ratio uses EXACT integer arguments (n1·N2 / n2·N1) and is
+    micro-quantized immediately (the Burrows rule); the numerator
+    n1·N2 − n2·N1 is exact; the sum of products is DECIMAL(38); PSI is
+    one float, replicated per bin row beside the hashed per-bin
+    smoothed counts and log-ratios. Plan: one 1-row bounds reduce, one
+    bin rollup, one 1-row reduce."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    bounds = ev.agg(
+        F.expr("CAST((MIN(ts_us) + MAX(ts_us)) DIV 2 AS BIGINT)").alias("mid")
+    )
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("c"),
+        F.when(F.col("ts_us") < F.col("mid"), 1).otherwise(0).alias("h1"),
+    )
+    mx = b.agg((F.max("c") + 1).cast("long").alias("d"))
+    k = (
+        b.crossJoin(F.broadcast(mx))
+        .groupBy(F.least(F.lit(9), F.expr("c * 10 DIV d")).alias("bin"))
+        .agg(
+            (F.sum("h1") + 1).cast("long").alias("n1"),
+            (F.sum(1 - F.col("h1")) + 1).cast("long").alias("n2"),
+        )
+    )
+    t = k.agg(
+        F.sum("n1").cast("long").alias("tn1"),
+        F.sum("n2").cast("long").alias("tn2"),
+    )
+    terms = k.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n1",
+        "n2",
+        (F.col("n1") * F.col("tn2") - F.col("n2") * F.col("tn1"))
+        .cast("long")
+        .alias("numer"),
+        F.round(
+            1000000
+            * F.log(
+                F.col("n1").cast("double")
+                * F.col("tn2")
+                / (F.col("n2").cast("double") * F.col("tn1"))
+            )
+        )
+        .cast("long")
+        .alias("l_micro"),
+    )
+    psi = terms.agg(
+        F.sum(F.col("numer").cast("decimal(38,0)") * F.col("l_micro")).alias("s")
+    ).crossJoin(F.broadcast(t)).select(
+        F.round(
+            F.col("s").cast("double")
+            / (1e6 * F.col("tn1").cast("double") * F.col("tn2")),
+            6,
+        ).alias("psi")
+    )
+    return terms.crossJoin(F.broadcast(psi)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n1").alias("n_first_sm"),
+        F.col("n2").alias("n_second_sm"),
+        "l_micro",
+        "psi",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DeLong variance of the exact AUC.
+# ---------------------------------------------------------------------------
+
+_DELONG_ORACLE = """
+WITH b AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS c,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0 END AS y
+  FROM events
+), v AS (
+  SELECT c,
+         CAST(SUM(y) AS BIGINT) AS cp,
+         CAST(SUM(1 - y) AS BIGINT) AS cn
+  FROM b GROUP BY c
+), cw AS (
+  SELECT c, cp, cn,
+         SUM(cn) OVER (ORDER BY c) - cn AS neg_lt,
+         SUM(cp) OVER (ORDER BY c) - cp AS pos_lt
+  FROM v
+), t AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n, CAST(SUM(cn) AS BIGINT) AS m FROM v
+), pos AS (
+  -- per-positive placement x2: 2*(#neg < c) + (#neg == c)
+  SELECT CAST(SUM(cp * (2 * neg_lt + cn)) AS DECIMAL(38,0)) AS sp,
+         CAST(SUM(CAST(cp AS HUGEINT) * (2 * neg_lt + cn)
+                  * (2 * neg_lt + cn)) AS DECIMAL(38,0)) AS spp
+  FROM cw
+), neg AS (
+  -- per-negative placement x2: 2*(#pos > c) + (#pos == c)
+  SELECT CAST(SUM(cn * (2 * (t.n - pos_lt - cp) + cp)) AS DECIMAL(38,0)) AS sq,
+         CAST(SUM(CAST(cn AS HUGEINT) * (2 * (t.n - pos_lt - cp) + cp)
+                  * (2 * (t.n - pos_lt - cp) + cp)) AS DECIMAL(38,0)) AS sqq
+  FROM cw, t
+)
+SELECT t.n AS n_pos, t.m AS n_neg,
+       CAST(CAST(pos.sp AS HUGEINT) * 1000000 // (2 * t.n * t.m) AS BIGINT)
+         AS auc_ppm,
+       CAST(CAST(t.n * pos.spp - CAST(pos.sp AS HUGEINT) * pos.sp
+                 AS DECIMAL(38,0)) AS VARCHAR) AS v10_var_num,
+       CAST(CAST(t.m * neg.sqq - CAST(neg.sq AS HUGEINT) * neg.sq
+                 AS DECIMAL(38,0)) AS VARCHAR) AS v01_var_num,
+       round(sqrt(
+         CAST(t.n * pos.spp - CAST(pos.sp AS HUGEINT) * pos.sp AS DOUBLE)
+           / (CAST(t.n AS DOUBLE) * t.n * (t.n - 1) * 4 * t.m * t.m)
+         + CAST(t.m * neg.sqq - CAST(neg.sq AS HUGEINT) * neg.sq AS DOUBLE)
+           / (CAST(t.m AS DOUBLE) * t.m * (t.m - 1) * 4 * t.n * t.n)), 6)
+         AS auc_se
+FROM t, pos, neg
+"""
+
+
+@register("ml_auc_delong_variance", oracle=_DELONG_ORACLE, tags=("llm", "ml", "stats"))
+def ml_auc_delong_variance(spark, sf_dir):
+    """DeLONG VARIANCE of the exact AUC (DeLong, DeLong &
+    Clarke-Pearson 1988) — the standard error that turns
+    ml_roc_auc_exact's point estimate into a confidence statement:
+    per-positive placements V10 (fraction of negatives below, ties
+    half) and per-negative placements V01, their sample variances,
+    SE² = S10/n + S01/m. Rank algebra throughout — placements come
+    from ONE value-level rollup + global_cumsum (2·neg_lt + neg_eq as
+    exact ×2m-scaled integers), never a pos×neg pairwise relation;
+    both variance numerators (n·Σp² − (Σp)²) are DECIMAL(38)-exact
+    and driver-hashed beside the exact auc_ppm; SE is one float.
+    Plan: one value rollup + one two-pass cumsum + two 1-row
+    reduces."""
+    from ..operators.scale import global_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.round(dec("value", VAL) * 100).cast("long").alias("c"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    v = b.groupBy("c").agg(
+        F.sum("y").cast("long").alias("cp"),
+        F.sum(1 - F.col("y")).cast("long").alias("cn"),
+    )
+    cw = (
+        global_cumsum(
+            global_cumsum(v, "cn", ["c"], "cum_cn"), "cp", ["c"], "cum_cp"
+        )
+        .select(
+            "c",
+            "cp",
+            "cn",
+            (F.col("cum_cn") - F.col("cn")).alias("neg_lt"),
+            (F.col("cum_cp") - F.col("cp")).alias("pos_lt"),
+        )
+    )
+    t = v.agg(
+        F.sum("cp").cast("long").alias("n"),
+        F.sum("cn").cast("long").alias("m"),
+    )
+    p2 = F.expr("2 * neg_lt + cn")
+    pos = cw.agg(
+        F.sum(F.col("cp") * p2).cast("decimal(38,0)").alias("sp"),
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * (2 * neg_lt + cn) * (2 * neg_lt + cn)")).alias(
+            "spp"
+        ),
+    )
+    q2 = F.expr("2 * (n - pos_lt - cp) + cp")
+    neg = cw.crossJoin(F.broadcast(t.select("n"))).agg(
+        F.sum(F.col("cn") * q2).cast("decimal(38,0)").alias("sq"),
+        F.sum(
+            F.expr(
+                "CAST(cn AS DECIMAL(38,0)) * (2 * (n - pos_lt - cp) + cp)"
+                " * (2 * (n - pos_lt - cp) + cp)"
+            )
+        ).alias("sqq"),
+    )
+    return (
+        t.crossJoin(F.broadcast(pos))
+        .crossJoin(F.broadcast(neg))
+        .select(
+            F.col("n").alias("n_pos"),
+            F.col("m").alias("n_neg"),
+            F.expr(
+                "CAST(CAST(sp AS DECIMAL(38,0)) * 1000000"
+                " DIV (2 * n * m) AS BIGINT)"
+            ).alias("auc_ppm"),
+            # exact integers wider than BIGINT at large SF — emitted as
+            # the decimal's exact STRING so both engines hash identically
+            (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("v10_var_num"),
+            (F.col("m") * F.col("sqq") - F.col("sq") * F.col("sq"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("v01_var_num"),
+            F.round(
+                F.sqrt(
+                    (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast(
+                        "double"
+                    )
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("n")
+                        * (F.col("n") - 1)
+                        * 4
+                        * F.col("m")
+                        * F.col("m")
+                    )
+                    + (F.col("m") * F.col("sqq") - F.col("sq") * F.col("sq")).cast(
+                        "double"
+                    )
+                    / (
+                        F.col("m").cast("double")
+                        * F.col("m")
+                        * (F.col("m") - 1)
+                        * 4
+                        * F.col("n")
+                        * F.col("n")
+                    )
+                ),
+                6,
+            ).alias("auc_se"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ distance modes: asymmetric (ADC) vs symmetric (SDC).
+# ---------------------------------------------------------------------------
+
+_SDC_ADC_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), dims AS (
+  SELECT vec_id, j - 1 AS j,
+         CAST((j - 1) // (len(v) // 8) AS INTEGER) AS sub,
+         CAST(round(v[j] * 1000000) AS BIGINT) AS qx
+  FROM e, UNNEST(generate_series(1, len(v))) AS u(j)
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM e ORDER BY vec_id LIMIT 16
+), cdims AS (
+  SELECT s.code, d.j, d.sub, d.qx AS qc
+  FROM seeds s JOIN dims d ON d.vec_id = s.vec_id
+), dist AS (
+  SELECT d.vec_id AS id, d.sub, c.code,
+         SUM((d.qx - c.qc) * (d.qx - c.qc)) AS d2
+  FROM dims d JOIN cdims c ON c.j = d.j
+  GROUP BY d.vec_id, d.sub, c.code
+), codes AS (
+  SELECT id, sub,
+         CAST(MIN(d2 * 16 + code) % 16 AS INTEGER) AS code
+  FROM dist GROUP BY id, sub
+), qd AS (
+  SELECT vec_id AS qid, j, sub, qx FROM dims WHERE vec_id < 4
+), adc_lut AS (
+  SELECT q.qid, q.sub, c.code,
+         SUM((q.qx - c.qc) * (q.qx - c.qc)) AS d2q
+  FROM qd q JOIN cdims c ON c.j = q.j
+  GROUP BY q.qid, q.sub, c.code
+), adc AS (
+  SELECT l.qid, k.id, CAST(SUM(l.d2q) AS BIGINT) AS adc_d2
+  FROM codes k JOIN adc_lut l ON l.sub = k.sub AND l.code = k.code
+  GROUP BY l.qid, k.id
+), cc AS (
+  SELECT a.sub, a.code AS code_a, b.code AS code_b,
+         SUM((a.qc - b.qc) * (a.qc - b.qc)) AS d2cc
+  FROM cdims a JOIN cdims b ON a.j = b.j
+  GROUP BY a.sub, a.code, b.code
+), qcodes AS (
+  SELECT id AS qid, sub, code FROM codes WHERE id < 4
+), sdc AS (
+  SELECT qc.qid, k.id, CAST(SUM(cc.d2cc) AS BIGINT) AS sdc_d2
+  FROM codes k
+  JOIN qcodes qc ON qc.sub = k.sub
+  JOIN cc ON cc.sub = k.sub AND cc.code_a = qc.code AND cc.code_b = k.code
+  GROUP BY qc.qid, k.id
+), exact AS (
+  SELECT q.qid, d.vec_id AS id,
+         CAST(SUM((q.qx - d.qx) * (q.qx - d.qx)) AS BIGINT) AS ex_d2
+  FROM qd q JOIN dims d ON d.j = q.j
+  GROUP BY q.qid, d.vec_id
+), joined AS (
+  SELECT exact.qid, exact.id, ex_d2, adc_d2, sdc_d2
+  FROM exact JOIN adc ON adc.qid = exact.qid AND adc.id = exact.id
+  JOIN sdc ON sdc.qid = exact.qid AND sdc.id = exact.id
+  WHERE exact.id <> exact.qid
+), errs AS (
+  SELECT qid,
+         CAST(SUM(ABS(adc_d2 - ex_d2)) AS BIGINT) AS adc_abs_err,
+         CAST(SUM(ABS(sdc_d2 - ex_d2)) AS BIGINT) AS sdc_abs_err,
+         CAST(COUNT(*) AS BIGINT) AS n_corpus
+  FROM joined GROUP BY qid
+), tops AS (
+  SELECT qid, id,
+         row_number() OVER (PARTITION BY qid ORDER BY ex_d2, id) AS r_ex,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_d2, id) AS r_adc,
+         row_number() OVER (PARTITION BY qid ORDER BY sdc_d2, id) AS r_sdc
+  FROM joined
+), rec AS (
+  SELECT t.qid,
+         CAST(SUM(CASE WHEN a.r_adc <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS recall10_adc,
+         CAST(SUM(CASE WHEN a.r_sdc <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS recall10_sdc
+  FROM tops t JOIN tops a ON a.qid = t.qid AND a.id = t.id
+  WHERE t.r_ex <= 10
+  GROUP BY t.qid
+)
+SELECT errs.qid AS q_vec_id, errs.n_corpus,
+       errs.adc_abs_err, errs.sdc_abs_err,
+       rec.recall10_adc, rec.recall10_sdc,
+       errs.adc_abs_err <= errs.sdc_abs_err AS adc_tighter
+FROM errs JOIN rec ON rec.qid = errs.qid
+"""
+
+
+@register("sim_pq_sdc_vs_adc", oracle=_SDC_ADC_ORACLE, tags=("llm", "similarity"))
+def sim_pq_sdc_vs_adc(spark, sf_dir):
+    """PQ DISTANCE MODES head-to-head (Jégou et al. 2011 §III):
+    ASYMMETRIC distance (ADC — query kept raw, one query-to-centroid
+    lookup table per query) vs SYMMETRIC (SDC — query quantized too,
+    one centroid-to-centroid table shared by ALL queries; cheaper per
+    query, coarser). Per query over the whole corpus: total |approx −
+    exact| L2² error of each mode (EXACT integers — every distance is
+    an integer-quantized dot product over the shared deterministic
+    codebook) and recall@10 of each mode against the exact top-10.
+    The driver hashes both error totals, both recalls, and the
+    adc_tighter flag — ADC's summed error is strictly tighter here
+    (measured at both fixture SFs; per-DOC ADC dominance is not a
+    theorem, summed-over-corpus dominance is what Jégou's Fig. 2
+    shows and what this corpus reproduces). Plan: codebook + codes
+    from pq_assign_codes (one corpus pass), the two lookup tables are
+    broadcast-sized (640 and 2048 exact rows), exact distances join
+    only the 4 query vectors' dims — never a corpus×corpus relation."""
+    from ..operators.similarity import pq_assign_codes, pq_centroid_dims
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_assign_codes(emb).select("id", "sub", "code")
+    cdims = pq_centroid_dims(emb)
+    dims = emb.select(
+        F.col("vec_id").alias("id"),
+        (F.size("embedding") / 8).cast("int").alias("d_sub"),
+        F.posexplode("embedding").alias("j", "x"),
+    ).select(
+        "id",
+        "j",
+        (F.col("j") / F.col("d_sub")).cast("int").alias("sub"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("qx"),
+    )
+    qd = dims.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), "j", "sub", "qx"
+    )
+    adc_lut = (
+        qd.join(F.broadcast(cdims.select("code", "j", "qc")), "j")
+        .groupBy("qid", "sub", "code")
+        .agg(
+            F.sum((F.col("qx") - F.col("qc")) * (F.col("qx") - F.col("qc"))).alias(
+                "d2q"
+            )
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(adc_lut), ["sub", "code"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d2q").cast("long").alias("adc_d2"))
+    )
+    cc = (
+        cdims.select("sub", F.col("code").alias("code_a"), "j", F.col("qc").alias("qa"))
+        .join(
+            F.broadcast(
+                cdims.select(F.col("code").alias("code_b"), "j", F.col("qc").alias("qb"))
+            ),
+            "j",
+        )
+        .groupBy("sub", "code_a", "code_b")
+        .agg(F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb"))).alias("d2cc"))
+    )
+    qcodes = codes.filter(F.col("id") < 4).select(
+        F.col("id").alias("qid"), "sub", F.col("code").alias("code_a")
+    )
+    sdc = (
+        codes.select("id", "sub", F.col("code").alias("code_b"))
+        .join(F.broadcast(qcodes.join(cc, ["sub", "code_a"])), ["sub", "code_b"])
+        .groupBy("qid", "id")
+        .agg(F.sum("d2cc").cast("long").alias("sdc_d2"))
+    )
+    exact = (
+        dims.join(F.broadcast(qd.select("qid", "j", F.col("qx").alias("qq"))), "j")
+        .groupBy("qid", "id")
+        .agg(
+            F.sum((F.col("qq") - F.col("qx")) * (F.col("qq") - F.col("qx")))
+            .cast("long")
+            .alias("ex_d2")
+        )
+    )
+    joined = (
+        exact.join(adc, ["qid", "id"])
+        .join(sdc, ["qid", "id"])
+        .filter(F.col("id") != F.col("qid"))
+    )
+    errs = joined.groupBy("qid").agg(
+        F.sum(F.abs(F.col("adc_d2") - F.col("ex_d2"))).cast("long").alias(
+            "adc_abs_err"
+        ),
+        F.sum(F.abs(F.col("sdc_d2") - F.col("ex_d2"))).cast("long").alias(
+            "sdc_abs_err"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_corpus"),
+    )
+    wq = W.partitionBy("qid")
+    tops = joined.select(
+        "qid",
+        "id",
+        F.row_number().over(wq.orderBy("ex_d2", "id")).alias("r_ex"),
+        F.row_number().over(wq.orderBy("adc_d2", "id")).alias("r_adc"),
+        F.row_number().over(wq.orderBy("sdc_d2", "id")).alias("r_sdc"),
+    )
+    rec = (
+        tops.filter(F.col("r_ex") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("r_adc") <= 10, 1).otherwise(0))
+            .cast("long")
+            .alias("recall10_adc"),
+            F.sum(F.when(F.col("r_sdc") <= 10, 1).otherwise(0))
+            .cast("long")
+            .alias("recall10_sdc"),
+        )
+    )
+    return (
+        errs.join(rec, "qid")
+        .select(
+            F.col("qid").alias("q_vec_id"),
+            "n_corpus",
+            "adc_abs_err",
+            "sdc_abs_err",
+            "recall10_adc",
+            "recall10_sdc",
+            (F.col("adc_abs_err") <= F.col("sdc_abs_err")).alias("adc_tighter"),
+        )
+    )

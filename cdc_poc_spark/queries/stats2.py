@@ -836,3 +836,104 @@ def agg_anderson_darling_2samp(spark, sf_dir):
             ).alias("a2_statistic"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér-von Mises two-sample — completing the EDF trio (KS / CvM / AD).
+# ---------------------------------------------------------------------------
+
+_CVM_ORACLE = """
+WITH b AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+         CAST(round(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS y
+  FROM events WHERE event_type IN ('purchase', 'click')
+), r AS (
+  SELECT is_a, row_number() OVER (ORDER BY y, event_id) AS pooled,
+         row_number() OVER (PARTITION BY is_a ORDER BY y, event_id) AS own
+  FROM b
+), t AS (
+  SELECT CAST(SUM(is_a) AS BIGINT) AS n,
+         CAST(SUM(1 - is_a) AS BIGINT) AS m
+  FROM b
+), u AS (
+  SELECT
+    CAST(SUM(CASE WHEN is_a = 1
+                  THEN t.n * CAST(pooled - own AS HUGEINT) * (pooled - own)
+                  ELSE 0 END) AS DECIMAL(38,0))
+    + CAST(SUM(CASE WHEN is_a = 0
+                    THEN t.m * CAST(pooled - own AS HUGEINT) * (pooled - own)
+                    ELSE 0 END) AS DECIMAL(38,0)) AS u_stat
+  FROM r, t
+)
+SELECT t.n AS n_a, t.m AS n_b,
+       CAST(CAST(u.u_stat AS DECIMAL(38,0)) AS VARCHAR) AS u_stat,
+       round(CAST(u.u_stat AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * t.m * (t.n + t.m))
+             - (4.0 * t.n * t.m - 1) / (6.0 * (t.n + t.m)), 6)
+         AS cvm_t
+FROM t, u
+"""
+
+
+@register("agg_cramer_von_mises", oracle=_CVM_ORACLE, tags=("agg", "stats"))
+def agg_cramer_von_mises(spark, sf_dir):
+    """CRAMÉR-VON MISES two-sample test (Anderson 1962 rank form) —
+    the INTEGRATED EDF distance completing the trio (KS: max gap;
+    AD: tail-weighted; CvM: unweighted integral): with pooled ranks
+    r_i and within-sample ranks i under the pinned (value, event_id)
+    total order, U = n Σ_A (r_i − i)² + m Σ_B (s_j − j)² and
+    T = U/(nm·N) − (4nm − 1)/(6N). U is an exact DECIMAL(38) integer
+    under the driver hash; T is one float expression. Plan: one
+    two-pass pooled rank + one keyed within-sample rank window + one
+    1-row reduce."""
+    from ..operators.scale import global_index
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+        F.round(dec("value", VAL) * 100).cast("long").alias("y"),
+    )
+    pooled = global_index(b, "p0", ["y", "event_id"]).select(
+        "is_a",
+        "y",
+        "event_id",
+        (F.col("p0") + 1).alias("pooled"),
+    )
+    r = pooled.withColumn(
+        "own",
+        F.row_number().over(W.partitionBy("is_a").orderBy("y", "event_id")),
+    )
+    t = b.agg(
+        F.sum("is_a").cast("long").alias("n"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("m"),
+    )
+    gap2 = F.expr(
+        "CAST(pooled - own AS DECIMAL(38,0)) * (pooled - own)"
+    )
+    u = r.crossJoin(F.broadcast(t)).agg(
+        (
+            F.sum(F.when(F.col("is_a") == 1, F.col("n") * gap2).otherwise(F.lit(0)))
+            + F.sum(
+                F.when(F.col("is_a") == 0, F.col("m") * gap2).otherwise(F.lit(0))
+            )
+        ).alias("u_stat")
+    )
+    return (
+        t.crossJoin(F.broadcast(u))
+        .select(
+            F.col("n").alias("n_a"),
+            F.col("m").alias("n_b"),
+            # exact integer wider than BIGINT at large SF — hashed as
+            # the decimal's exact string (the DeLong rule)
+            F.col("u_stat").cast("decimal(38,0)").cast("string").alias("u_stat"),
+            F.round(
+                F.col("u_stat").cast("double")
+                / (F.col("n").cast("double") * F.col("m") * (F.col("n") + F.col("m")))
+                - (4.0 * F.col("n") * F.col("m") - 1)
+                / (6.0 * (F.col("n") + F.col("m"))),
+                6,
+            ).alias("cvm_t"),
+        )
+    )

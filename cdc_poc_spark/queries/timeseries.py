@@ -2010,3 +2010,387 @@ def tw_holt_double_smoothing(spark, sf_dir):
         rec.getField("b").cast("long").alias("trend_micro"),
         (rec.getField("l") + rec.getField("b")).cast("long").alias("forecast_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 wave 4: dominant period, Page-Hinkley, Hurst R/S.
+# ---------------------------------------------------------------------------
+
+_PERIOD_ORACLE = """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              // COUNT(*) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM d
+), nn AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY event_type
+), lags AS (
+  SELECT lag.lag AS lag, a.event_type, a.cents AS x, b.cents AS y
+  FROM (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS lag) lag
+  JOIN r a ON TRUE
+  JOIN r b ON b.event_type = a.event_type AND b.t = a.t + lag.lag
+), m AS (
+  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+  FROM lags GROUP BY event_type, lag
+), rk AS (
+  SELECT event_type, lag,
+         CAST(round(1000000.0 *
+           (np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (np * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+           AS BIGINT) AS r_micro
+  FROM m
+), best AS (
+  SELECT event_type, lag, r_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY r_micro DESC, lag) AS rnk
+  FROM rk
+)
+SELECT best.event_type, CAST(best.lag AS BIGINT) AS dominant_lag,
+       best.r_micro AS acf_micro, nn.n AS n_days,
+       CAST(best.r_micro AS HUGEINT) * best.r_micro * nn.n
+         > CAST(4000000000000 AS HUGEINT) AS significant
+FROM best JOIN nn ON best.event_type = nn.event_type
+WHERE best.rnk = 1
+"""
+
+
+@register("tw_dominant_period_acf", oracle=_PERIOD_ORACLE, tags=("timeseries", "stats"))
+def tw_dominant_period_acf(spark, sf_dir):
+    """DOMINANT PERIOD per event type: the lag (1..10) with the
+    largest ACF of the daily close series — the cheap periodicity
+    detector (weekly business rhythm shows as lag 7). Each ACF is
+    micro-quantized immediately (the tw_ljung_box rule); the argmax is
+    a keyed rank with the (r DESC, lag) pinned tiebreak; the
+    significance flag r² · n > 4·10¹² is the |r| > 2/√n whitening test
+    as EXACT integer arithmetic (no sqrt enters the comparison).
+    Plan: one day rollup, one keyed rank window, 10 shifted
+    equi-joins, one keyed argmax window over 10 rows/type."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("etime")), "yyyy-MM-dd").alias("day"),
+            (F.col("value").cast(VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("CAST(SUM(c0) DIV COUNT(*) AS BIGINT)").alias("cents"))
+    )
+    r = d.select(
+        "event_type",
+        "cents",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("t"),
+    )
+    nn = r.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lagged = None
+    for k in range(1, 11):
+        a = r.select("event_type", F.col("cents").alias("x"), (F.col("t") + k).alias("t"))
+        b = r.select("event_type", F.col("cents").alias("y"), "t")
+        p = a.join(b, ["event_type", "t"]).select(
+            "event_type", F.lit(k).cast("long").alias("lag"), "x", "y"
+        )
+        lagged = p if lagged is None else lagged.unionByName(p)
+    m = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    rk = m.select(
+        "event_type",
+        "lag",
+        F.round(
+            1000000.0
+            * (
+                F.col("np") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    F.col("np") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                )
+                * (
+                    F.col("np") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy").cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("r_micro"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("r_micro").desc(), "lag")
+    return (
+        rk.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .join(nn, "event_type")
+        .select(
+            "event_type",
+            F.col("lag").alias("dominant_lag"),
+            F.col("r_micro").alias("acf_micro"),
+            F.col("n").alias("n_days"),
+            (
+                F.col("r_micro").cast("decimal(38,0)")
+                * F.col("r_micro")
+                * F.col("n")
+                > F.lit(4_000_000_000_000).cast("decimal(38,0)")
+            ).alias("significant"),
+        )
+    )
+
+
+_PH_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY date_trunc('day', ts)
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s
+  FROM d
+), m AS (
+  SELECT day,
+         SUM(cents * t.n - t.s) OVER (ORDER BY day) AS m_t
+  FROM d, t
+), ph AS (
+  SELECT day, m_t,
+         m_t - LEAST(0, MIN(m_t) OVER (ORDER BY day)) AS ph_t
+  FROM m
+), best AS (
+  SELECT day, ph_t, row_number() OVER (ORDER BY ph_t DESC, day) AS rnk
+  FROM ph
+)
+SELECT t.n AS n_days,
+       CAST(best.ph_t AS BIGINT) AS max_ph_x_n,
+       best.day AS alarm_day
+FROM best, t WHERE best.rnk = 1
+"""
+
+
+@register("tw_page_hinkley", oracle=_PH_ORACLE, tags=("timeseries", "stats"))
+def tw_page_hinkley(spark, sf_dir):
+    """PAGE-HINKLEY upward change detection (Page 1954, δ=0 pinned)
+    over the daily revenue series — the sequential CUSUM-style alarm
+    in its CLOSED FORM: PH_t = max(0, PH_{t−1} + (x_t − μ)) equals
+    M_t − min(0, min_{i≤t} M_i) with M_t = Σ(x_i·n − S) — so no
+    recurrence is needed, just a cumulative sum and a running min, all
+    EXACT integers at the ×n scale (μ = S/n never divides). The alarm
+    point is the max-PH day under the (PH DESC, day) pinned tiebreak.
+    The day relation is bounded (30 rows) so the cumulative windows
+    are whitelisted single-partition; the raw scan is never windowed.
+    tw_cusum_changepoint is the two-sided mean-split detector; this is
+    the sequential one-sided monitor twin."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "etime"), "yyyy-MM-dd").alias("day"),
+            F.round(dec("value", VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    m = d.crossJoin(F.broadcast(t)).select(
+        "day",
+        "n",
+        F.sum(F.col("cents") * F.col("n") - F.col("s")).over(w).alias("m_t"),
+    )
+    ph = m.select(
+        "day",
+        "n",
+        (F.col("m_t") - F.least(F.lit(0), F.min("m_t").over(w))).alias("ph_t"),
+    )
+    w2 = W.orderBy(F.col("ph_t").desc(), "day")
+    return (
+        ph.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("ph_t").cast("long").alias("max_ph_x_n"),
+            F.col("day").alias("alarm_day"),
+        )
+    )
+
+
+_HURST_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY date_trunc('day', ts)
+), r AS (
+  SELECT cents, row_number() OVER (ORDER BY day) AS t FROM d
+), blk AS (
+  SELECT w.w AS w, (t - 1) // w.w AS blk, t, cents,
+         row_number() OVER (PARTITION BY w.w, (t - 1) // w.w ORDER BY t)
+           AS pos
+  FROM r, (SELECT unnest([5, 10, 15]) AS w) w
+), tot AS (
+  SELECT w, blk, CAST(COUNT(*) AS BIGINT) AS npos,
+         CAST(SUM(cents) AS BIGINT) AS s_b,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS BIGINT) AS sxx_b
+  FROM blk GROUP BY w, blk
+), cum AS (
+  SELECT w, blk, pos,
+         SUM(cents) OVER (PARTITION BY w, blk ORDER BY pos) AS c_t
+  FROM blk
+), stats AS (
+  SELECT c.w, c.blk, t.s_b, t.sxx_b,
+         CAST(MAX(c.c_t * c.w - c.pos * t.s_b) AS BIGINT) AS dmax,
+         CAST(MIN(c.c_t * c.w - c.pos * t.s_b) AS BIGINT) AS dmin
+  FROM cum c JOIN tot t ON c.w = t.w AND c.blk = t.blk AND t.npos = c.w
+  GROUP BY c.w, c.blk, t.s_b, t.sxx_b
+), pts AS (
+  SELECT w,
+         CAST(round(1000000 * ln(
+           (GREATEST(dmax, 0) - LEAST(dmin, 0))
+           / sqrt(CAST(w AS DOUBLE) * sxx_b - CAST(s_b AS DOUBLE) * s_b)))
+           AS BIGINT) AS yq,
+         CAST(round(1000000 * ln(CAST(w AS DOUBLE))) AS BIGINT) AS xq
+  FROM stats
+  WHERE GREATEST(dmax, CAST(0 AS BIGINT)) - LEAST(dmin, CAST(0 AS BIGINT)) > 0
+    AND w * sxx_b - s_b * s_b > 0
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CAST(xq AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(yq AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(xq AS HUGEINT) * yq) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DECIMAL(38,0)) AS sxx
+  FROM pts
+)
+SELECT np AS n_blocks,
+       round((np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (np * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS hurst_exponent
+FROM ols
+"""
+
+
+@register("tw_hurst_rescaled_range", oracle=_HURST_ORACLE, tags=("timeseries", "stats"))
+def tw_hurst_rescaled_range(spark, sf_dir):
+    """HURST EXPONENT by rescaled-range analysis (Hurst 1951; Mandelbrot
+    & Wallis 1969) over the daily revenue series: for block sizes w ∈
+    {5,10,15}, each full block contributes ln(R/S) where R is the range
+    of cumulative mean-deviations — computed EXACTLY as max/min of
+    C_t·w − t·S_b (cross-multiplied, no division) with the 0 baseline
+    pinned (R = max(D,0) − min(D,0)) — and S the block std; R/S =
+    R_w / √(w·Σx² − S_b²) with both arguments exact integers, ONE
+    irrational chain per block micro-quantized immediately (the
+    Burrows rule), then exact integer OLS of ln(R/S) on ln(w) across
+    all blocks. H ≈ 0.5 = random walk; > 0.5 persistent trend. Blocks
+    per w are keyed windows; degenerate blocks (zero range/variance)
+    drop with the documented guard. Plan: keyed block windows over the
+    30-row day relation + one exact OLS reduce."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "etime"), "yyyy-MM-dd").alias("day"),
+            F.round(dec("value", VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    r = d.select("cents", F.row_number().over(W.orderBy("day")).alias("t"))
+    blk = None
+    for w in (5, 10, 15):
+        p = r.select(
+            F.lit(w).cast("long").alias("w"),
+            F.expr(f"CAST((t - 1) DIV {w} AS BIGINT)").alias("blk"),
+            "t",
+            "cents",
+        )
+        blk = p if blk is None else blk.unionByName(p)
+    wb = W.partitionBy("w", "blk").orderBy("t")
+    cum = (
+        blk.withColumn("pos", F.row_number().over(wb))
+        .withColumn(
+            "c_t", F.sum("cents").over(wb.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    tot = blk.groupBy("w", "blk").agg(
+        F.count(F.lit(1)).alias("npos"),
+        F.sum("cents").cast("long").alias("s_b"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("long")
+        .alias("sxx_b"),
+    )
+    dev = (
+        cum.join(tot.filter(F.col("npos") == F.col("w")), ["w", "blk"])
+        .select(
+            "w",
+            "blk",
+            "s_b",
+            "sxx_b",
+            (F.col("c_t") * F.col("w") - F.col("pos") * F.col("s_b")).alias("d_t"),
+        )
+        .groupBy("w", "blk", "s_b", "sxx_b")
+        .agg(F.max("d_t").alias("dmax"), F.min("d_t").alias("dmin"))
+    )
+    pts = (
+        dev.filter(
+            (F.greatest("dmax", F.lit(0)) - F.least("dmin", F.lit(0)) > 0)
+            & (F.col("w") * F.col("sxx_b") - F.col("s_b") * F.col("s_b") > 0)
+        )
+        .select(
+            F.round(
+                1000000
+                * F.log(
+                    (
+                        F.greatest("dmax", F.lit(0)) - F.least("dmin", F.lit(0))
+                    )
+                    / F.sqrt(
+                        F.col("w").cast("double") * F.col("sxx_b")
+                        - F.col("s_b").cast("double") * F.col("s_b")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("yq"),
+            F.round(1000000 * F.log(F.col("w").cast("double")))
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yq").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("sxx"),
+    )
+    return ols.select(
+        F.col("np").alias("n_blocks"),
+        F.round(
+            (
+                F.col("np") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("np") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("hurst_exponent"),
+    )

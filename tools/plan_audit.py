@@ -86,6 +86,8 @@ SINGLE_PARTITION_WINDOW_OK = {
     # windowed):
     "agg_mann_kendall_trend",
     "agg_hodges_lehmann_shift",
+    "tw_page_hinkley",
+    "tw_hurst_rescaled_range",
 }
 
 
