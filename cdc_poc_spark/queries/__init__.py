@@ -489,6 +489,27 @@ _ROUND10_NEW: list = [
     "tw_hurst_rescaled_range",
     "dedup_lsh_param_planner",
     "sim_pq_sdc_vs_adc",
+    # -- round-10 wave 5 (the 50th and final slot): retrieval-quality
+    #    evaluation opens with graded-relevance nDCG@10:
+    "ml_ndcg_at_k",
+]
+
+
+# ROUND-11 WINDOW SEEDS — queries registered after the round-10 window
+# hit its 50-query capacity. Green in the committed sweep now; they get
+# their first driver rows when round 11 opens with
+# `(11, _ROUND11_NEW)` in WINDOW_HISTORY (the standing policy — same
+# as the r9->r10 seed handoff).
+_ROUND11_NEW: list = [
+    # -- wave 5 overflow: MAP/MRR, binary + Matryoshka ANN, the
+    #    lexical-richness estimators, Durbin-Watson:
+    "ml_map_mrr_retrieval",
+    "sim_hamming_sign_topk",
+    "sim_matryoshka_prefix_recall",
+    "text_yule_k",
+    "text_good_turing_smoothing",
+    "text_chao1_vocab_richness",
+    "tw_durbin_watson",
 ]
 
 
@@ -620,6 +641,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sketchq,
         stats2,
         llm_ops3,
+        llm_ops4,
     )
 
     order = _window_order()

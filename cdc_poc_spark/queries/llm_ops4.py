@@ -1,0 +1,847 @@
+"""Round-10 wave 5 — retrieval-QUALITY evaluation (nDCG@k with graded
+relevance, MAP/MRR), two ANN families the similarity stack lacked
+(sign-bit binary quantization with Hamming ranking; Matryoshka
+prefix-dimension retrieval, Kusupati et al. NeurIPS 2022), the
+classical lexical-richness estimators every corpus report quotes
+(Yule's K 1944, Good-Turing 1953, Chao1 1984), and the Durbin-Watson
+serial-correlation regression diagnostic.
+
+The reference has no retrieval-evaluation or lexical-statistics
+surface at all (SURVEY §2 preamble — its core is a 84-line CDC
+consumer); every query here is engine capability per the north star,
+built on the standing exactness discipline: integer cents/micros,
+DECIMAL(38)/HUGEINT moments, truncating integer division (`DIV` /
+`//`) shared by both engines, one float expression at the end,
+round(5/6) at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators import similarity
+from ..operators.scale import spread
+from ..tables import VAL, dec, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: nDCG@10 with graded relevance.
+# ---------------------------------------------------------------------------
+
+#: Graded relevance from label distance: 3 (same label) / 2 / 1 / 0.
+#: Gain is the standard (2^grade - 1) in exact integers {7, 3, 1, 0}.
+_GAIN_SQL = (
+    "CASE WHEN qlabel = clabel THEN 7"
+    " WHEN abs(qlabel - clabel) = 1 THEN 3"
+    " WHEN abs(qlabel - clabel) = 2 THEN 1 ELSE 0 END"
+)
+
+_NDCG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel,
+         c.vec_id AS neighbor_id, c.label AS clabel,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+           AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, qlabel, clabel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+), dcg AS (
+  SELECT query_id,
+         CAST(SUM(CAST(round(({_GAIN_SQL}) * 1000000
+                             / log2(rank + 1)) AS BIGINT)) AS BIGINT)
+           AS dcg_micro
+  FROM ranked WHERE rank <= 10 GROUP BY query_id
+), counts AS (
+  SELECT query_id,
+         CAST(SUM(CASE WHEN qlabel = clabel THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN abs(qlabel - clabel) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN abs(qlabel - clabel) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+  FROM pairs GROUP BY query_id
+), ideal AS (
+  SELECT counts.query_id, counts.c3,
+         CAST(SUM(CAST(round(
+             (CASE WHEN p.r <= c3 THEN 7
+                   WHEN p.r <= c3 + c2 THEN 3
+                   WHEN p.r <= c3 + c2 + c1 THEN 1 ELSE 0 END) * 1000000
+             / log2(p.r + 1)) AS BIGINT)) AS BIGINT) AS idcg_micro
+  FROM counts, (SELECT CAST(range AS BIGINT) AS r FROM range(1, 11)) p
+  GROUP BY counts.query_id, counts.c3
+)
+SELECT d.query_id, i.c3 AS n_same_label, d.dcg_micro, i.idcg_micro,
+       round(CAST(d.dcg_micro AS DOUBLE) / i.idcg_micro, 6) AS ndcg_at_10
+FROM dcg d JOIN ideal i ON d.query_id = i.query_id
+ORDER BY d.query_id
+"""
+
+
+@register("ml_ndcg_at_k", oracle=_NDCG_ORACLE, tags=("llm", "ml", "eval", "retrieval"))
+def ml_ndcg_at_k(spark, sf_dir):
+    """nDCG@10 (Järvelin & Kekäläinen 2002) for the cosine retrieval
+    system against GRADED relevance derived from label distance
+    (3/2/1/0 at |Δlabel| 0/1/2/3+; gain = 2^grade − 1 ∈ {7,3,1,0}).
+    Completes the eval stack's retrieval axis: ROC-AUC/PR/calibration
+    (r9-r10) judge classifiers, nDCG judges RANKINGS.
+
+    Exactness: every DCG term is micro-quantized as round(gain·1e6 /
+    log2(rank+1)) — an exact BIGINT — so per-query DCG/IDCG are exact
+    integer sums (summation-order-free; the layout-audit class) and
+    nDCG is ONE float division at the edge, round(6). The IDEAL
+    ranking is computed in CLOSED FORM from per-grade candidate counts
+    joined to a 10-row positions relation — no sort of the candidate
+    set: ideal top-10 takes min(10, c3) grade-3 docs first, etc.
+
+    Scale: queries broadcast x one corpus scan (the cosine_topk plan);
+    grade counts are one map-side-combinable aggregate over the same
+    pairs relation; positions is a 10-row broadcast. At 100 TB this
+    is two scans and k·|Q| moved rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    qlab = (
+        lab.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    )
+    ranked = (
+        similarity.cosine_topk(emb, n_queries=10, k=10)
+        .join(F.broadcast(qlab), "query_id")
+        .join(lab.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("clabel")), "neighbor_id")
+    )
+    term = F.expr(
+        f"CAST(round(({_GAIN_SQL}) * 1000000 / log2(rank + 1)) AS BIGINT)"
+    )
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(term).cast("long").alias("dcg_micro")
+    )
+    # grade counts over ALL candidates (the ideal ranking's closed form)
+    pairs = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel")
+    ).join(F.broadcast(qlab), F.col("neighbor_id") != F.col("query_id"))
+    counts = pairs.groupBy("query_id").agg(
+        F.sum((F.col("qlabel") == F.col("clabel")).cast("long")).alias("c3"),
+        F.sum((F.abs(F.col("qlabel") - F.col("clabel")) == 1).cast("long")).alias("c2"),
+        F.sum((F.abs(F.col("qlabel") - F.col("clabel")) == 2).cast("long")).alias("c1"),
+    )
+    positions = spark.range(1, 11).select(F.col("id").alias("r"))
+    ideal_gain = (
+        "CASE WHEN r <= c3 THEN 7 WHEN r <= c3 + c2 THEN 3"
+        " WHEN r <= c3 + c2 + c1 THEN 1 ELSE 0 END"
+    )
+    ideal = (
+        counts.join(F.broadcast(positions))
+        .groupBy("query_id", "c3")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(round(({ideal_gain}) * 1000000 / log2(r + 1)) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("idcg_micro")
+        )
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            F.col("c3").alias("n_same_label"),
+            "dcg_micro",
+            "idcg_micro",
+            F.round(F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6)
+            .alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: MAP@10 + MRR (binary relevance).
+# ---------------------------------------------------------------------------
+
+_MAP_MRR_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, label, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pairs AS (
+  SELECT q.vec_id AS query_id,
+         CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+         c.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                        i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5)
+           AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+), top10 AS (
+  SELECT query_id, rel, rank,
+         SUM(rel) OVER (PARTITION BY query_id ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hits
+  FROM ranked WHERE rank <= 10
+), rtot AS (
+  SELECT query_id, CAST(SUM(rel) AS BIGINT) AS r_total FROM pairs GROUP BY query_id
+), perq AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+         CAST(COALESCE(SUM(CASE WHEN rel = 1
+                                THEN hits * 1000000 // rank END), 0) AS BIGINT)
+           AS sum_prec_micro,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit
+  FROM top10 GROUP BY query_id
+)
+SELECT p.query_id, p.n_rel_top10, r.r_total,
+       CAST(p.sum_prec_micro // LEAST(r.r_total, 10) AS BIGINT) AS ap_micro,
+       CAST(COALESCE(1000000 // p.first_hit, 0) AS BIGINT) AS rr_micro
+FROM perq p JOIN rtot r ON p.query_id = r.query_id
+ORDER BY p.query_id
+"""
+
+
+@register("ml_map_mrr_retrieval", oracle=_MAP_MRR_ORACLE, tags=("llm", "ml", "eval", "retrieval"))
+def ml_map_mrr_retrieval(spark, sf_dir):
+    """Average Precision @10 and Reciprocal Rank per query for the
+    cosine retrieval system under BINARY relevance (label match) —
+    the un-graded twin of ml_ndcg_at_k and the second half of the
+    classic ranking-eval pair (TREC MAP/MRR).
+
+    Exactness: P@r = hits·1e6 DIV r is an exact truncating-integer
+    micro value in BOTH engines (Spark `DIV`, DuckDB `//`; positive
+    operands so truncation == floor on both); AP@10 = Σ_{rel hits}
+    P@r DIV min(R_total, 10) stays exact BIGINT end-to-end; RR =
+    1e6 DIV first-hit-rank. ZERO float operations anywhere.
+
+    Scale: same two-scan broadcast-queries plan as nDCG; the cumsum
+    window partitions by query_id over 10-row groups (never a
+    SinglePartition exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    qlab = (
+        lab.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    )
+    ranked = (
+        similarity.cosine_topk(emb, n_queries=10, k=10)
+        .join(F.broadcast(qlab), "query_id")
+        .join(lab.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("label").alias("clabel")), "neighbor_id")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("qlabel") == F.col("clabel")).cast("int").alias("rel"),
+        )
+    )
+    w = (
+        W.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    top10 = ranked.withColumn("hits", F.sum("rel").over(w))
+    perq = top10.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_top10"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.expr("hits * 1000000 DIV rank"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_prec_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_hit"),
+    )
+    pairs = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel")
+    ).join(F.broadcast(qlab), F.col("neighbor_id") != F.col("query_id"))
+    rtot = pairs.groupBy("query_id").agg(
+        F.sum((F.col("qlabel") == F.col("clabel")).cast("long")).alias("r_total")
+    )
+    return (
+        perq.join(rtot, "query_id")
+        .select(
+            "query_id",
+            "n_rel_top10",
+            "r_total",
+            F.expr("CAST(sum_prec_micro DIV LEAST(r_total, 10) AS BIGINT)").alias(
+                "ap_micro"
+            ),
+            F.coalesce(F.expr("1000000 DIV first_hit"), F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantized ANN: Hamming-distance top-k.
+# ---------------------------------------------------------------------------
+
+_HAMMING_ORACLE = """
+WITH packed AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> CASE WHEN embedding[i] > 0
+                        THEN (CAST(1 AS BIGINT) << (i - 1))
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(range(33, 65),
+              i -> CASE WHEN embedding[i] > 0
+                        THEN (CAST(1 AS BIGINT) << (i - 33))
+                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+  FROM embeddings
+), dist AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS INT)
+           AS hamming
+  FROM packed q, packed c
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) AS rank
+  FROM dist
+)
+SELECT query_id, neighbor_id, hamming, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_hamming_sign_topk", oracle=_HAMMING_ORACLE, tags=("llm", "similarity", "binary"))
+def sim_hamming_sign_topk(spark, sf_dir):
+    """Binary-quantized ANN — the 32x-compression tier below PQ: each
+    64-dim vector collapses to its SIGN BITS packed into two 32-bit
+    words (bits 0-31 / 32-63, kept in separate BIGINTs so no value
+    ever touches the sign bit), and retrieval ranks by exact Hamming
+    distance = popcount(w0 XOR w0') + popcount(w1 XOR w1') — all
+    EXACT INTEGERS, no float anywhere, ties broken by neighbor_id.
+
+    Charikar 2002 (SimHash) is the theory: sign-bit agreement
+    estimates angular similarity. The similarity stack now spans
+    full-precision (cosine), PQ/OPQ (8x), and binary (32x) — the
+    three operating points every vector store ships.
+
+    Scale: packing is a map-side expression ON the scan (one pass,
+    no shuffle); queries broadcast x one packed scan; per-query top-k
+    via partitioned window. XOR+popcount on two words is the cheapest
+    distance kernel in the stack — the 100 TB pre-filter tier that
+    candidates for exact rerank."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    packed = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(sequence(0, 31), 0L,"
+            " (acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i), 0L))"
+        ).alias("w0"),
+        F.expr(
+            "aggregate(sequence(32, 63), 0L,"
+            " (acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i - 32), 0L))"
+        ).alias("w1"),
+    )
+    q = packed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    dist = (
+        F.broadcast(q)
+        .crossJoin(packed)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval recall.
+# ---------------------------------------------------------------------------
+
+_MRL_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), full_n AS (
+  SELECT vec_id, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS vnorm
+  FROM e
+), pre_n AS (
+  SELECT vec_id, vec[1:32] AS vec,
+         sqrt(list_sum(list_transform(vec[1:32], x -> x * x))) AS vnorm
+  FROM e
+), full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                   i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5) DESC,
+             c.vec_id) AS rank
+    FROM full_n q, full_n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 10
+), pre_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_sum(list_transform(range(1, len(q.vec) + 1),
+                   i -> q.vec[i] * c.vec[i])) / (q.vnorm * c.vnorm), 5) DESC,
+             c.vec_id) AS rank
+    FROM pre_n q, pre_n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  ) WHERE rank <= 10
+)
+SELECT f.query_id,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            AS BIGINT) AS recall_bp
+FROM full_rank f
+LEFT JOIN pre_rank p
+  ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register("sim_matryoshka_prefix_recall", oracle=_MRL_ORACLE, tags=("llm", "similarity", "eval"))
+def sim_matryoshka_prefix_recall(spark, sf_dir):
+    """Matryoshka retrieval (Kusupati et al. NeurIPS 2022): rank by
+    cosine over only the FIRST 32 of 64 dimensions and measure exact
+    recall@10 against the full-dimension top-10 per query — the
+    dimension-truncation operating point (2x cheaper scan, zero
+    index) that modern embedding APIs expose as `dimensions=`.
+
+    Both rankings use the standing round(5)-then-rank discipline with
+    neighbor_id tie-breaks, so the hit COUNT is an exact integer and
+    recall_bp = n_hits·1000 is exact basis points of k=10 — no float
+    in the output at all.
+
+    Scale: two broadcast-queries x one-scan rankings (the prefix scan
+    reads HALF the vector bytes — at 100 TB that is the point) joined
+    on (query, neighbor). Random fixture vectors put prefix recall
+    near the 32/64 information split; MRL-trained vectors sit far
+    higher — the query reports, it does not gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = similarity.cosine_topk(emb, n_queries=10, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    emb32 = emb.select(
+        "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    pre = similarity.cosine_topk(emb32, n_queries=10, k=10).select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    hits = full.join(
+        pre,
+        (full.query_id == pre.query_id)
+        & (full.neighbor_id == pre.p_neighbor),
+        "left",
+    ).select(full.query_id, "p_neighbor")
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.sum(F.col("p_neighbor").isNotNull().cast("long")).alias("n_hits"),
+            (F.sum(F.col("p_neighbor").isNotNull().cast("long")) * 1000)
+            .cast("long")
+            .alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Yule's characteristic K — per-source lexical concentration.
+# ---------------------------------------------------------------------------
+
+_YULE_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+  SELECT source, token, COUNT(*) AS c FROM t WHERE token <> ''
+  GROUP BY source, token
+), m AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c * c) AS BIGINT) AS m2
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, vocab, m2,
+       round(10000.0 * (m2 - n_tokens)
+             / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yule_k
+FROM m ORDER BY source
+"""
+
+
+@register("text_yule_k", oracle=_YULE_ORACLE, tags=("llm", "text", "stats"))
+def text_yule_k(spark, sf_dir):
+    """Yule's characteristic K (Yule 1944) per source: K = 10^4 ·
+    (Σ_r r²V_r − N) / N² — the classical repeat-rate measure of
+    vocabulary concentration (≈ collision probability of two token
+    draws, scaled), robust to corpus length unlike raw TTR; the
+    stylometric complement of text_burrows_delta and the
+    concentration twin of text_lexical_diversity's MATTR axis.
+
+    Σ_r r²V_r is just Σ_tokens c², so the whole statistic needs ONE
+    (source, token) count relation — N, V, m2 are exact BIGINTs and
+    K is one float expression at the edge, round(6).
+
+    Scale: explode -> two-level partial-aggregated groupBy; the
+    shuffle carries distinct (source, token) rows, never occurrences;
+    the second aggregate is |sources| rows."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("m2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "m2",
+            F.round(
+                F.lit(10000.0)
+                * (F.col("m2") - F.col("n_tokens"))
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+                6,
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies smoothing.
+# ---------------------------------------------------------------------------
+
+_GT_ORACLE = """
+WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+  SELECT token, COUNT(*) AS r FROM t WHERE token <> '' GROUP BY token
+), vr AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS v_r FROM tc GROUP BY r
+), tot AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS n_total FROM tc
+), rows_r AS (
+  SELECT CAST(range AS BIGINT) AS r FROM range(0, 6)
+)
+SELECT rows_r.r,
+       CASE WHEN rows_r.r = 0 THEN tot.n_total
+            ELSE COALESCE(a.v_r, 0) END AS v_r,
+       COALESCE(b.v_r, 0) AS v_r_plus1,
+       CASE
+         WHEN rows_r.r = 0
+           THEN CAST(COALESCE(b.v_r, 0) * 1000000 // tot.n_total AS BIGINT)
+         WHEN COALESCE(a.v_r, 0) = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST((rows_r.r + 1) * COALESCE(b.v_r, 0) * 1000000
+                   // a.v_r AS BIGINT)
+       END AS r_star_micro
+FROM rows_r
+LEFT JOIN vr a ON a.r = rows_r.r
+LEFT JOIN vr b ON b.r = rows_r.r + 1
+CROSS JOIN tot
+ORDER BY rows_r.r
+"""
+
+
+@register("text_good_turing_smoothing", oracle=_GT_ORACLE, tags=("llm", "text", "stats"))
+def text_good_turing_smoothing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies (Good 1953) over the
+    corpus unigram counts: for r = 1..5 the Turing-smoothed count
+    r* = (r+1)·V_{r+1}/V_r in exact micro units, and the r = 0 row
+    carries the UNSEEN-MASS estimate p0 = V_1/N (the probability the
+    next token is novel — the quantity behind Katz backoff and the
+    coverage dial of pipeline curation). v_r for the r = 0 row is N
+    itself so the row is self-describing.
+
+    Exactness: token counts, V_r, and N are exact BIGINTs; r* uses
+    the shared truncating integer division (Spark DIV, DuckDB //) at
+    the 1e6 scale — ZERO float operations in the whole query.
+
+    Scale: one token-count relation (partial-agg shuffle on distinct
+    tokens), one |distinct r|-row rollup, then a 6-row frame joined
+    against it — the frequency-of-frequencies table is tiny at any
+    corpus size (r is capped by the most frequent token)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    vr = tc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("v_r"))
+    tot = tc.agg(F.sum("r").cast("long").alias("n_total"))
+    rows_r = spark.range(0, 6).select(F.col("id").alias("r"))
+    a = vr.select(F.col("r").alias("ra"), F.col("v_r").alias("va"))
+    b = vr.select(F.col("r").alias("rb"), F.col("v_r").alias("vb"))
+    return (
+        rows_r.join(F.broadcast(a), F.col("r") == F.col("ra"), "left")
+        .join(F.broadcast(b), F.col("r") + 1 == F.col("rb"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.when(F.col("r") == 0, F.col("n_total"))
+            .otherwise(F.coalesce("va", F.lit(0)))
+            .cast("long")
+            .alias("v_r"),
+            F.coalesce("vb", F.lit(0)).cast("long").alias("v_r_plus1"),
+            F.when(
+                F.col("r") == 0,
+                F.expr("CAST(COALESCE(vb, 0) * 1000000 DIV n_total AS BIGINT)"),
+            )
+            .when(F.coalesce("va", F.lit(0)) == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST((r + 1) * COALESCE(vb, 0) * 1000000"
+                    " DIV va AS BIGINT)"
+                )
+            )
+            .alias("r_star_micro"),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary-richness estimator.
+# ---------------------------------------------------------------------------
+
+_CHAO1_ORACLE = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), tc AS (
+  SELECT source, token, COUNT(*) AS c FROM t WHERE token <> ''
+  GROUP BY source, token
+), m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM tc GROUP BY source
+)
+SELECT source, s_obs, f1, f2, n_tokens,
+       CAST(s_obs * 1000000
+            + f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_micro,
+       CAST(10000 - f1 * 10000 // n_tokens AS BIGINT) AS coverage_bp
+FROM m ORDER BY source
+"""
+
+
+@register("text_chao1_vocab_richness", oracle=_CHAO1_ORACLE, tags=("llm", "text", "stats"))
+def text_chao1_vocab_richness(spark, sf_dir):
+    """Chao1 total-vocabulary estimator (Chao 1984, bias-corrected
+    form) per source: Ŝ = S_obs + f1(f1−1)/(2(f2+1)) — how many
+    token types the source WOULD show with infinite sampling — plus
+    Good's sample-coverage Ĉ = 1 − f1/N. The "how much vocabulary is
+    this source still hiding" dial a corpus card needs next to the
+    observed-vocab column (text_yule_k measures concentration of
+    what IS seen; this estimates what is NOT yet seen).
+
+    Exactness: S_obs, f1 (hapaxes), f2 (dis legomena), N are exact
+    BIGINTs from one (source, token) count relation; the estimator
+    and coverage are exact micro / basis-point integers via the
+    shared truncating division. ZERO float operations.
+
+    Scale: same single partial-agg token-count shuffle as Yule —
+    the two queries could share one standing relation; kept separate
+    so each is independently driver-hashable."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tc = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("s_obs"),
+            F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+            F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "s_obs",
+            "f1",
+            "f2",
+            "n_tokens",
+            F.expr(
+                "CAST(s_obs * 1000000"
+                " + f1 * (f1 - 1) * 1000000 DIV (2 * (f2 + 1)) AS BIGINT)"
+            ).alias("chao1_micro"),
+            F.expr("CAST(10000 - f1 * 10000 DIV n_tokens AS BIGINT)").alias(
+                "coverage_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson serial-correlation diagnostic.
+# ---------------------------------------------------------------------------
+
+_DW_ORACLE = """
+WITH d AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM events GROUP BY date_trunc('day', ts)
+), r AS (
+  SELECT CAST(cents AS HUGEINT) AS y,
+         CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS t
+  FROM d
+), m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(t) AS sx, SUM(y) AS sy,
+         SUM(t * t) AS sxx, SUM(t * y) AS sxy
+  FROM r
+), k AS (
+  SELECT n, n * sxx - sx * sx AS delta,
+         sy * sxx - sx * sxy AS anum,
+         n * sxy - sx * sy AS bnum
+  FROM m
+), e AS (
+  SELECT r.t,
+         (k.delta * r.y - k.anum - k.bnum * r.t) AS ee,
+         lag(k.delta * r.y - k.anum - k.bnum * r.t)
+           OVER (ORDER BY r.t) AS ee_lag
+  FROM r CROSS JOIN k
+), s AS (
+  SELECT SUM(CASE WHEN ee_lag IS NOT NULL
+                  THEN (ee - ee_lag) * (ee - ee_lag) END) AS num,
+         SUM(ee * ee) AS den
+  FROM e
+)
+SELECT CAST(k.n AS BIGINT) AS n_days,
+       round(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE), 6) AS dw,
+       round(1.0 - CAST(s.num AS DOUBLE) / (2.0 * CAST(s.den AS DOUBLE)), 6)
+         AS rho1
+FROM s CROSS JOIN k
+"""
+
+
+@register("tw_durbin_watson", oracle=_DW_ORACLE, tags=("timeseries", "stats", "regression"))
+def tw_durbin_watson(spark, sf_dir):
+    """DURBIN-WATSON serial-correlation test (Durbin & Watson 1950) on
+    the residuals of the daily-revenue-vs-time OLS line — completes
+    the regression-diagnostics axis next to tw_theil_sen_slope
+    (robust slope), agg_mann_kendall_trend (trend existence), and
+    tw_dominant_period_acf (lag structure): DW ≈ 2(1−ρ₁) says whether
+    the TREND-REMOVED series still remembers yesterday.
+
+    Exactness: with Δ = n·Sxx − Sx², the Δ-SCALED residual E_t =
+    Δ·y_t − (Sy·Sxx − Sx·Sxy) − (n·Sxy − Sx·Sy)·t is an EXACT
+    integer (the rational residual's common denominator cleared), so
+    DW = Σ(E_t − E_{t−1})² / ΣE_t² — Δ² cancels — is a ratio of two
+    exact DECIMAL(38)/HUGEINT sums; dw and ρ₁ are the only float
+    expressions, round(6). Headroom: E ~ Δ·|residual-cents| ~ 1e16
+    at sf0.1 (residuals are daily NOISE, not daily totals), squares
+    ~1e32·366 days — far inside 38 digits at the 10x probe (which
+    replicates rows within the same date range, scaling residuals
+    10x -> sums ~1e35).
+
+    Scale: one day-level rollup (map-side combinable), one 1-row
+    moments aggregate broadcast back onto the ≤|days| relation, one
+    lag window over that bounded relation (whitelisted: days, never
+    raw rows)."""
+    from ..tables import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    d = (
+        ev.select(
+            F.date_format(F.date_trunc("day", "etime"), "yyyy-MM-dd").alias("day"),
+            F.round(dec("value", VAL) * 100).cast("long").alias("c0"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c0").cast("long").alias("cents"))
+    )
+    r = d.select(
+        F.col("cents").cast("decimal(38,0)").alias("y"),
+        F.row_number().over(W.orderBy("day")).cast("decimal(38,0)").alias("t"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("t").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("t * t")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("t * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    k = m.select(
+        "n",
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("delta"),
+        F.expr("CAST(sy * sxx - sx * sxy AS DECIMAL(38,0))").alias("anum"),
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("bnum"),
+    )
+    e = (
+        r.crossJoin(F.broadcast(k))
+        .withColumn(
+            "ee", F.expr("CAST(delta * y - anum - bnum * t AS DECIMAL(38,0))")
+        )
+        .withColumn("ee_lag", F.lag("ee").over(W.orderBy("t")))
+    )
+    s = e.agg(
+        F.sum(
+            F.when(
+                F.col("ee_lag").isNotNull(),
+                F.expr("CAST((ee - ee_lag) * (ee - ee_lag) AS DECIMAL(38,0))"),
+            )
+        ).alias("num"),
+        F.sum(F.expr("CAST(ee * ee AS DECIMAL(38,0))")).alias("den"),
+    )
+    return s.crossJoin(F.broadcast(k.select("n"))).select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("num").cast("double") / F.col("den").cast("double"), 6).alias(
+            "dw"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("num").cast("double") / (F.lit(2.0) * F.col("den").cast("double")),
+            6,
+        ).alias("rho1"),
+    )

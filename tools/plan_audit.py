@@ -88,6 +88,15 @@ SINGLE_PARTITION_WINDOW_OK = {
     "agg_hodges_lehmann_shift",
     "tw_page_hinkley",
     "tw_hurst_rescaled_range",
+    "tw_durbin_watson",
+    "tw_variance_ratio_test",
+    "tw_chow_break_test",
+    "tw_sample_entropy",
+    # the windows here are per-__pid partition-LOCAL (global_cumsum's
+    # two-pass shape — never a single-partition window); the
+    # SinglePartition exchange in the plan feeds the final 1-row
+    # statistic aggregate, which any scalar test query has:
+    "agg_jonckheere_terpstra",
 }
 
 
