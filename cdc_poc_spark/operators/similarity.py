@@ -80,6 +80,65 @@ def cosine_topk(
     )
 
 
+def sign_pack_words(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Binary (sign-bit) quantization: pack a 64-dim vector's sign bits
+    into two 32-bit words held in BIGINTs (bits 0-31 -> w0, 32-63 ->
+    w1; the sign bit of the BIGINT is never touched, so XOR/popcount
+    arithmetic stays clean on both engines). Map-side expression ON
+    the scan — one pass, no shuffle; Hamming distance between packed
+    rows is popcount(w0 XOR w0') + popcount(w1 XOR w1')."""
+    return spread(emb).select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(sequence(0, 31), 0L,"
+            f" (acc, i) -> acc + IF({vec_col}[i] > 0, shiftleft(1L, i), 0L))"
+        ).alias("w0"),
+        F.expr(
+            f"aggregate(sequence(32, 63), 0L,"
+            f" (acc, i) -> acc + IF({vec_col}[i] > 0, shiftleft(1L, i - 32), 0L))"
+        ).alias("w1"),
+    )
+
+
+def hamming_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Exact Hamming top-k over the sign-packed words: broadcast
+    queries x one packed scan, per-query top-k via partitioned window,
+    ties broken by neighbor id. All exact integers."""
+    packed = sign_pack_words(emb, id_col, vec_col)
+    q = packed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    dist = (
+        F.broadcast(q)
+        .crossJoin(packed)
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return dist.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplane_sign(vec: str, table: int, plane: int) -> F.Column:
     """Deterministic pseudo-random hyperplane: weight for (table, plane,
     dim) is ±1 from xxhash64 parity. dot(vec, w) > 0 -> bit set."""

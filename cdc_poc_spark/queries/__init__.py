@@ -510,6 +510,37 @@ _ROUND11_NEW: list = [
     "text_good_turing_smoothing",
     "text_chao1_vocab_richness",
     "tw_durbin_watson",
+    # -- wave 6: market/regression diagnostics, ordered-alternative +
+    #    variance-homogeneity tests, calibration-error rollup, graph
+    #    censuses:
+    "tw_variance_ratio_test",
+    "tw_chow_break_test",
+    "tw_sample_entropy",
+    "agg_jonckheere_terpstra",
+    "agg_bartlett_test",
+    "ml_expected_calibration_error",
+    "graph_diamond_census",
+    "graph_wcc_minlabel_3round",
+    # -- wave 7: normality/effect-size/operating-point eval, turning
+    #    points, centralization, self-BLEU, binary-ANN recall, LATERAL:
+    "agg_jarque_bera",
+    "ml_cohens_d_effect",
+    "ml_best_f1_threshold",
+    "tw_turning_points_test",
+    "graph_degree_centralization",
+    "text_self_bleu2",
+    "sim_hamming_recall_topk",
+    "sql_lateral_topk_per_customer",
+    # -- wave 8: Mood/overdispersion/seasonal-MK, SMA crossovers,
+    #    log-loss + regression eval, power-law MLE, silhouette:
+    "agg_mood_median_test",
+    "agg_poisson_dispersion_test",
+    "tw_seasonal_mann_kendall",
+    "tw_sma_crossover_signals",
+    "ml_log_loss_calibrated",
+    "ml_regression_metrics",
+    "graph_degree_powerlaw_mle",
+    "sim_silhouette_by_label",
 ]
 
 
@@ -642,6 +673,9 @@ def all_specs() -> dict[str, QuerySpec]:
         stats2,
         llm_ops3,
         llm_ops4,
+        stats3,
+        stats4,
+        stats5,
     )
 
     order = _window_order()

@@ -342,48 +342,15 @@ def sim_hamming_sign_topk(spark, sf_dir):
     full-precision (cosine), PQ/OPQ (8x), and binary (32x) — the
     three operating points every vector store ships.
 
-    Scale: packing is a map-side expression ON the scan (one pass,
-    no shuffle); queries broadcast x one packed scan; per-query top-k
-    via partitioned window. XOR+popcount on two words is the cheapest
-    distance kernel in the stack — the 100 TB pre-filter tier that
-    candidates for exact rerank."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    packed = emb.select(
-        "vec_id",
-        F.expr(
-            "aggregate(sequence(0, 31), 0L,"
-            " (acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i), 0L))"
-        ).alias("w0"),
-        F.expr(
-            "aggregate(sequence(32, 63), 0L,"
-            " (acc, i) -> acc + IF(embedding[i] > 0, shiftleft(1L, i - 32), 0L))"
-        ).alias("w1"),
-    )
-    q = packed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("w0").alias("qw0"),
-        F.col("w1").alias("qw1"),
-    )
-    dist = (
-        F.broadcast(q)
-        .crossJoin(packed)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
-                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
-            )
-            .cast("int")
-            .alias("hamming"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return (
-        dist.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .orderBy("query_id", "rank")
+    Scale: packing (operators.similarity.sign_pack_words) is a
+    map-side expression ON the scan (one pass, no shuffle); queries
+    broadcast x one packed scan; per-query top-k via partitioned
+    window. XOR+popcount on two words is the cheapest distance kernel
+    in the stack — the 100 TB pre-filter tier that candidates for
+    exact rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hamming_topk(emb, n_queries=10, k=5).orderBy(
+        "query_id", "rank"
     )
 
 

@@ -635,3 +635,25 @@ GROUP BY pr.label
 # ^ inline VALUES lookup table (the decode-table idiom — the dimension
 # that lives in the query text, broadcast by construction): identical
 # ANSI text in both engines.
+
+
+_sql_query(
+    "sql_lateral_topk_per_customer",
+    """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(round(CAST(t.o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+         AS price_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3
+) t
+WHERE c.c_custkey < 100
+""",
+    tags=("sql", "join", "topk"),
+)
+# ^ correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+# top-k-per-group idiom in its ANSI form (Spark decorrelates it to a
+# partitioned rank window; DuckDB runs it natively): identical shared
+# text in both engines. Inner-join semantics: customers with no orders
+# emit no rows (pinned; exact integer cents output).

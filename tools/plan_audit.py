@@ -92,6 +92,12 @@ SINGLE_PARTITION_WINDOW_OK = {
     "tw_variance_ratio_test",
     "tw_chow_break_test",
     "tw_sample_entropy",
+    "tw_turning_points_test",
+    "tw_sma_crossover_signals",
+    "tw_seasonal_mann_kendall",
+    # value-domain-bounded rollup through the exact-median rank window
+    # (the agg_weighted_median pattern):
+    "agg_mood_median_test",
     # the windows here are per-__pid partition-LOCAL (global_cumsum's
     # two-pass shape — never a single-partition window); the
     # SinglePartition exchange in the plan feeds the final 1-row
