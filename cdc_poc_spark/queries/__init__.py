@@ -541,6 +541,19 @@ _ROUND11_NEW: list = [
     "ml_regression_metrics",
     "graph_degree_powerlaw_mle",
     "sim_silhouette_by_label",
+    # -- wave 9: unit root + PACF, Levene-mean, RBO rank agreement,
+    #    hash uniformity, multiclass PRF, token Gini, HLL stream:
+    "tw_adf_t_stat",
+    "tw_pacf_lag2",
+    "agg_levene_mean",
+    "ml_rank_biased_overlap",
+    "pipeline_hash_uniformity_check",
+    "ml_multiclass_confusion_prf",
+    "pipeline_token_gini_by_source",
+    "pipeline_hll_register_stream",
+    # -- wave 10: two shared-text SQL surfaces new to Spark 4:
+    "sql_recursive_cte_reach",
+    "sql_grouping_sets_flags",
 ]
 
 
@@ -676,6 +689,7 @@ def all_specs() -> dict[str, QuerySpec]:
         stats3,
         stats4,
         stats5,
+        stats6,
     )
 
     order = _window_order()

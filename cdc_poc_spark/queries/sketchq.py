@@ -895,3 +895,189 @@ def pipeline_mg_sketch_stream(spark, sf_dir):
             "n_heavy_missed",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6) STREAMING maintenance of explicit HLL registers: the THIRD
+#    mergeable-sketch streaming twin (quantile summary = multiset
+#    union, MG = sequential compress-merge, HLL = register MAX — the
+#    only one whose merge is also IDEMPOTENT, so replay safety needs
+#    no epoch bookkeeping at all).
+# ---------------------------------------------------------------------------
+
+_HLL_STREAM_ORACLE = """
+WITH h AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))
+              AS BIGINT) AS w
+  FROM events
+), reg AS (
+  SELECT bucket,
+         CAST(MAX(LEAST(32, CASE WHEN w = 0 THEN 32
+                             ELSE 32 - CAST(floor(log2(w)) AS BIGINT) END))
+              AS BIGINT) AS r
+  FROM h GROUP BY bucket
+), full_reg AS (
+  SELECT d.bucket, reg.r
+  FROM (SELECT CAST(range AS BIGINT) AS bucket FROM range(0, 256)) d
+  LEFT JOIN reg ON reg.bucket = d.bucket
+), z AS (
+  SELECT CAST(SUM(CASE WHEN r IS NULL THEN CAST(4294967296 AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT) << CAST(32 - r AS INT)) END)
+              AS BIGINT) AS z_scaled,
+         CAST(SUM(CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_registers_hit
+  FROM full_reg
+), ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+  FROM events
+)
+SELECT ex.n_events, ex.n_users_exact, z.n_registers_hit, z.z_scaled,
+       round((0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * 4294967296.0
+             / z.z_scaled, 2) AS hll_estimate,
+       abs((0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * 4294967296.0
+           / z.z_scaled - ex.n_users_exact) / ex.n_users_exact <= 0.2
+         AS rel_err_le_20pct
+FROM z CROSS JOIN ex
+"""
+
+
+@register("pipeline_hll_register_stream", oracle=_HLL_STREAM_ORACLE, tags=("llm", "pipeline", "sketch", "streaming"))
+def pipeline_hll_register_stream(spark, sf_dir):
+    """STREAMING maintenance of an EXPLICIT 256-register HLL sketch
+    (Flajolet et al. 2007) through the checkpointed foreachBatch
+    consumer — the third mergeable-sketch streaming twin beside
+    pipeline_quantile_sketch_stream (merge = multiset union) and
+    pipeline_mg_sketch_stream (merge = compress): the HLL merge is a
+    per-register MAX, which is associative AND idempotent, so the
+    maintained state is replay-safe by algebra alone (a re-delivered
+    batch can only re-assert maxima). Registers use the PORTABLE
+    md5-prefix hash (bucket = first 32 bits % 256, rank = leading
+    zeros of the second 32 bits + 1, capped at 32), so the oracle
+    reproduces the register STATE exactly — the driver hashes the
+    full state digest z_scaled = Σ 2^(32−r_j) (empty register =
+    2^32), an exact BIGINT, not just the estimate's error contract
+    (agg_hll_sketch_union stays the Datasketches-engine twin).
+
+    Drive: 3 id-ordered micro-batches (availableNow file stream, the
+    r8/r9 harness) each writing its own per-bucket max partial
+    epoch-partitioned; the final state is the register-wise MAX over
+    all partials == the one-shot registers over all raw events (the
+    oracle) — max-merge associativity is exactly what the cross-
+    engine equality proves. Estimate = α₂₅₆·m²·2³²/z_scaled (one
+    float), plus the exact distinct count and a 20% relative-error
+    contract (HLL σ ≈ 1.04/√256 = 6.5%).
+
+    Scale: per-batch state is 256 rows regardless of batch size; the
+    100 TB shape is per-day register partials unioned by MAX — the
+    cheapest possible rollup lifecycle."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    t1 = (int(mx) + 1) // 3
+    b = ev.select("user_id", "event_id")
+    work = tempfile.mkdtemp(prefix="hll_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    staged = os.path.join(work, "staged")
+    (
+        b.withColumn("__b", F.least(F.lit(2), F.expr(f"event_id DIV {t1}")))
+        .repartition(1)
+        .write.partitionBy("__b")
+        .json(staged)
+    )
+    for i in range(3):
+        files = _glob.glob(os.path.join(staged, f"__b={i}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"b{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    state_dir = os.path.join(work, "registers")
+
+    bucket_expr = (
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 256"
+    )
+    rank_expr = (
+        "LEAST(32, CASE WHEN w = 0 THEN 32"
+        " ELSE CAST(32 - floor(log2(w)) AS BIGINT) END)"
+    )
+
+    def handle(batch_df, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.expr(bucket_expr).alias("bucket"),
+                F.expr(
+                    "CAST(conv(substring(md5(CAST(user_id AS STRING)), 9, 8),"
+                    " 16, 10) AS BIGINT)"
+                ).alias("w"),
+            )
+            .select("bucket", F.expr(rank_expr).alias("r"))
+            .groupBy("bucket")
+            .agg(F.max("r").cast("long").alias("r"))
+            .withColumn("epoch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .format("parquet")
+            .save(state_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(data_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+
+    reg = (
+        spark.read.schema("bucket long, r long, epoch int")
+        .parquet(state_dir)
+        .groupBy("bucket")
+        .agg(F.max("r").cast("long").alias("r"))
+    )
+    domain = spark.range(0, 256).select(F.col("id").alias("bucket"))
+    full_reg = F.broadcast(domain).join(reg, "bucket", "left")
+    z = full_reg.agg(
+        F.sum(
+            F.expr(
+                "IF(r IS NULL, CAST(4294967296 AS BIGINT),"
+                " shiftleft(1L, CAST(32 - r AS INT)))"
+            )
+        )
+        .cast("long")
+        .alias("z_scaled"),
+        F.sum(F.col("r").isNotNull().cast("long")).alias("n_registers_hit"),
+    )
+    ex = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+    )
+    est = (
+        "(0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * 4294967296.0"
+        " / z_scaled"
+    )
+    return z.crossJoin(F.broadcast(ex)).select(
+        "n_events",
+        "n_users_exact",
+        "n_registers_hit",
+        "z_scaled",
+        F.expr(f"round({est}, 2)").alias("hll_estimate"),
+        F.expr(
+            f"abs({est} - n_users_exact) / n_users_exact <= 0.2"
+        ).alias("rel_err_le_20pct"),
+    )

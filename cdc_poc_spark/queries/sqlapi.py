@@ -657,3 +657,59 @@ WHERE c.c_custkey < 100
 # partitioned rank window; DuckDB runs it natively): identical shared
 # text in both engines. Inner-join semantics: customers with no orders
 # emit no rows (pinned; exact integer cents output).
+
+
+_sql_query(
+    "sql_recursive_cte_reach",
+    """
+WITH RECURSIVE b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+  WHERE l_orderkey < 2000
+), e AS (
+  SELECT a.p AS u, x.p AS v FROM b a JOIN b x ON a.o = x.o AND a.p <> x.p
+  GROUP BY a.p, x.p HAVING COUNT(*) >= 2
+), seed AS (
+  SELECT MIN(u) AS s FROM e
+), reach(node, depth) AS (
+  SELECT s, 0 FROM seed
+  UNION ALL
+  SELECT e.v, r.depth + 1 FROM reach r JOIN e ON e.u = r.node
+  WHERE r.depth < 3
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT node) AS BIGINT) AS n_nodes
+FROM reach GROUP BY depth ORDER BY depth
+""",
+    tags=("sql", "graph", "recursive"),
+)
+# ^ WITH RECURSIVE — the iterate-in-SQL surface (Spark 4 executes the
+# recursion natively; DuckDB likewise): bounded-depth walk census from
+# the smallest co-order part. Identical shared ANSI text; exact counts.
+# Depth capped at 3 so the path relation stays bounded by deg^3 of one
+# seed node. The edge universe is PINNED to the l_orderkey < 2000
+# window (covers the whole sf0.001 fixture): Spark 4 re-inlines
+# non-recursive CTEs on every recursion step (measured: 4x the full
+# co-order build, ~48 s at sf0.1 unbounded), so a seed-local walk must
+# bound its universe with a pushdown-prunable predicate — the scan
+# then costs O(window) per step at ANY corpus size.
+
+
+_sql_query(
+    "sql_grouping_sets_flags",
+    """
+SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+       COALESCE(n_name, '(all)') AS nation,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(n_name) AS INT) AS g_nat,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100)) AS BIGINT)
+         AS acctbal_cents
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+""",
+    tags=("sql", "agg"),
+)
+# ^ GROUPING SETS with the GROUPING() provenance flags as verbatim
+# shared text — the multi-axis rollup idiom (agg_grouping_sets stays
+# the DataFrame-API twin). COALESCE labels keep the output
+# NULL-free so pandas type normalization cannot diverge.

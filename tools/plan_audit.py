@@ -95,6 +95,10 @@ SINGLE_PARTITION_WINDOW_OK = {
     "tw_turning_points_test",
     "tw_sma_crossover_signals",
     "tw_seasonal_mann_kendall",
+    "tw_adf_t_stat",
+    "tw_pacf_lag2",
+    # fixed 1024-row bucket-domain relation through the CDF window:
+    "pipeline_hash_uniformity_check",
     # value-domain-bounded rollup through the exact-median rank window
     # (the agg_weighted_median pattern):
     "agg_mood_median_test",

@@ -79,6 +79,9 @@ SLICE_QUERIES = {
     # round-7: the 4-epoch IVM-join drive pays per-epoch write overhead
     # linear in rows; half the orders halves it (customer stays full)
     "cdc_materialized_join_view": "orders",
+    # round-10: the recursive-CTE walk rebuilds the co-order edge set
+    # inside the recursion (~19 s at full sf0.01); lineitem-only.
+    "sql_recursive_cte_reach": "lineitem",
 }
 
 
