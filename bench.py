@@ -174,6 +174,26 @@ ROTATING = [
     "pipeline_quota_water_filling",
     "dedup_lsh_param_planner",
     "sim_pq_sdc_vs_adc",
+    # round 10, waves 5-10 — retrieval-quality eval, binary/Matryoshka
+    # ANN, lexical estimators, regression diagnostics, graph censuses,
+    # calibration/regression eval, recursion surface
+    # (pipeline_hll_register_stream is a foreachBatch drive — excluded
+    # by the standing rule):
+    "ml_ndcg_at_k",
+    "sim_hamming_sign_topk",
+    "sim_matryoshka_prefix_recall",
+    "text_yule_k",
+    "tw_durbin_watson",
+    "agg_jonckheere_terpstra",
+    "tw_sample_entropy",
+    "graph_diamond_census",
+    "graph_wcc_minlabel_3round",
+    "text_self_bleu2",
+    "ml_expected_calibration_error",
+    "ml_regression_metrics",
+    "ml_multiclass_confusion_prf",
+    "pipeline_hash_uniformity_check",
+    "sql_recursive_cte_reach",
 ]
 
 

@@ -1067,9 +1067,13 @@ def pipeline_hll_register_stream(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users_exact"),
     )
+    # CAST keeps the whole chain DOUBLE: Spark parses bare decimal
+    # literals as DECIMAL and would propagate a Decimal-typed estimate
+    # (the suite's strict comparator catches the dtype; DuckDB is
+    # double throughout)
     est = (
-        "(0.7213 / (1.0 + 1.079 / 256)) * 256.0 * 256.0 * 4294967296.0"
-        " / z_scaled"
+        "(CAST(0.7213 AS DOUBLE) / (1.0 + 1.079 / 256))"
+        " * 256.0 * 256.0 * 4294967296.0 / z_scaled"
     )
     return z.crossJoin(F.broadcast(ex)).select(
         "n_events",

@@ -652,11 +652,13 @@ WHERE c.c_custkey < 100
 """,
     tags=("sql", "join", "topk"),
 )
-# ^ correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
-# top-k-per-group idiom in its ANSI form (Spark decorrelates it to a
-# partitioned rank window; DuckDB runs it natively): identical shared
-# text in both engines. Inner-join semantics: customers with no orders
-# emit no rows (pinned; exact integer cents output).
+# ^ the HIGH-CARDINALITY twin of sql_lateral_topn_per_nation: that
+# query correlates through the 25-row nation dimension (the
+# decorrelated rank window partitions 25 ways); this one correlates
+# DIRECTLY on the customer FK, so the partition count is |customers| —
+# the per-entity top-k shape that actually stresses Spark's lateral
+# decorrelation at scale. Inner-join semantics: customers with no
+# orders emit no rows (pinned; exact integer cents output).
 
 
 _sql_query(

@@ -1,0 +1,70 @@
+"""LEAKCHECK regenerator — scans every git-tracked text file for the
+seven proprietary-leak categories recorded in LEAKCHECK.json since
+round 1 (vendor/internal imports, internal URLs and package names,
+bucket references, chat-tool links, credential-shaped strings,
+internal-style env vars). The repo's provenance contract is public
+knowledge only (PySpark/DuckDB APIs + published papers); this scan is
+the committed evidence.
+
+Usage: python tools/leakcheck.py [round_number]
+Writes LEAKCHECK.json at the repo root; exits non-zero on any hit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PATTERNS = {
+    "internal-import": re.compile(
+        r"^\s*(import|from)\s+(anthropic|claude|bedrock|openai|cohere)\b",
+        re.M,
+    ),
+    "internal-url": re.compile(
+        r"https?://[^\s\"']*(anthropic\.com|claude\.ai|corp\.|\.internal)[^\s\"']*"
+    ),
+    "internal-pkg2": re.compile(
+        r"@anthropic[-/]|anthropic[-_]sdk|claude[-_](cli|code|api)"
+    ),
+    "internal-bucket": re.compile(r"s3://[a-z0-9.-]+|gs://[a-z0-9.-]+"),
+    "slack-link": re.compile(r"[a-z0-9-]+\.slack\.com|slack://"),
+    "api-key": re.compile(
+        r"AKIA[0-9A-Z]{16}|sk-ant-[A-Za-z0-9-]{8,}|sk-[A-Za-z0-9]{32,}"
+        r"|xox[bap]-[0-9A-Za-z-]{10,}"
+    ),
+    "axon-env": re.compile(r"\b(AXON|ANTHROPIC|CLAUDE)_[A-Z0-9_]+\b"),
+}
+
+
+def main() -> None:
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    files = subprocess.run(
+        ["git", "ls-files"], cwd=REPO, capture_output=True, text=True
+    ).stdout.splitlines()
+    hits: dict[str, list] = {k: [] for k in PATTERNS}
+    for rel in files:
+        path = os.path.join(REPO, rel)
+        try:
+            with open(path, "r", encoding="utf-8", errors="strict") as fh:
+                text = fh.read()
+        except (UnicodeDecodeError, OSError):
+            continue  # binary or unreadable — not a text leak surface
+        for cat, pat in PATTERNS.items():
+            for m in pat.finditer(text):
+                line = text.count("\n", 0, m.start()) + 1
+                hits[cat].append(f"{rel}:{line}:{m.group(0)[:80]}")
+    n_hits = sum(len(v) for v in hits.values())
+    record = {"round": rnd, "n_hits": n_hits, "hits": hits}
+    with open(os.path.join(REPO, "LEAKCHECK.json"), "w") as fh:
+        json.dump(record, fh, indent=1)
+    print(f"LEAKCHECK: {n_hits} hits over {len(files)} tracked files")
+    sys.exit(1 if n_hits else 0)
+
+
+if __name__ == "__main__":
+    main()

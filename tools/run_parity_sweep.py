@@ -48,6 +48,8 @@ SLICE_TABLES = {
     "documents": ("doc_id", 1),  # (id column, bitmask for % 2)
     "lineitem": ("l_orderkey", 1),
     "orders": ("o_orderkey", 1),
+    "events": ("event_id", 1),
+    "embeddings": ("vec_id", 1),
 }
 SLICE_QUERIES = {
     # -- documents half-slice: the PPJoin/LSH+CC decomposition tier
@@ -82,6 +84,32 @@ SLICE_QUERIES = {
     # round-10: the recursive-CTE walk rebuilds the co-order edge set
     # inside the recursion (~19 s at full sf0.01); lineitem-only.
     "sql_recursive_cte_reach": "lineitem",
+    # round-10 closing (sweep wall at 487 queries): the heaviest NEW
+    # rows, each single-table by construction (verified via their
+    # load_table sets) and non-empty on the half-slice (the sweep's
+    # own zero-row gate re-checks every run):
+    "dedup_lsh_param_planner": "documents",
+    "dedup_substring_index_stream": "documents",
+    "pipeline_bloom_decontam_stream": "documents",
+    "pipeline_mg_sketch_stream": "orders",
+    "agg_mergeable_quantile_sketch": "events",
+    "agg_quantile_sketch_hierarchical": "events",
+    "pipeline_quantile_sketch_stream": "events",
+    # round-10 closing, standing heavy rows (each single-table; the
+    # even-id embeddings slice keeps the deterministic smallest-id
+    # seeds and the vec_id < 10 query vectors {0,2,4,6,8}):
+    "cdc_watermark_rec_stream_state": "events",
+    "cdc_ooo_profile_stream_state": "events",
+    "sim_ann_opq_topk": "embeddings",
+    "sim_ann_ivfpq_residual_topk": "embeddings",
+    "sim_ann_ivfpq_rerank_topk": "embeddings",
+    "sim_ann_ivfpq_probe_sweep": "embeddings",
+    "sim_ann_ivfpq_rerank_full_probe": "embeddings",
+    # NOT sliced, measured and rejected: sim_ivf_index_append_recall
+    # (its append lifecycle splits on vec_id thresholds — the even-id
+    # slice changes the appended-batch contract values) and
+    # cdc_materialized_join_agg (the IVM drive's wall is per-epoch
+    # write overhead, not data volume — the slice measured SLOWER).
 }
 
 
@@ -155,6 +183,12 @@ def main() -> None:
                     f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
                 )
         slice_dirs[table], slice_cons[table] = d, c
+    # Warmup (the bench.py rule): one untimed query so JVM/codegen
+    # startup is not billed to whichever query the window rotation put
+    # first — r10 measured the first timed row paying ~8 s of session
+    # warmup regardless of which query it was.
+    if "q1_pricing_summary" in e.queries():
+        e.queries()["q1_pricing_summary"](spark, sf).collect()
     results: dict[str, dict] = {}
     t_start = time.time()
     for name, fn in qs.items():
