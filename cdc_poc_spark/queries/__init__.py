@@ -554,6 +554,14 @@ _ROUND11_NEW: list = [
     # -- wave 10: two shared-text SQL surfaces new to Spark 4:
     "sql_recursive_cte_reach",
     "sql_grouping_sets_flags",
+    # -- round-11 additions (the 9 open slots). VERDICT r10 task #2:
+    #    the portable (md5-prefix, fully value-oracled) LSH form gets
+    #    its own name, and the original name returns to the xxhash64
+    #    production plan (rows-only + recall-twinned) so the core-15
+    #    bench tracks the 100 TB plan; the original re-enters the
+    #    window because its oracle contract changed after its r10 row:
+    "dedup_minhash_lsh_pairs_portable",
+    "dedup_minhash_lsh_pairs",
 ]
 
 
@@ -603,6 +611,7 @@ _ROUND6B_NEW: list = [
 # ad-hoc lists that predate this file's bookkeeping; their queries simply
 # fall through to registration order at the back.
 WINDOW_HISTORY: list[tuple[int, list]] = [
+    (11, _ROUND11_NEW),
     (10, _ROUND10_NEW),
     (9, _ROUND9_NEW),
     (8, _ROUND8_NEW + _ROUND8B_NEW),
@@ -623,6 +632,11 @@ _REWINDOWED: dict[str, str] = {
     # r9 window (first registration) AND r10 window (ADVICE r9: the
     # lag/lead inversion fix changed the hashed values):
     "sql_named_window_reuse": "re-oracled r10 (lag -> lead fix)",
+    # r10 window (full portable-md5 value oracle) AND r11 window (the
+    # value oracle moved to dedup_minhash_lsh_pairs_portable; this name
+    # reverted to the xxhash64 production plan, rows-only + recall-
+    # twinned — VERDICT r10 "What's wrong #2"):
+    "dedup_minhash_lsh_pairs": "re-contracted r11 (bench re-point to xxhash64)",
 }
 
 

@@ -574,7 +574,9 @@ def pipeline_quantile_sketch_stream(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("event_id")).collect()[0][0]
-    t1 = (int(mx) + 1) // 3
+    if mx is None:
+        raise ValueError("events table is empty: cannot batch the stream drive")
+    t1 = max(1, (int(mx) + 1) // 3)  # guard: tiny fixture must not DIV 0
     b = ev.select(
         F.round(dec("value", VAL) * 100).cast("long").alias("y"),
         "event_id",
@@ -787,7 +789,9 @@ def pipeline_mg_sketch_stream(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderkey")).collect()[0][0]
-    t1 = (int(mx) + 1) // 3
+    if mx is None:
+        raise ValueError("orders table is empty: cannot batch the stream drive")
+    t1 = max(1, (int(mx) + 1) // 3)  # guard: tiny fixture must not DIV 0
     b = o.select(F.col("o_custkey").alias("cust"), "o_orderkey")
     work = tempfile.mkdtemp(prefix="mg_stream_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
@@ -981,7 +985,9 @@ def pipeline_hll_register_stream(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("event_id")).collect()[0][0]
-    t1 = (int(mx) + 1) // 3
+    if mx is None:
+        raise ValueError("events table is empty: cannot batch the stream drive")
+    t1 = max(1, (int(mx) + 1) // 3)  # guard: tiny fixture must not DIV 0
     b = ev.select("user_id", "event_id")
     work = tempfile.mkdtemp(prefix="hll_stream_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)

@@ -48,6 +48,16 @@ def main() -> None:
     ).stdout.splitlines()
     hits: dict[str, list] = {k: [] for k in PATTERNS}
     for rel in files:
+        if rel in (
+            "tools/leakcheck.py",  # the scanner's own pattern literals
+            "LEAKCHECK.json",  # the scan record quotes hit strings by design
+            "ADVICE.md",  # judge-authored artifact (quotes the patterns
+            "VERDICT.md",  # while describing this very scanner)
+        ):
+            # Scan-echo surfaces, not builder-authored leak surfaces
+            # (ADVICE r10: 'slack://' in the slack-link alternative
+            # matched the scanner itself once git-tracked).
+            continue
         path = os.path.join(REPO, rel)
         try:
             with open(path, "r", encoding="utf-8", errors="strict") as fh:
