@@ -45,7 +45,11 @@ CORE = [
     "tw_session_30min_by_user",    # event-time sessionization
     "agg_rollup_segment_nation",   # multi-level rollup
     "join_asof_purchase_to_view",  # as-of join
-    "dedup_minhash_lsh_pairs",     # MinHash-LSH near-dup
+    "dedup_minhash_lsh_pairs",     # MinHash-LSH near-dup (xxhash64
+    #   production plan again since r11 — the r10 total briefly timed
+    #   the portable-md5 oracle plan under this name, worth ~+0.9-1.4 s;
+    #   that form now benches nowhere and lives as
+    #   dedup_minhash_lsh_pairs_portable for the driver's value oracle)
     "dedup_cc_clusters",           # pair graph -> clusters
     "sim_cosine_topk",             # brute-force ANN baseline
     "text_bm25_topk",              # inverted-index retrieval
@@ -341,6 +345,79 @@ def _index_lifecycle(spark, sf_dir: str) -> dict[str, float]:
     return {k: round(min(ts), 3) for k, ts in phases.items()}
 
 
+# ---------------------------------------------------------------------------
+# All-time-min record (VERDICT r10 "What's wrong #3" / r11 task #3): the
+# OFFICIAL longitudinal number is the per-query all-time minimum at sf0.1,
+# kept in committed BENCH_RECORD.json and updated only by samples whose
+# load covariate is <= RECORD_MAX_EXT — so a contended session can only
+# FAIL TO IMPROVE the record, never corrupt it. Seeded from all committed
+# BENCH_DETAIL.json history by tools/seed_bench_record.py (same rules).
+# PLANS.md quotes regressions against THIS table, not against the previous
+# round's possibly-dirty total.
+# ---------------------------------------------------------------------------
+
+RECORD_MAX_EXT = 0.3
+
+
+def _update_bench_record(
+    samples: dict[str, list[float]],
+    external: dict[str, list[float]],
+    sf: float,
+) -> tuple[dict, int]:
+    """Fold this run's samples into BENCH_RECORD.json. Rules (identical
+    to the seeder): a CLEAN sample (covariate <= RECORD_MAX_EXT) beats a
+    provisional entry regardless of value and a clean entry only when
+    faster; a dirty sample only seeds a missing entry (flagged
+    provisional). Returns (record payload, n_updates)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RECORD.json"
+    )
+    try:
+        with open(path) as fh:
+            payload = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        payload = {"max_ext": RECORD_MAX_EXT, "sf": 0.1, "queries": {}}
+    if sf != payload.get("sf", 0.1):
+        return payload, 0  # probe-scale runs never touch the record
+    commit = "worktree"
+    try:
+        import subprocess
+
+        commit = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip() or "worktree"
+    except OSError:
+        pass
+    rec = payload["queries"]
+    n_updates = 0
+    for name, ts in samples.items():
+        es = external.get(name) or [None] * len(ts)
+        for t, e in zip(ts, es):
+            cand = {
+                "min_sec": round(t, 3),
+                "ext": e,
+                "commit": commit,
+                "sf": sf,
+                "clean": e is not None and e <= RECORD_MAX_EXT,
+            }
+            cur = rec.get(name)
+            if cur is None:
+                rec[name] = cand
+                n_updates += 1
+            elif cand["clean"] and not cur["clean"]:
+                rec[name] = cand
+                n_updates += 1
+            elif cand["clean"] == cur["clean"] and cand["min_sec"] < cur["min_sec"]:
+                rec[name] = cand
+                n_updates += 1
+    payload["queries"] = dict(sorted(rec.items()))
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    return payload, n_updates
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -462,6 +539,13 @@ def main() -> None:
     core_total = round(sum(timings[n] for n in core), 3)
     core_total_min = round(sum(mins[n] for n in core), 3)
     rot_total = round(sum(timings[n] for n in rotating), 3)
+    record, n_record_updates = _update_bench_record(samples, external, sf)
+    rec_q = record.get("queries", {})
+    core_total_record = (
+        round(sum(rec_q[n]["min_sec"] for n in core), 3)
+        if all(n in rec_q for n in core)
+        else None
+    )
     detail = {
         "metric": "core_queries_total_wall",
         "value": core_total,
@@ -486,6 +570,18 @@ def main() -> None:
         "dirty_samples_retaken": n_resampled["n"],
         "dirty_sample_threshold": max_ext,
         "n_cpus": os.cpu_count(),
+        # The official longitudinal comparison: this run's min vs the
+        # committed all-time clean record (BENCH_RECORD.json). A ratio
+        # > 1 on a dirty session is contention; a ratio > 1 on a clean
+        # session (external_cpu_frac <= 0.3 for that query's samples)
+        # is a real regression to investigate.
+        "core_total_record": core_total_record,
+        "record_updates_this_run": n_record_updates,
+        "vs_record": {
+            n: round(mins[n] / rec_q[n]["min_sec"], 3)
+            for n in headline
+            if n in rec_q and rec_q[n]["min_sec"] > 0
+        },
         "index_lifecycle_min3": lifecycle,
         "sf": sf,
         "runs_per_query": n_base,
@@ -503,6 +599,7 @@ def main() -> None:
         "rotating_total": rot_total,
         "n_rotating": len(rotating),
         "external_cpu_frac_max": detail["external_cpu_frac_max"],
+        "core_total_record": core_total_record,
         "loadavg_start": load_start,
         "sf": sf,
         "detail": os.path.basename(detail_path),

@@ -1569,3 +1569,150 @@ def pipeline_shard_size_planner(spark, sf_dir):
         ).cast("long").alias("avg_shard_bytes"),
         (F.col("max_doc_bytes") > target).alias("has_oversize_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round distributed BPE trainer (round 11 — VERDICT r10 task #5)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Unrolled k-round BPE training in DuckDB SQL (the r10 sketch-proof
+    pattern: the oracle replays every maintenance round in plain SQL and
+    never sees the Spark loop). Each word is carried as a wrapped symbol
+    string `|s1||s2||...|`; applying merge (l, r) is the literal replace
+    of `|l||r|` by `|lr|`, whose leftmost-non-overlapping scan is
+    EXACTLY the BPE merge rule in both engines."""
+    parts = [
+        """w0 AS (
+  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS wr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS (
+  SELECT unnest(list_transform(range(1, len(syms)),
+                i -> syms[i] || ' ' || syms[i + 1])) AS pr, cnt
+  FROM (SELECT string_split(substring(wr, 2, length(wr) - 2), '||') AS syms,
+               cnt
+        FROM w{r - 1}) t
+  WHERE len(syms) >= 2
+), m{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rnd,
+         string_split(pr, ' ')[1] AS left_sym,
+         string_split(pr, ' ')[2] AS right_sym,
+         string_split(pr, ' ')[1] || string_split(pr, ' ')[2] AS merged,
+         CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM p{r} GROUP BY pr
+  ORDER BY pair_count DESC, pr LIMIT 1
+), w{r} AS (
+  SELECT replace(wr, '|' || m.left_sym || '||' || m.right_sym || '|',
+                     '|' || m.merged || '|') AS wr, cnt
+  FROM w{r - 1}, m{r} m
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT rnd, left_sym, right_sym, merged, pair_count FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+@register(
+    "pipeline_bpe_train_k_rounds",
+    oracle=_bpe_train_oracle(_BPE_K),
+    tags=("llm", "pipeline", "text"),
+)
+def pipeline_bpe_train_k_rounds(spark, sf_dir):
+    """The REAL tokenizer-training loop (VERDICT r10 task #5): k=6
+    sequential BPE merge rounds with pair re-counting after each applied
+    merge — `pipeline_bpe_merge_step` is one iteration of this
+    (Sennrich et al., ACL'16). Emits the learned merge table
+    (rnd, left_sym, right_sym, merged, pair_count).
+
+    Distributed design, per round:
+      1. the corpus is collapsed ONCE to word TYPES with counts (the
+         classic BPE dictionary trick — pair statistics are identical,
+         and the relation the loop iterates on is |vocab|-sized, not
+         corpus-sized);
+      2. each word rides as a wrapped symbol string `|s1||s2||...|`;
+         pair counts come from a map-side explode of adjacent symbol
+         pairs weighted by the word count, into ONE map-side-combinable
+         groupBy whose key cardinality is bounded by the live symbol
+         alphabet squared — a few-KB shuffle regardless of corpus size;
+      3. the argmax merge (count DESC, then pair string — the ' '
+         separator sorts below [a-z], so string order == (left, right)
+         tuple order) is a 1-row collect (bounded driver state, like
+         the sketch-budget bookkeeping in sketchq.py);
+      4. applying the merge is a LITERAL `replace('|l||r|', '|lr|')` —
+         leftmost-non-overlapping in Spark and DuckDB alike, which IS
+         the BPE merge scan; map-side, no shuffle.
+    At 100 TB only step 1 touches the corpus (one shuffle on the word
+    key); all k rounds run on the collapsed type table. The oracle
+    unrolls all 6 rounds in SQL; tests/test_round11_refs.py proves the
+    loop against a pure-Python BPE trainer on a hand corpus.
+
+    The fixture alphabet is [a-z ] (TESTDATA.md), so '|' never collides
+    with a symbol; words shorter than 2 chars carry no pairs and are
+    dropped from the type table up front."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace("w", "(.)", r"|$1|").alias("wr"), "cnt"
+        )
+        .cache()
+    )
+    merges = []
+    cur = wt
+    for rnd in range(1, _BPE_K + 1):
+        pairs = (
+            cur.withColumn(
+                "syms",
+                F.split(
+                    F.expr("substring(wr, 2, length(wr) - 2)"), r"\|\|"
+                ),
+            )
+            # size(syms) == 1 must be dropped BEFORE the transform: Spark's
+            # sequence(1, 0) is the DESCENDING [1, 0] (DuckDB's range(1, 1)
+            # is empty), which would emit null pairs for fully-merged words.
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), i ->"
+                        " concat(syms[i - 1], ' ', syms[i]))"
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+        )
+        best = (
+            pairs.groupBy("pr")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pr"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # degenerate corpus: no adjacent pairs left
+            break
+        left, right = best[0]["pr"].split(" ")
+        merges.append((rnd, left, right, left + right, int(best[0]["n"])))
+        cur = cur.select(
+            F.expr(
+                f"replace(wr, '|{left}||{right}|', '|{left}{right}|')"
+            ).alias("wr"),
+            "cnt",
+        )
+    wt.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rnd long, left_sym string, right_sym string, merged string,"
+        " pair_count long",
+    )

@@ -1,0 +1,105 @@
+"""One-time seeder for BENCH_RECORD.json — the per-query all-time-min
+table (VERDICT r10 "What's wrong #3" / task #3: make minima-across-
+rounds the official longitudinal bench record, so a noisy session can
+only fail to improve the record, never corrupt it).
+
+Walks every committed version of BENCH_DETAIL.json, collects each
+query's samples together with their per-sample load covariate
+(`external_cpu_frac`, present since r7), and writes the cleanest
+eligible minimum per query:
+
+  * a sample is CLEAN iff its covariate is known and <= MAX_EXT (0.3,
+    the bench's standing dirty-sample threshold);
+  * the record for a query is the fastest CLEAN sample across history
+    (entry carries `clean: true` + the covariate + source commit);
+  * a query with no clean sample anywhere seeds PROVISIONAL
+    (`clean: false`, fastest sample regardless) — replaceable by any
+    future clean sample, even a slower one, because a dirty minimum is
+    not a trustworthy baseline;
+  * only sf-matching samples are aggregated (the bench's target scale
+    is sf0.1; probe-scale runs never touch the record).
+
+bench.py applies the same rules incrementally after every run (see
+_update_bench_record there); this seeder exists so the table starts
+from ALL committed history instead of from the next run only.
+
+Usage: python tools/seed_bench_record.py   (writes BENCH_RECORD.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAX_EXT = 0.3
+TARGET_SF = 0.1
+
+
+def main() -> None:
+    revs = subprocess.run(
+        ["git", "-C", REPO, "rev-list", "HEAD", "--", "BENCH_DETAIL.json"],
+        capture_output=True, text=True, check=True,
+    ).stdout.split()
+    record: dict[str, dict] = {}
+    n_versions = 0
+    for rev in reversed(revs):  # oldest first; later ties keep the older rev
+        blob = subprocess.run(
+            ["git", "-C", REPO, "show", f"{rev}:BENCH_DETAIL.json"],
+            capture_output=True, text=True,
+        )
+        if blob.returncode != 0:
+            continue
+        try:
+            d = json.loads(blob.stdout)
+        except json.JSONDecodeError:
+            continue
+        if d.get("sf") != TARGET_SF:
+            continue
+        n_versions += 1
+        samples = d.get("samples", {})
+        exts = d.get("external_cpu_frac", {})
+        for name, ts in samples.items():
+            es = exts.get(name) or [None] * len(ts)
+            for t, e in zip(ts, es):
+                cand = {
+                    "min_sec": t,
+                    "ext": e,
+                    "commit": rev[:7],
+                    "sf": TARGET_SF,
+                    "clean": e is not None and e <= MAX_EXT,
+                }
+                cur = record.get(name)
+                if cur is None:
+                    record[name] = cand
+                elif cand["clean"] and not cur["clean"]:
+                    record[name] = cand  # clean always beats provisional
+                elif cand["clean"] == cur["clean"] and t < cur["min_sec"]:
+                    record[name] = cand
+    out = os.path.join(REPO, "BENCH_RECORD.json")
+    payload = {
+        "doc": (
+            "Per-query all-time-min at sf0.1 (seconds). clean=true means "
+            "the sample's external_cpu_frac was <= "
+            f"{MAX_EXT}; provisional entries are replaced by the first "
+            "clean sample regardless of value. Maintained by bench.py; "
+            "seeded from all committed BENCH_DETAIL.json versions."
+        ),
+        "max_ext": MAX_EXT,
+        "sf": TARGET_SF,
+        "n_history_versions": n_versions,
+        "queries": dict(sorted(record.items())),
+    }
+    with open(out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    n_clean = sum(1 for v in record.values() if v["clean"])
+    print(
+        f"BENCH_RECORD.json: {len(record)} queries from {n_versions} "
+        f"history versions ({n_clean} clean, {len(record) - n_clean} "
+        f"provisional)"
+    )
+
+
+if __name__ == "__main__":
+    main()
