@@ -198,6 +198,12 @@ ROTATING = [
     "ml_multiclass_confusion_prf",
     "pipeline_hash_uniformity_check",
     "sql_recursive_cte_reach",
+    # round 11 additions — the deep-operator wave (multi-round BPE
+    # trainer, SemDeDup embedding pruning) plus the portable-LSH oracle
+    # form so its cost stays visible somewhere after the core re-point:
+    "pipeline_bpe_train_k_rounds",
+    "dedup_semdedup_prune",
+    "dedup_minhash_lsh_pairs_portable",
 ]
 
 

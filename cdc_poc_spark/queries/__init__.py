@@ -562,6 +562,11 @@ _ROUND11_NEW: list = [
     #    window because its oracle contract changed after its r10 row:
     "dedup_minhash_lsh_pairs_portable",
     "dedup_minhash_lsh_pairs",
+    # -- the two deep operators VERDICT r10 tasks #5/#6 asked for: the
+    #    real multi-round tokenizer-training loop and SemDeDup-tier
+    #    embedding dedup over the IVF cell structure:
+    "pipeline_bpe_train_k_rounds",
+    "dedup_semdedup_prune",
 ]
 
 

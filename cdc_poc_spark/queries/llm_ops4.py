@@ -812,3 +812,289 @@ def tw_durbin_watson(spark, sf_dir):
             6,
         ).alias("rho1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic near-dup pruning over the IVF cell structure
+# (round 11, VERDICT r10 task #6; Abbas et al. 2023, arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+#: Component quantization for the exact integer pipeline (the
+#: ml_kmeans_step_assign pattern, analytics.py): xq = round(x * 1e6).
+_SD_Q = 1_000_000
+#: Cosine threshold tau = 0.30, compared exactly as
+#: 100 * dot^2 >= 9 * |a|^2 * |b|^2 (with dot > 0) — no floats in the
+#: decision. The fixture's embedding space is diffuse (max pairwise
+#: cosine ~0.6 at sf0.1), so the production-typical 0.95 would make the
+#: operator's output empty at every SF; tau is a parameter, the
+#: semantics don't change.
+_SD_TAU_NUM = 9  # tau^2 = 0.09 = 9/100
+_SD_TAU_DEN = 100
+
+_SEMDEDUP_ORACLE = f"""
+WITH canon AS (
+  SELECT MIN(vec_id) AS vec_id, arg_min(label, vec_id) AS label, embedding
+  FROM embeddings GROUP BY embedding
+),
+q AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_SD_Q}) AS BIGINT)
+           AS xq
+  FROM canon
+),
+cent AS (
+  SELECT label AS clabel, dim, CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY label, dim
+),
+terms AS (
+  SELECT v.vec_id, c.clabel, c.n,
+         CAST(v.xq * c.n - c.s AS DECIMAL(38,0)) AS t
+  FROM q v JOIN cent c ON c.dim = v.dim
+),
+d2 AS (
+  SELECT vec_id, clabel,
+         CAST(SUM(t * t) AS DECIMAL(38,0)) AS num,
+         CAST(SUM(t * t) AS DOUBLE) / (CAST(MIN(n) AS DOUBLE) * MIN(n))
+           AS dist2
+  FROM terms GROUP BY vec_id, clabel
+),
+assign AS (
+  SELECT vec_id, clabel AS cell_id, num,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel)
+           AS rn
+  FROM d2
+),
+v AS (
+  SELECT a.vec_id, a.cell_id, a.num,
+         list_transform(e.embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS qv
+  FROM assign a JOIN canon e ON e.vec_id = a.vec_id
+  WHERE a.rn = 1
+),
+v2 AS (
+  SELECT vec_id, cell_id, num, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell_id,
+         a.num AS num_a, b.num AS num_b,
+         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+              i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+         a.n2 AS n2_a, b.n2 AS n2_b
+  FROM v2 a JOIN v2 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+),
+dups AS (
+  SELECT *,
+         round(CAST(dot AS DOUBLE)
+               / sqrt(CAST(CAST(n2_a AS HUGEINT) * n2_b AS DOUBLE)), 6)
+           AS cosine
+  FROM pairs
+  WHERE dot > 0
+    AND {_SD_TAU_DEN} * CAST(dot AS HUGEINT) * dot
+        >= {_SD_TAU_NUM} * CAST(n2_a AS HUGEINT) * n2_b
+),
+directed AS (
+  SELECT cell_id,
+         CASE WHEN num_a > num_b OR (num_a = num_b AND id_a < id_b)
+              THEN id_b ELSE id_a END AS dropped_id,
+         CASE WHEN num_a > num_b OR (num_a = num_b AND id_a < id_b)
+              THEN id_a ELSE id_b END AS kept_id,
+         CASE WHEN num_a > num_b OR (num_a = num_b AND id_a < id_b)
+              THEN num_a ELSE num_b END AS num_kept,
+         cosine
+  FROM dups
+),
+best AS (
+  SELECT cell_id, dropped_id, kept_id, cosine,
+         row_number() OVER (PARTITION BY dropped_id
+                            ORDER BY num_kept DESC, kept_id) AS rn
+  FROM directed
+)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(dropped_id AS BIGINT) AS dropped_id,
+       CAST(kept_id AS BIGINT) AS kept_id, cosine
+FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_semdedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("llm", "dedup", "similarity", "ivf"),
+)
+def dedup_semdedup_prune(spark, sf_dir):
+    """SemDeDup-tier embedding dedup (Abbas et al. 2023): assign every
+    vector to its nearest coarse centroid, find within-cell pairs with
+    cosine >= tau, and drop the MORE-typical member of each pair — the
+    survivor is the one FARTHER from its cell centroid (the paper's
+    keep-low-centroid-similarity rule: atypical examples carry more
+    information). Output: one row per dropped vector with the cell, the
+    strongest surviving dominator (largest centroid distance, then
+    smallest id), and that pair's cosine.
+
+    Exactness (the ml_kmeans_step_assign discipline, analytics.py):
+    components quantize to int64; centroids are exact integer sums; the
+    assignment argmin compares SUM((xq*n - S)^2)/n^2 with an exact
+    DECIMAL(38) numerator and ONE double division; the dup decision is
+    the all-integer 100*dot^2 >= 9*|a|^2*|b|^2 cross-multiplication
+    (DECIMAL(38)/HUGEINT — no float ever enters it); the keep-rule
+    compares the exact DECIMAL centroid-distance numerators, which
+    share the same denominator inside a cell. The DuckDB oracle is
+    therefore a full independent blocked recompute of the ENTIRE
+    pipeline — assignment, pair set, and keep-rule — not an agreement
+    flag; tests/test_round11_refs.py adds a third numpy implementation.
+
+    Scale: the centroid relation is broadcast-size (cells x dims); the
+    assignment join is map-side; the pair join is an equi-join on
+    cell_id, so the quadratic term is bounded by the largest CELL, not
+    the corpus — at 100 TB you raise the centroid count proportionally
+    (the standing IVF lifecycle in operators/similarity.py keeps cell
+    sizes roughly constant) and this plan is unchanged. The keep-rule
+    and dominator argmax are one window over the dup-pair relation,
+    which tau keeps sparse.
+
+    CLONE COLLAPSE FIRST (the standing rule for every pairwise
+    consumer — operators/similarity.embedding_cosine_pairs): production
+    SemDeDup runs AFTER the exact-dedup tier (Abbas et al. §3), so
+    byte-identical vectors collapse to their min-id canonical before
+    anything else — centroids, assignment, and the pair join all see
+    canonicals only. Without this the 10x scale probe's clone families
+    (the adversarial shape make_scale_probe builds deliberately) make
+    the within-cell join quadratic in clones; with it the probe's
+    canonical set is exactly the base corpus. A no-op on the base
+    fixtures (all embeddings distinct — TESTDATA.md)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id"),
+        F.min_by("label", "vec_id").alias("label"),
+    )
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * _SD_Q).cast("long").alias("xq"),
+    )
+    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    t = (F.col("xq") * F.col("n") - F.col("s")).cast("decimal(38,0)")
+    d2 = (
+        q.join(F.broadcast(cent), "dim")
+        .select("vec_id", "clabel", "n", t.alias("t"))
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("num"),
+            (
+                F.sum(F.col("t") * F.col("t")).cast("double")
+                / (F.min("n").cast("double") * F.min("n"))
+            ).alias("dist2"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("dist2", "clabel")
+    )
+    assign = (
+        d2.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell_id"), "num")
+    )
+    qv = F.expr(
+        f"transform(embedding, x -> cast(round(cast(x as double) * {_SD_Q})"
+        " as bigint))"
+    )
+    # Pinned ONCE (the analytics.py:524 pattern): `v` carries the whole
+    # quantize->centroid->assign subtree and feeds BOTH self-join sides;
+    # without the pin each side would recompute the assignment shuffle
+    # and window. n rows x one 64-int array — a tiny checkpoint.
+    v = (
+        e.select("vec_id", qv.alias("qv"))
+        .join(assign, "vec_id")
+        .withColumn(
+            "n2",
+            F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    dec38 = "decimal(38,0)"
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cell_id").alias("cell_id"),
+            F.col("a.num").alias("num_a"),
+            F.col("b.num").alias("num_b"),
+            dot.alias("dot"),
+            F.col("a.n2").alias("n2_a"),
+            F.col("b.n2").alias("n2_b"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(_SD_TAU_DEN)
+                * F.col("dot").cast(dec38)
+                * F.col("dot").cast(dec38)
+                >= F.lit(_SD_TAU_NUM)
+                * F.col("n2_a").cast(dec38)
+                * F.col("n2_b").cast(dec38)
+            )
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    (
+                        F.col("n2_a").cast(dec38) * F.col("n2_b").cast(dec38)
+                    ).cast("double")
+                ),
+                6,
+            ),
+        )
+    )
+    a_keeps = (F.col("num_a") > F.col("num_b")) | (
+        (F.col("num_a") == F.col("num_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    directed = pairs.select(
+        "cell_id",
+        F.when(a_keeps, F.col("id_b")).otherwise(F.col("id_a")).alias(
+            "dropped_id"
+        ),
+        F.when(a_keeps, F.col("id_a")).otherwise(F.col("id_b")).alias(
+            "kept_id"
+        ),
+        F.when(a_keeps, F.col("num_a")).otherwise(F.col("num_b")).alias(
+            "num_kept"
+        ),
+        "cosine",
+    )
+    brn = F.row_number().over(
+        W.partitionBy("dropped_id").orderBy(
+            F.desc("num_kept"), F.asc("kept_id")
+        )
+    )
+    return (
+        directed.withColumn("rn", brn)
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("dropped_id").cast("long").alias("dropped_id"),
+            F.col("kept_id").cast("long").alias("kept_id"),
+            "cosine",
+        )
+    )
