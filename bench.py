@@ -200,10 +200,18 @@ ROTATING = [
     "sql_recursive_cte_reach",
     # round 11 additions — the deep-operator wave (multi-round BPE
     # trainer, SemDeDup embedding pruning) plus the portable-LSH oracle
-    # form so its cost stays visible somewhere after the core re-point:
+    # form so its cost stays visible somewhere after the core re-point.
+    # (ml_adaboost_stumps_2rounds is NOT here — its wall is the 2x
+    # collect+checkpoint driver-loop machinery, fixed-overhead
+    # dominated (10x probe runs ~1x); its scale record is the probe.
+    # dedup_semdedup_stream is a foreachBatch drive — excluded by the
+    # standing rule.)
     "pipeline_bpe_train_k_rounds",
     "dedup_semdedup_prune",
     "dedup_minhash_lsh_pairs_portable",
+    "pipeline_bpe_apply_encode",
+    "agg_bottomk_sample_merge",
+    "graph_ktruss_peel_rounds",
 ]
 
 

@@ -567,6 +567,15 @@ _ROUND11_NEW: list = [
     #    embedding dedup over the IVF cell structure:
     "pipeline_bpe_train_k_rounds",
     "dedup_semdedup_prune",
+    # -- the round's closing wave (window now exactly full at 50):
+    #    the tokenizer ENCODE pass over the trained vocab, the
+    #    mergeable bottom-k sampling sketch, 4-truss peeling, the
+    #    AdaBoost loop over stumps, and the SemDeDup ingest twin:
+    "pipeline_bpe_apply_encode",
+    "agg_bottomk_sample_merge",
+    "graph_ktruss_peel_rounds",
+    "ml_adaboost_stumps_2rounds",
+    "dedup_semdedup_stream",
 ]
 
 

@@ -1905,3 +1905,218 @@ def graph_modularity_labelprop(spark, sf_dir):
             ).alias("modularity_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: 2-round AdaBoost over decision stumps — the boosting loop
+# itself, with exact integer weight algebra.
+# ---------------------------------------------------------------------------
+
+_ADA_BASE_SQL = """
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(15,2)) * 100) AS BIGINT)
+           AS v_price,
+         CAST(round(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+           AS v_bal,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0
+           END AS label,
+         CAST(1 AS BIGINT) AS w
+  FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def _ada_round_sql(r: int) -> str:
+    """One unrolled boosting round over base{r-1}: weighted stump
+    search (both features, both polarities), winner by
+    (err, feature, threshold, polarity), then the integer reweight
+    w*GREATEST(W-E,1) on misses / w*GREATEST(E,1) on hits."""
+    b = f"base{r - 1}"
+    return f"""cand{r} AS (
+  SELECT feature, v AS threshold, pol,
+         -- CAST: DuckDB window SUM(BIGINT) widens to HUGEINT, which
+         -- fetchdf() would hand to pandas as float64
+         CAST(CASE WHEN pol = 1 THEN (WP - pl_w) + (nl_w - pl_w)
+              ELSE W - ((WP - pl_w) + (nl_w - pl_w)) END AS BIGINT)
+           AS err_w,
+         CAST(W AS BIGINT) AS W
+  FROM (
+    SELECT feature, v,
+           SUM(cw) OVER (PARTITION BY feature ORDER BY v) AS nl_w,
+           SUM(pw) OVER (PARTITION BY feature ORDER BY v) AS pl_w,
+           SUM(cw) OVER (PARTITION BY feature) AS W,
+           SUM(pw) OVER (PARTITION BY feature) AS WP
+    FROM (
+      SELECT 'price_cents' AS feature, v_price AS v,
+             CAST(SUM(w) AS BIGINT) AS cw,
+             CAST(SUM(w * label) AS BIGINT) AS pw
+      FROM {b} GROUP BY v_price
+      UNION ALL
+      SELECT 'cust_bal_cents', v_bal, CAST(SUM(w) AS BIGINT),
+             CAST(SUM(w * label) AS BIGINT)
+      FROM {b} GROUP BY v_bal
+    ) h
+  ) c, (VALUES (0), (1)) p(pol)
+), best{r} AS (
+  SELECT * FROM cand{r} ORDER BY err_w, feature, threshold, pol LIMIT 1
+), scored{r} AS (
+  SELECT {b}.*,
+         CASE WHEN ((CASE WHEN best{r}.feature = 'price_cents'
+                          THEN v_price ELSE v_bal END) <= best{r}.threshold)
+              THEN best{r}.pol ELSE 1 - best{r}.pol END AS pred,
+         best{r}.err_w AS e, best{r}.W AS tw
+  FROM {b}, best{r}
+), r{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rnd, feature, threshold,
+         CAST(pol AS BIGINT) AS polarity, err_w, W AS total_w,
+         CAST(round(500000 * ln(CAST(GREATEST(W - err_w, 1) AS DOUBLE)
+                                / GREATEST(err_w, 1))) AS BIGINT)
+           AS alpha_micro,
+         (SELECT CAST(SUM(CASE WHEN pred <> label THEN 1 ELSE 0 END)
+                      AS BIGINT) FROM scored{r}) AS n_mis_rows
+  FROM best{r}
+), base{r} AS (
+  SELECT v_price, v_bal, label,
+         w * CASE WHEN pred <> label THEN GREATEST(tw - e, 1)
+                  ELSE GREATEST(e, 1) END AS w
+  FROM scored{r}
+)"""
+
+
+_ADABOOST_ORACLE = (
+    "WITH base0 AS (" + _ADA_BASE_SQL + "),\n"
+    + _ada_round_sql(1) + ",\n" + _ada_round_sql(2)
+    + "\nSELECT rnd, feature, threshold, polarity, err_w, total_w,"
+    " alpha_micro, n_mis_rows FROM r1"
+    " UNION ALL SELECT rnd, feature, threshold, polarity, err_w,"
+    " total_w, alpha_micro, n_mis_rows FROM r2"
+)
+
+
+@register("ml_adaboost_stumps_2rounds", oracle=_ADABOOST_ORACLE, tags=("ml", "analytics"))
+def ml_adaboost_stumps_2rounds(spark, sf_dir):
+    """TWO AdaBoost rounds over decision stumps (Freund & Schapire
+    1997) — the actual boosting LOOP on top of the ml_decision_stump
+    weak learner: round 2's stump is trained on reweighted data, so
+    the driver hash breaks if the round-1 winner, the reweighting, or
+    the round-2 weighted search is wrong anywhere.
+
+    Exact integer weight algebra: AdaBoost only needs weight RATIOS,
+    and exp(+alpha)/exp(-alpha) = (W-E)/E, so the update multiplies
+    misclassified rows by GREATEST(W-E, 1) and correct rows by
+    GREATEST(E, 1) — exact BIGINTs, no exp(), no normalization
+    (GREATEST guards the degenerate perfect-stump round identically in
+    both engines). Weights after round r are bounded by W0^(r+1) —
+    int64-safe for 2 rounds at probe scale; a deeper trainer would
+    periodically divide weights by their GCD or move to DECIMAL(38).
+    alpha_micro = round(5e5 * ln((W-E)/E)) is reported as ONE float op
+    at the edge on identical integers (the curriculum-stages ln
+    precedent); err/total/miss counts are exact.
+
+    Plan, per round: rows collapse to per-feature weighted VALUE
+    HISTOGRAMS (map-side-combinable); both polarities' errors come
+    from the same two prefix sums (global_cumsum per feature — never a
+    feature-partitioned window over raw rows); the winner is a 1-row
+    TakeOrdered collect (bounded driver state, the BPE-loop pattern);
+    the reweight is one map-side CASE. The corpus is never sorted
+    globally and never joined to itself."""
+    from ..operators.scale import global_cumsum
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    base = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        F.round(dec("o_totalprice", MONEY) * 100).cast("long").alias("v_price"),
+        F.round(dec("c_acctbal", BAL) * 100).cast("long").alias("v_bal"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("int").alias("label"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    out_rows = []
+    for rnd in (1, 2):
+        base = base.localCheckpoint(eager=True)  # pin reweighted state
+        parts = []
+        for feat, col in (("price_cents", "v_price"), ("cust_bal_cents", "v_bal")):
+            h = (
+                base.select(F.col(col).alias("v"), "w", "label")
+                .groupBy("v")
+                .agg(
+                    F.sum("w").cast("long").alias("cw"),
+                    F.sum(F.col("w") * F.col("label")).cast("long").alias("pw"),
+                )
+            )
+            c = global_cumsum(h, "cw", ["v"], cum_col="nl_w")
+            c = global_cumsum(c, "pw", ["v"], cum_col="pl_w")
+            parts.append(
+                c.select(F.lit(feat).alias("feature"), "v", "nl_w", "pl_w")
+            )
+        tot = base.agg(
+            F.sum("w").cast("long").alias("W"),
+            F.sum(F.col("w") * F.col("label")).cast("long").alias("WP"),
+        )
+        err1 = (F.col("WP") - F.col("pl_w")) + (F.col("nl_w") - F.col("pl_w"))
+        cand = (
+            parts[0].unionByName(parts[1])
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "feature",
+                F.col("v").alias("threshold"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(1).alias("pol"), err1.alias("err_w")
+                        ),
+                        F.struct(
+                            F.lit(0).alias("pol"),
+                            (F.col("W") - err1).alias("err_w"),
+                        ),
+                    )
+                ).alias("pe"),
+                "W",
+            )
+            .select(
+                "feature", "threshold",
+                F.col("pe.pol").alias("pol"),
+                F.col("pe.err_w").alias("err_w"), "W",
+            )
+        )
+        best = (
+            cand.orderBy("err_w", "feature", "threshold", "pol")
+            .limit(1)
+            .collect()[0]
+        )
+        feat, thr, pol = best["feature"], int(best["threshold"]), int(best["pol"])
+        e, w_tot = int(best["err_w"]), int(best["W"])
+        vcol = "v_price" if feat == "price_cents" else "v_bal"
+        pred = F.when(
+            F.col(vcol) <= thr, F.lit(pol)
+        ).otherwise(F.lit(1 - pol))
+        mis = pred != F.col("label")
+        n_mis = base.agg(
+            F.sum(mis.cast("long")).cast("long").alias("m")
+        ).collect()[0]["m"]
+        import math
+
+        alpha_micro = int(
+            round(500000 * math.log(float(max(w_tot - e, 1)) / max(e, 1)))
+        )
+        out_rows.append(
+            (rnd, feat, thr, pol, e, w_tot, alpha_micro, int(n_mis))
+        )
+        base = base.select(
+            "v_price", "v_bal", "label",
+            (
+                F.col("w")
+                * F.when(mis, F.lit(max(w_tot - e, 1))).otherwise(
+                    F.lit(max(e, 1))
+                )
+            ).cast("long").alias("w"),
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "rnd long, feature string, threshold long, polarity long,"
+        " err_w long, total_w long, alpha_micro long, n_mis_rows long",
+    )

@@ -1659,19 +1659,35 @@ def pipeline_bpe_train_k_rounds(spark, sf_dir):
     with a symbol; words shorter than 2 chars carry no pairs and are
     dropped from the type table up front."""
     docs = load_table(spark, sf_dir, "documents")
+    merges, _, wt = _bpe_train_spark(docs, _BPE_K)
+    wt.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rnd long, left_sym string, right_sym string, merged string,"
+        " pair_count long",
+    )
+
+
+def _bpe_train_spark(docs, k: int, keep_word: bool = False):
+    """The shared BPE training loop (see pipeline_bpe_train_k_rounds for
+    the plan discussion). Returns (merges, final word-type DataFrame,
+    the cached base relation for the caller to unpersist). With
+    ``keep_word`` the original word string rides along so the trained
+    state can be joined back to the corpus (the encode pass)."""
+    cols = ["w"] if keep_word else []
     wt = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
-            F.regexp_replace("w", "(.)", r"|$1|").alias("wr"), "cnt"
+            *cols, F.regexp_replace("w", "(.)", r"|$1|").alias("wr"), "cnt"
         )
         .cache()
     )
-    merges = []
+    merges: list = []
     cur = wt
-    for rnd in range(1, _BPE_K + 1):
+    for rnd in range(1, k + 1):
         pairs = (
             cur.withColumn(
                 "syms",
@@ -1705,14 +1721,123 @@ def pipeline_bpe_train_k_rounds(spark, sf_dir):
         left, right = best[0]["pr"].split(" ")
         merges.append((rnd, left, right, left + right, int(best[0]["n"])))
         cur = cur.select(
+            *cols,
             F.expr(
                 f"replace(wr, '|{left}||{right}|', '|{left}{right}|')"
             ).alias("wr"),
             "cnt",
         )
-    wt.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "rnd long, left_sym string, right_sym string, merged string,"
-        " pair_count long",
+    return merges, cur, wt
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Unrolled train-then-ENCODE in DuckDB SQL: the same k-round chain
+    as _bpe_train_oracle but carrying the word string, then the corpus
+    re-tokenized through the final vocabulary and rolled up by
+    source."""
+    parts = [
+        """w0 AS (
+  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS wr,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2 GROUP BY w
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""p{r} AS (
+  SELECT unnest(list_transform(range(1, len(syms)),
+                i -> syms[i] || ' ' || syms[i + 1])) AS pr, cnt
+  FROM (SELECT string_split(substring(wr, 2, length(wr) - 2), '||') AS syms,
+               cnt
+        FROM w{r - 1}) t
+  WHERE len(syms) >= 2
+), m{r} AS (
+  SELECT string_split(pr, ' ')[1] AS left_sym,
+         string_split(pr, ' ')[2] AS right_sym
+  FROM p{r} GROUP BY pr
+  ORDER BY SUM(cnt) DESC, pr LIMIT 1
+), w{r} AS (
+  SELECT w, replace(wr, '|' || m.left_sym || '||' || m.right_sym || '|',
+                        '|' || m.left_sym || m.right_sym || '|') AS wr, cnt
+  FROM w{r - 1}, m{r} m
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+wmap AS (
+  SELECT w, CAST(len(string_split(substring(wr, 2, length(wr) - 2), '||'))
+                 AS BIGINT) AS n_tok
+  FROM w{k}
+),
+allw AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+rep AS (
+  SELECT source, length(allw.w) AS n_chars, COALESCE(wmap.n_tok, 1) AS n_tok
+  FROM allw LEFT JOIN wmap ON wmap.w = allw.w
+  WHERE length(allw.w) >= 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       (1000000 * CAST(SUM(n_tok) AS BIGINT)) // CAST(SUM(n_chars) AS BIGINT)
+         AS tokens_per_million_chars
+FROM rep GROUP BY source"""
     )
+
+
+@register(
+    "pipeline_bpe_apply_encode",
+    oracle=_bpe_apply_oracle(_BPE_K),
+    tags=("llm", "pipeline", "text"),
+)
+def pipeline_bpe_apply_encode(spark, sf_dir):
+    """Train-then-ENCODE — the second half of the tokenizer lifecycle:
+    the k=6 merges learned by the shared loop are applied to the word-
+    type table, and the corpus is re-tokenized through the resulting
+    vocabulary, reporting per-source compression (words, chars, encoded
+    tokens, and the exact integer tokens_per_million_chars rate — char-
+    level tokenization would score 1,000,000).
+
+    Scale shape: training touches the corpus once (the word-type
+    collapse); ENCODING is a broadcast-size join — the trained type
+    table is |vocab| rows, so re-tokenizing 100 TB is a map-side hash
+    join of words against the vocabulary plus one map-side-combinable
+    per-source rollup. No per-round pass over the corpus ever happens.
+    Words shorter than 2 chars encode as themselves (n_tok = 1), the
+    LEFT JOIN's COALESCE arm in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, final, wt = _bpe_train_spark(docs, _BPE_K, keep_word=True)
+    wmap = final.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(wr, 2, length(wr) - 2)"), r"\|\|")
+        ).cast("long").alias("n_tok"),
+    )
+    allw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+    )
+    rep = (
+        allw.join(F.broadcast(wmap), "w", "left")
+        .select(
+            "source",
+            F.length("w").alias("n_chars"),
+            F.coalesce("n_tok", F.lit(1)).alias("n_tok"),
+        )
+    )
+    out = (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_million_chars",
+            F.expr("(1000000 * n_tokens) DIV n_chars"),
+        )
+    )
+    wt.unpersist()
+    return out

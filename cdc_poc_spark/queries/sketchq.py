@@ -1091,3 +1091,78 @@ def pipeline_hll_register_stream(spark, sf_dir):
             f"abs({est} - n_users_exact) / n_users_exact <= 0.2"
         ).alias("rel_err_le_20pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 4) Mergeable bottom-k sample (round 11): the semilattice sampling
+#    sketch — union of partials == whole, in any association.
+# ---------------------------------------------------------------------------
+
+_BK_K = 40
+_BK_SHARDS = 7
+
+_BOTTOMK_ORACLE = f"""
+WITH pri AS (
+  SELECT event_id,
+         CAST(('0x' || substring(md5('bk:' || CAST(event_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS priority
+  FROM events
+),
+bk AS (
+  SELECT event_id, priority,
+         row_number() OVER (ORDER BY priority, event_id) AS rk
+  FROM pri
+)
+SELECT CAST(rk AS BIGINT) AS rk, event_id, priority
+FROM bk WHERE rk <= {_BK_K}
+"""
+
+
+@register(
+    "agg_bottomk_sample_merge",
+    oracle=_BOTTOMK_ORACLE,
+    tags=("agg", "sketch", "sample"),
+)
+def agg_bottomk_sample_merge(spark, sf_dir):
+    """Mergeable bottom-k sampling sketch (Cohen & Kaplan, PODC 2007):
+    each row gets a deterministic hash priority (the engine-portable
+    md5-prefix bigint); a shard's sketch is its k smallest priorities;
+    merging sketches = union then keep the k smallest. Because bottom-k
+    is a SEMILATTICE (idempotent, commutative, associative min-k), the
+    merged sample over any shard grouping equals the bottom-k of the
+    whole corpus — the property that makes it the distributed uniform
+    sampler: sketch each day/file once, union upward, never re-read.
+
+    The Spark plan computes the sketch THROUGH the merge path — 7
+    pmod-shard partials (one partitioned window each bounded at k rows
+    out) unioned and re-cut — while the oracle computes the whole-table
+    bottom-k directly, so the driver's value hash IS the
+    partials-merge == whole identity, per row. The final rank runs
+    over the <= 7k-row post-limit union (the _ivf_seeds bounded-window
+    pattern); the raw scan is never globally windowed.
+    tests/test_round11_refs.py re-proves grouping-order invariance in
+    pure Python under three different associations."""
+    ev = load_table(spark, sf_dir, "events")
+    pri = ev.select(
+        "event_id",
+        F.expr(
+            "CAST(conv(substring(md5(concat('bk:', CAST(event_id AS"
+            " STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("priority"),
+        F.pmod("event_id", F.lit(_BK_SHARDS)).alias("__shard"),
+    )
+    from pyspark.sql import Window as W
+
+    shard_w = W.partitionBy("__shard").orderBy("priority", "event_id")
+    partials = (
+        pri.withColumn("srk", F.row_number().over(shard_w))
+        .filter(F.col("srk") <= _BK_K)
+        .select("event_id", "priority")
+    )
+    merged = partials.orderBy("priority", "event_id").limit(_BK_K)
+    rank_w = W.orderBy("priority", "event_id")
+    return merged.select(
+        F.row_number().over(rank_w).cast("long").alias("rk"),
+        "event_id",
+        "priority",
+    )

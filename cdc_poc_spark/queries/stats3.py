@@ -867,3 +867,159 @@ def graph_wcc_minlabel_3round(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_labels"))
         .orderBy("component_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: k-truss peeling rounds (round 11).
+# ---------------------------------------------------------------------------
+
+
+def _ktruss_oracle() -> str:
+    parts = []
+    prev = "e"
+    for r in range(3):
+        parts.append(f"""t{r} AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN {prev} e3 ON e3.u = e1.v AND e3.v = e2.v
+), s{r} AS (
+  SELECT x[1] AS u, x[2] AS v, CAST(COUNT(*) AS BIGINT) AS supp
+  FROM t{r}, unnest([[a, b], [a, c], [b, c]]) AS z(x)
+  GROUP BY x[1], x[2]
+), r{r} AS (
+  SELECT CAST({r} AS BIGINT) AS rnd,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM {prev}) AS n_edges,
+         CAST(COALESCE(SUM(supp), 0) // 3 AS BIGINT) AS n_triangles,
+         CAST(COALESCE(SUM(CASE WHEN supp >= 2 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_edges_supp_ge2,
+         CAST(COALESCE(MAX(supp), 0) AS BIGINT) AS max_support
+  FROM s{r}
+), a{r + 1} AS (
+  SELECT u, v FROM s{r} WHERE supp >= 2
+)""")
+        prev = f"a{r + 1}"
+    return (
+        _COORDER_EDGES_CTE
+        + ", "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM r0 UNION ALL SELECT * FROM r1"
+        + " UNION ALL SELECT * FROM r2"
+    )
+
+
+@register("graph_ktruss_peel_rounds", oracle=_ktruss_oracle(), tags=("graph", "analytics"))
+def graph_ktruss_peel_rounds(spark, sf_dir):
+    """4-TRUSS peeling over the co-order graph, two synchronous peel
+    rounds (Cohen 2008, "Trusses: cohesive subgraphs for social
+    network analysis"): edge support = number of triangles containing
+    the edge; each round removes every edge with support < k-2 = 2 and
+    recomputes support on the survivors. Like graph_wcc_minlabel_3round
+    the round count is a compile-time constant, so the output is
+    deterministic whether or not the peel has converged — the per-round
+    (n_edges, n_triangles, n_edges_supp_ge2, max_support) trajectory IS
+    the result, the cohesion profile a community-mining pipeline reads.
+
+    Plan, per round: DEGREE-ORDERED triangle enumeration (Chiba &
+    Nishizeki 1985 / Latapy 2008): edges orient from the (degree, id)-
+    smaller endpoint to the larger, wedges fan out only from each
+    node's HIGHER-degree neighbors, so per-node fanout is bounded by
+    the arboricity-ordered out-degree — the hub-safe plan (a u < v id
+    orientation would let one low-id hub fan out deg^2 wedges). The
+    triangle SET is orientation-invariant, so the DuckDB oracle keeps
+    the simple u < v enumeration and the values must still agree.
+    Each triangle explodes to its 3 (min, max)-keyed edges -> ONE
+    map-side-combinable count. n_triangles = SUM(supp) DIV 3 exactly
+    (every triangle contributes 3 edge-supports), so the triangle
+    relation is consumed ONCE. Survivor sets and support relations are
+    pinned with eager localCheckpoint (the operators/graph.py round
+    discipline) so round r+1's join does not replay round r's lineage.
+    All exact BIGINTs; no window, no float. The 10x probe rides at
+    ~8x: work is Sum C(out-deg, 2), linear in edges when replication
+    holds degrees constant — the floor for an exact census."""
+    edges = _coorder_part_edges(spark, sf_dir).select("u", "v")
+    out = None
+    for rnd in range(3):
+        if rnd > 0:
+            edges = edges.localCheckpoint(eager=True)
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        deg = sym.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("dg")
+        )
+        # orient s -> t iff (deg_s, s) < (deg_t, t); carry t's key for
+        # the wedge-order filter
+        uk = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+        vk = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+        ori = (
+            edges.join(deg.withColumnRenamed("node", "u"), "u")
+            .withColumnRenamed("dg", "du")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .withColumnRenamed("dg", "dv")
+            .select(
+                F.when(uk < vk, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(uk < vk, F.col("v")).otherwise(F.col("u")).alias("t"),
+                F.greatest(uk, vk).alias("tk"),
+            )
+        )
+        o1 = ori.select("s", F.col("t").alias("b"), F.col("tk").alias("bk"))
+        o2 = ori.select("s", F.col("t").alias("c"), F.col("tk").alias("ck"))
+        close = ori.select(F.col("s").alias("b"), F.col("t").alias("c"))
+        tri = (
+            o1.join(o2, "s")
+            .filter(F.col("bk") < F.col("ck"))
+            .join(close, ["b", "c"])
+            # canonical (a < b < c) id order — orientation-free keys
+            .select(
+                F.sort_array(F.array("s", "b", "c")).alias("t3")
+            )
+            .select(
+                F.col("t3")[0].alias("a"),
+                F.col("t3")[1].alias("b"),
+                F.col("t3")[2].alias("c"),
+            )
+        )
+        supp = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.array("a", "b"),
+                        F.array("a", "c"),
+                        F.array("b", "c"),
+                    )
+                ).alias("x")
+            )
+            .select(
+                F.col("x")[0].alias("u"), F.col("x")[1].alias("v")
+            )
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+            .localCheckpoint(eager=True)
+        )
+        stats = (
+            supp.agg(
+                F.expr(
+                    "CAST(COALESCE(SUM(supp), 0) DIV 3 AS BIGINT)"
+                ).alias("n_triangles"),
+                F.coalesce(
+                    F.sum((F.col("supp") >= 2).cast("long")), F.lit(0)
+                ).cast("long").alias("n_edges_supp_ge2"),
+                F.coalesce(F.max("supp"), F.lit(0)).cast("long").alias(
+                    "max_support"
+                ),
+            )
+            .crossJoin(
+                edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(rnd).cast("long").alias("rnd"),
+                "n_edges",
+                "n_triangles",
+                "n_edges_supp_ge2",
+                "max_support",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+        edges = supp.filter(F.col("supp") >= 2).select("u", "v")
+    return out

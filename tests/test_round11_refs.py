@@ -209,3 +209,78 @@ def test_semdedup_matches_exact_reference(spark):
     for g, e in zip(got, expect):
         assert g[:3] == e[:3], (g, e)
         assert abs(g[3] - e[3]) < 2e-6, (g, e)  # engines round HALF_UP
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k semilattice proofs + stream-twin invariants
+# ---------------------------------------------------------------------------
+
+
+def _md5_pri(eid: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"bk:{eid}".encode()).hexdigest()[:15], 16)
+
+
+def test_bottomk_merge_is_association_invariant(spark):
+    """bottom-k is a semilattice: partial bottom-k per shard, merged
+    under THREE different groupings, equals the whole-table bottom-k —
+    and equals the registered query's output."""
+    ids = pq.read_table(f"{SF_DIR}/events.parquet").column(
+        "event_id"
+    ).to_pylist()
+    k = 40
+    pri = sorted((_md5_pri(i), i) for i in ids)
+    whole = pri[:k]
+
+    def bk(items):
+        return sorted(items)[:k]
+
+    shards = [[] for _ in range(7)]
+    for i in ids:
+        shards[i % 7].append((_md5_pri(i), i))
+    parts = [bk(s) for s in shards]
+    # flat merge, left fold, and a nested pairing must all agree
+    flat = bk([x for p in parts for x in p])
+    fold = parts[0]
+    for p in parts[1:]:
+        fold = bk(fold + p)
+    nest = bk(bk(parts[0] + parts[1]) + bk(parts[2] + parts[3]))
+    nest = bk(nest + bk(parts[4] + bk(parts[5] + parts[6])))
+    assert flat == whole and fold == whole and nest == whole
+    rows = (
+        all_specs()["agg_bottomk_sample_merge"].fn(spark, SF_DIR).collect()
+    )
+    got = [(r["priority"], r["event_id"]) for r in sorted(rows, key=lambda r: r["rk"])]
+    assert got == whole
+
+
+def test_semdedup_stream_cross_epoch_index(spark):
+    """The ingest twin's standing-index contract: both epochs land;
+    every nearest_dup_id cited by an epoch-1 arrival must be a member
+    of the index AT THAT POINT — a corpus canonical or an epoch-0
+    SURVIVOR (never an epoch-0 dropped vector, never an epoch-1
+    peer)."""
+    rows = all_specs()["dedup_semdedup_stream"].fn(spark, SF_DIR).collect()
+    epochs = {r["epoch"] for r in rows}
+    assert epochs == {0, 1}
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    mx = max(t.column("vec_id").to_pylist())
+    t1 = max(1, (mx + 1) // 3)
+    e0 = {r["vec_id"]: r for r in rows if r["epoch"] == 0}
+    survivors0 = {v for v, r in e0.items() if not r["dropped"]}
+    for r in rows:
+        if r["nearest_dup_id"] is None:
+            continue
+        nid = r["nearest_dup_id"]
+        if r["epoch"] == 0:
+            assert nid < t1, r  # only corpus members in the index yet
+        else:
+            assert nid < t1 or nid in survivors0, r
+    # the cross-batch append must be load-bearing on this fixture:
+    # at least one epoch-1 arrival cites an epoch-0 survivor
+    assert any(
+        r["nearest_dup_id"] is not None and r["nearest_dup_id"] >= t1
+        for r in rows
+        if r["epoch"] == 1
+    ), "no epoch-1 arrival was deduped against an epoch-0 survivor"

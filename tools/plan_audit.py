@@ -107,6 +107,10 @@ SINGLE_PARTITION_WINDOW_OK = {
     # SinglePartition exchange in the plan feeds the final 1-row
     # statistic aggregate, which any scalar test query has:
     "agg_jonckheere_terpstra",
+    # the final rank window runs over the <= k-row POST-LIMIT union of
+    # 7 shard partials (the _ivf_seeds bounded pattern); the raw scan
+    # only ever sees the partitioned per-shard window:
+    "agg_bottomk_sample_merge",
 }
 
 

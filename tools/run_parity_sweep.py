@@ -105,6 +105,13 @@ SLICE_QUERIES = {
     "sim_ann_ivfpq_rerank_topk": "embeddings",
     "sim_ann_ivfpq_probe_sweep": "embeddings",
     "sim_ann_ivfpq_rerank_full_probe": "embeddings",
+    # round-11: both SemDeDup forms are embeddings-only by
+    # construction; the even-id slice keeps cells and tau semantics
+    # (thresholds derive from the sliced table's own max id) and the
+    # stream drive's result is one row per arriving vector, so the
+    # zero-row gate cannot trip:
+    "dedup_semdedup_prune": "embeddings",
+    "dedup_semdedup_stream": "embeddings",
     # NOT sliced, measured and rejected: sim_ivf_index_append_recall
     # (its append lifecycle splits on vec_id thresholds — the even-id
     # slice changes the appended-batch contract values) and
