@@ -212,6 +212,8 @@ ROTATING = [
     "pipeline_bpe_apply_encode",
     "agg_bottomk_sample_merge",
     "graph_ktruss_peel_rounds",
+    # round-12 seeds
+    "pipeline_dedup_tiers_composed",
 ]
 
 

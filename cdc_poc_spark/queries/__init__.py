@@ -579,6 +579,17 @@ _ROUND11_NEW: list = [
 ]
 
 
+# ROUND-12 WINDOW SEEDS — queries registered after the round-11 window
+# hit its 50-query capacity. Sweep-green now; they get their first
+# driver rows when round 12 opens with `(12, _ROUND12_NEW)` in
+# WINDOW_HISTORY (the standing policy).
+_ROUND12_NEW: list = [
+    # the production dedup pipeline composed end-to-end (exact ->
+    # containment -> LSH) with every survivor handoff id-sum-pinned:
+    "pipeline_dedup_tiers_composed",
+]
+
+
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.

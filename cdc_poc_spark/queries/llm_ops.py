@@ -4072,3 +4072,142 @@ def sim_ivf_index_append_recall(spark, sf_dir):
             ).alias("append_within_010_of_rebuild"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12 seed: the production dedup pipeline COMPOSED — exact ->
+# containment -> MinHash-LSH, with every survivor-set handoff pinned.
+# ---------------------------------------------------------------------------
+
+#: The LSH tier runs on tier-2 SURVIVORS, so the shared canonical pipe
+#: is re-scoped from the raw table to the filtered relation (the one
+#: `FROM documents` site in _MH_PIPE_SQL is the fam collapse —
+#: a no-op re-collapse here, since its input is already canonical).
+_MH_PIPE_ON_S2 = _MH_PIPE_SQL.replace(
+    "FROM documents GROUP BY",
+    "FROM (SELECT d.* FROM documents d JOIN s2 USING (doc_id)) GROUP BY",
+)
+
+_TIERS_ORACLE = f"""
+WITH n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+fam0 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+r1 AS (
+  SELECT CAST(1 AS BIGINT) AS tier, n0.n AS n_in,
+         n0.n - (SELECT COUNT(*) FROM fam0) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fam0) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM fam0) AS survivor_id_sum
+  FROM n0
+),
+t2 AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS toks
+  FROM documents d JOIN fam0 USING (doc_id)
+),
+sh2 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingles
+  FROM t2 WHERE len(toks) >= 3
+),
+dom2 AS (
+  SELECT DISTINCT a.doc_id
+  FROM sh2 a, sh2 b
+  WHERE a.doc_id <> b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) AS DOUBLE) >= 0.9 - 1e-9
+),
+s2 AS (SELECT doc_id FROM fam0
+       WHERE doc_id NOT IN (SELECT doc_id FROM dom2)),
+r2 AS (
+  SELECT CAST(2 AS BIGINT) AS tier,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fam0) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dom2) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s2) AS survivor_id_sum
+),
+{_MH_PIPE_ON_S2},
+dom3 AS (SELECT DISTINCT id_b AS doc_id FROM cp),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dom3)),
+r3 AS (
+  SELECT CAST(3 AS BIGINT) AS tier,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dom3) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s3) AS survivor_id_sum
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+"""
+
+
+@register(
+    "pipeline_dedup_tiers_composed",
+    oracle=_TIERS_ORACLE,
+    tags=("llm", "dedup", "pipeline"),
+)
+def pipeline_dedup_tiers_composed(spark, sf_dir):
+    """The PRODUCTION dedup pipeline composed end-to-end, each tier
+    seeing only the previous tier\'s survivors: (1) exact clone
+    collapse to min-id canonicals; (2) asymmetric 3-gram containment
+    c(A->B) >= 0.9 among canonicals — the quote-farm/truncated-mirror
+    relation Jaccard-banding cannot see (a short doc inside a long one
+    has low Jaccard), so it runs BEFORE the symmetric tier and every
+    contained probe side is dropped (one deterministic pass: a doc\'s
+    fate depends only on whether any containing partner exists, not on
+    that partner\'s own fate); (3) MinHash-LSH (portable md5 pipeline,
+    Jaccard >= 0.5, inline exact verify) on the remainder with the
+    dominated-drop rule — the larger canonical of every verified pair
+    is dropped. One row per tier: (n_in, n_dropped, n_out,
+    survivor_id_sum); the id-sum pins the exact survivor SET at every
+    handoff, so a single document leaking through (or over-dropped by)
+    ANY tier breaks the hash, not just the counts. On this synthetic
+    fixture the asymmetric tier SUBSUMES the banding tier (tier 3
+    drops 0 at every SF — measured both orderings; the fixture's
+    near-dup relations are one family) — the zero is itself a pinned
+    assertion: a single verified LSH pair among the containment
+    survivors, or a bucket-cap/banding deviation that admits one,
+    breaks the hash.
+
+    Scale: every stage is an already-probed registry operator —
+    collapse is one groupBy; the containment tier is the
+    prefix-filtered PPJoin variant
+    (dedup.exact_containment_pairs_collapsed); the LSH tier is the
+    banded/capped canonical pipeline (dedup.minhash_tiered_pairs)
+    running on the twice-deduped survivor subset. The oracle replays
+    all three tiers and both survivor handoffs in one SQL chain (the
+    shared _MH_PIPE_SQL re-scoped to the tier-2 survivors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fam = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    docs_canon = docs.join(fam, "doc_id", "left_semi")
+    cont = dedup.exact_containment_pairs_collapsed(docs_canon)
+    dom2 = cont.select(F.col("id_a").alias("doc_id")).distinct()
+    s2 = fam.select("doc_id").join(dom2, "doc_id", "left_anti")
+    docs_s2 = docs.join(s2, "doc_id", "left_semi")
+    pairs3 = dedup.minhash_tiered_pairs(docs_s2, portable=True)
+    dom3 = pairs3.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(dom3, "doc_id", "left_anti")
+
+    def tier_row(tier, n_in_df, dropped_df, out_df):
+        n_in = n_in_df.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+        nd = dropped_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_dropped")
+        )
+        no = out_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum("doc_id").cast("long").alias("survivor_id_sum"),
+        )
+        return (
+            n_in.crossJoin(nd)
+            .crossJoin(no)
+            .select(
+                F.lit(tier).cast("long").alias("tier"),
+                "n_in",
+                "n_dropped",
+                "n_out",
+                "survivor_id_sum",
+            )
+        )
+
+    r1 = tier_row(1, docs, docs.join(fam, "doc_id", "left_anti"), fam)
+    r2 = tier_row(2, fam, dom2, s2)
+    r3 = tier_row(3, s2, dom3, s3)
+    return r1.unionByName(r2).unionByName(r3)

