@@ -214,6 +214,7 @@ ROTATING = [
     "graph_ktruss_peel_rounds",
     # round-12 seeds
     "pipeline_dedup_tiers_composed",
+    "pipeline_pack_nfd_vs_greedy",
 ]
 
 

@@ -129,6 +129,7 @@ def pack_greedy(
     id_col: str = "doc_id",
     ntok_col: str = "n_tok",
     n_shards: int | None = None,
+    order_desc_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: within each group, walk documents in
     ``id_col`` order and append each to the current bin while the bin's
@@ -162,7 +163,15 @@ def pack_greedy(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        if order_desc_col:
+            # decreasing-order variants (NFD): walk (order_desc_col
+            # DESC, id ASC) instead of arrival order — the recurrence
+            # is unchanged, only the scan order differs
+            pdf = pdf.sort_values(
+                [order_desc_col, id_col], ascending=[False, True]
+            ).reset_index(drop=True)
+        else:
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
         bins, fill, b = [], 0, -1
         for t in pdf[ntok_col]:
             if b < 0 or fill + t > budget:

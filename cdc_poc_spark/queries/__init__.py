@@ -587,6 +587,10 @@ _ROUND12_NEW: list = [
     # the production dedup pipeline composed end-to-end (exact ->
     # containment -> LSH) with every survivor handoff id-sum-pinned:
     "pipeline_dedup_tiers_composed",
+    # packing-order quality: arrival-order greedy vs next-fit-
+    # decreasing through the same Arrow kernel, both walks replayed
+    # by recursive-CTE oracles:
+    "pipeline_pack_nfd_vs_greedy",
 ]
 
 
