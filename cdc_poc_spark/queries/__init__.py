@@ -579,10 +579,10 @@ _ROUND11_NEW: list = [
 ]
 
 
-# ROUND-12 WINDOW SEEDS — queries registered after the round-11 window
-# hit its 50-query capacity. Sweep-green now; they get their first
-# driver rows when round 12 opens with `(12, _ROUND12_NEW)` in
-# WINDOW_HISTORY (the standing policy).
+# ROUND-12 WINDOW — opened as the round's first commit per VERDICT r11
+# task #1. Seeded with the two queries registered after the round-11
+# window closed (both sweep-green, awaiting their first driver hash);
+# round-12 additions append below as they land.
 _ROUND12_NEW: list = [
     # the production dedup pipeline composed end-to-end (exact ->
     # containment -> LSH) with every survivor handoff id-sum-pinned:
@@ -640,6 +640,7 @@ _ROUND6B_NEW: list = [
 # ad-hoc lists that predate this file's bookkeeping; their queries simply
 # fall through to registration order at the back.
 WINDOW_HISTORY: list[tuple[int, list]] = [
+    (12, _ROUND12_NEW),
     (11, _ROUND11_NEW),
     (10, _ROUND10_NEW),
     (9, _ROUND9_NEW),
