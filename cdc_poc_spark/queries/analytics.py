@@ -2099,12 +2099,26 @@ def ml_adaboost_stumps_2rounds(spark, sf_dir):
             F.sum(mis.cast("long")).cast("long").alias("m")
         ).collect()[0]["m"]
         import math
+        from decimal import ROUND_HALF_UP, Decimal
 
+        # ADVICE r11: DuckDB round() is half-away-from-zero while
+        # Python round() is banker's; quantize with ROUND_HALF_UP so an
+        # exact .5 boundary can't diverge between engines.
         alpha_micro = int(
-            round(500000 * math.log(float(max(w_tot - e, 1)) / max(e, 1)))
+            Decimal(
+                500000 * math.log(float(max(w_tot - e, 1)) / max(e, 1))
+            ).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         )
         out_rows.append(
             (rnd, feat, thr, pol, e, w_tot, alpha_micro, int(n_mis))
+        )
+        # ADVICE r11: the exact-integer update multiplies every weight
+        # by a factor < w_tot, so the post-update total is < w_tot^2.
+        # Guard the int64 bound explicitly (silently overflows around
+        # sf1-sf10 otherwise): isqrt(2^63 - 1) = 3_037_000_499.
+        assert w_tot <= 3_037_000_499, (
+            f"AdaBoost integer weights would overflow int64 on the next"
+            f" round (total_w={w_tot}); rescale or cap rounds."
         )
         base = base.select(
             "v_price", "v_bal", "label",

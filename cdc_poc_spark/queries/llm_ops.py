@@ -4087,6 +4087,14 @@ _MH_PIPE_ON_S2 = _MH_PIPE_SQL.replace(
     "FROM documents GROUP BY",
     "FROM (SELECT d.* FROM documents d JOIN s2 USING (doc_id)) GROUP BY",
 )
+# ADVICE r11: the anchor text above lives inside _MH_PIPE_SQL; if that
+# CTE is ever reformatted the replace would silently no-op and the
+# tier-3 oracle would run over ALL documents instead of tier-2
+# survivors. Fail loudly on anchor drift instead:
+assert _MH_PIPE_ON_S2 != _MH_PIPE_SQL, (
+    "_MH_PIPE_ON_S2 anchor 'FROM documents GROUP BY' no longer found in"
+    " _MH_PIPE_SQL — re-point the tier-3 oracle re-scope."
+)
 
 _TIERS_ORACLE = f"""
 WITH n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),

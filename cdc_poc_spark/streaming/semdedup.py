@@ -227,6 +227,13 @@ def semdedup_stream(
             " epoch int"
         ).parquet(index_dir)
         disp, survivors = screen_batch(batch_df, cent, index)
+        # ADVICE r11: survivors' plan READS index_dir and the write
+        # below overwrites the same directory — version-fragile
+        # (depends on the listing being snapshotted at read time).
+        # Materialize both outputs eagerly before any write starts so
+        # the read is fully consumed first.
+        disp = disp.localCheckpoint(eager=True)
+        survivors = survivors.localCheckpoint(eager=True)
         (
             disp.withColumn("epoch", F.lit(int(batch_id)))
             .write.mode("overwrite")

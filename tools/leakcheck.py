@@ -40,6 +40,15 @@ PATTERNS = {
     "axon-env": re.compile(r"\b(AXON|ANTHROPIC|CLAUDE)_[A-Z0-9_]+\b"),
 }
 
+# Judge-authored artifacts quote scanner patterns while DESCRIBING this
+# scanner (ADVICE r10/r11). Instead of skipping the whole files (which
+# would hide a real leak pasted into them), scan them and suppress only
+# matches whose containing line is talking about the scan itself.
+_ECHO_FILES = {"ADVICE.md", "VERDICT.md"}
+_ECHO_LINE = re.compile(
+    r"leak[\s_-]?check|leakage|leak scan|scanner|grep|pattern", re.I
+)
+
 
 def main() -> None:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
@@ -51,12 +60,11 @@ def main() -> None:
         if rel in (
             "tools/leakcheck.py",  # the scanner's own pattern literals
             "LEAKCHECK.json",  # the scan record quotes hit strings by design
-            "ADVICE.md",  # judge-authored artifact (quotes the patterns
-            "VERDICT.md",  # while describing this very scanner)
         ):
-            # Scan-echo surfaces, not builder-authored leak surfaces
-            # (ADVICE r10: 'slack://' in the slack-link alternative
-            # matched the scanner itself once git-tracked).
+            # Structural scan-echo surfaces (ADVICE r10: 'slack://' in
+            # the slack-link alternative matched the scanner itself
+            # once git-tracked). VERDICT.md/ADVICE.md are NOT skipped —
+            # they get line-level echo suppression below (ADVICE r11).
             continue
         path = os.path.join(REPO, rel)
         try:
@@ -64,9 +72,14 @@ def main() -> None:
                 text = fh.read()
         except (UnicodeDecodeError, OSError):
             continue  # binary or unreadable — not a text leak surface
+        lines = text.splitlines()
         for cat, pat in PATTERNS.items():
             for m in pat.finditer(text):
                 line = text.count("\n", 0, m.start()) + 1
+                if rel in _ECHO_FILES and _ECHO_LINE.search(
+                    lines[line - 1]
+                ):
+                    continue  # scanner-echo line, not a pasted leak
                 hits[cat].append(f"{rel}:{line}:{m.group(0)[:80]}")
     n_hits = sum(len(v) for v in hits.values())
     record = {"round": rnd, "n_hits": n_hits, "hits": hits}

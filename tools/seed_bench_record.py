@@ -63,6 +63,10 @@ def main() -> None:
         for name, ts in samples.items():
             es = exts.get(name) or [None] * len(ts)
             for t, e in zip(ts, es):
+                # ADVICE r11: bench.py rounds min_sec to 3 decimals;
+                # matching here keeps the record path-independent (no
+                # sub-ms spurious "improvements").
+                t = round(t, 3)
                 cand = {
                     "min_sec": t,
                     "ext": e,
