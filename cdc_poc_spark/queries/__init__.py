@@ -591,6 +591,11 @@ _ROUND12_NEW: list = [
     # decreasing through the same Arrow kernel, both walks replayed
     # by recursive-CTE oracles:
     "pipeline_pack_nfd_vs_greedy",
+    # the full curation DAG composed end-to-end (VERDICT r11 task #2):
+    # exact -> containment -> LSH -> SemDeDup -> Bloom decontam ->
+    # quality/lang filter -> water-fill quota -> packing, every
+    # handoff id-sum-pinned, the oracle replaying all eight stages:
+    "pipeline_curation_e2e",
 ]
 
 
@@ -734,6 +739,7 @@ def all_specs() -> dict[str, QuerySpec]:
         stats4,
         stats5,
         stats6,
+        curation_e2e,
     )
 
     order = _window_order()

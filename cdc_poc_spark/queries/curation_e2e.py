@@ -1,0 +1,657 @@
+"""The full curation DAG composed end-to-end (VERDICT r11 task #2) —
+the production pipeline a 100 TB training-data run actually executes,
+as ONE driver-hashed query:
+
+    exact dedup -> containment dedup -> MinHash-LSH dedup ->
+    SemDeDup (embedding) -> Bloom decontamination ->
+    quality + language filter -> water-filling token quota ->
+    greedy sequence packing
+
+Every stage handoff is pinned by (n_in, n_dropped, n_out,
+survivor_id_sum) plus one stage-specific auxiliary observable, so a
+single document leaking through (or over-dropped by) ANY stage breaks
+the value hash — the single query that proves the engine is a
+pipeline, not a query zoo. Each stage is an already-probed registry
+operator; the DuckDB oracle replays the ENTIRE chain (all eight
+stages and seven survivor handoffs) in one WITH RECURSIVE statement,
+reusing the shared canonical fragments from the per-stage oracles.
+
+Reference provenance: the reference repo has no curation pipeline at
+all (its surface is 151 lines of CDC plumbing — SURVEY.md §2); this
+composition is the BASELINE.json north star ("add the
+LLM-data-pipeline operators ... design every operator for 100 TB
+scale") assembled into the shape production corpus builds take
+(Gopher/RefinedWeb-style staged filtering; SemDeDup per Abbas et al.
+2023).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators import dedup, text
+from ..operators.curation import pack_greedy, word_ngrams
+from ..operators.scale import global_cumsum, global_index, spread
+from ..tables import load_table
+from . import register
+from .curation import _BDC_K, _BDC_M, _BDC_N, _PACK_BUDGET, _PACK_SHARDS
+from .llm_ops import _TIERS_ORACLE
+from .llm_ops4 import _SEMDEDUP_ORACLE, semdedup_prune_pairs
+
+_QUALITY_MIN = 0.5  # keep docs with composite quality_score >= this
+
+# ---------------------------------------------------------------------------
+# Oracle assembly — reuse the already-driver-hashed per-stage fragments.
+# ---------------------------------------------------------------------------
+
+# Stages 1-3: the dedup-tier chain (n0, fam0, r1, t2, sh2, dom2, s2,
+# r2, <LSH pipe on s2>, dom3, s3, r3) is exactly _TIERS_ORACLE's CTE
+# list — slice it out of that statement (anchor-asserted so oracle
+# drift fails loudly, the _MH_PIPE_ON_S2 discipline).
+_T_HEAD = "\nWITH "
+_T_TAIL = "\nSELECT * FROM r1 UNION ALL"
+assert _TIERS_ORACLE.startswith(_T_HEAD) and _T_TAIL in _TIERS_ORACLE, (
+    "_TIERS_ORACLE shape changed — re-point the curation-e2e slice"
+)
+_TIER_CTES = _TIERS_ORACLE[len(_T_HEAD) : _TIERS_ORACLE.index(_T_TAIL)]
+
+# Stage 4: the SemDeDup chain (canon .. best) from _SEMDEDUP_ORACLE,
+# re-scoped from the full embeddings table to the stage-3 survivors
+# (vec_id = doc_id on the fixtures — TESTDATA.md; docs without an
+# embedding pass through untouched, exactly like production rows whose
+# embedding shard is missing).
+_SD_HEAD = "\nWITH "
+_SD_TAIL = "\nSELECT CAST(cell_id AS BIGINT) AS cell_id,"
+assert _SEMDEDUP_ORACLE.startswith(_SD_HEAD) and _SD_TAIL in _SEMDEDUP_ORACLE
+_SD_CTES = _SEMDEDUP_ORACLE[
+    len(_SD_HEAD) : _SEMDEDUP_ORACLE.index(_SD_TAIL)
+]
+_SD_CTES_ON_S3 = _SD_CTES.replace(
+    "FROM embeddings GROUP BY embedding",
+    "FROM (SELECT e.* FROM embeddings e JOIN s3 ON s3.doc_id = e.vec_id)"
+    " GROUP BY embedding",
+)
+assert _SD_CTES_ON_S3 != _SD_CTES, (
+    "SemDeDup oracle anchor 'FROM embeddings GROUP BY embedding' not"
+    " found — re-point the stage-4 re-scope"
+)
+
+# Stage 6 score/argmax SQL generated from the SAME stopword lists the
+# Spark operator uses (the _langid_oracle pattern, llm_ops.py).
+_LANGS = list(text.LANG_STOPWORDS)
+_QF_SCORES = ",\n         ".join(
+    "len(list_filter(toks, t -> t IN ({}))) AS score_{}".format(
+        ", ".join(repr(w) for w in words), lang
+    )
+    for lang, words in text.LANG_STOPWORDS.items()
+)
+_QF_CASES = []
+for _i, _lang in enumerate(_LANGS[:-1]):
+    _conds = " AND ".join(
+        f"score_{_lang} >= score_{_o}" for _o in _LANGS[_i + 1 :]
+    )
+    _QF_CASES.append(f"WHEN {_conds} THEN '{_lang}'")
+_QF_PRED = "CASE " + " ".join(_QF_CASES) + f" ELSE '{_LANGS[-1]}' END"
+_EN_STOPS = ", ".join(repr(w) for w in text.LANG_STOPWORDS["en"])
+
+_E2E_ORACLE = f"""
+WITH RECURSIVE {_TIER_CTES},
+{_SD_CTES_ON_S3},
+sd_pruned AS (SELECT cell_id, dropped_id FROM best WHERE rn = 1),
+sd_drop AS (SELECT DISTINCT dropped_id AS doc_id FROM sd_pruned),
+s4 AS (SELECT doc_id FROM s3
+       WHERE doc_id NOT IN (SELECT doc_id FROM sd_drop)),
+r4 AS (
+  SELECT CAST(4 AS BIGINT) AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sd_drop) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s4) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s4) AS survivor_id_sum,
+         (SELECT CAST(COUNT(DISTINCT cell_id) AS BIGINT) FROM sd_pruned)
+           AS aux
+),
+cont_b AS (
+  SELECT DISTINCT b.doc_id
+  FROM sh2 a, sh2 b
+  WHERE a.doc_id <> b.doc_id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) AS DOUBLE) >= 0.9 - 1e-9
+),
+bd_d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+bd_g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{_BDC_N - 1}], ' ') AS gram
+  FROM bd_d, UNNEST(generate_series(1, len(toks) - {_BDC_N - 1})) AS t(i)
+  WHERE len(toks) >= {_BDC_N}
+),
+bd_bench AS (SELECT DISTINCT gram FROM bd_g WHERE source = 'src0'),
+bd_js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+bd_bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('bdc' || CAST(j AS VARCHAR) || ':'
+                                 || gram), 1, 8)) AS BIGINT) % {_BDC_M}
+           AS pos
+  FROM bd_bench, bd_js
+),
+bd_cand AS (
+  SELECT g.doc_id, g.gram FROM bd_g g JOIN s4 USING (doc_id)
+  WHERE g.source <> 'src0'
+),
+bd_gp AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substring(md5('bdc' || CAST(j AS VARCHAR) || ':'
+                                 || gram), 1, 8)) AS BIGINT) % {_BDC_M}
+           AS pos
+  FROM bd_cand, bd_js
+),
+bd_susp AS (
+  SELECT doc_id, gram FROM bd_gp JOIN bd_bits USING (pos)
+  GROUP BY doc_id, gram HAVING COUNT(*) = {_BDC_K}
+),
+bd_flag AS (SELECT DISTINCT doc_id FROM bd_susp),
+bd_conf AS (
+  SELECT DISTINCT s.doc_id FROM bd_susp s JOIN bd_bench b USING (gram)
+),
+s5 AS (SELECT doc_id FROM s4
+       WHERE doc_id NOT IN (SELECT doc_id FROM bd_conf)),
+r5 AS (
+  SELECT CAST(5 AS BIGINT) AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s4) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bd_conf) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s5) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s5) AS survivor_id_sum,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM bd_flag) AS aux
+),
+qf_s AS (
+  SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS toks
+  FROM documents d JOIN s5 USING (doc_id)
+),
+qf_m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(len(list_filter(toks, t -> t IN ({_EN_STOPS})))
+              AS DOUBLE) / len(toks) AS stopword_ratio,
+         {_QF_SCORES}
+  FROM qf_s
+),
+qf_q AS (
+  SELECT doc_id, lang,
+         round((CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 1.0
+                     WHEN n_tokens > 200 THEN 0.5 ELSE 0.25 END) * 0.4
+               + ttr * 0.3
+               + (CASE WHEN stopword_ratio > 0 THEN 1.0 ELSE 0.0 END)
+                 * 0.3, 5) AS quality_score,
+         {_QF_PRED} AS pred_lang
+  FROM qf_m
+),
+s6 AS (SELECT doc_id FROM qf_q
+       WHERE quality_score >= {_QUALITY_MIN} AND pred_lang = lang),
+r6 AS (
+  SELECT CAST(6 AS BIGINT) AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s5) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s5)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM s6) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s6) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s6) AS survivor_id_sum,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM qf_q
+          WHERE quality_score < {_QUALITY_MIN}) AS aux
+),
+wf_tok AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM documents d JOIN s6 USING (doc_id)
+),
+wf_caps AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS cap
+  FROM wf_tok GROUP BY source
+),
+wf_t AS (
+  SELECT CAST(SUM(cap) * 6 // 10 AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM wf_caps
+),
+wf_r AS (
+  SELECT source, cap,
+         row_number() OVER (ORDER BY cap, source) AS i,
+         SUM(cap) OVER (ORDER BY cap, source) AS p_i
+  FROM wf_caps
+),
+wf_lvl AS (
+  SELECT MAX(CASE WHEN cap * (wf_t.k - i) + p_i <= wf_t.budget
+             THEN i ELSE 0 END) AS i_star
+  FROM wf_r, wf_t
+),
+wf_sol AS (
+  SELECT CAST((wf_t.budget - COALESCE(
+                 (SELECT p_i FROM wf_r, wf_lvl WHERE wf_r.i = wf_lvl.i_star),
+                 0))
+              // (wf_t.k - wf_lvl.i_star) AS BIGINT) AS level
+  FROM wf_t, wf_lvl
+),
+wf_alloc AS (
+  SELECT source, LEAST(cap, (SELECT level FROM wf_sol)) AS allocation
+  FROM wf_caps
+),
+wf_cum AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM wf_tok
+),
+s7 AS (
+  SELECT c.doc_id FROM wf_cum c JOIN wf_alloc a USING (source)
+  WHERE c.cum <= a.allocation
+),
+r7 AS (
+  SELECT CAST(7 AS BIGINT) AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s6) AS n_in,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s6)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM s7) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s7) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s7) AS survivor_id_sum,
+         (SELECT CAST(level AS BIGINT) FROM wf_sol) AS aux
+),
+pk_toks AS (
+  SELECT source, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source, doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents JOIN s7 USING (doc_id)
+),
+pk_pack AS (
+  SELECT source, shard, doc_id, rn, n_tok,
+         CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM pk_toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.doc_id, t.rn, t.n_tok,
+         CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
+              THEN p.fill + t.n_tok ELSE t.n_tok END
+  FROM pk_pack p
+  JOIN pk_toks t ON t.source = p.source AND t.shard = p.shard
+                AND t.rn = p.rn + 1
+),
+pk_bins AS (
+  SELECT source, shard, CAST(MAX(bin_id) + 1 AS BIGINT) AS bins
+  FROM pk_pack GROUP BY source, shard
+),
+r8 AS (
+  SELECT CAST(8 AS BIGINT) AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s7) AS n_in,
+         CAST(0 AS BIGINT) AS n_dropped,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM s7) AS n_out,
+         (SELECT CAST(SUM(doc_id) AS BIGINT) FROM s7) AS survivor_id_sum,
+         (SELECT CAST(SUM(bins) AS BIGINT) FROM pk_bins) AS aux
+),
+names(stage, stage_name) AS (
+  VALUES (1, 'exact'), (2, 'containment'), (3, 'minhash_lsh'),
+         (4, 'semdedup'), (5, 'decontam'), (6, 'quality_lang'),
+         (7, 'quota_waterfill'), (8, 'pack')
+),
+aux123 AS (
+  SELECT 1 AS stage,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT md5(text) AS h FROM documents
+                GROUP BY md5(text) HAVING COUNT(*) > 1)) AS aux
+  UNION ALL
+  SELECT 2, (SELECT CAST(COUNT(*) AS BIGINT) FROM cont_b)
+  UNION ALL
+  SELECT 3, (SELECT CAST(COUNT(*) AS BIGINT)
+             FROM (SELECT DISTINCT id_a, id_b FROM cp))
+),
+rows123 AS (
+  SELECT r.tier AS stage, r.n_in, r.n_dropped, r.n_out,
+         r.survivor_id_sum, a.aux
+  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3) r
+  JOIN aux123 a ON a.stage = r.tier
+),
+allrows AS (
+  SELECT * FROM rows123
+  UNION ALL SELECT * FROM r4
+  UNION ALL SELECT * FROM r5
+  UNION ALL SELECT * FROM r6
+  UNION ALL SELECT * FROM r7
+  UNION ALL SELECT * FROM r8
+)
+SELECT a.stage, n.stage_name, a.n_in, a.n_dropped, a.n_out,
+       a.survivor_id_sum, a.aux
+FROM allrows a JOIN names n USING (stage)
+"""
+
+# DuckDB inlines CTEs by default; with this many consumers per
+# survivor set (and a recursive CTE downstream) the inlined plan
+# re-executes whole upstream chains — measured: >20k parquet file
+# handles at sf0.001 (EMFILE) before this. Force one evaluation per
+# handoff/fragment CTE, mirroring the Spark side's localCheckpoints.
+import re as _re
+
+_MAT_CTES = [
+    "fam0", "t2", "sh2", "dom2", "s2",
+    "fam", "elig", "sh", "mh", "banded", "ranked", "cp", "dom3", "s3",
+    "canon", "q", "cent", "terms", "d2", "assign", "v", "v2", "pairs",
+    "dups", "directed", "best", "sd_pruned", "sd_drop", "s4", "cont_b",
+    "bd_d", "bd_g", "bd_bench", "bd_bits", "bd_cand", "bd_gp",
+    "bd_susp", "bd_flag", "bd_conf", "s5",
+    "qf_s", "qf_m", "qf_q", "s6",
+    "wf_tok", "wf_caps", "wf_r", "wf_lvl", "wf_sol", "wf_alloc",
+    "wf_cum", "s7", "pk_toks", "pk_bins",
+]
+for _n in _MAT_CTES:
+    _new = _re.sub(
+        rf"(?<![A-Za-z0-9_]){_n} AS \(",
+        f"{_n} AS MATERIALIZED (",
+        _E2E_ORACLE,
+    )
+    assert _new != _E2E_ORACLE, f"CTE {_n} not found for MATERIALIZED pin"
+    _E2E_ORACLE = _new
+
+
+@register(
+    "pipeline_curation_e2e",
+    oracle=_E2E_ORACLE,
+    tags=("llm", "dedup", "pipeline", "curation"),
+)
+def pipeline_curation_e2e(spark, sf_dir):
+    """The full production curation DAG, one stage row per handoff:
+    (stage, stage_name, n_in, n_dropped, n_out, survivor_id_sum, aux).
+
+    Stages (each an already-probed registry operator; the aux column
+    pins a stage-internal observable beyond the survivor set):
+      1 exact        — md5 clone collapse to min-id canonicals
+                       (aux = number of >1-member clone families);
+      2 containment  — asymmetric 3-gram containment c(A->B) >= 0.9,
+                       prefix-filtered PPJoin, contained side dropped
+                       (aux = distinct CONTAINER docs — the quote-farm
+                       census);
+      3 minhash_lsh  — banded MinHash-LSH (portable md5 pipe, Jaccard
+                       >= 0.5, inline exact verify), larger canonical
+                       of each verified pair dropped (aux = verified
+                       pair count);
+      4 semdedup     — embedding-space SemDeDup (Abbas et al. 2023) on
+                       the survivors' vectors (vec_id = doc_id;
+                       unembedded docs pass through), keep-the-atypical
+                       rule (aux = cells containing >= 1 drop);
+      5 decontam     — two-tier Bloom screen (k=4, m=2^18) of non-src0
+                       survivors against the src0 benchmark's word
+                       8-grams; only Bloom-POSITIVE grams pay the exact
+                       verify join, only exact-CONFIRMED docs drop
+                       (aux = Bloom-flagged docs — pins FP behavior);
+      6 quality_lang — composite quality_score >= 0.5 AND heuristic
+                       lang-id agreeing with the recorded label
+                       (aux = docs failing the quality bar alone);
+      7 quota_waterfill — max-min-fair 60% token budget across sources
+                       (closed-form water level over cap-sorted prefix
+                       sums), then greedy doc_id-order fill per source
+                       up to min(cap, level) (aux = the water level);
+      8 pack         — greedy 500-token sequence packing per
+                       (source, doc_id % 8) via the Arrow grouped-map
+                       kernel (aux = total bins).
+
+    Scale (100 TB): every pairwise stage is collapse-first and
+    bucket-bounded (tiers 2-4); the Bloom bits broadcast so the corpus
+    is screened map-side; stages 6-8 are scans + bounded-key shuffles.
+    Survivor id-sets are localCheckpointed at each handoff — the
+    materialization points a production pipeline would persist as
+    tables between stages — so each stage computes exactly once
+    instead of re-deriving the whole upstream DAG per consumer.
+    The DuckDB oracle replays all eight stages in one statement,
+    reusing the driver-hashed fragments from pipeline_dedup_tiers
+    (_TIERS_ORACLE slice), dedup_semdedup_prune (re-scoped to s3),
+    pipeline_bloom_decontaminate, text_quality_score/text_lang_id
+    (generated from the same stopword lists),
+    pipeline_quota_water_filling, and pipeline_pack_sequences."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # -- stage 1: exact clone collapse
+    fam_full = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    s1 = fam_full.select("doc_id").localCheckpoint(eager=True)
+    aux1 = fam_full.filter(F.col("n_members") > 1).agg(
+        F.count(F.lit(1)).cast("long").alias("aux")
+    )
+
+    # -- stage 2: asymmetric containment on canonicals
+    docs_s1 = docs.join(s1, "doc_id", "left_semi")
+    cont = dedup.exact_containment_pairs_collapsed(
+        docs_s1
+    ).localCheckpoint(eager=True)
+    dom2 = cont.select(F.col("id_a").alias("doc_id")).distinct()
+    s2 = s1.join(dom2, "doc_id", "left_anti").localCheckpoint(eager=True)
+    aux2 = (
+        cont.select("id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("aux"))
+    )
+
+    # -- stage 3: MinHash-LSH on the twice-deduped survivors
+    docs_s2 = docs.join(s2, "doc_id", "left_semi")
+    pairs3 = dedup.minhash_tiered_pairs(
+        docs_s2, portable=True
+    ).localCheckpoint(eager=True)
+    dom3 = pairs3.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(dom3, "doc_id", "left_anti").localCheckpoint(eager=True)
+    aux3 = (
+        pairs3.select("id_a", "id_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("aux"))
+    )
+
+    # -- stage 4: SemDeDup on the survivors' embeddings
+    emb_s3 = emb.join(
+        s3.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left_semi"
+    )
+    pruned = semdedup_prune_pairs(emb_s3).localCheckpoint(eager=True)
+    dom4 = pruned.select(F.col("dropped_id").alias("doc_id")).distinct()
+    s4 = s3.join(dom4, "doc_id", "left_anti").localCheckpoint(eager=True)
+    aux4 = (
+        pruned.select("cell_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("aux"))
+    )
+
+    # -- stage 5: two-tier Bloom decontamination vs the src0 benchmark
+    grams = (
+        spread(docs)
+        .withColumn("toks", F.split(F.col("text"), " "))
+        .select(
+            "doc_id",
+            (F.col("source") == "src0").alias("__is_bench"),
+            F.explode(word_ngrams("toks", _BDC_N)).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = grams.filter(F.col("__is_bench")).select("gram").distinct()
+    cand = (
+        grams.filter(~F.col("__is_bench"))
+        .join(s4, "doc_id", "left_semi")
+        .select("doc_id", "gram")
+    )
+
+    def _pos():
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bdc"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("gram"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BDC_M
+        )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BDC_K)])).alias("j")
+    bits = bench.select("gram", js).select(_pos().alias("pos")).distinct()
+    gp = cand.select("doc_id", "gram", js).select(
+        "doc_id", "gram", _pos().alias("pos")
+    )
+    susp = (
+        gp.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == _BDC_K)
+        .localCheckpoint(eager=True)
+    )
+    # only Bloom-positive grams pay the exact verification join
+    dom5 = (
+        susp.join(bench, "gram", "left_semi").select("doc_id").distinct()
+    )
+    s5 = s4.join(dom5, "doc_id", "left_anti").localCheckpoint(eager=True)
+    aux5 = (
+        susp.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("aux"))
+    )
+
+    # -- stage 6: quality + language-consistency filter
+    docs_s5 = docs.join(s5, "doc_id", "left_semi")
+    qual = text.quality_score(docs_s5).select("doc_id", "quality_score")
+    lang = text.lang_id(docs_s5).select("doc_id", "pred_lang")
+    qf = (
+        qual.join(lang, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    s6 = (
+        qf.filter(
+            (F.col("quality_score") >= _QUALITY_MIN)
+            & (F.col("pred_lang") == F.col("lang"))
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    aux6 = qf.filter(F.col("quality_score") < _QUALITY_MIN).agg(
+        F.count(F.lit(1)).cast("long").alias("aux")
+    )
+
+    # -- stage 7: water-filling token quota + greedy per-source fill
+    wf_tok = (
+        docs.join(s6, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    caps = wf_tok.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("cap")
+    )
+    t = caps.agg(
+        F.expr("CAST(SUM(cap) * 6 DIV 10 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    r = global_cumsum(
+        global_index(caps, "i0", ["cap", "source"]),
+        "cap",
+        ["cap", "source"],
+        "p_i",
+    ).select("source", "cap", (F.col("i0") + 1).alias("i"), "p_i")
+    lvl = r.crossJoin(F.broadcast(t)).agg(
+        F.max(
+            F.when(
+                F.col("cap") * (F.col("k") - F.col("i")) + F.col("p_i")
+                <= F.col("budget"),
+                F.col("i"),
+            ).otherwise(0)
+        ).alias("i_star")
+    )
+    p_star = r.crossJoin(F.broadcast(lvl)).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("i") == F.col("i_star"), F.col("p_i"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("p_star")
+    )
+    sol = (
+        t.crossJoin(F.broadcast(lvl))
+        .crossJoin(F.broadcast(p_star))
+        .select(
+            F.expr(
+                "CAST((budget - p_star) DIV (k - i_star) AS BIGINT)"
+            ).alias("level")
+        )
+        .localCheckpoint(eager=True)
+    )
+    alloc = caps.crossJoin(F.broadcast(sol)).select(
+        "source", F.least(F.col("cap"), F.col("level")).alias("allocation")
+    )
+    cum = wf_tok.withColumn(
+        "cum",
+        F.sum("n_tok").over(
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    s7 = (
+        cum.join(F.broadcast(alloc), "source")
+        .filter(F.col("cum") <= F.col("allocation"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    aux7 = sol.select(F.col("level").cast("long").alias("aux"))
+
+    # -- stage 8: greedy sequence packing of the final selection
+    pk_in = docs.join(s7, "doc_id", "left_semi").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    packed = pack_greedy(pk_in, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+    aux8 = (
+        packed.groupBy("source", "shard")
+        .agg((F.max("bin_id") + 1).alias("bins"))
+        .agg(F.sum("bins").cast("long").alias("aux"))
+    )
+
+    def stage_row(stage, name, in_df, out_df, aux_df, n_dropped=None):
+        n_in = in_df.agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+        no = out_df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_out"),
+            F.sum("doc_id").cast("long").alias("survivor_id_sum"),
+        )
+        row = n_in.crossJoin(no).crossJoin(aux_df)
+        nd = (
+            F.lit(n_dropped).cast("long")
+            if n_dropped is not None
+            else (F.col("n_in") - F.col("n_out")).cast("long")
+        )
+        return row.select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_in",
+            nd.alias("n_dropped"),
+            "n_out",
+            "survivor_id_sum",
+            F.col("aux").cast("long").alias("aux"),
+        )
+
+    out = stage_row(1, "exact", docs, s1, aux1)
+    out = out.unionByName(stage_row(2, "containment", s1, s2, aux2))
+    out = out.unionByName(stage_row(3, "minhash_lsh", s2, s3, aux3))
+    out = out.unionByName(stage_row(4, "semdedup", s3, s4, aux4))
+    out = out.unionByName(stage_row(5, "decontam", s4, s5, aux5))
+    out = out.unionByName(stage_row(6, "quality_lang", s5, s6, aux6))
+    out = out.unionByName(stage_row(7, "quota_waterfill", s6, s7, aux7))
+    out = out.unionByName(stage_row(8, "pack", s7, s7, aux8, n_dropped=0))
+    return out

@@ -965,7 +965,18 @@ def dedup_semdedup_prune(spark, sf_dir):
     the within-cell join quadratic in clones; with it the probe's
     canonical set is exactly the base corpus. A no-op on the base
     fixtures (all embeddings distinct — TESTDATA.md)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def semdedup_prune_pairs(e):
+    """SemDeDup prune core over a RAW embeddings relation (vec_id,
+    embedding, label): clone-collapse -> exact-integer centroid
+    assignment -> within-cell pair join -> keep-the-atypical rule.
+    Returns (cell_id, dropped_id, kept_id, cosine) — one row per
+    DROPPED vector. Extracted from dedup_semdedup_prune (whose
+    docstring documents the exactness + scale contract) so
+    pipeline_curation_e2e can run the identical prune on the post-LSH
+    survivor subset."""
     e = e.groupBy("embedding").agg(
         F.min("vec_id").alias("vec_id"),
         F.min_by("label", "vec_id").alias("label"),
