@@ -596,6 +596,9 @@ _ROUND12_NEW: list = [
     # quality/lang filter -> water-fill quota -> packing, every
     # handoff id-sum-pinned, the oracle replaying all eight stages:
     "pipeline_curation_e2e",
+    # the tokenizer-training loop closed against the eval stack
+    # (VERDICT r11 task #6): fertility under the LEARNED merges:
+    "pipeline_bpe_fertility_eval",
 ]
 
 

@@ -1730,11 +1730,11 @@ def _bpe_train_spark(docs, k: int, keep_word: bool = False):
     return merges, cur, wt
 
 
-def _bpe_apply_oracle(k: int) -> str:
-    """Unrolled train-then-ENCODE in DuckDB SQL: the same k-round chain
-    as _bpe_train_oracle but carrying the word string, then the corpus
-    re-tokenized through the final vocabulary and rolled up by
-    source."""
+def _bpe_apply_chain(k: int) -> str:
+    """The shared unrolled train-then-encode CTE chain (word string
+    carried through all k merge rounds, ending at the `wmap` word ->
+    token-count relation). Used by _bpe_apply_oracle (per-source
+    compression) and _bpe_fertility_oracle (per-language fertility)."""
     parts = [
         """w0 AS (
   SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS wr,
@@ -1769,7 +1769,18 @@ wmap AS (
   SELECT w, CAST(len(string_split(substring(wr, 2, length(wr) - 2), '||'))
                  AS BIGINT) AS n_tok
   FROM w{k}
-),
+)"""
+    )
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    """Unrolled train-then-ENCODE in DuckDB SQL: the same k-round chain
+    as _bpe_train_oracle but carrying the word string, then the corpus
+    re-tokenized through the final vocabulary and rolled up by
+    source."""
+    return (
+        _bpe_apply_chain(k)
+        + """,
 allw AS (
   SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
 ),
@@ -1837,6 +1848,109 @@ def pipeline_bpe_apply_encode(spark, sf_dir):
         .withColumn(
             "tokens_per_million_chars",
             F.expr("(1000000 * n_tokens) DIV n_chars"),
+        )
+    )
+    wt.unpersist()
+    return out
+
+
+def _bpe_fertility_oracle(k: int) -> str:
+    """Train-then-encode chain + per-LANGUAGE fertility rollup."""
+    return (
+        _bpe_apply_chain(k)
+        + """,
+allw AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+rep AS (
+  SELECT lang, length(allw.w) AS n_chars, COALESCE(wmap.n_tok, 1) AS n_tok
+  FROM allw LEFT JOIN wmap ON wmap.w = allw.w
+  WHERE length(allw.w) >= 1
+),
+d AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+r AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+  FROM rep GROUP BY lang
+)
+SELECT r.lang, d.n_docs, r.n_words, r.n_chars, r.n_bpe_tokens,
+       (1000 * r.n_bpe_tokens) // r.n_words AS fertility_milli,
+       (1000 * r.n_chars) // r.n_bpe_tokens AS bytes_per_bpe_token_milli,
+       (1000000 * r.n_bpe_tokens) // r.n_chars AS tokens_per_million_chars
+FROM r JOIN d USING (lang)"""
+    )
+
+
+@register(
+    "pipeline_bpe_fertility_eval",
+    oracle=_bpe_fertility_oracle(_BPE_K),
+    tags=("llm", "pipeline", "text"),
+)
+def pipeline_bpe_fertility_eval(spark, sf_dir):
+    """Tokenizer-training loop CLOSED against the eval stack (VERDICT
+    r11 task #6): fertility is measured under the LEARNED k=6 BPE
+    merges, not whitespace tokens — the r9 pipeline_tokenizer_fertility
+    report recomputed with the trained vocabulary. Per language:
+    document/word/byte volumes, BPE token count, fertility (BPE tokens
+    per word, exact milli ratio — whitespace tokenization scores
+    exactly 1000, so anything above it quantifies subword splitting),
+    bytes-per-BPE-token, and tokens-per-million-chars (char-level
+    tokenization would score 1,000,000). This is the number that
+    decides whether the TRAINED tokenizer starves a language of
+    effective context.
+
+    Scale shape: identical to pipeline_bpe_apply_encode — training
+    collapses the corpus ONCE to word types; encoding is a broadcast
+    hash join of the |vocab|-row trained table against one corpus
+    scan; the rollup is map-side combinable on |langs| keys. The
+    oracle unrolls all 6 training rounds plus the encode join in one
+    SQL statement (the pipeline.py:1629 precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, final, wt = _bpe_train_spark(docs, _BPE_K, keep_word=True)
+    wmap = final.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(wr, 2, length(wr) - 2)"), r"\|\|")
+        ).cast("long").alias("n_tok"),
+    )
+    allw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+    )
+    rep = allw.join(F.broadcast(wmap), "w", "left").select(
+        "lang",
+        F.length("w").alias("n_chars"),
+        F.coalesce("n_tok", F.lit(1)).alias("n_tok"),
+    )
+    d = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    r = rep.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_tok").cast("long").alias("n_bpe_tokens"),
+    )
+    out = (
+        r.join(d, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr("(1000 * n_bpe_tokens) DIV n_words").alias(
+                "fertility_milli"
+            ),
+            F.expr("(1000 * n_chars) DIV n_bpe_tokens").alias(
+                "bytes_per_bpe_token_milli"
+            ),
+            F.expr("(1000000 * n_bpe_tokens) DIV n_chars").alias(
+                "tokens_per_million_chars"
+            ),
         )
     )
     wt.unpersist()
