@@ -599,6 +599,10 @@ _ROUND12_NEW: list = [
     # the tokenizer-training loop closed against the eval stack
     # (VERDICT r11 task #6): fertility under the LEARNED merges:
     "pipeline_bpe_fertility_eval",
+    # SemDeDup x IVF lifecycle (VERDICT r11 task #4): frozen-centroid
+    # ingest vs full re-centroid rebuild on the 90/10 append split,
+    # per-vector cell drift + both drop decisions pinned:
+    "dedup_semdedup_recentroid_maintenance",
 ]
 
 

@@ -968,7 +968,7 @@ def dedup_semdedup_prune(spark, sf_dir):
     return semdedup_prune_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
-def semdedup_prune_pairs(e):
+def semdedup_prune_pairs(e, with_assign: bool = False):
     """SemDeDup prune core over a RAW embeddings relation (vec_id,
     embedding, label): clone-collapse -> exact-integer centroid
     assignment -> within-cell pair join -> keep-the-atypical rule.
@@ -1099,7 +1099,7 @@ def semdedup_prune_pairs(e):
             F.desc("num_kept"), F.asc("kept_id")
         )
     )
-    return (
+    res = (
         directed.withColumn("rn", brn)
         .filter(F.col("rn") == 1)
         .select(
@@ -1109,6 +1109,12 @@ def semdedup_prune_pairs(e):
             "cosine",
         )
     )
+    if with_assign:
+        # expose the (already checkpointed) canonical assignment so
+        # lifecycle compositions can derive the kept set and rebuilt
+        # cells without recomputing the quantize/assign subtree
+        return res, v
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -1349,4 +1355,245 @@ def dedup_semdedup_stream(spark, sf_dir):
         "dropped",
         "nearest_dup_id",
         "nearest_cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup x IVF lifecycle: frozen-centroid ingest vs full re-centroid
+# rebuild (round 12 — VERDICT r11 task #4).
+# ---------------------------------------------------------------------------
+
+
+def _sd_frozen_screen_sql() -> str:
+    """Frozen-path CTEs (fz_ prefix): standing index built on the base
+    corpus (vec_id % 10 != 0) exactly like streaming/semdedup.py's
+    build_standing_index, then the batch (vec_id % 10 = 0) screened
+    against it exactly like screen_batch — clone-collapse on the base
+    side only, exact-integer centroid assignment, all-integer tau
+    decision."""
+    tpl_assign = """qx_{o} AS (
+  SELECT vec_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS xq
+  FROM {src}
+), dx_{o} AS (
+  SELECT q.vec_id, c.clabel,
+         CAST(SUM(CAST(q.xq * c.n - c.s AS DECIMAL(38,0))
+                  * CAST(q.xq * c.n - c.s AS DECIMAL(38,0))) AS DOUBLE)
+           / (CAST(MIN(c.n) AS DOUBLE) * MIN(c.n)) AS dist2
+  FROM qx_{o} q JOIN fz_cent c ON c.dim = q.dim
+  GROUP BY q.vec_id, c.clabel
+), {o} AS (
+  SELECT vec_id, clabel AS cell_id FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, clabel) AS rn
+    FROM dx_{o}
+  ) r WHERE rn = 1
+)"""
+    return (
+        f"""fz_canon AS (
+  SELECT MIN(vec_id) AS vec_id, arg_min(label, vec_id) AS label,
+         embedding
+  FROM embeddings WHERE vec_id % 10 <> 0 GROUP BY embedding
+),
+fz_qcan AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {_SD_Q}) AS BIGINT)) AS qv
+  FROM fz_canon
+),
+fz_cent AS (
+  SELECT label AS clabel, dim, CAST(SUM(xq) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT label, generate_subscripts(qv, 1) AS dim, unnest(qv) AS xq
+        FROM fz_qcan) q0
+  GROUP BY label, dim
+),
+fz_bc AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM fz_qcan
+),
+"""
+        + tpl_assign.format(o="fz_ai", src="fz_bc")
+        + """,
+fz_idx AS (
+  SELECT b.vec_id, a.cell_id, b.qv, b.n2
+  FROM fz_bc b JOIN fz_ai a USING (vec_id)
+),
+fz_b AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+  FROM (
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * """
+        + str(_SD_Q)
+        + """) AS BIGINT)) AS qv
+    FROM embeddings WHERE vec_id % 10 = 0
+  ) t0
+),
+"""
+        + tpl_assign.format(o="fz_ab", src="fz_b")
+        + f""",
+fz_v AS (
+  SELECT b.vec_id, b.qv, b.n2, a.cell_id
+  FROM fz_b b JOIN fz_ab a USING (vec_id)
+),
+fz_h AS (
+  SELECT v.vec_id, i.vec_id AS idx_id,
+         CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+              k -> v.qv[k] * i.qv[k])) AS BIGINT) AS dot,
+         v.n2 AS n2a, i.n2 AS n2b
+  FROM fz_v v JOIN fz_idx i ON i.cell_id = v.cell_id
+),
+fz_hd AS (
+  SELECT vec_id, idx_id FROM fz_h
+  WHERE dot > 0
+    AND {_SD_TAU_DEN} * CAST(dot AS HUGEINT) * dot
+        >= {_SD_TAU_NUM} * CAST(n2a AS HUGEINT) * n2b
+),
+fz_pv AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_index_dups
+  FROM fz_hd GROUP BY vec_id
+)"""
+    )
+
+
+# The unscoped SemDeDup CTE chain (canon .. best) sliced from the batch
+# operator's oracle — anchor-asserted so oracle drift fails loudly.
+_SD_HEAD0 = "\nWITH "
+_SD_TAIL0 = "\nSELECT CAST(cell_id AS BIGINT) AS cell_id,"
+assert _SEMDEDUP_ORACLE.startswith(_SD_HEAD0) and _SD_TAIL0 in _SEMDEDUP_ORACLE
+_SD_CTES_PLAIN = _SEMDEDUP_ORACLE[
+    len(_SD_HEAD0) : _SEMDEDUP_ORACLE.index(_SD_TAIL0)
+]
+
+_SD_MAINT_ORACLE = (
+    "\nWITH "
+    + _sd_frozen_screen_sql()
+    + ",\n"
+    + _SD_CTES_PLAIN
+    + """,
+rb_drop AS (SELECT DISTINCT dropped_id AS vec_id FROM best WHERE rn = 1),
+rb_kept AS (
+  SELECT vec_id FROM v
+  WHERE vec_id NOT IN (SELECT vec_id FROM rb_drop)
+),
+rb_nbase AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_base_dropped_rebuild
+  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0) b
+  WHERE b.vec_id NOT IN (SELECT vec_id FROM rb_kept)
+)
+SELECT f.vec_id,
+       CAST(f.cell_id AS BIGINT) AS cell_frozen,
+       CAST(COALESCE(rv.cell_id, -1) AS BIGINT) AS cell_rebuild,
+       COALESCE(p.n_index_dups, 0) AS n_index_dups_frozen,
+       COALESCE(p.n_index_dups, 0) > 0 AS dropped_frozen,
+       f.vec_id NOT IN (SELECT vec_id FROM rb_kept) AS dropped_rebuild,
+       (SELECT n_base_dropped_rebuild FROM rb_nbase)
+         AS n_base_dropped_rebuild
+FROM fz_v f
+LEFT JOIN fz_pv p USING (vec_id)
+LEFT JOIN (SELECT vec_id, cell_id FROM v) rv USING (vec_id)
+"""
+)
+
+
+@register(
+    "dedup_semdedup_recentroid_maintenance",
+    oracle=_SD_MAINT_ORACLE,
+    tags=("llm", "dedup", "similarity", "ivf"),
+)
+def dedup_semdedup_recentroid_maintenance(spark, sf_dir):
+    """SemDeDup x IVF LIFECYCLE composition (VERDICT r11 task #4): the
+    streaming ingest twin freezes corpus centroids at build time
+    (streaming/semdedup.py build_standing_index); production
+    re-centroids as the corpus grows. This maintenance query runs BOTH
+    paths on the same 90/10 split the IVF append lifecycle uses
+    (sim_ivf_index_append_recall: base = vec_id % 10 != 0, batch =
+    vec_id % 10 = 0) and pins their per-vector agreement:
+
+      FROZEN path — standing index + centroids built on the base
+      corpus, the batch screened against it exactly like the
+      checkpointed ingest drive (corpus-wins precedence, within-batch
+      peers both survive);
+      REBUILD path — centroids recomputed on the GROWN corpus and the
+      full batch-mode prune re-run from scratch, the paper-faithful
+      keep-the-atypical rule preserved (Abbas et al. 2023 — at rebuild
+      a BASE member can lose to a more-atypical batch arrival, the
+      asymmetry the frozen path can never produce).
+
+    One row per batch vector: frozen vs rebuilt cell assignment (cell
+    drift under re-centroiding), frozen in-cell dup count, and both
+    drop decisions; n_base_dropped_rebuild rides along as the pinned
+    count of base members the rebuild evicts (identically 0 under the
+    frozen path by construction). This is the quantitative form of
+    'centroid staleness costs keep-rule fidelity, not correctness' —
+    the alarm that says when the periodic re-centroid is due, the
+    embedding-space twin of sim_ivf_index_append_recall's
+    append_within_010_of_rebuild contract.
+
+    Scale: both paths are the already-probed operators — broadcast
+    centroids, map-side assignment, within-cell equi-joins; the
+    comparison adds two bounded id-set joins. The DuckDB oracle
+    replays BOTH paths end-to-end (frozen build + screen via the
+    fz_ CTE chain; rebuild via the batch operator's full fragment)."""
+    from ..streaming.semdedup import build_standing_index, screen_batch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
+
+    cent, idx = build_standing_index(base)
+    cent = cent.localCheckpoint(eager=True)
+    idx = idx.localCheckpoint(eager=True)
+    disp, _ = screen_batch(batch, cent, idx)
+
+    pruned, assign_v = semdedup_prune_pairs(emb, with_assign=True)
+    kept = (
+        assign_v.select("vec_id")
+        .join(
+            pruned.select(F.col("dropped_id").alias("vec_id")).distinct(),
+            "vec_id",
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_base_dropped = (
+        base.select("vec_id")
+        .join(kept, "vec_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_base_dropped_rebuild")
+        )
+    )
+    return (
+        disp.select(
+            "vec_id",
+            F.col("cell_id").cast("long").alias("cell_frozen"),
+            F.col("n_index_dups").cast("long").alias("n_index_dups_frozen"),
+            F.col("dropped").alias("dropped_frozen"),
+        )
+        .join(
+            assign_v.select(
+                "vec_id", F.col("cell_id").cast("long").alias("cell_rebuild")
+            ),
+            "vec_id",
+            "left",
+        )
+        .withColumn(
+            "cell_rebuild", F.coalesce("cell_rebuild", F.lit(-1))
+        )
+        .join(kept.withColumn("__kept", F.lit(1)), "vec_id", "left")
+        .withColumn("dropped_rebuild", F.col("__kept").isNull())
+        .drop("__kept")
+        .crossJoin(F.broadcast(n_base_dropped))
+        .select(
+            "vec_id",
+            "cell_frozen",
+            "cell_rebuild",
+            "n_index_dups_frozen",
+            "dropped_frozen",
+            "dropped_rebuild",
+            "n_base_dropped_rebuild",
+        )
     )
