@@ -36,12 +36,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MAX_EXT = 0.3
 TARGET_SF = 0.1
 
+#: Record RE-BASE (round 12, VERDICT r11 "What's wrong #1" diagnosis):
+#: when a query's measured PLAN is changed DELIBERATELY (the bench-name
+#: twin of the oracle re-window policy), samples from before the change
+#: price a plan that no longer exists and must not seed its record.
+#: Maps query -> the commit whose plan the record must match; samples
+#: from revisions that do not contain that commit are skipped. Both
+#: entries below are the ADVICE-r8 DECIMAL(38)-accumulation exactness
+#: fix (commit ac5e801: long partial sums overflow at scale), measured
+#: ~1.8x slower than the overflow-prone long-sum plan it replaced —
+#: the source of the two stale vs-record "outliers" VERDICT r11 found.
+RECORD_REBASE: dict[str, str] = {
+    "ml_covariance_matrix": "ac5e801",
+    "agg_spearman_rho": "ac5e801",
+}
+
 
 def main() -> None:
     revs = subprocess.run(
         ["git", "-C", REPO, "rev-list", "HEAD", "--", "BENCH_DETAIL.json"],
         capture_output=True, text=True, check=True,
     ).stdout.split()
+    # revisions that CONTAIN each re-base commit (linear history):
+    # rev-list <fix>^..HEAD = the fix itself and everything after it.
+    valid_revs: dict[str, set] = {
+        name: set(
+            subprocess.run(
+                ["git", "-C", REPO, "rev-list", f"{fix}^..HEAD"],
+                capture_output=True, text=True, check=True,
+            ).stdout.split()
+        )
+        for name, fix in RECORD_REBASE.items()
+    }
     record: dict[str, dict] = {}
     n_versions = 0
     for rev in reversed(revs):  # oldest first; later ties keep the older rev
@@ -61,6 +87,8 @@ def main() -> None:
         samples = d.get("samples", {})
         exts = d.get("external_cpu_frac", {})
         for name, ts in samples.items():
+            if name in valid_revs and rev not in valid_revs[name]:
+                continue  # pre-re-base sample: prices a retired plan
             es = exts.get(name) or [None] * len(ts)
             for t, e in zip(ts, es):
                 # ADVICE r11: bench.py rounds min_sec to 3 decimals;
