@@ -603,6 +603,10 @@ _ROUND12_NEW: list = [
     # ingest vs full re-centroid rebuild on the 90/10 append split,
     # per-vector cell drift + both drop decisions pinned:
     "dedup_semdedup_recentroid_maintenance",
+    # the curation gate at INGEST time — the e2e DAG's filter stages
+    # through the checkpointed foreachBatch drive, four gates per
+    # arrival, admits appended to the standing md5 index per epoch:
+    "pipeline_curation_ingest_stream",
 ]
 
 

@@ -655,3 +655,212 @@ def pipeline_curation_e2e(spark, sf_dir):
     out = out.unionByName(stage_row(7, "quota_waterfill", s6, s7, aux7))
     out = out.unionByName(stage_row(8, "pack", s7, s7, aux8, n_dropped=0))
     return out
+
+
+# ---------------------------------------------------------------------------
+# The curation gate at INGEST time — streaming twin of the e2e DAG's
+# filter stages (round 12).
+# ---------------------------------------------------------------------------
+
+_INGEST_ORACLE = f"""
+WITH tot AS (SELECT (MAX(doc_id) + 1) // 3 AS t1 FROM documents),
+qd AS (
+  SELECT doc_id, source, md5(text) AS h, string_split(text, ' ') AS toks
+  FROM documents
+),
+qs AS MATERIALIZED (
+  SELECT doc_id, source, h,
+         round((CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1.0
+                     WHEN len(toks) > 200 THEN 0.5 ELSE 0.25 END) * 0.4
+               + (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 * 0.3
+               + (CASE WHEN len(list_filter(toks,
+                          t -> t IN ({_EN_STOPS}))) > 0
+                  THEN 1.0 ELSE 0.0 END) * 0.3, 5) AS q
+  FROM qd
+),
+base_adm AS MATERIALIZED (
+  SELECT h, MIN(doc_id) AS doc_id
+  FROM qs, tot
+  WHERE doc_id < t1 AND source <> 'src0' AND q >= {_QUALITY_MIN}
+  GROUP BY h
+),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i:i+{_BDC_N - 1}], ' ') AS gram
+  FROM qd, UNNEST(generate_series(1, len(toks) - {_BDC_N - 1})) AS t(i)
+  WHERE len(toks) >= {_BDC_N}
+),
+bench AS MATERIALIZED (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+bits AS MATERIALIZED (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('bdc' || CAST(j AS VARCHAR) || ':'
+                                 || gram), 1, 8)) AS BIGINT) % {_BDC_M}
+           AS pos
+  FROM bench, js
+),
+arr_g AS (SELECT g.doc_id, g.gram FROM g, tot WHERE g.doc_id >= t1),
+gp AS (
+  SELECT doc_id, gram,
+         CAST(('0x' || substring(md5('bdc' || CAST(j AS VARCHAR) || ':'
+                                 || gram), 1, 8)) AS BIGINT) % {_BDC_M}
+           AS pos
+  FROM arr_g, js
+),
+susp AS MATERIALIZED (
+  SELECT doc_id, gram FROM gp JOIN bits USING (pos)
+  GROUP BY doc_id, gram HAVING COUNT(*) = {_BDC_K}
+),
+flag AS (SELECT DISTINCT doc_id FROM susp),
+conf AS MATERIALIZED (
+  SELECT DISTINCT s.doc_id FROM susp s JOIN bench b USING (gram)
+),
+arr AS MATERIALIZED (
+  SELECT qs.doc_id, qs.source, qs.h, qs.q,
+         CASE WHEN qs.doc_id < 2 * tot.t1 THEN 0 ELSE 1 END AS ep
+  FROM qs, tot WHERE qs.doc_id >= tot.t1
+),
+e0 AS MATERIALIZED (
+  SELECT doc_id, h,
+         source = 'src0' AS benchmark_member,
+         q >= {_QUALITY_MIN} AS quality_ok,
+         h IN (SELECT h FROM base_adm) AS is_clone,
+         doc_id IN (SELECT doc_id FROM flag) AS bloom_flagged,
+         doc_id IN (SELECT doc_id FROM conf) AS contaminated
+  FROM arr WHERE ep = 0
+),
+e0d AS MATERIALIZED (
+  SELECT *, NOT benchmark_member AND quality_ok AND NOT is_clone
+            AND NOT contaminated AS admitted
+  FROM e0
+),
+idx1 AS MATERIALIZED (
+  SELECT h FROM base_adm
+  UNION
+  SELECT DISTINCT h FROM e0d WHERE admitted
+),
+e1d AS MATERIALIZED (
+  SELECT doc_id, h, benchmark_member, quality_ok, is_clone,
+         bloom_flagged, contaminated,
+         NOT benchmark_member AND quality_ok AND NOT is_clone
+           AND NOT contaminated AS admitted
+  FROM (
+    SELECT doc_id, h,
+           source = 'src0' AS benchmark_member,
+           q >= {_QUALITY_MIN} AS quality_ok,
+           h IN (SELECT h FROM idx1) AS is_clone,
+           doc_id IN (SELECT doc_id FROM flag) AS bloom_flagged,
+           doc_id IN (SELECT doc_id FROM conf) AS contaminated
+    FROM arr WHERE ep = 1
+  ) x
+)
+SELECT doc_id, CAST(0 AS INTEGER) AS epoch, benchmark_member, quality_ok,
+       is_clone, bloom_flagged, contaminated, admitted
+FROM e0d
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS epoch, benchmark_member, quality_ok,
+       is_clone, bloom_flagged, contaminated, admitted
+FROM e1d
+"""
+
+
+@register(
+    "pipeline_curation_ingest_stream",
+    oracle=_INGEST_ORACLE,
+    tags=("llm", "pipeline", "curation", "streaming"),
+)
+def pipeline_curation_ingest_stream(spark, sf_dir):
+    """The curation gate IN-FLIGHT through the real checkpointed
+    foreachBatch drive (streaming/curation.py — the ingest twin of
+    pipeline_curation_e2e's filter stages, the same batch->stream
+    promotion as the substring/Bloom/SemDeDup drives): the first third
+    of the corpus is batch-curated into a STANDING md5 index
+    (benchmark shard excluded, quality bar applied, clones collapsed;
+    landed epoch -1); the remaining documents arrive as TWO id-ordered
+    micro-batches (maxFilesPerTrigger=1), each passing four gates in
+    one screen — benchmark-membership rejection, the quality bar,
+    exact-clone screening against the standing index (corpus-wins;
+    within-batch peers both pass), and two-tier Bloom decontamination
+    (broadcast bits, only Bloom-positive grams pay the exact verify).
+    Admits append their hashes under their epoch, so batch 1's clone
+    gate sees batch 0's admits — a lost append or replay double-write
+    shows up one epoch later in the driver hash. One disposition row
+    per arrival pins every gate's verdict separately; the oracle
+    replays base curation plus both epochs in SQL and never sees the
+    stream.
+
+    Scale: every gate is map-side against broadcast state (bits,
+    quality exprs) or an equi-join against the bounded standing index;
+    the drive inherits exactly-once from epoch-partitioned dynamic
+    overwrite (the CDC log/DLQ protocol)."""
+    import atexit
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.curation import curation_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    t1 = (int(mx) + 1) // 3
+    base = docs.filter(F.col("doc_id") < t1).select(
+        "doc_id", "source", "text"
+    )
+    bench = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    arrivals = docs.filter(F.col("doc_id") >= t1).select(
+        "doc_id", "source", "text"
+    )
+    work = tempfile.mkdtemp(prefix="curation_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    data_dir = os.path.join(work, "data")
+    os.makedirs(data_dir)
+    staged = os.path.join(work, "staged")
+    (
+        arrivals.withColumn(
+            "__b", F.when(F.col("doc_id") < 2 * t1, 0).otherwise(1)
+        )
+        .repartition(1)
+        .write.partitionBy("__b")
+        .json(staged)
+    )
+    for i in range(2):
+        files = _glob.glob(os.path.join(staged, f"__b={i}", "part-*"))
+        (pf,) = [f for f in files if not f.endswith(".crc")]
+        dest = os.path.join(data_dir, f"b{i:03d}.json")
+        shutil.move(pf, dest)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(data_dir)
+    )
+    out_dir = os.path.join(work, "out")
+    q = curation_ingest_stream(
+        stream,
+        base,
+        bench,
+        out_dir,
+        os.path.join(work, "index"),
+        os.path.join(work, "ckpt"),
+    ).start()
+    q.awaitTermination(600)
+    return (
+        spark.read.schema(
+            "doc_id long, benchmark_member boolean, quality_ok boolean,"
+            " is_clone boolean, bloom_flagged boolean,"
+            " contaminated boolean, admitted boolean, epoch int"
+        )
+        .parquet(out_dir)
+        .select(
+            "doc_id",
+            "epoch",
+            "benchmark_member",
+            "quality_ok",
+            "is_clone",
+            "bloom_flagged",
+            "contaminated",
+            "admitted",
+        )
+    )
