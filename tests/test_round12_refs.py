@@ -227,3 +227,86 @@ def test_bpe_fertility_matches_python(spark):
         assert r["fertility_milli"] == 1000 * toks // words, r
         assert r["bytes_per_bpe_token_milli"] == 1000 * chars // toks, r
         assert r["tokens_per_million_chars"] == 1000000 * toks // chars, r
+
+
+# ---------------------------------------------------------------------------
+# 4. Ingest-gate golden test on a hand fixture (cross-epoch clone index)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_ingest_gates_golden(spark, tmp_path):
+    """Every gate exercised on a constructed corpus: benchmark member,
+    low quality, exact clone of the base, contaminated vs the bench
+    8-gram, within-batch clone peers (both pass), and a batch-1 clone
+    of a batch-0 admit (caught only if the cross-epoch index append
+    works)."""
+    import json as _json
+    import os
+
+    from cdc_poc_spark.streaming.curation import curation_ingest_stream
+
+    def good(tag: str) -> str:
+        # 25 tokens, includes 'the' (stopword), high ttr -> q >= 0.5
+        return "the " + " ".join(f"{tag}w{i}" for i in range(24))
+
+    bench_text = good("bench")  # >= 8 tokens: its 8-grams form the bits
+    base_rows = [
+        (1, "src1", good("base")),      # admitted into the standing index
+        (2, "src0", good("s0base")),    # excluded: benchmark shard
+        (3, "src1", "q r s t u"),       # excluded: quality 0.4 < 0.5
+    ]
+    bench_rows = [(100, bench_text)]
+    b0 = [
+        {"doc_id": 10, "source": "src1", "text": good("base")},   # clone of base
+        {"doc_id": 11, "source": "src1", "text": good("peer")},   # peer a
+        {"doc_id": 12, "source": "src1", "text": good("peer")},   # peer b
+        {"doc_id": 13, "source": "src1", "text": "q r s t u"},    # low quality
+        {"doc_id": 14, "source": "src0", "text": good("arriv")},  # bench member
+        {"doc_id": 15, "source": "src2", "text": bench_text},     # contaminated
+    ]
+    b1 = [
+        {"doc_id": 20, "source": "src1", "text": good("peer")},   # clone of 11's admit
+        {"doc_id": 21, "source": "src1", "text": good("fresh")},  # admitted
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for i, rows in enumerate((b0, b1)):
+        p = data_dir / f"b{i:03d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(data_dir))
+    )
+    out = str(tmp_path / "out")
+    q = curation_ingest_stream(
+        stream, base, bench, out,
+        str(tmp_path / "index"), str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(600)
+    disp = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(disp) == {10, 11, 12, 13, 14, 15, 20, 21}
+    assert disp[10]["is_clone"] and not disp[10]["admitted"]
+    assert disp[11]["admitted"] and disp[12]["admitted"]  # in-batch peers
+    assert not disp[13]["quality_ok"] and not disp[13]["admitted"]
+    assert disp[14]["benchmark_member"] and not disp[14]["admitted"]
+    assert disp[15]["bloom_flagged"] and disp[15]["contaminated"]
+    assert not disp[15]["admitted"]
+    # the cross-epoch append: 20 clones batch-0's admit 11
+    assert disp[20]["epoch"] == 1 and disp[20]["is_clone"]
+    assert not disp[20]["admitted"]
+    assert disp[21]["admitted"]
+    # the standing index grew by exactly the admits
+    idx = spark.read.parquet(str(tmp_path / "index")).collect()
+    by_epoch = {}
+    for r in idx:
+        by_epoch.setdefault(r["epoch"], set()).add(r["doc_id"])
+    assert by_epoch[-1] == {1}
+    assert by_epoch[0] == {11, 12}
+    assert by_epoch[1] == {21}
