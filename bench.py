@@ -215,6 +215,15 @@ ROTATING = [
     # round-12 seeds
     "pipeline_dedup_tiers_composed",
     "pipeline_pack_nfd_vs_greedy",
+    # round 12 additions — the composition wave. The e2e DAG is the
+    # heaviest rotating entry (~28 s at sf0.1: it IS eight probed
+    # stages run end-to-end); keeping it in rotation keeps the
+    # composed cost visible longitudinally, the tiers-composed
+    # precedent. (pipeline_curation_ingest_stream is a foreachBatch
+    # drive — excluded by the standing rule.)
+    "pipeline_curation_e2e",
+    "pipeline_bpe_fertility_eval",
+    "dedup_semdedup_recentroid_maintenance",
 ]
 
 
