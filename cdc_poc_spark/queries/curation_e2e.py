@@ -27,7 +27,6 @@ scale") assembled into the shape production corpus builds take
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup, text
@@ -595,17 +594,21 @@ def pipeline_curation_e2e(spark, sf_dir):
     alloc = caps.crossJoin(F.broadcast(sol)).select(
         "source", F.least(F.col("cap"), F.col("level")).alias("allocation")
     )
-    cum = wf_tok.withColumn(
-        "cum",
-        F.sum("n_tok").over(
-            W.partitionBy("source")
-            .orderBy("doc_id")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
+    # Per-source running fill WITHOUT Window.partitionBy(source) — a
+    # window would pull each source's entire row set through ONE task
+    # (a 10 TB source = one straggler at scale). Instead: one global
+    # two-pass cumsum in (source, doc_id) order, then subtract each
+    # source's prefix offset (sources are contiguous in that order, so
+    # per-source cum = global cum - sum of caps of earlier sources —
+    # a broadcast-size relation).
+    gcum = global_cumsum(wf_tok, "n_tok", ["source", "doc_id"], "gcum")
+    src_off = global_cumsum(caps, "cap", ["source"], "ccum").select(
+        "source", (F.col("ccum") - F.col("cap")).alias("src_off")
     )
     s7 = (
-        cum.join(F.broadcast(alloc), "source")
-        .filter(F.col("cum") <= F.col("allocation"))
+        gcum.join(F.broadcast(src_off), "source")
+        .join(F.broadcast(alloc), "source")
+        .filter(F.col("gcum") - F.col("src_off") <= F.col("allocation"))
         .select("doc_id")
         .localCheckpoint(eager=True)
     )
