@@ -607,6 +607,9 @@ _ROUND12_NEW: list = [
     # through the checkpointed foreachBatch drive, four gates per
     # arrival, admits appended to the standing md5 index per epoch:
     "pipeline_curation_ingest_stream",
+    # the training manifest: packed bins + utilization stats + the
+    # deterministic md5 epoch-shuffle position (two-pass global rank):
+    "pipeline_pack_manifest_shuffle",
 ]
 
 

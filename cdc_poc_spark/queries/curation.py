@@ -689,3 +689,119 @@ def pipeline_pack_nfd_vs_greedy(spark, sf_dir):
             "bins_saved", (F.col("bins_greedy") - F.col("bins_nfd")).cast("long")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: the training MANIFEST — packed bins with utilization stats
+# and a deterministic epoch-shuffle position.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source, doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT source, shard, doc_id, rn, n_tok,
+         CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.doc_id, t.rn, t.n_tok,
+         CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + t.n_tok <= {_PACK_BUDGET}
+              THEN p.fill + t.n_tok ELSE t.n_tok END
+  FROM pack p
+  JOIN toks t ON t.source = p.source AND t.shard = p.shard
+             AND t.rn = p.rn + 1
+),
+bins AS (
+  SELECT source, shard, bin_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS fill
+  FROM pack GROUP BY source, shard, bin_id
+),
+m AS (
+  SELECT source, shard, bin_id, n_docs, fill,
+         CAST({_PACK_BUDGET} - fill AS BIGINT) AS waste_tokens,
+         md5(source || ':' || CAST(shard AS VARCHAR) || ':'
+             || CAST(bin_id AS VARCHAR)) AS shuffle_key
+  FROM bins
+)
+SELECT source, shard, bin_id, n_docs, fill, waste_tokens, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key) - 1 AS BIGINT)
+         AS epoch_position
+FROM m
+"""
+
+
+@register(
+    "pipeline_pack_manifest_shuffle",
+    oracle=_MANIFEST_ORACLE,
+    tags=("llm", "pipeline", "curation"),
+)
+def pipeline_pack_manifest_shuffle(spark, sf_dir):
+    """The TRAINING MANIFEST — the last-mile relation a trainer
+    actually consumes: one row per packed bin with its utilization
+    stats (doc count, token fill, waste vs the 500-token budget —
+    negative for the own-bin overflow case of a doc longer than the
+    budget, pinned as-is) and a DETERMINISTIC epoch-shuffle position:
+    shuffle_key = md5(source:shard:bin_id) and epoch_position = the
+    bin's global rank in shuffle_key order. Hash-ordering is the
+    standard seedable corpus shuffle (pipeline_epoch_shuffle's rule
+    applied at BIN granularity, so sequences inside a bin stay
+    contiguous while bins sample uniformly across sources/shards —
+    what a data-loader wants).
+
+    Plan/scale: the packer is the Arrow grouped-map kernel
+    (|sources| x shards parallel linear scans); bins aggregate
+    map-side; the global rank is the two-pass global_index — NO
+    single-partition window anywhere. The oracle replays the greedy
+    recurrence per (source, shard) with a recursive CTE, then the md5
+    ordering."""
+    from ..operators.scale import global_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    packed = curation.pack_greedy(
+        with_tok, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    bins = (
+        packed.groupBy("source", "shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("fill"),
+        )
+        .withColumn(
+            "waste_tokens",
+            (F.lit(_PACK_BUDGET) - F.col("fill")).cast("long"),
+        )
+        .withColumn(
+            "shuffle_key",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("source"),
+                    F.col("shard").cast("string"),
+                    F.col("bin_id").cast("string"),
+                )
+            ),
+        )
+    )
+    return global_index(bins, "epoch_position", ["shuffle_key"]).select(
+        "source",
+        "shard",
+        "bin_id",
+        "n_docs",
+        "fill",
+        "waste_tokens",
+        "shuffle_key",
+        F.col("epoch_position").cast("long").alias("epoch_position"),
+    )
