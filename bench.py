@@ -224,6 +224,8 @@ ROTATING = [
     "pipeline_curation_e2e",
     "pipeline_bpe_fertility_eval",
     "dedup_semdedup_recentroid_maintenance",
+    "pipeline_pack_manifest_shuffle",
+    "pipeline_pack_split_vs_truncate",
 ]
 
 

@@ -610,6 +610,9 @@ _ROUND12_NEW: list = [
     # the training manifest: packed bins + utilization stats + the
     # deterministic md5 epoch-shuffle position (two-pass global rank):
     "pipeline_pack_manifest_shuffle",
+    # packing economics at a tight budget: pack-whole (truncation
+    # overflow) vs split-into-chunks, padding/overflow/bins pinned:
+    "pipeline_pack_split_vs_truncate",
 ]
 
 

@@ -805,3 +805,210 @@ def pipeline_pack_manifest_shuffle(spark, sf_dir):
         "shuffle_key",
         F.col("epoch_position").cast("long").alias("epoch_position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: split-vs-truncate packing economics at a tight budget.
+# ---------------------------------------------------------------------------
+
+_SPLIT_BUDGET = 64  # tight enough that fixture docs (<= ~100 tokens)
+#                     genuinely overflow — at the 500-token budget no
+#                     fixture doc exceeds it and the deltas pin only 0s
+
+_SPLIT_PACK_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id % {_PACK_SHARDS} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY source, doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+packu AS (
+  SELECT source, shard, rn, n_tok, CAST(0 AS BIGINT) AS bin_id,
+         n_tok AS fill
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.shard, t.rn, t.n_tok,
+         CASE WHEN p.fill + t.n_tok <= {_SPLIT_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + t.n_tok <= {_SPLIT_BUDGET}
+              THEN p.fill + t.n_tok ELSE t.n_tok END
+  FROM packu p
+  JOIN toks t ON t.source = p.source AND t.shard = p.shard
+             AND t.rn = p.rn + 1
+),
+binsu AS (
+  SELECT source, shard, bin_id, CAST(SUM(n_tok) AS BIGINT) AS fill
+  FROM packu GROUP BY source, shard, bin_id
+),
+aggu AS (
+  SELECT source, shard,
+         CAST(COUNT(*) AS BIGINT) AS bins_unsplit,
+         CAST(SUM(GREATEST({_SPLIT_BUDGET} - fill, 0)) AS BIGINT)
+           AS padding_unsplit,
+         CAST(SUM(GREATEST(fill - {_SPLIT_BUDGET}, 0)) AS BIGINT)
+           AS overflow_unsplit
+  FROM binsu GROUP BY source, shard
+),
+ch AS (
+  SELECT source, doc_id % {_PACK_SHARDS} AS shard, doc_id, i,
+         LEAST({_SPLIT_BUDGET}, n_tok - i * {_SPLIT_BUDGET}) AS chunk_tok,
+         row_number() OVER (PARTITION BY source, doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id, i) AS rn
+  FROM (SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents) t,
+       UNNEST(generate_series(0,
+              (n_tok + {_SPLIT_BUDGET - 1}) // {_SPLIT_BUDGET} - 1))
+         AS u(i)
+),
+packs AS (
+  SELECT source, shard, rn, chunk_tok, CAST(0 AS BIGINT) AS bin_id,
+         chunk_tok AS fill
+  FROM ch WHERE rn = 1
+  UNION ALL
+  SELECT c.source, c.shard, c.rn, c.chunk_tok,
+         CASE WHEN p.fill + c.chunk_tok <= {_SPLIT_BUDGET}
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + c.chunk_tok <= {_SPLIT_BUDGET}
+              THEN p.fill + c.chunk_tok ELSE c.chunk_tok END
+  FROM packs p
+  JOIN ch c ON c.source = p.source AND c.shard = p.shard
+           AND c.rn = p.rn + 1
+),
+binss AS (
+  SELECT source, shard, bin_id, CAST(SUM(chunk_tok) AS BIGINT) AS fill
+  FROM packs GROUP BY source, shard, bin_id
+),
+aggs AS (
+  SELECT source, shard,
+         CAST(COUNT(*) AS BIGINT) AS bins_split,
+         CAST(SUM({_SPLIT_BUDGET} - fill) AS BIGINT) AS padding_split
+  FROM binss GROUP BY source, shard
+),
+base AS (
+  SELECT source, shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_tok > {_SPLIT_BUDGET} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_over_budget
+  FROM toks GROUP BY source, shard
+)
+SELECT b.source, b.shard, b.n_docs, b.n_over_budget,
+       u.bins_unsplit, u.padding_unsplit, u.overflow_unsplit,
+       s.bins_split, s.padding_split,
+       CAST(s.bins_split - u.bins_unsplit AS BIGINT) AS bins_delta
+FROM base b
+JOIN aggu u USING (source, shard)
+JOIN aggs s USING (source, shard)
+"""
+
+
+@register(
+    "pipeline_pack_split_vs_truncate",
+    oracle=_SPLIT_PACK_ORACLE,
+    tags=("llm", "pipeline", "curation"),
+)
+def pipeline_pack_split_vs_truncate(spark, sf_dir):
+    """Packing ECONOMICS under a tight 64-token budget — the decision a
+    training-data pipeline makes for docs longer than the sequence
+    length: pack the doc WHOLE into its own overflowing bin (the
+    truncation path: overflow tokens are lost at train time) vs SPLIT
+    it into budget-sized chunks first (the chunking path: nothing
+    lost, but chunk boundaries cut sentences and bins multiply). Per
+    (source, shard): doc and over-budget counts, bins/padding/overflow
+    for the unsplit walk, bins/padding for the split walk, and the bin
+    delta — exactly the padding-vs-truncation-vs-bins trade, exact
+    BIGINTs, both walks replayed by recursive-CTE oracles. (Budget 64
+    because fixture docs top out near 100 tokens — at 500 every delta
+    would pin 0; the knob is an input, not a semantic.)
+
+    Plan/scale: both walks are the Arrow grouped-map packer
+    (|sources| x shards parallel linear scans); the chunk explode is
+    map-side (ceil(n_tok/64) rows per doc); aggregates are map-side
+    combinable. The split walk orders by (doc_id, chunk_idx) via a
+    composite surrogate id (chunk counts are bounded by
+    n_tok/budget, far below the 1e6 stride)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _SPLIT_BUDGET
+    with_tok = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    packu = curation.pack_greedy(with_tok, budget=b, n_shards=_PACK_SHARDS)
+    binsu = packu.groupBy("source", "shard", "bin_id").agg(
+        F.sum("n_tok").cast("long").alias("fill")
+    )
+    aggu = binsu.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("bins_unsplit"),
+        F.sum(F.greatest(F.lit(b) - F.col("fill"), F.lit(0)))
+        .cast("long")
+        .alias("padding_unsplit"),
+        F.sum(F.greatest(F.col("fill") - F.lit(b), F.lit(0)))
+        .cast("long")
+        .alias("overflow_unsplit"),
+    )
+    chunks = (
+        with_tok.select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.expr(
+                f"explode(sequence(0, CAST((n_tok + {b - 1}) DIV {b} - 1"
+                " AS INT)))"
+            ).alias("i"),
+        )
+        .select(
+            F.concat_ws(
+                ":",
+                F.col("source"),
+                F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("string"),
+            ).alias("grp"),
+            (F.col("doc_id") * 1_000_000 + F.col("i")).alias("cid"),
+            F.least(
+                F.lit(b), F.col("n_tok") - F.col("i") * b
+            ).cast("long").alias("chunk_tok"),
+        )
+    )
+    packs = curation.pack_greedy(
+        chunks, budget=b, group_col="grp", id_col="cid",
+        ntok_col="chunk_tok",
+    )
+    binss = packs.groupBy("grp", "bin_id").agg(
+        F.sum("chunk_tok").cast("long").alias("fill")
+    )
+    aggs = (
+        binss.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bins_split"),
+            F.sum(F.lit(b) - F.col("fill")).cast("long").alias(
+                "padding_split"
+            ),
+        )
+        .select(
+            F.split("grp", ":")[0].alias("source"),
+            F.split("grp", ":")[1].cast("long").alias("shard"),
+            "bins_split",
+            "padding_split",
+        )
+    )
+    base = (
+        with_tok.withColumn(
+            "shard", F.pmod("doc_id", F.lit(_PACK_SHARDS)).cast("long")
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_tok") > b).cast("long"))
+            .cast("long")
+            .alias("n_over_budget"),
+        )
+    )
+    return (
+        base.join(aggu, ["source", "shard"])
+        .join(aggs, ["source", "shard"])
+        .withColumn(
+            "bins_delta",
+            (F.col("bins_split") - F.col("bins_unsplit")).cast("long"),
+        )
+    )
