@@ -310,3 +310,70 @@ def test_curation_ingest_gates_golden(spark, tmp_path):
     assert by_epoch[-1] == {1}
     assert by_epoch[0] == {11, 12}
     assert by_epoch[1] == {21}
+
+
+# ---------------------------------------------------------------------------
+# 5. Split-vs-truncate packing: pure-Python dual-walk reference
+# ---------------------------------------------------------------------------
+
+
+def _pack_py(items: list, budget: int) -> list:
+    """Greedy packer: items = [n_tok...] in walk order; returns bin
+    fills."""
+    fills, cur = [], None
+    for t in items:
+        if cur is None or cur + t > budget:
+            fills.append(t)
+            cur = t
+        else:
+            fills[-1] += t
+            cur += t
+    return fills
+
+
+def test_pack_split_vs_truncate_matches_python(spark):
+    B = 64
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = sorted(
+        zip(
+            t.column("source").to_pylist(),
+            t.column("doc_id").to_pylist(),
+            (len(x.split(" ")) for x in t.column("text").to_pylist()),
+        ),
+        key=lambda r: r[1],
+    )
+    groups: dict = {}
+    for src, did, n in rows:
+        groups.setdefault((src, did % 8), []).append(n)
+    expect = {}
+    for key, toks in groups.items():
+        fu = _pack_py(toks, B)
+        chunks = [
+            min(B, n - i * B)
+            for n in toks
+            for i in range((n + B - 1) // B)
+        ]
+        fs = _pack_py(chunks, B)
+        expect[key] = (
+            len(toks),
+            sum(1 for n in toks if n > B),
+            len(fu),
+            sum(max(B - f, 0) for f in fu),
+            sum(max(f - B, 0) for f in fu),
+            len(fs),
+            sum(B - f for f in fs),
+            len(fs) - len(fu),
+        )
+    got = (
+        all_specs()["pipeline_pack_split_vs_truncate"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    assert {(r["source"], r["shard"]) for r in got} == set(expect)
+    for r in got:
+        e = expect[(r["source"], r["shard"])]
+        assert (
+            r["n_docs"], r["n_over_budget"], r["bins_unsplit"],
+            r["padding_unsplit"], r["overflow_unsplit"], r["bins_split"],
+            r["padding_split"], r["bins_delta"],
+        ) == e, (r, e)
