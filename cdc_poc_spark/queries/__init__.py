@@ -616,6 +616,20 @@ _ROUND12_NEW: list = [
 ]
 
 
+# ROUND-13 WINDOW — opened as the round's first commit per VERDICT r12
+# task #1. No queries were registered after the round-12 window closed,
+# so the window opens with the one hygiene re-entry VERDICT r12 "What's
+# wrong #1" called out; round-13 additions append below as they land.
+_ROUND13_NEW: list = [
+    # renamed in r9 from ml_knn_classifier_accuracy (same query, oracle
+    # and values — queries/llm_ops2.py); its only driver row
+    # (CORRECTNESS_r08) is under the old name, so 12 rounds in it has
+    # never been externally hashed under its live name. Re-windowed to
+    # close that loop (VERDICT r12 "What's wrong #1"):
+    "ml_knn_vote_pipeline",
+]
+
+
 # Queries registered for the first time DURING round 6 — appended to the
 # r6 front (after _ROUND6_NEW's 21) so they get driver rows in the same
 # round they land. Capacity: 50 - 21 = 29 slots.
@@ -662,6 +676,7 @@ _ROUND6B_NEW: list = [
 # ad-hoc lists that predate this file's bookkeeping; their queries simply
 # fall through to registration order at the back.
 WINDOW_HISTORY: list[tuple[int, list]] = [
+    (13, _ROUND13_NEW),
     (12, _ROUND12_NEW),
     (11, _ROUND11_NEW),
     (10, _ROUND10_NEW),
@@ -689,6 +704,10 @@ _REWINDOWED: dict[str, str] = {
     # reverted to the xxhash64 production plan, rows-only + recall-
     # twinned — VERDICT r10 "What's wrong #2"):
     "dedup_minhash_lsh_pairs": "re-contracted r11 (bench re-point to xxhash64)",
+    # r8 window (as ml_knn_classifier_accuracy, hashed r8 under the OLD
+    # name) AND r13 window (first external hash under the live name —
+    # VERDICT r12 "What's wrong #1"; query/oracle/values unchanged):
+    "ml_knn_vote_pipeline": "re-windowed r13 (first hash under post-rename name)",
 }
 
 
