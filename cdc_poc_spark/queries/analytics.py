@@ -2036,7 +2036,8 @@ def ml_adaboost_stumps_2rounds(spark, sf_dir):
         F.lit(1).cast("long").alias("w"),
     )
     out_rows = []
-    for rnd in (1, 2):
+    rounds = (1, 2)
+    for rnd in rounds:
         base = base.localCheckpoint(eager=True)  # pin reweighted state
         parts = []
         for feat, col in (("price_cents", "v_price"), ("cust_bal_cents", "v_bal")):
@@ -2112,6 +2113,11 @@ def ml_adaboost_stumps_2rounds(spark, sf_dir):
         out_rows.append(
             (rnd, feat, thr, pol, e, w_tot, alpha_micro, int(n_mis))
         )
+        if rnd == rounds[-1]:
+            # last round: the weight update below is never consumed, so
+            # the overflow guard would abort a run whose emitted rows
+            # were all correct (ADVICE r12).
+            break
         # ADVICE r11: the exact-integer update multiplies every weight
         # by a factor < w_tot, so the post-update total is < w_tot^2.
         # Guard the int64 bound explicitly (silently overflows around

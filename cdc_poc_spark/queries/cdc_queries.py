@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..streaming import await_done
 from ..tables import VAL, dec, events_with_time, load_table
 from . import register
 
@@ -900,7 +901,7 @@ def cdc_ooo_profile_stream_state(spark, sf_dir):
     q = swin.streaming_out_of_order_profile(
         stream, os.path.join(work, "state"), os.path.join(work, "ckpt")
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     return swin.derive_out_of_order_profile(spark, os.path.join(work, "state"))
 
 
@@ -968,7 +969,7 @@ def cdc_watermark_rec_stream_state(spark, sf_dir):
     q = swin.streaming_watermark_recommendation(
         stream, os.path.join(work, "state"), os.path.join(work, "ckpt")
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     return swin.derive_watermark_recommendation(
         spark, os.path.join(work, "state")
     )
@@ -1069,7 +1070,7 @@ def cdc_consumer_log_landing(spark, sf_dir):
     q = consumer.start_log_query(
         envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     landed = spark.read.parquet(os.path.join(work, "wh", "cdc_log"))
     return landed.select(
         "table_name",
@@ -1184,7 +1185,7 @@ def cdc_consumer_mirror_state(spark, sf_dir):
     q = consumer.start_mirror_query(
         envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     return consumer.read_mirror(spark, "public_events").select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
@@ -1285,7 +1286,7 @@ def cdc_consumer_dlq_accounting(spark, sf_dir):
     q = consumer.start_log_query(
         envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     landed = (
         spark.read.parquet(os.path.join(work, "wh", "cdc_log"))
         .select(F.lit("landed").alias("disposition"))
@@ -1387,7 +1388,7 @@ def cdc_consumer_scd2_intervals(spark, sf_dir):
     q = consumer.start_log_query(
         envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     landed = spark.read.parquet(os.path.join(work, "wh", "cdc_log")).select(
         F.get_json_object("after", "$.user_id").cast("long").alias("user_id"),
         F.get_json_object("after", "$.value").cast("double").alias("value"),
@@ -1761,7 +1762,7 @@ def cdc_consumer_catalog_landing(spark, sf_dir):
     q = consumer.start_catalog_query(
         envelope_json_stream(spark, data_dir, max_files_per_trigger=1)
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     landed = None
     # topic dbserver1.public.events_* routes to table public_events_*
     # (the reference's {schema}_{table} naming, consumer.py:73-74)

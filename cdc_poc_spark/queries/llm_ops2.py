@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity
+from ..streaming import await_done
 from ..tables import load_table
 from . import register
 
@@ -1751,7 +1752,7 @@ def dedup_substring_index_stream(spark, sf_dir):
     q = ingest_substr_stream(
         stream, name, hits_dir, os.path.join(work, "ckpt")
     ).start()
-    q.awaitTermination(600)
+    await_done(q, 600)
     return spark.read.schema(
         "id_a long, id_b long, max_shared_span long, n_runs long"
     ).parquet(hits_dir).select("id_a", "id_b", "max_shared_span", "n_runs")
@@ -1878,7 +1879,7 @@ def pipeline_bloom_decontam_stream(spark, sf_dir):
     q = decontam_stream(
         stream, bench, out_dir, os.path.join(work, "ckpt")
     ).start()
-    q.awaitTermination(600)
+    await_done(q, 600)
     return spark.read.schema(
         "doc_id long, n_grams long, n_suspect_grams long,"
         " bloom_flagged boolean, confirmed_contaminated boolean, epoch int"

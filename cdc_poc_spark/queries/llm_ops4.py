@@ -22,6 +22,7 @@ from pyspark.sql import Window as W
 
 from ..operators import similarity
 from ..operators.scale import spread
+from ..streaming import await_done
 from ..tables import VAL, dec, load_table
 from . import register
 
@@ -1343,7 +1344,7 @@ def dedup_semdedup_stream(spark, sf_dir):
         os.path.join(work, "index"),
         os.path.join(work, "ckpt"),
     ).start()
-    q.awaitTermination(600)
+    await_done(q, 600)
     return spark.read.schema(
         "vec_id long, cell_id long, n_index_dups long, dropped boolean,"
         " nearest_dup_id long, nearest_cosine double, epoch int"

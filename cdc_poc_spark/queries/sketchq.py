@@ -32,6 +32,7 @@ from ..operators.sketches import (
     rank_sample_summary,
     shard_stats,
 )
+from ..streaming import await_done
 from ..tables import VAL, dec, load_table
 from . import register
 
@@ -623,7 +624,7 @@ def pipeline_quantile_sketch_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     summary = (
         spark.read.schema("shard long, y long, rk long, w long, epoch int")
         .parquet(state_dir)
@@ -868,7 +869,7 @@ def pipeline_mg_sketch_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
     fin = spark.read.schema("cust long, w long").parquet(
         os.path.join(state_dir, "epoch=2")
     ).select("cust", F.col("w").alias("est"))
@@ -1048,7 +1049,7 @@ def pipeline_hll_register_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    await_done(q, 600)
 
     reg = (
         spark.read.schema("bucket long, r long, epoch int")

@@ -130,8 +130,19 @@ def curation_ingest_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        index = spark.read.schema("h string, doc_id long, epoch int").parquet(
-            index_dir
+        # ADVICE r12: restrict the standing index to PRIOR epochs. If a
+        # crash lands between the survivors write and the streaming
+        # commit, the replayed batch would otherwise see its own prior
+        # admits at epoch == batch_id and reject every one of them as a
+        # clone — while dynamic overwrite leaves the stale epoch-N index
+        # rows in place (it only rewrites partitions present in the new,
+        # now-empty, survivor set). Filtering to epoch < batch_id makes
+        # the replay see exactly the pre-batch state, so the rerun is
+        # byte-identical to the first attempt.
+        index = (
+            spark.read.schema("h string, doc_id long, epoch int")
+            .parquet(index_dir)
+            .filter(F.col("epoch") < F.lit(int(batch_id)))
         )
         disp, survivors = screen_ingest_batch(batch_df, bits, bench, index)
         # materialize both outputs before any write starts: survivors'

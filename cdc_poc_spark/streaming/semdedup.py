@@ -222,10 +222,19 @@ def semdedup_stream(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        index = spark.read.schema(
-            "vec_id long, cell_id long, qv array<bigint>, n2 long,"
-            " epoch int"
-        ).parquet(index_dir)
+        # ADVICE r12: restrict the standing index to PRIOR epochs so a
+        # replayed batch (crash between the survivors write and the
+        # streaming commit) screens against exactly the pre-batch state
+        # instead of matching its own prior survivors as duplicates —
+        # see streaming/curation.py for the full failure narrative.
+        index = (
+            spark.read.schema(
+                "vec_id long, cell_id long, qv array<bigint>, n2 long,"
+                " epoch int"
+            )
+            .parquet(index_dir)
+            .filter(F.col("epoch") < F.lit(int(batch_id)))
+        )
         disp, survivors = screen_batch(batch_df, cent, index)
         # ADVICE r11: survivors' plan READS index_dir and the write
         # below overwrites the same directory — version-fragile

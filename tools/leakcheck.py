@@ -56,6 +56,12 @@ def main() -> None:
         ["git", "ls-files"], cwd=REPO, capture_output=True, text=True
     ).stdout.splitlines()
     hits: dict[str, list] = {k: [] for k in PATTERNS}
+    # ADVICE r12: _ECHO_LINE keys on broad words ("pattern", "grep"), so
+    # a real token pasted onto such a line would vanish from the scan.
+    # Suppressed matches are therefore RECORDED here (auditable in
+    # LEAKCHECK.json) instead of silently discarded; they don't count
+    # toward the exit code, but a reviewer sees every one.
+    suppressed: list[str] = []
     for rel in files:
         if rel in (
             "tools/leakcheck.py",  # the scanner's own pattern literals
@@ -79,10 +85,21 @@ def main() -> None:
                 if rel in _ECHO_FILES and _ECHO_LINE.search(
                     lines[line - 1]
                 ):
-                    continue  # scanner-echo line, not a pasted leak
+                    # scanner-echo line — suppressed from the exit code
+                    # but recorded for audit (ADVICE r12)
+                    suppressed.append(
+                        f"{cat}:{rel}:{line}:{m.group(0)[:80]}"
+                    )
+                    continue
                 hits[cat].append(f"{rel}:{line}:{m.group(0)[:80]}")
     n_hits = sum(len(v) for v in hits.values())
-    record = {"round": rnd, "n_hits": n_hits, "hits": hits}
+    record = {
+        "round": rnd,
+        "n_hits": n_hits,
+        "hits": hits,
+        "n_suppressed_echo": len(suppressed),
+        "suppressed_echo": suppressed,
+    }
     with open(os.path.join(REPO, "LEAKCHECK.json"), "w") as fh:
         json.dump(record, fh, indent=1)
     print(f"LEAKCHECK: {n_hits} hits over {len(files)} tracked files")
