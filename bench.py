@@ -226,6 +226,10 @@ ROTATING = [
     "dedup_semdedup_recentroid_maintenance",
     "pipeline_pack_manifest_shuffle",
     "pipeline_pack_split_vs_truncate",
+    # round 13 additions. (pipeline_curation_stream_e2e is a
+    # foreachBatch drive — excluded by the standing rule; its scale
+    # record is the 10x probe + the per-epoch agreement contract.)
+    "pipeline_bpe_train_to_vocab",
 ]
 
 

@@ -627,6 +627,21 @@ _ROUND13_NEW: list = [
     # never been externally hashed under its live name. Re-windowed to
     # close that loop (VERDICT r12 "What's wrong #1"):
     "ml_knn_vote_pipeline",
+    # the STREAMING curation DAG end-to-end (VERDICT r12 task #2):
+    # standing-index dedup tiers + the shared set-global tail through
+    # one checkpointed multi-epoch drive, the 8-stage cascade pinned
+    # per epoch EQUAL to the batch DAG on that epoch's corpus prefix
+    # (oracle = three prefix-scoped replays of the batch chain):
+    "pipeline_curation_stream_e2e",
+    # BPE training driven to a TARGET VOCAB SIZE (VERDICT r12 task #4):
+    # the production stopping rule, 20 guarded oracle rounds with the
+    # stop condition part of the value hash:
+    "pipeline_bpe_train_to_vocab",
+    # the mirror-table MERGE parity drill (VERDICT r12 task #5): the
+    # reference's manual c/u/d scenario at fixture scale through the
+    # bucketed MERGE sink under a checkpointed stream, per-epoch mirror
+    # trajectory + apply_changes symmetric-diff pinned at 0:
+    "cdc_mirror_merge_replay",
 ]
 
 
