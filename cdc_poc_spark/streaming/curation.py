@@ -125,6 +125,12 @@ def curation_ingest_stream(
         .withColumn("epoch", F.lit(-1))
         .write.mode("overwrite")
         .partitionBy("epoch")
+        # DYNAMIC overwrite is load-bearing here too (round-13 replay
+        # test): this setup re-runs on every RESTART from checkpoint,
+        # and a static overwrite would wipe every prior epoch's admits
+        # from the standing index — the replayed batch would then
+        # re-admit clones of everything admitted before the crash.
+        .option("partitionOverwriteMode", "dynamic")
         .format("parquet")
         .save(index_dir)
     )

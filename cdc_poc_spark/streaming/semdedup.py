@@ -217,6 +217,10 @@ def semdedup_stream(
         idx0.withColumn("epoch", F.lit(-1))
         .write.mode("overwrite")
         .partitionBy("epoch")
+        # dynamic: this setup re-runs on restart from checkpoint; a
+        # static overwrite would wipe prior epochs' survivors from the
+        # standing index (round-13 replay test, streaming/curation.py)
+        .option("partitionOverwriteMode", "dynamic")
         .format("parquet")
         .save(index_dir)
     )

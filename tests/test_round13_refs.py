@@ -391,3 +391,210 @@ def test_mirror_merge_in_batch_lww(spark, tmp_path):
     rows = read_bucketed_state(spark, target).collect()
     assert len(rows) == 1
     assert rows[0]["val"] == "emma@example.com" and rows[0]["seq"] == 15
+
+
+# ---------------------------------------------------------------------------
+# 6. Crash-replay idempotence — the ADVICE-r12 fix demonstrated through
+# REAL checkpoint surgery, not a unit stub: delete the final batch's
+# commit marker and restart, so Structured Streaming re-delivers that
+# batch after its state writes already landed (the exact crash window
+# the epoch < batch_id standing-read filter exists for). Pre-fix code
+# fails this test: the replayed batch sees its own prior admits at
+# epoch == batch_id and rejects every one as a clone.
+# ---------------------------------------------------------------------------
+
+
+def _snap_dir(spark, path):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    df = spark.read.parquet(path)
+    return sorted(tuple(r) for r in df.select(sorted(df.columns)).collect())
+
+
+def _replay_last_batch(ckpt: str) -> None:
+    import glob
+    import os
+
+    commits = sorted(
+        p
+        for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    )
+    assert commits, "no commits recorded"
+    os.remove(commits[-1])
+    # the local checksum FS keeps a .N.crc sidecar; a leftover blocks
+    # the replayed commit's atomic rename (FileAlreadyExistsException)
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_ingest_gate_replay_idempotent(spark, tmp_path):
+    """streaming/curation.py (the ADVICE-r12 medium item): replaying
+    the final micro-batch after its survivors write must reproduce
+    byte-identical dispositions AND index state."""
+    import json as _json
+    import os
+
+    from cdc_poc_spark.streaming import await_done
+    from cdc_poc_spark.streaming.curation import curation_ingest_stream
+
+    def good(tag: str) -> str:
+        return "the " + " ".join(f"{tag}w{i}" for i in range(24))
+
+    base = spark.createDataFrame(
+        [(1, "src1", good("base"))], "doc_id long, source string, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100, good("bench"))], "doc_id long, text string"
+    )
+    b0 = [
+        {"doc_id": 10, "source": "src1", "text": good("adm0")},
+        {"doc_id": 11, "source": "src1", "text": good("base")},  # clone
+    ]
+    b1 = [
+        {"doc_id": 20, "source": "src1", "text": good("adm0")},  # clone of 10's admit
+        {"doc_id": 21, "source": "src1", "text": good("adm1")},  # fresh admit
+    ]
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for i, rows in enumerate((b0, b1)):
+        p = data_dir / f"b{i:03d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(data_dir))
+        )
+        return curation_ingest_stream(
+            stream, base, bench, str(tmp_path / "out"),
+            str(tmp_path / "index"), str(tmp_path / "ckpt"),
+        ).start()
+
+    await_done(start(), 600)
+    out0 = _snap_dir(spark, str(tmp_path / "out"))
+    idx0 = _snap_dir(spark, str(tmp_path / "index"))
+    # batch 1's admit (21) must be admitted and 20 rejected as a
+    # cross-epoch clone — the state the replay must keep
+    disp = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert disp[21]["admitted"] and not disp[20]["admitted"]
+    assert disp[20]["is_clone"]
+    _replay_last_batch(str(tmp_path / "ckpt"))
+    await_done(start(), 600)
+    assert _snap_dir(spark, str(tmp_path / "out")) == out0
+    assert _snap_dir(spark, str(tmp_path / "index")) == idx0
+
+
+def test_stream_e2e_replay_idempotent(spark, stream_run, tmp_path_factory):
+    """The streaming curation DAG: replay the final epoch via the same
+    checkpoint surgery; every state relation, and the per-epoch stage
+    rows, must come back byte-identical."""
+    import os
+
+    from cdc_poc_spark.queries.curation import (
+        _BDC_K,
+        _BDC_M,
+        _BDC_N,
+        _PACK_BUDGET,
+        _PACK_SHARDS,
+    )
+    from cdc_poc_spark.streaming import await_done
+    from cdc_poc_spark.streaming.curation import QUALITY_MIN
+    from cdc_poc_spark.streaming.curation_e2e import (
+        _STATE_SCHEMAS,
+        curation_stream_e2e,
+    )
+
+    out_dir, state_dir = stream_run
+    work = os.path.dirname(out_dir)
+    before_out = _snap_dir(spark, out_dir)
+    before_state = {
+        k: _snap_dir(spark, os.path.join(state_dir, k)) for k in _STATE_SCHEMAS
+    }
+    _replay_last_batch(os.path.join(work, "ckpt"))
+    emb = spark.createDataFrame(_EMB, _EMB_SCHEMA)
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(os.path.join(work, "data"))
+    )
+    q = curation_stream_e2e(
+        stream, emb, out_dir, state_dir, os.path.join(work, "ckpt"),
+        bdc_n=_BDC_N, bdc_k=_BDC_K, bdc_m=_BDC_M,
+        quality_min=QUALITY_MIN, pack_budget=_PACK_BUDGET,
+        pack_shards=_PACK_SHARDS,
+    ).start()
+    await_done(q, 600)
+    assert _snap_dir(spark, out_dir) == before_out
+    for k in _STATE_SCHEMAS:
+        assert (
+            _snap_dir(spark, os.path.join(state_dir, k)) == before_state[k]
+        ), f"state relation {k} diverged on replay"
+
+
+def test_semdedup_stream_replay_idempotent(spark, tmp_path):
+    """streaming/semdedup.py: same crash window, same contract — the
+    replayed final batch must reproduce identical dispositions and
+    index (pre-fix, the epoch-1 survivor matched ITSELF as a dup on
+    replay, and the restart's static base overwrite wiped epoch-0
+    survivors)."""
+    import json as _json
+    import os
+
+    from cdc_poc_spark.streaming import await_done
+    from cdc_poc_spark.streaming.semdedup import semdedup_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b0 = [{"vec_id": 10, "embedding": [0.0, 0.0, 1.0, 0.0]}]  # survivor
+    b1 = [
+        {"vec_id": 20, "embedding": [0.0, 0.0, 0.99, 0.01]},  # dup of 10
+        {"vec_id": 21, "embedding": [0.0, 0.0, 0.0, 1.0]},  # survivor
+    ]
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for i, rows in enumerate((b0, b1)):
+        p = data_dir / f"b{i:03d}.json"
+        p.write_text("\n".join(_json.dumps(r) for r in rows))
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    def start():
+        s = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(data_dir))
+        )
+        return semdedup_stream(
+            s, corpus, str(tmp_path / "out"),
+            str(tmp_path / "index"), str(tmp_path / "ckpt"),
+        ).start()
+
+    await_done(start(), 600)
+    disp = {
+        r["vec_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert not disp[10]["dropped"]
+    assert disp[20]["dropped"] and disp[20]["nearest_dup_id"] == 10
+    assert not disp[21]["dropped"]
+    out0 = _snap_dir(spark, str(tmp_path / "out"))
+    idx0 = _snap_dir(spark, str(tmp_path / "index"))
+    _replay_last_batch(str(tmp_path / "ckpt"))
+    await_done(start(), 600)
+    assert _snap_dir(spark, str(tmp_path / "out")) == out0
+    assert _snap_dir(spark, str(tmp_path / "index")) == idx0
