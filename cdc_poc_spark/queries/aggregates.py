@@ -3401,20 +3401,15 @@ def agg_morans_i(spark, sf_dir):
     Plan: the edge relation is the bounded co-order join; the
     quadratic form is two broadcast attribute joins + one exact sum —
     no materialized weight matrix anywhere."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # the shared pinned co-order edge derivation (optimization r13):
+    # this query references e 3x (both node endpoints + the quadratic
+    # form) and z 3x on top of it — inline-derived, the lineage
+    # multiplied to a 174-Exchange plan; the helper's localCheckpoint
+    # truncates it (identical CTE on the oracle side, same MIN_SHARED=2)
+    from .profiling import _coorder_part_edges
+
     part = load_table(spark, sf_dir, "part")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    e = (
-        b.select("o", F.col("p").alias("u"))
-        .join(b.select("o", F.col("p").alias("v")), "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("u", "v")
-    )
+    e = _coorder_part_edges(spark, sf_dir).select("u", "v")
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionByName(e.select(F.col("v").alias("node")))

@@ -854,21 +854,45 @@ _COORDER_MIN_SHARED = 2
 
 def _coorder_part_edges(spark, sf_dir):
     """(u < v, w) part co-order edges: parts appearing in >= 2 common
-    orders. Plan: distinct (order, part) bipartite edges + one
-    order-keyed self equi-join (per-order fanout = lineitems/order, ~4
-    — bounded by construction, no hub cap needed) + one keyed count."""
+    orders. Plan (optimization r13, guide §2.3/§2.4): ONE order-keyed
+    aggregation collects each order's distinct part set (sorted for
+    determinism), the u < v pairs expand MAP-SIDE via array
+    higher-order functions (per-order fanout C(k,2), k = distinct
+    parts/order ~4 — bounded by construction, so the expansion is
+    bounded at any scale), then one keyed count. 2 exchanges, no join
+    — the previous distinct + order-keyed self-equi-join + count shape
+    cost 3 exchanges plus a sort-merge join of the full bipartite
+    relation. Values identical (same pair multiset; prototype-verified
+    row-equal at sf0.01/sf0.1, then oracle parity + layout audit
+    re-run).
+
+    The result is eagerly localCheckpointed: the pair graph is tiny
+    (~3.6 k edges at sf0.1) but its lineage is the full lineitem scan,
+    and every consumer in the co-order family references it 2-8x (sym
+    both directions, deg, wedge-join sides) — unpinned, each reference
+    re-derived the scan+aggregate per use (measured: the
+    graph_linkpred_common_neighbors physical plan carried 320 Exchange
+    nodes before, and graph_harmonic_2hop 238; pinned, each is one
+    derivation + small-relation joins — guide §3.3's plan-truncation
+    rule)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    b = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = b.select("o", F.col("p").alias("u"))
-    x = b.select("o", F.col("p").alias("v"))
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = ps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     return (
-        a.join(x, "o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _COORDER_MIN_SHARED)
+        .localCheckpoint(eager=True)
     )
 
 
