@@ -220,9 +220,14 @@ def lsh_candidate_pairs(
 
 def jaccard(col_a: str, col_b: str) -> F.Column:
     """Exact Jaccard over two distinct-element arrays (integer set sizes
-    -> exact double ratio)."""
+    -> exact double ratio). |A∪B| is derived as |A|+|B|−|A∩B| (exact on
+    distinct-element inputs — the documented contract of every call
+    site) instead of materializing array_union: the intersect hash
+    probe is the only per-pair array pass left, halving verification
+    CPU on the 100k+-candidate PPJoin verify stages (optimization r13,
+    guide §1.2 per-task work). Same integers, same double, same hash."""
     inter = F.size(F.array_intersect(F.col(col_a), F.col(col_b)))
-    union = F.size(F.array_union(F.col(col_a), F.col(col_b)))
+    union = F.size(F.col(col_a)) + F.size(F.col(col_b)) - inter
     return (inter.cast("double") / union.cast("double"))
 
 

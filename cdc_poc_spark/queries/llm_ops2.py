@@ -1953,6 +1953,10 @@ def dedup_lsh_param_planner(spark, sf_dir):
     Plan: one collapse rollup + one canonical PPJoin + one 6-row
     broadcast + one weighted rollup."""
     docs = load_table(spark, sf_dir, "documents")
+    # eager pin (optimization r13, guide §3.3): fams feeds FOUR
+    # consumers (the PPJoin input, both broadcast member joins, the
+    # clique rollup) — unpinned, each re-derived the md5 collapse over
+    # the full corpus text
     fams = (
         docs.groupBy(F.md5("text").alias("__fp"))
         .agg(
@@ -1961,6 +1965,7 @@ def dedup_lsh_param_planner(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("n_members"),
         )
         .drop("__fp")
+        .localCheckpoint(eager=True)
     )
     members = fams.select("doc_id", "n_members")
     cpairs = (

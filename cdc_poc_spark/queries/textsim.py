@@ -670,10 +670,16 @@ def text_textrank_keywords(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _TR_MIN_COUNT)
     )
-    sym = pairs.select(
-        F.col("w1").alias("u"), F.col("w2").alias("v"), "w"
-    ).unionByName(
-        pairs.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "w")
+    # eager pin (optimization r13, guide §3.3): sym feeds every one of
+    # the 3 unrolled iterations plus the degree rollup — unpinned, each
+    # reference re-derived the posexplode + positional self-join +
+    # count pipeline (the before-plan carried 150 Exchange nodes)
+    sym = (
+        pairs.select(F.col("w1").alias("u"), F.col("w2").alias("v"), "w")
+        .unionByName(
+            pairs.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "w")
+        )
+        .localCheckpoint(eager=True)
     )
     ws = sym.groupBy(F.col("u").alias("node")).agg(F.sum("w").alias("wu"))
     nn = ws.agg(F.count(F.lit(1)).alias("n_nodes"))
