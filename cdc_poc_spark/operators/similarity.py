@@ -1228,9 +1228,17 @@ def build_ivfpq_index(
     build; the build itself measures ~5.6 s warm at sf0.01 — the two
     integer-exact Lloyd steps — and dominates any single sweep).
     ``pin=True`` eagerly localCheckpoints each relation so repeated
-    consumers don't recompute the build lineage."""
+    consumers don't recompute the build lineage — including the
+    INTRA-build intermediates (optimization r13, guide §3.3): dims
+    feeds 6 consumers, the refined coarse centroids 3 (both assign
+    passes + the cents export) and the refined PQ codebook 3 (assign +
+    dtable + export); unpinned, each consumer re-derived its whole
+    upstream Lloyd chain and the pinned build paid it repeatedly
+    (measured 19.4 s -> 4.6 s same-window at sf0.1, values unchanged)."""
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     dims = _qdims(base, "id", m, q)
+    if pin:
+        dims = dims.localCheckpoint(eager=True)
 
     # --- coarse quantizer: n_cells rank-based seeds, exact L2 assignment
     seed_w = W.orderBy(F.col("id"))
@@ -1268,6 +1276,8 @@ def build_ivfpq_index(
         .groupBy("cell_id", "j")
         .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
     )
+    if pin:
+        refined = refined.localCheckpoint(eager=True)
     cell_d, assigned = _assign(refined)
 
     # --- PQ codebooks: rank-based seeds + one integer-exact Lloyd step
@@ -1305,6 +1315,8 @@ def build_ivfpq_index(
         .groupBy("sub", "code", "j")
         .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
     )
+    if pin:
+        pq_refined = pq_refined.localCheckpoint(eager=True)
     codes = _pq_assign(pq_refined)
 
     # --- queries: ADC distance tables (n_queries * m * pq_k entries)
@@ -1333,8 +1345,14 @@ def build_ivfpq_index(
         "n_queries": n_queries,
     }
     if pin:
+        # dims/cents are already checkpointed above — re-pinning them
+        # would serialize the same rows a second time for nothing
         index = {
-            k_: (v.localCheckpoint(eager=True) if isinstance(v, DataFrame) else v)
+            k_: (
+                v.localCheckpoint(eager=True)
+                if isinstance(v, DataFrame) and k_ not in ("dims", "cents")
+                else v
+            )
             for k_, v in index.items()
         }
     return index
