@@ -489,6 +489,12 @@ def pipeline_bloom_decontaminate(spark, sf_dir):
     from ..operators.scale import spread
 
     docs = load_table(spark, sf_dir, "documents")
+    # eager pin (optimization r13, guide §3.3): the distinct gram
+    # relation feeds FOUR consumers (bench bits, the bloom screen, the
+    # exact verify, the doc count) — unpinned, each re-ran the corpus
+    # explode+distinct (72-Exchange plan). This is the "materialize the
+    # gram table once between stages" production choice, not a local
+    # shortcut: at 100 TB the alternative is four full corpus passes.
     grams = (
         spread(docs)
         .withColumn("toks", F.split(F.col("text"), " "))
@@ -498,6 +504,7 @@ def pipeline_bloom_decontaminate(spark, sf_dir):
             F.explode(word_ngrams("toks", _BDC_N)).alias("gram"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bench = grams.filter(F.col("__is_bench")).select("gram").distinct()
     cand = grams.filter(~F.col("__is_bench")).select("doc_id", "gram")
@@ -532,9 +539,13 @@ def pipeline_bloom_decontaminate(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") == _BDC_K)
     )
-    flagged = gpass.select("doc_id").distinct()
+    # flagged/exact each feed two consumers below — tiny doc-id sets
+    flagged = gpass.select("doc_id").distinct().localCheckpoint(eager=True)
     exact = (
-        cand.join(bench, "gram", "left_semi").select("doc_id").distinct()
+        cand.join(bench, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     # one lazy plan, no driver-side counts: four 1-row aggregates cross
     return (

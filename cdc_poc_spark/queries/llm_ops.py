@@ -1623,8 +1623,13 @@ def sim_knn_graph_ivf(spark, sf_dir):
     (full-graph recall measured 0.30-0.34; the sample's binomial sd at
     384 edges is ~0.023, so the 0.2 bar holds with wide margin)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.knn_graph_exact_sample(emb, n_sample=128).select(
-        "vec_id", "neighbor_id"
+    # eager pin (optimization r13, guide §3.3): exact feeds the recall
+    # semi-join AND the edge count — unpinned, both re-ran the
+    # sample-x-corpus scan
+    exact = (
+        similarity.knn_graph_exact_sample(emb, n_sample=128)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     approx = similarity.knn_graph_cells_gemm(emb).select("vec_id", "neighbor_id")
     hits = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi")

@@ -1375,8 +1375,16 @@ def sim_pq_sdc_vs_adc(spark, sf_dir):
     from ..operators.similarity import pq_assign_codes, pq_centroid_dims
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = pq_assign_codes(emb).select("id", "sub", "code")
-    cdims = pq_centroid_dims(emb)
+    # eager pins (optimization r13, guide §3.3): both the assigned
+    # codes and the codebook dims feed the ADC lut, the SDC lut and the
+    # code join sides — unpinned, each reference re-ran the PQ Lloyd
+    # chain (80-Exchange plan)
+    codes = (
+        pq_assign_codes(emb)
+        .select("id", "sub", "code")
+        .localCheckpoint(eager=True)
+    )
+    cdims = pq_centroid_dims(emb).localCheckpoint(eager=True)
     dims = emb.select(
         F.col("vec_id").alias("id"),
         (F.size("embedding") / 8).cast("int").alias("d_sub"),

@@ -123,7 +123,12 @@ def agg_mergeable_quantile_sketch(spark, sf_dir):
         "event_id",
         F.expr("event_id % 8").alias("shard"),
     )
-    summary = rank_sample_summary(b, "y", "shard", 64, "event_id")
+    # eager pin (optimization r13, guide §3.3): summary (≤520 rows)
+    # feeds the cumsum AND the sample count — unpinned, both re-ran the
+    # per-shard sampling windows over the full event stream
+    summary = rank_sample_summary(b, "y", "shard", 64, "event_id").localCheckpoint(
+        eager=True
+    )
     merged = global_cumsum(summary, "w", ["y", "shard", "rk"], "cw")
     stats = shard_stats(b, "shard", 64).select("n", "bound")
     n_samples = summary.agg(
@@ -449,12 +454,23 @@ def agg_misra_gries_topk(spark, sf_dir):
         F.col("o_custkey").alias("cust"),
         F.expr("o_orderkey % 8").alias("shard"),
     )
-    counts = b.groupBy("shard", "cust").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # eager pins (optimization r13, guide §3.3): counts feeds the
+    # rank window AND the summary filter inside mg_summary, fin and
+    # exact each feed two consumers below — unpinned, every reference
+    # re-derived the orders scan + aggregation (104-Exchange plan)
+    counts = (
+        b.groupBy("shard", "cust")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     summary, d1 = mg_summary(counts, "cust", "c", "shard", 12)
     fin, d2 = mg_merge(summary, "cust", 12)
-    exact = b.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("fc"))
+    fin = fin.localCheckpoint(eager=True)
+    exact = (
+        b.groupBy("cust")
+        .agg(F.count(F.lit(1)).cast("long").alias("fc"))
+        .localCheckpoint(eager=True)
+    )
     bounds = (
         d1.agg(F.sum("d").cast("long").alias("sd"))
         .crossJoin(F.broadcast(d2))

@@ -655,8 +655,13 @@ def ml_multiclass_confusion_prf(spark, sf_dir):
             F.col("clabel").alias("pred_label"),
         )
     )
-    conf = pred.groupBy("true_label", "pred_label").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # eager pin (optimization r13, guide §3.3): conf feeds row totals,
+    # column totals AND the diagonal — unpinned, each re-ran the score
+    # + argmin-window chain (52-Exchange plan for a |labels|² relation)
+    conf = (
+        pred.groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
     )
     labels = emb.select("label").distinct()
     row_tot = conf.groupBy("true_label").agg(F.sum("n").alias("n_true"))
