@@ -1124,11 +1124,15 @@ def mm_chunk_store_savings(spark, sf_dir):
     from ..operators import multimodal
 
     media = multimodal.synthesize_media(load_table(spark, sf_dir, "documents"))
+    # eager pin (optimization r13, guide §3.3): the collapsed payload
+    # relation feeds both the boundary explode and the final-position
+    # rows — unpinned, each re-ran synthesize + hex + collapse
     m = (
         media.select(F.hex(F.col("payload")).alias("hx"), "media_id")
         .groupBy("hx")
         .agg(F.min("media_id").alias("rep"))
         .filter(F.length("hx") >= 8)
+        .localCheckpoint(eager=True)
     )
     gram = F.expr("substring(hx, 2 * i - 7, 8)")
     ghash = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long") % 32
