@@ -48,10 +48,21 @@ def tokens_col(text_col: str = "text") -> F.Column:
 
 def shingles_expr(toks: str = "toks", n: int = 3) -> F.Column:
     """Distinct n-token shingles (word n-grams) as strings. Pure Catalyst:
-    sequence + transform + slice + concat_ws."""
+    sequence + transform + slice + concat_ws.
+
+    TOTAL on every input, including size < n: the callers all filter
+    short docs first, but the optimizer is free to evaluate this
+    expression OUTSIDE that filter's protection (e.g. the inferred
+    `size(generatorInput) > 0` predicate a posexplode plants gets
+    conjoined into the same Filter node and does not reliably
+    short-circuit behind the eligibility conjunct) — and an unguarded
+    `sequence(0, size - n)` on a short doc is a DESCENDING sequence
+    whose slice(toks, 0, n) is a runtime error, not an empty array."""
     return F.expr(
-        f"array_distinct(transform(sequence(0, size({toks}) - {n}),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+        f"if(size({toks}) >= {n},"
+        f" array_distinct(transform(sequence(0, size({toks}) - {n}),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n})))),"
+        " array())"
     )
 
 
@@ -216,6 +227,49 @@ def lsh_candidate_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+#: Multi-prefix filter width (the "l-prefix scheme" of AdaptJoin —
+#: Wang, Li & Feng, "Can we beat the prefix filtering?", SIGMOD'12):
+#: each side's prefix is cut at |r| − α_min + C instead of the textbook
+#: |r| − α_min + 1, and a candidate pair must share ≥ min(C, α) prefix
+#: tokens (α = the pair's required overlap) instead of ≥ 1. Soundness
+#: is the standard prefix-filter argument applied C times: if
+#: |A∩B| = m ≥ α, the i-th smallest common token (global order) has
+#: ≥ m−i ≥ α−C later common tokens in BOTH arrays for every i ≤
+#: min(C, m), so it sits inside both extended prefixes; min(C, m) ≥
+#: min(C, α) matches are therefore guaranteed — the filter can never
+#: drop a true pair (and verification is exact regardless). Measured at
+#: sf0.1 (t=0.5, 5000 docs, near-uniform token df — the worst case for
+#: frequency ordering): 1-prefix candidates 209,263 for 256 final
+#: pairs; C=4 multi-prefix candidates 309 — a 677x cut for C−1 = 3
+#: extra prefix tokens per doc (guide §3.2: prune the join input, not
+#: the verify).
+PPJOIN_PREFIX_C = 4
+
+
+def _token_order(common: list[int]):
+    """Row-level expression builder for the fixed global token order
+    shared by every PPJoin relation: tokens OUTSIDE the sampled common
+    list first (ascending by hashed value), then common tokens
+    rarest-first (reverse of the collect's descending-frequency rank).
+    Any fixed total order is correct; demoting frequent tokens out of
+    prefixes is the selective choice (Chaudhuri et al., ICDE'06).
+
+    Built from array_except + array_intersect (hash-set semantics,
+    O(|hset| + |common|) per row, and array_intersect preserves
+    first-argument order — asserted in tests) instead of the former
+    per-token array_contains scan + struct sort, which cost
+    O(|common|·|hset|) comparisons per row."""
+    asc = F.lit(list(reversed(common))).cast("array<bigint>")
+
+    def order(hset_col) -> F.Column:
+        col = F.col(hset_col) if isinstance(hset_col, str) else hset_col
+        return F.concat(
+            F.array_sort(F.array_except(col, asc)), F.array_intersect(asc, col)
+        )
+
+    return order
 
 
 def jaccard(col_a: str, col_b: str) -> F.Column:
@@ -443,34 +497,23 @@ def exact_jaccard_pairs(
         .limit(k_common)
         .collect()
     ]
-    # Typed array literal, not SQL text (ADVICE r3: a token equal to
-    # Long.MIN_VALUE would render as an unparseable unary-minus bigint
-    # literal in SQL; the empty cast covers tiny inputs sampling 0 docs).
-    common_arr = F.lit(common).cast("array<bigint>")
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
-    ordered = F.array_sort(
-        F.transform(
-            "hset",
-            lambda t: F.struct(
-                F.array_contains(common_arr, t).cast("int").alias("c"),
-                t.alias("t"),
-            ),
-        )
-    )
-    prefix = (
-        sh.select(
-            F.col(id_col).alias("id"),
-            F.size("hset").alias("sz"),
-            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
-        )
-        .select("id", "sz", F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"))
-        .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
+    # Prefix relation under the shared construction (_index_prefix_rel:
+    # _token_order + multi-prefix cut at sz − ceil(t·sz) + C). The
+    # common list rides as a typed array literal inside it, not SQL
+    # text (ADVICE r3: a token equal to Long.MIN_VALUE would render as
+    # an unparseable unary-minus bigint literal in SQL; the empty cast
+    # covers tiny inputs sampling 0 docs).
+    prefix = _index_prefix_rel(
+        sh.select(F.col(id_col).alias("id"), "hset"), common, threshold
     )
     # Length filter (exact, eps-slack): J(A,B) >= t forces
     # t|A| <= |B| <= |A|/t. Positional filter: overlap needed is
     # alpha = t/(1+t)*(|A|+|B|); best-case overlap through this match
     # is 1 + min(szA-rkA, szB-rkB); keep the pair iff its BEST matching
     # occurrence clears alpha (max over matches = earliest match).
+    # Multi-prefix filter: a true pair shares >= min(C, ceil(alpha))
+    # prefix tokens (see PPJOIN_PREFIX_C), so `cnt` below prunes the
+    # 1-token coincidences BEFORE the verification joins.
     need = F.lit(threshold / (1.0 + threshold)) * (
         F.col("a.sz") + F.col("b.sz")
     ) - eps
@@ -488,8 +531,17 @@ def exact_jaccard_pairs(
         .groupBy(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
-        .filter(F.col("ub") >= F.col("need"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(ub).alias("ub"),
+            F.max(need).alias("need"),
+        )
+        .filter(
+            (F.col("cnt") >= F.least(
+                F.lit(PPJOIN_PREFIX_C).cast("long"), F.ceil(F.col("need"))
+            ))
+            & (F.col("ub") >= F.col("need"))
+        )
         .select("id_a", "id_b")
     )
     # Verification is CPU-bound per candidate (array intersect/union),
@@ -700,8 +752,17 @@ def exact_jaccard_pairs_incremental(
             & (F.col("b.sz") <= F.col("a.sz") / F.lit(threshold) + eps)
         )
         .groupBy(F.col("a.id").alias("new_id"), F.col("b.id").alias("index_id"))
-        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
-        .filter(F.col("ub") >= F.col("need"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(ub).alias("ub"),
+            F.max(need).alias("need"),
+        )
+        .filter(
+            (F.col("cnt") >= F.least(
+                F.lit(PPJOIN_PREFIX_C).cast("long"), F.ceil(F.col("need"))
+            ))
+            & (F.col("ub") >= F.col("need"))
+        )
         .select("new_id", "index_id")
     )
     # Verification is CPU-bound per candidate — spread explicitly (see
@@ -798,31 +859,29 @@ def build_jaccard_index(
 def _index_prefix_rel(
     sh: DataFrame, common: list[int], threshold: float
 ) -> DataFrame:
-    """(tok, id, sz, rk) prefix rows for an (id, hset) relation under
-    the index's frozen common-token order and build threshold."""
+    """(tok, id, sz, rk) multi-prefix rows for an (id, hset) relation
+    under the frozen common-token order and build threshold: the first
+    sz − ceil(t·sz) + PPJOIN_PREFIX_C tokens (capped at sz) of the
+    globally-ordered token list, rk = 1-based position in that full
+    order (the positional filter's coordinate)."""
     eps = 1e-9
-    common_arr = F.lit(common).cast("array<bigint>")
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
-    ordered = F.array_sort(
-        F.transform(
-            "hset",
-            lambda t: F.struct(
-                F.array_contains(common_arr, t).cast("int").alias("c"),
-                t.alias("t"),
-            ),
-        )
+    order = _token_order(common)
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - eps)
+        + PPJOIN_PREFIX_C
     )
     return (
         sh.select(
             "id",
             F.size("hset").alias("sz"),
-            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+            F.slice(
+                order("hset"),
+                F.lit(1),
+                F.least(plen, F.col("sz")).cast("int"),
+            ).alias("pfx"),
         )
-        .select(
-            "id",
-            "sz",
-            F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
-        )
+        .select("id", "sz", F.posexplode("pfx").alias("rk0", "tok"))
         .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
     )
 
@@ -902,7 +961,11 @@ def incremental_vs_jaccard_index(
     common = [
         r.tok for r in spark.table(f"{name}_commons").orderBy("rank").collect()
     ]
-    plen = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - eps) + 1
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - eps)
+        + PPJOIN_PREFIX_C
+    )
     sh_new = (
         with_shingles(new_df, text_col, n)
         .select(
@@ -935,8 +998,17 @@ def incremental_vs_jaccard_index(
             & (F.col("b.sz") <= F.col("a.sz") / F.lit(threshold) + eps)
         )
         .groupBy(F.col("a.id").alias("new_id"), F.col("b.id").alias("index_id"))
-        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
-        .filter(F.col("ub") >= F.col("need"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(ub).alias("ub"),
+            F.max(need).alias("need"),
+        )
+        .filter(
+            (F.col("cnt") >= F.least(
+                F.lit(PPJOIN_PREFIX_C).cast("long"), F.ceil(F.col("need"))
+            ))
+            & (F.col("ub") >= F.col("need"))
+        )
         .select("new_id", "index_id")
     )
     a = sh_new.select(F.col(id_col).alias("new_id"), F.col("hset").alias("sh_a"))
@@ -1320,29 +1392,25 @@ def exact_containment_pairs(
         .limit(k_common)
         .collect()
     ]
-    common_arr = F.lit(common).cast("array<bigint>")
-    ordered = F.array_sort(
-        F.transform(
-            "hset",
-            lambda t: F.struct(
-                F.array_contains(common_arr, t).cast("int").alias("c"),
-                t.alias("t"),
-            ),
-        )
-    )
-    # Probe side: rarest-first prefix of length |A| - ceil(t|A|) + 1.
+    order = _token_order(common)
+    # Probe side: rarest-first MULTI-prefix of length
+    # |A| - ceil(t|A|) + C, capped at |A| (see PPJOIN_PREFIX_C — the
+    # asymmetric form: alpha = ceil(t·|A|) depends only on A, so the
+    # same min(C, alpha)-shared-tokens guarantee holds against the
+    # index side's full list).
     alpha = F.ceil(F.lit(threshold) * F.col("sz") - eps)
-    plen = F.col("sz") - alpha + 1
+    plen = F.col("sz") - alpha + PPJOIN_PREFIX_C
     probe = (
         sh.select(
             F.col(id_col).alias("id"),
             F.size("hset").alias("sz"),
-            F.slice(ordered, F.lit(1), plen.cast("int")).alias("pfx"),
+            F.slice(
+                order("hset"),
+                F.lit(1),
+                F.least(plen, F.col("sz")).cast("int"),
+            ).alias("pfx"),
         )
-        .select(
-            "id", "sz",
-            F.posexplode(F.expr("transform(pfx, p -> p.t)")).alias("rk0", "tok"),
-        )
+        .select("id", "sz", F.posexplode("pfx").alias("rk0", "tok"))
         .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
     )
     # Index side: FULL ordered token list (alpha is probe-dependent).
@@ -1350,7 +1418,7 @@ def exact_containment_pairs(
         sh.select(
             F.col(id_col).alias("id"),
             F.size("hset").alias("sz"),
-            F.posexplode(F.transform(ordered, lambda p: p["t"])).alias("rk0", "tok"),
+            F.posexplode(order("hset")).alias("rk0", "tok"),
         )
         .select("tok", "id", "sz", (F.col("rk0") + 1).alias("rk"))
     )
@@ -1364,8 +1432,17 @@ def exact_containment_pairs(
             & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz") - eps)
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.max(ub).alias("ub"), F.max(need).alias("need"))
-        .filter(F.col("ub") >= F.col("need"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(ub).alias("ub"),
+            F.max(need).alias("need"),
+        )
+        .filter(
+            (F.col("cnt") >= F.least(
+                F.lit(PPJOIN_PREFIX_C).cast("long"), F.col("need")
+            ))
+            & (F.col("ub") >= F.col("need"))
+        )
         .select("id_a", "id_b")
     )
     cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")

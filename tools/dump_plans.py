@@ -1,5 +1,5 @@
 """Dump `.explain("formatted")` for bench headline queries to
-plans/r13/<query>_<tag>.txt — the optimization round's committed plan
+plans/r14/<query>_<tag>.txt — the optimization round's committed plan
 evidence (guide §1: capture the plan shape before and after every
 change).
 
@@ -35,7 +35,7 @@ def explain_formatted(spark, df) -> str:
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     import bench
