@@ -286,7 +286,12 @@ def jaccard(col_a: str, col_b: str) -> F.Column:
 
 
 def _lsh_banded_docs(
-    df: DataFrame, id_col: str, text_col: str, n: int, portable: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    portable: bool = False,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Shared front half of the LSH pipeline: shingle -> MinHash ->
     banded (doc{id, hs}, band_id, band_hash) rows. ``portable=True``
@@ -296,7 +301,11 @@ def _lsh_banded_docs(
     and the string form is reproducible in ANSI SQL (the key is wider
     on the shuffle, which is why the xxhash64+murmur form stays the
     default at scale)."""
-    sh = with_shingles(df, text_col, n).select(id_col, "shingles")
+    sh = (
+        df.select(id_col, "shingles")
+        if pre_shingled
+        else with_shingles(df, text_col, n).select(id_col, "shingles")
+    )
     hs = minhash_signature(sh, keep_hashes=True, portable=portable).withColumnRenamed(
         "_sh_hash", "hs"
     )
@@ -332,6 +341,7 @@ def minhash_lsh_dedup_pairs(
     threshold: float = 0.5,
     bucket_cap: int = LSH_BUCKET_CAP,
     portable: bool = False,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> MinHash -> LSH buckets ->
     exact-Jaccard verification of candidates, in ONE shuffle.
@@ -352,7 +362,9 @@ def minhash_lsh_dedup_pairs(
     boilerplate cannot OOM a task. Exact clones should be collapsed
     upstream anyway (minhash_tiered_pairs — the production ordering);
     use lsh_bucket_stats to see whether any bucket hit the cap."""
-    banded = _lsh_banded_docs(df, id_col, text_col, n, portable=portable)
+    banded = _lsh_banded_docs(
+        df, id_col, text_col, n, portable=portable, pre_shingled=pre_shingled
+    )
     pair_expr = (
         "flatten(transform(docs, (x, i) ->"
         " transform(slice(docs, i + 2, size(docs)), y -> struct("
@@ -1343,6 +1355,7 @@ def exact_containment_pairs(
     n: int = 3,
     threshold: float = 0.9,
     checkpoint_dir: str | None = None,
+    pre_shingled: bool = False,
 ) -> DataFrame:
     """EXACT pairwise set CONTAINMENT c(A→B) = |A∩B| / |A| >= threshold
     over 3-gram shingle sets — the ASYMMETRIC near-dup relation Jaccard
@@ -1371,16 +1384,23 @@ def exact_containment_pairs(
     from pyspark import StorageLevel
 
     eps = 1e-9
-    sh = (
-        with_shingles(df, text_col, n)
-        .select(
-            id_col,
-            F.array_distinct(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            ).alias("hset"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ``pre_shingled``: the caller hands a relation that already carries
+    # the distinct string shingles (a pinned handoff a multi-stage DAG
+    # derives ONCE and shares across its PPJoin stages — optimization
+    # r14, guide §2.3 "don't recompute what a sibling stage computed");
+    # eligibility (>= n tokens) is with_shingles' contract, so a
+    # pre-shingled input must already be filtered to eligible docs.
+    src = (
+        df.select(id_col, "shingles")
+        if pre_shingled
+        else with_shingles(df, text_col, n).select(id_col, "shingles")
     )
+    sh = src.select(
+        id_col,
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("hset"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     k_common = 256
     sampled = sh.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(8)) == 0)
     common = [

@@ -430,10 +430,27 @@ def pipeline_curation_e2e(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("aux")
     )
 
-    # -- stage 2: asymmetric containment on canonicals
+    # -- shared shingle handoff for stages 2-3 (optimization r14, guide
+    # §2.3): the string 3-gram shingles are derived ONCE from the
+    # stage-1 survivors and pinned (one row per eligible canonical —
+    # tiny); stage 2 hashes them with xxhash64, stage 3 (on the stage-2
+    # survivor subset) with the portable md5 pipe. Previously each
+    # stage re-ran tokenize+shingle from the raw corpus. Stage 1
+    # already collapsed md5 clones, so docs_s1/docs_s2 are clone-free
+    # and the operators' per-stage clone collapse was a no-op
+    # (singleton families, empty cliques) — the flat forms are
+    # output-identical on this input and skip the collapse groupBy,
+    # its pin, and both member-expansion joins per stage.
     docs_s1 = docs.join(s1, "doc_id", "left_semi")
-    cont = dedup.exact_containment_pairs_collapsed(
-        docs_s1
+    sh1 = (
+        dedup.with_shingles(docs_s1)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
+
+    # -- stage 2: asymmetric containment on canonicals
+    cont = dedup.exact_containment_pairs(
+        sh1, pre_shingled=True
     ).localCheckpoint(eager=True)
     dom2 = cont.select(F.col("id_a").alias("doc_id")).distinct()
     s2 = s1.join(dom2, "doc_id", "left_anti").localCheckpoint(eager=True)
@@ -444,9 +461,8 @@ def pipeline_curation_e2e(spark, sf_dir):
     )
 
     # -- stage 3: MinHash-LSH on the twice-deduped survivors
-    docs_s2 = docs.join(s2, "doc_id", "left_semi")
-    pairs3 = dedup.minhash_tiered_pairs(
-        docs_s2, portable=True
+    pairs3 = dedup.minhash_lsh_dedup_pairs(
+        sh1.join(s2, "doc_id", "left_semi"), portable=True, pre_shingled=True
     ).localCheckpoint(eager=True)
     dom3 = pairs3.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(dom3, "doc_id", "left_anti").localCheckpoint(eager=True)

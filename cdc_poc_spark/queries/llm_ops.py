@@ -4251,13 +4251,37 @@ def pipeline_dedup_tiers_composed(spark, sf_dir):
     all three tiers and both survivor handoffs in one SQL chain (the
     shared _MH_PIPE_SQL re-scoped to the tier-2 survivors)."""
     docs = load_table(spark, sf_dir, "documents")
-    fam = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    # Optimization r14 (guide §2.3/§5): fam feeds four consumers and s2
+    # three — unpinned, every tier-row aggregate re-derived the whole
+    # upstream tier chain (the containment PPJoin ran ~3x). Each pinned
+    # relation is an O(#families) id set. The shingle handoff sh1 is
+    # derived ONCE and shared by tiers 2-3 (tier 2 hashes it xxhash64,
+    # tier 3 md5-portable); tier 1 already collapsed md5 clones, so the
+    # tiers run the FLAT operators — on clone-free input the per-tier
+    # clone collapse was a no-op (singleton families, empty cliques),
+    # output-identical, minus a groupBy + pin + two expansion joins per
+    # tier.
+    fam = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     docs_canon = docs.join(fam, "doc_id", "left_semi")
-    cont = dedup.exact_containment_pairs_collapsed(docs_canon)
+    sh1 = (
+        dedup.with_shingles(docs_canon)
+        .select("doc_id", "shingles")
+        .localCheckpoint(eager=True)
+    )
+    cont = dedup.exact_containment_pairs(sh1, pre_shingled=True)
     dom2 = cont.select(F.col("id_a").alias("doc_id")).distinct()
-    s2 = fam.select("doc_id").join(dom2, "doc_id", "left_anti")
-    docs_s2 = docs.join(s2, "doc_id", "left_semi")
-    pairs3 = dedup.minhash_tiered_pairs(docs_s2, portable=True)
+    s2 = (
+        fam.select("doc_id")
+        .join(dom2, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    pairs3 = dedup.minhash_lsh_dedup_pairs(
+        sh1.join(s2, "doc_id", "left_semi"), portable=True, pre_shingled=True
+    ).localCheckpoint(eager=True)
     dom3 = pairs3.select(F.col("id_b").alias("doc_id")).distinct()
     s3 = s2.join(dom3, "doc_id", "left_anti")
 
