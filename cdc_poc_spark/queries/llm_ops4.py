@@ -982,51 +982,76 @@ def semdedup_prune_pairs(e, with_assign: bool = False):
         F.min("vec_id").alias("vec_id"),
         F.min_by("label", "vec_id").alias("label"),
     )
-    q = e.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim0", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("dim0") + 1).alias("dim"),
-        F.round(F.col("x").cast("double") * _SD_Q).cast("long").alias("xq"),
-    )
-    cent = q.groupBy(F.col("label").alias("clabel"), "dim").agg(
-        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
-    )
-    t = (F.col("xq") * F.col("n") - F.col("s")).cast("decimal(38,0)")
-    d2 = (
-        q.join(F.broadcast(cent), "dim")
-        .select("vec_id", "clabel", "n", t.alias("t"))
-        .groupBy("vec_id", "clabel")
-        .agg(
-            F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("num"),
-            (
-                F.sum(F.col("t") * F.col("t")).cast("double")
-                / (F.min("n").cast("double") * F.min("n"))
-            ).alias("dist2"),
-        )
-    )
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy("dist2", "clabel")
-    )
-    assign = (
-        d2.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell_id"), "num")
-    )
     qv = F.expr(
         f"transform(embedding, x -> cast(round(cast(x as double) * {_SD_Q})"
         " as bigint))"
     )
-    # Pinned ONCE (the analytics.py:524 pattern): `v` carries the whole
-    # quantize->centroid->assign subtree and feeds BOTH self-join sides;
-    # without the pin each side would recompute the assignment shuffle
-    # and window. n rows x one 64-int array — a tiny checkpoint.
+    # Pinned ONCE: the canonical quantized relation feeds the centroid
+    # aggregate (collected below) and the assignment map — n rows x one
+    # 64-int array, a tiny checkpoint.
+    base = e.select("vec_id", "label", qv.alias("qv")).localCheckpoint(
+        eager=True
+    )
+    # Centroid sums COLLECTED as per-cell literals (optimization r14,
+    # guide §2.4): the former explode -> broadcast-join -> groupBy ->
+    # row_number chain cost three exchanges and a window to assign each
+    # vector; the assignment is a pure function of the (cells x dims)
+    # centroid relation, which the broadcast form already required to
+    # be small, so collecting it instead is the same scale contract
+    # with ZERO assignment shuffles. The integer algebra is unchanged
+    # and bit-identical: t = xq*n - s in int64 (same overflow surface
+    # as the joined form), per-cell num = SUM(t^2) in DECIMAL(38,0),
+    # argmin by (double dist2 = num/n^2, cell label) exactly as the
+    # old window's orderBy.
+    cent_rows = (
+        base.select("label", F.posexplode("qv").alias("dim0", "xq"))
+        .groupBy("label", "dim0")
+        .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cells: dict = {}
+    for r in cent_rows:
+        cells.setdefault(r.label, {})[r.dim0] = (r.s, r.n)
+    dec38 = "decimal(38,0)"
+    cand_structs = []
+    for lab in sorted(cells):
+        dims = cells[lab]
+        s_arr = [dims[i][0] for i in range(len(dims))]
+        n_c = dims[0][1]
+        t = F.zip_with(
+            F.col("qv"),
+            F.lit(s_arr).cast("array<bigint>"),
+            lambda x, s: x * F.lit(n_c).cast("bigint") - s,
+        )
+        num = F.aggregate(
+            t,
+            F.lit(0).cast(dec38),
+            lambda acc, tt: acc + tt.cast(dec38) * tt.cast(dec38),
+        )
+        dist2 = num.cast("double") / F.lit(float(n_c) * float(n_c))
+        cand_structs.append(
+            F.struct(
+                dist2.alias("dist2"),
+                F.lit(lab).cast("bigint").alias("clabel"),
+                num.alias("num"),
+            )
+        )
+    if not cand_structs:  # empty input: keep the schema, emit no rows
+        cand_structs = [
+            F.struct(
+                F.lit(None).cast("double").alias("dist2"),
+                F.lit(None).cast("bigint").alias("clabel"),
+                F.lit(None).cast(dec38).alias("num"),
+            )
+        ]
+    best = F.array_min(F.array(*cand_structs))
     v = (
-        e.select("vec_id", qv.alias("qv"))
-        .join(assign, "vec_id")
+        base.select(
+            "vec_id",
+            "qv",
+            best["clabel"].alias("cell_id"),
+            best["num"].alias("num"),
+        )
         .withColumn(
             "n2",
             F.expr("aggregate(qv, 0L, (acc, x) -> acc + x * x)"),
@@ -1539,27 +1564,43 @@ def dedup_semdedup_recentroid_maintenance(spark, sf_dir):
     comparison adds two bounded id-set joins. The DuckDB oracle
     replays BOTH paths end-to-end (frozen build + screen via the
     fz_ CTE chain; rebuild via the batch operator's full fragment)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..streaming.semdedup import build_standing_index, screen_batch
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) != 0)
     batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 0)
 
-    cent, idx = build_standing_index(base)
-    cent = cent.localCheckpoint(eager=True)
-    idx = idx.localCheckpoint(eager=True)
-    disp, _ = screen_batch(batch, cent, idx)
+    # The FROZEN path (standing-index build + screen) and the REBUILD
+    # path (full re-prune) are independent job chains whose eager pins
+    # otherwise serialize: overlap them on two driver threads (guide
+    # §2.6 — the scheduler back-fills each chain's stragglers with the
+    # other's tasks). Values are unaffected; both paths are exact.
+    def _frozen():
+        cent, idx = build_standing_index(base)
+        cent = cent.localCheckpoint(eager=True)
+        idx = idx.localCheckpoint(eager=True)
+        return screen_batch(batch, cent, idx)[0]
 
-    pruned, assign_v = semdedup_prune_pairs(emb, with_assign=True)
-    kept = (
-        assign_v.select("vec_id")
-        .join(
-            pruned.select(F.col("dropped_id").alias("vec_id")).distinct(),
-            "vec_id",
-            "left_anti",
+    def _rebuild():
+        pruned, assign_v = semdedup_prune_pairs(emb, with_assign=True)
+        kept = (
+            assign_v.select("vec_id")
+            .join(
+                pruned.select(F.col("dropped_id").alias("vec_id")).distinct(),
+                "vec_id",
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
+        return pruned, assign_v, kept
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_frozen = pool.submit(_frozen)
+        f_rebuild = pool.submit(_rebuild)
+        disp = f_frozen.result()
+        pruned, assign_v, kept = f_rebuild.result()
     n_base_dropped = (
         base.select("vec_id")
         .join(kept, "vec_id", "left_anti")
