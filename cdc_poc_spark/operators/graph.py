@@ -612,7 +612,9 @@ def local_clustering(
     )
 
 
-def common_neighbor_linkpred(edges: DataFrame, hub_cap: int) -> DataFrame:
+def common_neighbor_linkpred(
+    edges: DataFrame, hub_cap: int, pin: bool = False
+) -> DataFrame:
     """Common-neighbor link prediction over an undirected u<v edge list:
     NON-adjacent pairs (a, b) with >= 2 shared neighbors, scored by
     neighborhood Jaccard. Returns (a, b, n_common, neighbor_jaccard)
@@ -644,10 +646,21 @@ def common_neighbor_linkpred(edges: DataFrame, hub_cap: int) -> DataFrame:
     e = raw.select(
         F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
     ).filter("u <> v").distinct()
+    # ``pin`` (optimization r14, guide §5 plan truncation): `e` feeds
+    # the symmetrization AND the adjacency anti-join, and the
+    # hub-filtered `symf` feeds THREE consumers (degn + both wedge
+    # sides) — unpinned, each reference re-derives the normalize/
+    # symmetrize/anti-join subtree (the query's plan carried 120
+    # Exchange nodes). Both relations are O(|edges|); callers with a
+    # small, already-pinned edge input opt in.
+    if pin:
+        e = e.localCheckpoint(eager=True)
     sym = _symmetric(e)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     hubs = deg.filter(F.col("deg") > hub_cap).select(F.col("node").alias("v"))
     symf = sym.join(F.broadcast(hubs), "v", "left_anti")
+    if pin:
+        symf = symf.localCheckpoint(eager=True)
     degn = symf.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     s1 = symf.select(F.col("u").alias("a"), F.col("v").alias("n"))
     s2 = symf.select(F.col("u").alias("b"), F.col("v").alias("n"))

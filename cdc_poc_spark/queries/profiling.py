@@ -879,19 +879,30 @@ def _coorder_part_edges(spark, sf_dir):
     ps = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    # The count shuffle carries ONE packed long per pair instead of a
+    # two-long struct row (optimization r14, guide §2.3 "narrower
+    # types"): u*2^32 + v is injective while part keys stay below 2^32
+    # (TPC-H part keys reach 200k x SF — five orders of magnitude of
+    # headroom at the 100 TB point), and u < v survives the decode
+    # unchanged. Same pair multiset, same counts.
     pairs = ps.select(
         F.explode(
             F.expr(
                 "flatten(transform(ps, (x, i) ->"
                 " transform(slice(ps, i + 2, size(ps)),"
-                " y -> struct(x AS u, y AS v))))"
+                " y -> x * 4294967296L + y)))"
             )
-        ).alias("e")
-    ).select("e.u", "e.v")
+        ).alias("uv")
+    )
     return (
-        pairs.groupBy("u", "v")
+        pairs.groupBy("uv")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _COORDER_MIN_SHARED)
+        .select(
+            F.shiftright("uv", 32).alias("u"),
+            F.col("uv").bitwiseAND(F.lit((1 << 32) - 1)).alias("v"),
+            "w",
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -999,7 +1010,7 @@ def graph_linkpred_common_neighbors(spark, sf_dir):
     from ..operators.graph import common_neighbor_linkpred
 
     e = _coorder_part_edges(spark, sf_dir).select("u", "v")
-    return common_neighbor_linkpred(e, hub_cap=_LINKPRED_HUB_CAP).select(
+    return common_neighbor_linkpred(e, hub_cap=_LINKPRED_HUB_CAP, pin=True).select(
         F.col("a").alias("part_a"),
         F.col("b").alias("part_b"),
         "n_common",
@@ -1421,7 +1432,7 @@ def graph_linkpred_adamic_adar(spark, sf_dir):
         "u",
         F.col("v").alias("n"),
         F.round(1000000.0 / F.log(F.col("deg").cast("double"))).cast("long").alias("w_n"),
-    )
+    ).localCheckpoint(eager=True)  # feeds both wedge sides (r14 pin)
     s1 = wn.select(F.col("u").alias("a"), "n", "w_n")
     s2 = wn.select(F.col("u").alias("b"), "n")
     cn = (
