@@ -273,8 +273,15 @@ def _token_order(common: list[int]):
 
 
 def jaccard(col_a: str, col_b: str) -> F.Column:
-    """Exact Jaccard over two distinct-element arrays (integer set sizes
-    -> exact double ratio). |A∪B| is derived as |A|+|B|−|A∩B| (exact on
+    """Exact Jaccard over two DISTINCT-ELEMENT arrays.
+
+    PRECONDITION (caller's responsibility, not checked here): both
+    columns hold arrays without duplicate elements — every current call
+    site passes array_distinct outputs. On duplicate-bearing input the
+    |A|+|B|-|A∩B| identity below over-counts the union and the result
+    is silently wrong; wrap new inputs in F.array_distinct first.
+
+    (integer set sizes -> exact double ratio). |A∪B| is derived as |A|+|B|−|A∩B| (exact on
     distinct-element inputs — the documented contract of every call
     site) instead of materializing array_union: the intersect hash
     probe is the only per-pair array pass left, halving verification

@@ -3516,19 +3516,29 @@ def _cov_gemm_partials(it):
         nrows = len(col)
         if nrows == 0:
             continue
+        # Hard raises, not asserts (ADVICE r13): under `python -O` an
+        # assert is stripped and the overflow guard would degrade to
+        # silently wrong covariance sums.
+        if col.null_count:
+            raise ValueError(
+                f"null embedding rows in batch: {col.null_count}"
+            )
         arr = np.asarray(col.flatten(), dtype=np.int64)
-        assert arr.size % nrows == 0, "ragged embedding batch"
+        if arr.size % nrows != 0:
+            raise ValueError("ragged embedding batch")
         dd = arr.size // nrows
         X = arr.reshape(nrows, dd)
         mx = int(np.abs(X).max()) if X.size else 0
-        assert mx * mx * nrows < (1 << 62), (
-            f"int64 GEMM overflow risk: maxabs={mx} rows={nrows}"
-        )
+        if mx * mx * nrows >= (1 << 62):
+            raise ValueError(
+                f"int64 GEMM overflow risk: maxabs={mx} rows={nrows}"
+            )
         Gb = (X.T @ X).astype(object)
         if G is None:
             G, d = Gb, dd
+        elif dd != d:
+            raise ValueError("mixed embedding dims across batches")
         else:
-            assert dd == d, "mixed embedding dims across batches"
             G = G + Gb
     if G is None:
         return
