@@ -1276,9 +1276,6 @@ def build_ivfpq_index(
         .groupBy("cell_id", "j")
         .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
     )
-    if pin:
-        refined = refined.localCheckpoint(eager=True)
-    cell_d, assigned = _assign(refined)
 
     # --- PQ codebooks: rank-based seeds + one integer-exact Lloyd step
     # per subspace (measured on the fixture: seeds alone leave end-to-end
@@ -1316,7 +1313,17 @@ def build_ivfpq_index(
         .agg(F.expr("CAST(SUM(qx) DIV COUNT(*) AS BIGINT)").alias("qc"))
     )
     if pin:
-        pq_refined = pq_refined.localCheckpoint(eager=True)
+        # The coarse-centroid and PQ-codebook Lloyd chains are
+        # independent once `dims` is pinned: overlap their two
+        # materializations on driver threads (guide §2.6) instead of
+        # running them back-to-back.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_r = pool.submit(refined.localCheckpoint, True)
+            f_p = pool.submit(pq_refined.localCheckpoint, True)
+            refined, pq_refined = f_r.result(), f_p.result()
+    cell_d, assigned = _assign(refined)
     codes = _pq_assign(pq_refined)
 
     # --- queries: ADC distance tables (n_queries * m * pq_k entries)
@@ -1346,15 +1353,25 @@ def build_ivfpq_index(
     }
     if pin:
         # dims/cents are already checkpointed above — re-pinning them
-        # would serialize the same rows a second time for nothing
-        index = {
-            k_: (
-                v.localCheckpoint(eager=True)
-                if isinstance(v, DataFrame) and k_ not in ("dims", "cents")
-                else v
-            )
+        # would serialize the same rows a second time for nothing. The
+        # four export materializations are mutually independent (each
+        # reads only pinned inputs): overlap them (guide §2.6; 3 in
+        # flight is enough to fill stage tails without starving any
+        # one job of executors).
+        from concurrent.futures import ThreadPoolExecutor
+
+        to_pin = [
+            k_
             for k_, v in index.items()
-        }
+            if isinstance(v, DataFrame) and k_ not in ("dims", "cents")
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = {
+                k_: pool.submit(index[k_].localCheckpoint, True)
+                for k_ in to_pin
+            }
+            for k_, f in futs.items():
+                index[k_] = f.result()
     return index
 
 
