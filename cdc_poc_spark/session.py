@@ -84,6 +84,15 @@ def get_spark(
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # Parameterised tuning overrides (optimization r14, guide §1.2
+    # "config last"): `SPARK_GRAFT_EXTRA_CONFS="k=v;k=v"` lets a
+    # deployment (or an A/B harness) inject session confs — including
+    # static ones like the shuffle codec — without code edits. Empty by
+    # default, so the driver's bench runs the committed defaults.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for kv in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure_session(spark)
