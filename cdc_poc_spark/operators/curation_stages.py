@@ -69,6 +69,17 @@ def stage5_decontam(
     against the src0 benchmark's word n-grams (n/k/m are the
     _BDC_* contract constants). Returns (s5, aux5) where aux5 =
     Bloom-FLAGGED docs (pins false-positive behavior)."""
+    from pyspark import StorageLevel
+
+    # The distinct-gram relation feeds three job branches (the bloom
+    # bits' bench side, the candidate side, and the exact-verify bench
+    # side inside the s5 pin) — unpersisted, the corpus explode ran
+    # once per branch. Cache it spillable + recomputable (it is
+    # corpus-sized — same rule as pipeline_bloom_decontaminate), with
+    # an eager materializing count so concurrent branches cannot race
+    # an empty cache; released after the pins below, so the streaming
+    # e2e twin (which replays this stage per epoch) cannot leak caches
+    # across batches.
     grams = (
         spread(docs)
         .withColumn("toks", F.split(F.col("text"), " "))
@@ -78,7 +89,9 @@ def stage5_decontam(
             F.explode(word_ngrams("toks", n)).alias("gram"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grams.count()
     bench = grams.filter(F.col("__is_bench")).select("gram").distinct()
     cand = (
         grams.filter(~F.col("__is_bench"))
@@ -124,6 +137,8 @@ def stage5_decontam(
         susp.join(bench, "gram", "left_semi").select("doc_id").distinct()
     )
     s5 = s4.join(dom5, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # every gram consumer has materialized through the pins above
+    grams.unpersist()
     aux5 = (
         susp.select("doc_id")
         .distinct()
