@@ -12,6 +12,8 @@ op interleavings, not volume.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -64,6 +66,7 @@ def _state_of(df):
     max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(events=events_strategy)
+@pytest.mark.slow
 def test_apply_changes_equals_naive_replay(spark, events):
     log = spark.createDataFrame(_rows(events), LOG_SCHEMA)
     got = _state_of(apply_changes(log, ["pk"]))
@@ -74,6 +77,7 @@ def test_apply_changes_equals_naive_replay(spark, events):
     max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(events=events_strategy, cut=st.integers(min_value=0, max_value=30))
+@pytest.mark.slow
 def test_incremental_merge_equals_oneshot(spark, events, cut):
     """Splitting the log at any point and merging the tail into the
     head's state — WITH the tail replayed twice (foreachBatch
@@ -143,6 +147,7 @@ def _ivm_expected_cents(events):
     max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(events=ivm_events, cut=st.integers(min_value=0, max_value=24))
+@pytest.mark.slow
 def test_continuous_aggregate_any_split_equals_spec(spark, events, cut, tmp_path_factory):
     from cdc_poc_spark.streaming.ivm import ContinuousAggregate
 

@@ -7,6 +7,8 @@ comes from hypothesis shrinking over clone patterns, not volume."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -43,6 +45,7 @@ def _mk_docs(spark, families):
     max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(families=texts_strategy)
+@pytest.mark.slow
 def test_collapsed_lsh_equals_flat_for_any_clone_pattern(spark, families):
     docs = _mk_docs(spark, families)
     flat = {
@@ -72,6 +75,7 @@ def test_collapsed_lsh_equals_flat_for_any_clone_pattern(spark, families):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_collapsed_cosine_equals_naive_for_any_clone_pattern(spark, vecs):
     from cdc_poc_spark.operators import similarity
     from tests.test_llm_ops import _naive_block_pairs
@@ -101,6 +105,7 @@ def test_collapsed_cosine_equals_naive_for_any_clone_pattern(spark, vecs):
     max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(families=texts_strategy)
+@pytest.mark.slow
 def test_collapsed_incremental_equals_flat_for_any_clone_pattern(spark, families):
     """The R-S incremental PPJoin with per-side clone collapse must emit
     exactly the flat R-S rows for ANY clone pattern — including families
@@ -128,6 +133,7 @@ def test_collapsed_incremental_equals_flat_for_any_clone_pattern(spark, families
     max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
 )
 @given(families=texts_strategy)
+@pytest.mark.slow
 def test_persisted_index_lifecycle_for_any_clone_pattern(spark, families):
     """build(A) + append(B) + query(C) against the persisted index must
     emit exactly the inline R-S join of C vs A ∪ B, for ANY corpus —

@@ -12,6 +12,8 @@ engine surface. Four angles:
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -62,6 +64,7 @@ def _view_rows(mj):
     )
 
 
+@pytest.mark.slow
 def test_materialized_join_matches_recompute(spark, tmp_path):
     mj = MaterializedJoin(spark, str(tmp_path / "mj"), left_id="l_id", join_key="jk", n_buckets=8)
     all_l, all_r = [], []
@@ -182,6 +185,7 @@ def test_materialized_join_bucket_locality(spark, tmp_path):
     assert len(rows) == 12
 
 
+@pytest.mark.slow
 def test_materialized_join_streaming_drain(spark, tmp_path):
     """End-to-end Structured Streaming drive: a file stream of
     side-tagged delta files (one file per epoch, maxFilesPerTrigger=1)
@@ -269,6 +273,7 @@ def test_materialized_join_streaming_drain(spark, tmp_path):
     assert _view_rows(mj) == want
 
 
+@pytest.mark.slow
 def test_materialized_join_compaction(spark, tmp_path):
     """compact() must collapse the manifest to ONE version dir without
     changing a single visible row, and survive being interleaved with
@@ -298,6 +303,7 @@ def test_materialized_join_compaction(spark, tmp_path):
     assert (1, 10, 999, "s0") in _view_rows(mj)
 
 
+@pytest.mark.slow
 def test_materialized_join_from_cdc_envelopes(spark, tmp_path):
     """The reference's CDC shape, upgraded from mirror tables to a
     maintained JOIN view: two Debezium-style topics (account, plan)
@@ -439,6 +445,7 @@ def test_materialized_join_from_cdc_envelopes(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_materialized_join_random_histories(spark, tmp_path):
     """Three seeded random delta histories (mixed upserts/deletes on
     both sides, duplicate keys within epochs, interleaved empty sides)
@@ -541,6 +548,7 @@ def _agg_rows(mj):
     }
 
 
+@pytest.mark.slow
 def test_materialized_join_agg_matches_recompute(spark, tmp_path):
     """Epoch-by-epoch equality with the pure-Python rollup across a
     history whose deletes REMOVE the current max of a group — the
@@ -576,6 +584,7 @@ def test_materialized_join_agg_matches_recompute(spark, tmp_path):
     assert "B" not in _agg_rows(mj)
 
 
+@pytest.mark.slow
 def test_materialized_join_agg_streaming_drain(spark, tmp_path):
     """The streaming wiring is inherited: drain side-tagged delta files
     through materialized_join_stream into a MaterializedJoinAggregate
@@ -656,6 +665,7 @@ def test_materialized_join_agg_partial_locality(spark, tmp_path):
     assert len(got) == 12
 
 
+@pytest.mark.slow
 def test_materialized_join_agg_survives_compaction(spark, tmp_path):
     mj = _make_agg(spark, tmp_path / "mjc", nb=4)
     all_l, all_r = [], []
@@ -677,6 +687,7 @@ def test_materialized_join_agg_survives_compaction(spark, tmp_path):
     assert len(vers) == 1  # every bucket (agg included) in ONE version dir
 
 
+@pytest.mark.slow
 def test_materialized_join_agg_random_histories(spark, tmp_path):
     """The randomized sibling for the AGGREGATE view: seeded random
     two-sided histories (upserts/deletes/key-moves, group re-segments,

@@ -13,11 +13,14 @@ ArrowEvalPythonUDTF).
 
 from __future__ import annotations
 
+import pytest
+
 from cdc_poc_spark.queries import all_specs
 
 from .conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_registry_plan_invariants(spark):
     from tools.plan_audit import CARTESIAN_OK, audit  # noqa: PLC0415
 

@@ -18,6 +18,8 @@ each new Spark query and its DuckDB oracle (the standing discipline).
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 from fractions import Fraction
 
@@ -36,6 +38,7 @@ _Q = 1_000_000
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_curation_e2e_stage_arithmetic(spark):
     rows = {
         r["stage"]: r
@@ -63,6 +66,7 @@ def test_curation_e2e_stage_arithmetic(spark):
     assert rows[8]["aux"] >= 1  # at least one packed bin
 
 
+@pytest.mark.slow
 def test_curation_e2e_stages_match_tiers_composed(spark):
     """Stages 1-3 re-derive pipeline_dedup_tiers_composed's rows — an
     independently-oracled query — column for column."""

@@ -163,6 +163,7 @@ def stream_run(spark, tmp_path_factory):
     return out_dir, state_dir
 
 
+@pytest.mark.slow
 def test_stream_agrees_with_batch_per_epoch(spark, stream_run, tmp_path):
     """THE agreement contract: every epoch's derived cascade equals the
     batch DAG on that epoch's corpus prefix."""
@@ -246,6 +247,7 @@ def test_stream_golden_gate_pins(spark, stream_run):
     assert rows[(2, 4)]["n_dropped"] >= 1
 
 
+@pytest.mark.slow
 def test_stream_registry_query_final_epoch_matches_batch(spark):
     """The registry query (fixture tables, 3 id-ordered thirds) must
     end exactly where the batch registry query lands."""
@@ -495,6 +497,7 @@ def test_ingest_gate_replay_idempotent(spark, tmp_path):
     assert _snap_dir(spark, str(tmp_path / "index")) == idx0
 
 
+@pytest.mark.slow
 def test_stream_e2e_replay_idempotent(spark, stream_run, tmp_path_factory):
     """The streaming curation DAG: replay the final epoch via the same
     checkpoint surgery; every state relation, and the per-epoch stage

@@ -15,6 +15,8 @@ bugs in rounds 6-8).
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 from collections import defaultdict
 
@@ -190,6 +192,7 @@ def _py_opq(sf_dir: str, n_np: int = 2, n_lloyd: int = 2):
     return dists, rows
 
 
+@pytest.mark.slow
 def test_opq_pipeline_vs_numpy(spark):
     from cdc_poc_spark.operators import similarity
     from cdc_poc_spark.tables import load_table

@@ -881,6 +881,7 @@ def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
     assert any(a <= cut < b for a, b, _ in got)
 
 
+@pytest.mark.slow
 def test_ingest_vs_index_streams_and_grows(spark, tmp_path):
     """The foreachBatch ingest loop against a persisted Jaccard index:
     batch 1 (slice B) is flagged vs the built index (slice A) and its
@@ -978,6 +979,7 @@ def test_ingest_vs_index_streams_and_grows(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t_name}")
 
 
+@pytest.mark.slow
 def test_event_time_sessionize_closes_on_watermark(spark, tmp_path):
     """EVENT-TIME sessionization (stateful_sessionize_event_time —
     VERDICT r4 #5): out-of-order events WITHIN the watermark delay are
